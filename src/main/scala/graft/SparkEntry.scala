@@ -1,13 +1,148 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `a##_*` query routes through the model-driven Browser
+  * (graft.engine.Browser) — the queries are numbered after SURVEY.md §2.A's
+  * operator inventory. `b##_*` queries exercise the ETL dataflow operators
+  * (§2.B) and `x_*` the beyond-reference extensions (§2.C / §7.6).
+  *
+  * Float-valued aggregates are rounded identically on both the Spark and the
+  * DuckDB oracle side: summation order differs between engines, so the last
+  * ulps of a double sum are not comparable — the rounded value is.
+  */
 object SparkEntry {
+
+  /** Round the named double columns post-aggregation (both sides round). */
+  private def rounded(df: DataFrame, cols: (String, Int)*): DataFrame =
+    cols.foldLeft(df) { case (d, (c, n)) => d.withColumn(c, round(col(c), n)) }
+
+  private val aggRound = Seq(
+    "price_sum" -> 2, "price_avg" -> 4, "price_stddev" -> 4, "qty_sum" -> 2)
+
+  /** Shared SELECT list fragments for the lineitem-cube oracles. */
+  private val aggSql =
+    """round(sum(l_extendedprice),2) AS price_sum, count(*) AS n_items,
+      | round(avg(l_extendedprice),4) AS price_avg,
+      | round(stddev_samp(l_extendedprice),4) AS price_stddev,
+      | count(DISTINCT l_orderkey) AS n_orders,
+      | round(sum(l_quantity),2) AS qty_sum""".stripMargin.replace("\n", "")
+
+  /** lineitem with the derived rangeable year dim, as the oracle sees it. */
+  private val liSql =
+    "(SELECT *, CAST(year(l_shipdate) AS INTEGER) AS l_shipyear FROM lineitem)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TestCubes.lineitem(spark, "/root/testdata/sf0.001")
+      .aggregate(CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: facts scan + stable pagination (HOWTO.md:35-42)
+    "a01_facts_page" -> ((s, dir) =>
+      TestCubes.lineitem(s, dir).facts(CubeQuery(page = Some(Page(2, 100))))),
+    // A2: fact point-lookup on a high-cardinality dim (HOWTO.md:93-104)
+    "a02_point_lookup" -> ((s, dir) =>
+      TestCubes.lineitem(s, dir).facts(CubeQuery(
+        cuts = Seq(PointCut("l_orderkey", "1")),
+        page = Some(Page(0, 500))))),
+    // A3: aggregate without drilldown = grand total (HOWTO.md:51-55)
+    "a03_summary" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).summary(CubeQuery()), aggRound: _*)),
+    // A4: single-dim drilldown (HOWTO.md:57-63)
+    "a04_drilldown" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(
+        CubeQuery(drilldown = Seq("l_returnflag"))), aggRound: _*)),
+    // A5: multi-dim drilldown (HOWTO.md:65-67)
+    "a05_drilldown_multi" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(
+        CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus"))), aggRound: _*)),
+    // A6: point cut composed with drilldown (HOWTO.md:73-77,81-85)
+    "a06_point_cut" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        cuts = QueryParser.parseCuts("l_returnflag:R"),
+        drilldown = Seq("l_linestatus"))), aggRound: _*)),
+    // A7: inclusive range cut on the rangeable dim (HOWTO.md:77-79)
+    "a07_range_cut" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        cuts = QueryParser.parseCuts("l_shipyear:1994~1996"),
+        drilldown = Seq("l_shipyear"))), aggRound: _*)),
+    // A8: conjunctive multi-cut incl. open-ended range (HOWTO.md:87-91)
+    "a08_multi_cut" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        cuts = QueryParser.parseCuts("l_returnflag:A|l_linestatus:F|l_shipyear:~1995"),
+        drilldown = Seq("l_shipyear"))), aggRound: _*)),
+    // A9: order by aggregate, desc (HOWTO.md:61-63)
+    "a09_order_by_agg" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        drilldown = Seq("l_suppkey"),
+        orders = QueryParser.parseOrders("price_sum:desc"))), aggRound: _*)),
+    // A10: aggregate pagination over a stable total order (HOWTO.md:15,89)
+    "a10_agg_page" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        drilldown = Seq("l_partkey"),
+        orders = QueryParser.parseOrders("n_items:desc"),
+        page = Some(Page(3, 50)))), aggRound: _*)),
+    // A16: members — distinct dimension values (cubes /members endpoint)
+    "a16_members" -> ((s, dir) =>
+      TestCubes.lineitem(s, dir).members("l_shipyear")),
+    // A17: percentage-of-total via broadcast with the summary row
+    "a17_share_of_total" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregateWithShare(
+        CubeQuery(drilldown = Seq("l_returnflag")),
+        "price_sum", "price_pct"), (aggRound :+ ("price_pct" -> 4)): _*)),
+    // A18: summary + cells in one ROLLUP pass (response shape HOWTO.md:51-67)
+    "a18_summary_cells" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregateWithSummary(
+        CubeQuery(drilldown = Seq("l_returnflag"))), aggRound: _*)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "a01_facts_page" ->
+      s"SELECT * FROM $liSql ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 200",
+    "a02_point_lookup" ->
+      s"SELECT * FROM $liSql WHERE l_orderkey = 1 ORDER BY l_orderkey, l_linenumber LIMIT 500",
+    "a03_summary" ->
+      s"SELECT $aggSql FROM lineitem",
+    "a04_drilldown" ->
+      s"SELECT l_returnflag, $aggSql FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a05_drilldown_multi" ->
+      (s"SELECT l_returnflag, l_linestatus, $aggSql FROM lineitem " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "a06_point_cut" ->
+      (s"SELECT l_linestatus, $aggSql FROM lineitem WHERE l_returnflag = 'R' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "a07_range_cut" ->
+      (s"SELECT l_shipyear, $aggSql FROM $liSql WHERE l_shipyear BETWEEN 1994 AND 1996 " +
+        "GROUP BY 1 ORDER BY 1"),
+    "a08_multi_cut" ->
+      (s"SELECT l_shipyear, $aggSql FROM $liSql " +
+        "WHERE l_returnflag = 'A' AND l_linestatus = 'F' AND l_shipyear <= 1995 " +
+        "GROUP BY 1 ORDER BY 1"),
+    "a09_order_by_agg" ->
+      (s"SELECT l_suppkey, $aggSql FROM lineitem GROUP BY 1 " +
+        "ORDER BY sum(l_extendedprice) DESC, l_suppkey"),
+    "a10_agg_page" ->
+      (s"SELECT l_partkey, $aggSql FROM lineitem GROUP BY 1 " +
+        "ORDER BY count(*) DESC, l_partkey LIMIT 50 OFFSET 150"),
+    "a16_members" ->
+      s"SELECT DISTINCT l_shipyear FROM $liSql ORDER BY l_shipyear",
+    "a17_share_of_total" ->
+      (s"SELECT l_returnflag, $aggSql, " +
+        "round(100.0 * sum(l_extendedprice) / (SELECT sum(l_extendedprice) FROM lineitem), 4) AS price_pct " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "a18_summary_cells" ->
+      (s"SELECT l_returnflag, $aggSql, CAST(grouping(l_returnflag) AS BIGINT) AS grouping_level " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag) " +
+        "HAVING grouping(l_returnflag) IN (0, 1) ORDER BY grouping_level, l_returnflag"),
+  )
 }

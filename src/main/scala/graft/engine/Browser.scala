@@ -1,0 +1,194 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Aggregate, CubeModel}
+import graft.query._
+
+/** Model-driven query engine over one cube DataFrame — the Spark-native
+  * replacement for the reference's `cubes` SQL browser (the external library
+  * pinned at /root/reference/requirements.txt:1, whose observable semantics
+  * are specified by /root/reference/HOWTO.md:31-104).
+  *
+  * Every query is pure DataFrame composition —
+  * `filter → groupBy.agg → orderBy → offset/limit` — so Catalyst gets a fully
+  * declarative plan: predicate pushdown to the parquet scan, column pruning,
+  * two-phase HashAggregate, and whole-stage codegen are all automatic
+  * (SURVEY.md §4). Nothing here collects to the driver.
+  */
+final class Browser(val model: CubeModel, val df: DataFrame) {
+
+  // ---- cuts -> predicate ------------------------------------------------
+
+  private def colType(name: String): DataType =
+    df.schema.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cube '${model.name}': no column '$name'"))
+      .dataType
+
+  /** One cut → one Column predicate. Literals are cast to the column's type
+    * (foldable, so parquet pushdown survives); the column itself is only
+    * cast for range cuts over string dims (the reference's year-as-string
+    * `period`, HOWTO.md:77-79, which compares numerically).
+    */
+  def cutPredicate(cut: Cut): Column = {
+    val base = cut match {
+      case PointCut(d, v, _) =>
+        col(d) === lit(v).cast(colType(d))
+      case SetCut(d, vs, _) =>
+        col(d).isin(vs.map(v => lit(v).cast(colType(d))): _*)
+      case RangeCut(d, lo, hi, _) =>
+        val dim = model.requireDimension(d)
+        require(dim.rangeable,
+          s"dimension '$d' does not support range cuts (HOWTO.md:79 semantics)")
+        val (c, cast: (String => Column)) = colType(d) match {
+          case StringType => (col(d).cast(LongType), (s: String) => lit(s.toLong))
+          case t => (col(d), (s: String) => lit(s).cast(t))
+        }
+        (lo, hi) match {
+          case (Some(l), Some(h)) => c >= cast(l) && c <= cast(h)
+          case (Some(l), None)    => c >= cast(l)
+          case (None, Some(h))    => c <= cast(h)
+          case (None, None)       => lit(true)
+        }
+    }
+    if (cut.invert) !base else base
+  }
+
+  /** Conjunction of all cuts (HOWTO.md:87-91); Catalyst folds the chained
+    * filters into one predicate.
+    */
+  def applyCuts(cuts: Seq[Cut]): DataFrame =
+    cuts.foldLeft(df)((d, c) => d.filter(cutPredicate(c)))
+
+  // ---- aggregates -------------------------------------------------------
+
+  /** Aggregate spec → Column. `count` is a record count (the reference's
+    * count measures are nominal — SURVEY.md A12) so NA-sentinel rows always
+    * count; `stddev` is sample stddev for PostgreSQL/DuckDB parity
+    * (SURVEY.md §7.4.2).
+    */
+  def aggExpr(a: Aggregate): Column = {
+    def m = col(a.measure.getOrElse(throw new IllegalArgumentException(
+      s"aggregate '${a.name}' (${a.function}) needs a measure")))
+    val e = a.function match {
+      case "sum"            => sum(m)
+      case "count"          => count(lit(1))
+      case "avg"            => avg(m)
+      case "stddev"         => stddev_samp(m)
+      case "count_distinct" => countDistinct(m)
+      case "approx_count_distinct" => approx_count_distinct(m)
+      case "min"            => min(m)
+      case "max"            => max(m)
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregate function '$other'")
+    }
+    e.as(a.name)
+  }
+
+  def aggExprs(names: Seq[String] = Nil): Seq[Column] = {
+    val aggs = if (names.isEmpty) model.aggregates
+    else names.map(n => model.aggregate(n).getOrElse(
+      throw new IllegalArgumentException(s"unknown aggregate '$n'")))
+    require(aggs.nonEmpty, s"cube '${model.name}' declares no aggregates")
+    aggs.map(aggExpr)
+  }
+
+  // ---- ordering / pagination -------------------------------------------
+
+  private def orderCols(orders: Seq[Order]): Seq[Column] =
+    orders.map(o => if (o.desc) col(o.key).desc else col(o.key).asc)
+
+  /** LIMIT/OFFSET without a total order is nondeterministic in a distributed
+    * engine (the reference leans on Postgres heap order). We always extend
+    * the user's sort with a deterministic tie-breaker — the full drilldown
+    * key for aggregates, the cube's factKey for facts (SURVEY.md §7.4.4).
+    */
+  private def paginate(d: DataFrame, orders: Seq[Column], page: Option[Page]): DataFrame = {
+    val sorted = if (orders.nonEmpty) d.orderBy(orders: _*) else d
+    page match {
+      case Some(p) => sorted.offset(p.offset).limit(p.pagesize)
+      case None    => sorted
+    }
+  }
+
+  // ---- entry points -----------------------------------------------------
+
+  /** `GET /cube/<c>/aggregate` cells: drilldown grouping (HOWTO.md:57-67);
+    * with no drilldown the single summary row is the result (HOWTO.md:51-55).
+    */
+  def aggregate(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
+    val base = applyCuts(q.cuts)
+    val aggs = aggExprs(aggNames)
+    val cells =
+      if (q.drilldown.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else {
+        val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
+        base.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
+      }
+    // user order first, then all drilldown dims as the stable tie-breaker
+    val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
+    paginate(cells, orderCols(q.orders) ++ tieBreak, q.page)
+  }
+
+  /** Ungrouped summary over the same cell (the `summary` part of the
+    * aggregate response shape, HOWTO.md:51-67).
+    */
+  def summary(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
+    val aggs = aggExprs(aggNames)
+    applyCuts(q.cuts).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Summary + cells in one pass via ROLLUP on the drilldown dims: the
+    * grand-total row (all dims null, grouping level = #dims) is the summary,
+    * level-0 rows are the cells. One shuffle instead of two jobs.
+    */
+  def aggregateWithSummary(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
+    require(q.drilldown.nonEmpty, "aggregateWithSummary needs a drilldown")
+    val base = applyCuts(q.cuts)
+    val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
+    val aggs = aggExprs(aggNames) :+
+      grouping_id(dims: _*).cast(LongType).as("grouping_level")
+    val rolled = base.rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
+      // ROLLUP emits intermediate levels too; keep cells (0) + grand total
+      .filter(col("grouping_level") === 0 ||
+              col("grouping_level") === ((1L << dims.size) - 1))
+    paginate(rolled,
+      col("grouping_level").asc +: q.drilldown.map(col(_).asc), q.page)
+  }
+
+  /** Percentage-of-total (SURVEY.md A17, YAML_STATIC_PART_APC:23-27): each
+    * cell's aggregate divided by the summary total. Implemented as a
+    * broadcast cross-join with the 1-row summary — scale-safe (no
+    * unpartitioned window that would funnel 100 TB through one task).
+    */
+  def aggregateWithShare(q: CubeQuery, aggName: String, pctName: String): DataFrame = {
+    val cells = aggregate(q.copy(page = None, orders = Nil))
+    val total = summary(q, Seq(aggName)).select(col(aggName).as("__total"))
+    val shared = cells.crossJoin(broadcast(total))
+      .withColumn(pctName, col(aggName) / col("__total") * lit(100.0))
+      .drop("__total")
+    val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
+    paginate(shared, orderCols(q.orders) ++ tieBreak, q.page)
+  }
+
+  /** `GET /cube/<c>/facts` (HOWTO.md:35-42): full-row listing with optional
+    * cuts + mandatory-stable pagination. DOI-style point lookup
+    * (HOWTO.md:93-104) is this with a PointCut on a high-cardinality dim.
+    */
+  def facts(q: CubeQuery): DataFrame = {
+    val base = applyCuts(q.cuts)
+    val tieBreak =
+      if (q.page.isDefined || q.orders.nonEmpty) model.factKey.map(col(_).asc)
+      else Nil
+    paginate(base, orderCols(q.orders) ++ tieBreak, q.page)
+  }
+
+  /** `GET /cube/<c>/members/<dim>`: distinct dimension values, sorted. */
+  def members(dim: String, cuts: Seq[Cut] = Nil, page: Option[Page] = None): DataFrame = {
+    val d = model.requireDimension(dim).name
+    paginate(applyCuts(cuts).select(col(d)).distinct(), Seq(col(d).asc), page)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.registry
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.Browser
+import graft.model.CubeModel
+
+/** name → (model, DataFrame) registry — the Spark-native stand-in for the
+  * reference's workspace/model.json loading (slicer.ini:1-2, generated at
+  * assets_generator.py:616-642). Institutional cubes are registered as
+  * filter-views over their parent cube (semantics identical to the
+  * reference's verbatim row copies, assets_generator.py:696).
+  */
+final class CubeRegistry {
+  private val cubes = TrieMap.empty[String, (CubeModel, DataFrame)]
+
+  def register(model: CubeModel, df: DataFrame, cache: Boolean = false): Unit = {
+    val d = if (cache) df.cache() else df
+    cubes.put(model.name, (model, d))
+  }
+
+  def names: Seq[String] = cubes.keys.toSeq.sorted
+  def model(name: String): Option[CubeModel] = cubes.get(name).map(_._1)
+  def browser(name: String): Browser = {
+    val (m, df) = cubes.getOrElse(name,
+      throw new NoSuchElementException(s"no such cube: $name"))
+    new Browser(m, df)
+  }
+
+  /** `GET /cubes` (HOWTO.md:31-33). */
+  def listJson: String =
+    names.flatMap(model(_)).map(m =>
+      s"""{"name":"${m.name}","label":"${if (m.label.nonEmpty) m.label else m.name}"}""")
+      .mkString("[", ",", "]")
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.engine.Browser
+import graft.model.{Aggregate, CubeModel, Dimension}
+import graft.query._
+
+class BrowserSpec extends SparkSpec {
+
+  private lazy val li = TestCubes.lineitem(spark, sf())
+
+  test("summary = single row with all declared aggregates (HOWTO q5)") {
+    val rows = li.summary(CubeQuery()).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_items") === 6000L)
+    assert(r.getAs[Double]("price_sum") > 0)
+    assert(r.getAs[Long]("n_orders") <= 1500L)
+  }
+
+  test("drilldown partitions the cell: group counts sum to summary count (HOWTO q6)") {
+    val cells = li.aggregate(CubeQuery(drilldown = Seq("l_returnflag"))).collect()
+    assert(cells.map(_.getAs[Long]("n_items")).sum === 6000L)
+    assert(cells.map(_.getAs[String]("l_returnflag")).toSeq === Seq("A", "N", "R"))
+  }
+
+  test("q10 equivalence: point cut on a dim == summary over pre-filtered cube (HOWTO.md:73-77)") {
+    val viaCut = li.summary(CubeQuery(cuts = Seq(PointCut("l_returnflag", "R")))).collect().head
+    val filtered = new Browser(li.model, li.df.filter(col("l_returnflag") === "R"))
+      .summary(CubeQuery()).collect().head
+    assert(viaCut === filtered)
+  }
+
+  test("range cut is inclusive and numeric; open ends one-sided (HOWTO q11)") {
+    def years(cut: String): Seq[Int] =
+      li.members("l_shipyear", QueryParser.parseCuts(cut)).collect()
+        .map(_.getInt(0)).toSeq
+    val all = years("l_shipyear:1000~9999")
+    assert(all.nonEmpty)
+    val mid = all(all.size / 2)
+    assert(years(s"l_shipyear:${all.head}~$mid") === all.filter(_ <= mid))
+    assert(years(s"l_shipyear:~$mid") === all.filter(_ <= mid))
+    assert(years(s"l_shipyear:$mid~") === all.filter(_ >= mid))
+  }
+
+  test("range cut rejected on non-rangeable dim (HOWTO.md:79)") {
+    intercept[IllegalArgumentException] {
+      li.aggregate(CubeQuery(cuts = Seq(RangeCut("l_returnflag", Some("A"), Some("R")))))
+    }
+  }
+
+  test("set cut and negated cut") {
+    val both = li.summary(CubeQuery(cuts =
+      Seq(SetCut("l_returnflag", Seq("A", "R"))))).collect().head.getAs[Long]("n_items")
+    val notN = li.summary(CubeQuery(cuts =
+      Seq(PointCut("l_returnflag", "N", invert = true)))).collect().head.getAs[Long]("n_items")
+    assert(both === notN)
+    assert(both < 6000L)
+  }
+
+  test("pagination: page concatenation == full result, no overlap (HOWTO q3/q4)") {
+    val q = CubeQuery(drilldown = Seq("l_partkey"),
+      orders = Seq(Order("n_items", desc = true)))
+    val full = li.aggregate(q).collect().map(_.toSeq).toSeq
+    val paged = (0 until 20).flatMap { p =>
+      li.aggregate(q.copy(page = Some(Page(p, 97)))).collect().map(_.toSeq)
+    }.take(full.size)
+    assert(paged === full)
+  }
+
+  test("facts pagination is deterministic over factKey (SURVEY §7.4.4)") {
+    val a = li.facts(CubeQuery(page = Some(Page(5, 50)))).collect().map(_.toSeq)
+    val b = li.facts(CubeQuery(page = Some(Page(5, 50)))).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 50)
+  }
+
+  test("point lookup on absent key returns empty, not error (HOWTO q14 / HOWTO.md:99)") {
+    val rows = li.facts(CubeQuery(cuts = Seq(PointCut("l_orderkey", "99999999")))).collect()
+    assert(rows.isEmpty)
+  }
+
+  test("NA sentinel is a value: it groups and counts (SURVEY §1.2/§7.4.1)") {
+    import spark.implicits._
+    val df = Seq(("NA", 1.0), ("NA", 2.0), ("x", 3.0)).toDF("institution", "euro")
+    val m = CubeModel("t", "t",
+      dimensions = Seq(Dimension("institution")),
+      aggregates = Seq(
+        Aggregate("amount_sum", "sum", Some("euro")),
+        Aggregate("num_items", "count", None)))
+    val cells = new Browser(m, df)
+      .aggregate(CubeQuery(drilldown = Seq("institution"))).collect()
+    assert(cells.length === 2)
+    val na = cells.find(_.getString(0) == "NA").get
+    assert(na.getAs[Long]("num_items") === 2L)
+    assert(na.getAs[Double]("amount_sum") === 3.0)
+  }
+
+  test("stddev of single-row group is null, not 0/NaN (SURVEY §7.4.2)") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0)).toDF("d", "euro")
+    val m = CubeModel("t", "t", dimensions = Seq(Dimension("d")),
+      aggregates = Seq(Aggregate("sd", "stddev", Some("euro"))))
+    val r = new Browser(m, df).aggregate(CubeQuery(drilldown = Seq("d"))).collect().head
+    assert(r.isNullAt(r.fieldIndex("sd")))
+  }
+
+  test("share-of-total sums to 100% (A17)") {
+    val cells = li.aggregateWithShare(
+      CubeQuery(drilldown = Seq("l_returnflag")), "price_sum", "pct").collect()
+    val total = cells.map(_.getAs[Double]("pct")).sum
+    assert(math.abs(total - 100.0) < 1e-9)
+  }
+
+  test("summary+cells rollup: grand total row matches summary (A18)") {
+    val rolled = li.aggregateWithSummary(CubeQuery(drilldown = Seq("l_returnflag")))
+      .collect()
+    val totalRow = rolled.filter(_.getAs[Long]("grouping_level") > 0)
+    assert(totalRow.length === 1)
+    assert(totalRow.head.getAs[Long]("n_items") === 6000L)
+    assert(rolled.length === 4)
+  }
+
+  test("unknown dimension/aggregate raise useful errors") {
+    intercept[IllegalArgumentException] { li.aggregate(CubeQuery(drilldown = Seq("nope"))) }
+    intercept[IllegalArgumentException] { li.summary(CubeQuery(), Seq("nope")) }
+  }
+
+  test("members returns sorted distinct values (cubes /members)") {
+    val m = li.members("l_returnflag").collect().map(_.getString(0)).toSeq
+    assert(m === Seq("A", "N", "R"))
+  }
+}
