@@ -44,7 +44,9 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
         require(dim.rangeable,
           s"dimension '$d' does not support range cuts (HOWTO.md:79 semantics)")
         val (c, cast: (String => Column)) = colType(d) match {
-          case StringType => (col(d).cast(LongType), (s: String) => lit(s.toLong))
+          // try_cast: an "NA"-sentinel value in a string year column must
+          // fall out of the range (null comparison), not fail the scan (ANSI)
+          case StringType => (col(d).try_cast(LongType), (s: String) => lit(s.toLong))
           case t => (col(d), (s: String) => lit(s).cast(t))
         }
         (lo, hi) match {
