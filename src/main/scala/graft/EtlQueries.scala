@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.etl.CubeBuilder
+
+/** Oracle-checked queries exercising the §2.B ETL operator patterns over the
+  * driver's TPC-H-ish tables (numbers follow SURVEY.md §2.B). The OpenAPC
+  * instantiations of the same operators are locked in by EtlSpec's
+  * micro-fixture snapshots; here each pattern runs at oracle scale so the
+  * driver's DuckDB gate covers the dataflow primitives too.
+  *
+  * Not represented directly: B1/B2 (sources — every query reads parquet/CSV),
+  * B3/B4/B17 (sinks — EtlSpec + CubeBuilder.writeCubes), B11 (year-gate
+  * predicate ≡ a07/a08 range cuts), B21/B22 (network scrape + caches, out of
+  * engine by design).
+  */
+object EtlQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B5: broadcast lookup join — dimension enrichment without a shuffle of
+    // the small side (assets_generator.py:704-721,521-524)
+    "b05_broadcast_enrich" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val dim = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+        .orderBy(col("n_name"))
+    }),
+    // B6: projection/derivation via withColumn (assets_generator.py:521-524)
+    "b06_derive" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("prio_class", substring(col("o_orderpriority"), 1, 1))
+        .groupBy(col("prio_class")).agg(count(lit(1)).as("n"))
+        .orderBy(col("prio_class"))),
+    // B7: regex key derivation (assets_generator.py:605-614)
+    "b07_regex_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k_val", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+        .groupBy(col("k_val")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k_val"))),
+    // B8: string scrub — colon removal (assets_generator.py:347,431,520)
+    "b08_scrub" -> ((s, dir) =>
+      table(s, dir, "part")
+        .withColumn("scrubbed",
+          CubeBuilder.scrubColons(concat(col("p_brand"), lit(":"), col("p_type"))))
+        .groupBy(col("scrubbed")).agg(count(lit(1)).as("n"))
+        .orderBy(col("scrubbed"))),
+    // B9: conditional value normalization (DEAL imprints,
+    // assets_generator.py:45-48,387-388)
+    "b09_normalize" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .withColumn("segment_norm",
+          when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), lit("INDUSTRIAL"))
+            .otherwise(col("c_mktsegment")))
+        .groupBy(col("segment_norm")).agg(count(lit(1)).as("n"))
+        .orderBy(col("segment_norm"))),
+    // B10: conditional arithmetic rewrite (2019 halving,
+    // assets_generator.py:395-398)
+    "b10_arith_rewrite" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .withColumn("adj",
+          when(col("o_year") === 1995, col("o_totalprice") / 2)
+            .otherwise(col("o_totalprice")))
+        .groupBy(col("o_year")).agg(round(sum(col("adj")), 2).as("adj_sum"))
+        .orderBy(col("o_year"))),
+    // B12: compound filter predicate (assets_generator.py:548-549)
+    "b12_compound_filter" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_discount") > 0.05 && col("l_quantity") < 25 &&
+          year(col("l_shipdate")) >= 1994)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))),
+    // B13: multi-target routing — one source, several filtered/projected
+    // lineages unioned (assets_generator.py:525-562,445-446)
+    "b13_union_routing" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), lit("high_value").as("route"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), lit("urgent").as("route"))
+      high.unionByName(urgent)
+        .groupBy(col("route")).agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("route"))
+    }),
+    // B14: wide→long unpivot (additional-costs fan-out,
+    // assets_generator.py:322-339,531-546)
+    "b14_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("measure"))),
+    // B15: group-count aggregation with coalesce fallback key
+    // (assets_generator.py:474-486)
+    "b15_group_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("day"))),
+    // B16: left join + default for missing groups
+    // (assets_generator.py:493-509)
+    "b16_left_join_default" -> ((s, dir) => {
+      val perNation = table(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_custs"))
+      table(s, dir, "nation")
+        .join(perNation, col("n_nationkey") === col("c_nationkey"), "left")
+        .na.fill(0, Seq("n_custs"))
+        .select(col("n_name"), col("n_custs"))
+        .orderBy(col("n_name"))
+    }),
+    // B18: group-level having-like pruning (assets_generator.py:644-662)
+    "b18_having_prune" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count_if(col("l_discount") > 0.08).as("n_disc"))
+        .filter(col("n_disc") > 0)
+        .orderBy(col("l_suppkey"))),
+    // B19: fixed-list priority ranking per group
+    // (assets_generator.py:40,697-702)
+    "b19_priority_rank" -> ((s, dir) => {
+      val prio = array(Seq("click", "view", "purchase", "error").map(lit): _*)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_idx"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        // array_position is 0 for types not in the list — they rank LAST
+        // (the reference's priority list is exhaustive; ours must not be)
+        .withColumn("_idx",
+          coalesce(nullif(array_position(prio, col("event_type")), lit(0L)), lit(5L)))
+        .withColumn("priority", (row_number().over(w) - 1).cast("long"))
+        .drop("_idx")
+        .orderBy(col("user_id"), col("priority"))
+    }),
+    // B20: doi→journal-id prefix rules (springer_compact_coverage.py:311-319)
+    // over synthesized-in-query DOIs (the testdata has none)
+    "b20_prefix_rules" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("doi",
+          concat(lit("10.1007/s"), lpad((col("doc_id") % 500).cast("string"), 5, "0"), lit("/x")))
+        .withColumn("journal_id",
+          graft.functions.SpringerJournalId.directJournalId(col("doi")))
+        .groupBy(col("journal_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("journal_id"))),
+    // B23: validation anti-join — rows whose key misses the lookup
+    // (assets_generator.py:487-492); clean data ⇒ empty result
+    "b23_anti_join" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .join(broadcast(table(s, dir, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "b05_broadcast_enrich" ->
+      ("SELECT n_name, count(*) AS n_items, round(sum(l_extendedprice),2) AS price_sum " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"),
+    "b06_derive" ->
+      ("SELECT substring(o_orderpriority,1,1) AS prio_class, count(*) AS n " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+    "b07_regex_key" ->
+      ("SELECT regexp_extract(props, '\"k\": (\\d+)', 1) AS k_val, count(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "b08_scrub" ->
+      ("SELECT translate(concat(p_brand, ':', p_type), ':', '') AS scrubbed, count(*) AS n " +
+        "FROM part GROUP BY 1 ORDER BY 1"),
+    "b09_normalize" ->
+      ("SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 'INDUSTRIAL' " +
+        "ELSE c_mktsegment END AS segment_norm, count(*) AS n " +
+        "FROM customer GROUP BY 1 ORDER BY 1"),
+    "b10_arith_rewrite" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice/2 " +
+        "ELSE o_totalprice END),2) AS adj_sum FROM orders GROUP BY 1 ORDER BY 1"),
+    "b12_compound_filter" ->
+      ("SELECT count(*) AS n, round(sum(l_extendedprice),2) AS price_sum FROM lineitem " +
+        "WHERE l_returnflag = 'R' AND l_discount > 0.05 AND l_quantity < 25 " +
+        "AND year(l_shipdate) >= 1994"),
+    "b13_union_routing" ->
+      ("SELECT route, count(*) AS n, count(DISTINCT o_orderkey) AS n_orders FROM (" +
+        "SELECT o_orderkey, 'high_value' AS route FROM orders WHERE o_totalprice > 100000 " +
+        "UNION ALL SELECT o_orderkey, 'urgent' AS route FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1"),
+    "b14_unpivot" ->
+      ("SELECT measure, count(*) AS n, round(sum(value),2) AS value_sum FROM (" +
+        "SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT 'l_discount', l_discount FROM lineitem) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "b15_group_count" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "b16_left_join_default" ->
+      ("SELECT n_name, coalesce(c.n_custs, 0) AS n_custs FROM nation " +
+        "LEFT JOIN (SELECT c_nationkey, count(*) AS n_custs FROM customer GROUP BY 1) c " +
+        "ON n_nationkey = c_nationkey ORDER BY n_name"),
+    "b18_having_prune" ->
+      ("SELECT l_suppkey, count(*) FILTER (WHERE l_discount > 0.08) AS n_disc " +
+        "FROM lineitem GROUP BY 1 HAVING n_disc > 0 ORDER BY 1"),
+    "b19_priority_rank" ->
+      ("SELECT user_id, event_type, CAST(row_number() OVER (PARTITION BY user_id ORDER BY " +
+        "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 " +
+        "WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 ELSE 5 END) - 1 AS BIGINT) AS priority " +
+        "FROM (SELECT DISTINCT user_id, event_type FROM events) " +
+        "ORDER BY user_id, priority"),
+    "b20_prefix_rules" ->
+      ("SELECT CASE WHEN starts_with(doi, '10.1007/s') " +
+        "THEN regexp_replace(doi[10:14], '^0+', '') END AS journal_id, count(*) AS n " +
+        "FROM (SELECT concat('10.1007/s', lpad(CAST(doc_id % 500 AS VARCHAR), 5, '0'), '/x') AS doi " +
+        "FROM documents) GROUP BY 1 ORDER BY 1"),
+    "b23_anti_join" ->
+      ("SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) ORDER BY o_orderkey"),
+  )
+}

@@ -16,6 +16,16 @@ import graft.model.{Aggregate, CubeModel, Dimension, Measure}
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong — set in every session
+    * builder here). Truncate nanos→micros with integer division (a double
+    * division would lose precision: epoch-nanos ≈ 1.7e18 > 2^53) to match
+    * what DuckDB yields for the same file.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }
 
 object TestCubes {
