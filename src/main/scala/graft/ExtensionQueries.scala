@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Beyond-reference extension queries (SURVEY.md §2.C/§7.6): text analysis,
+  * deduplication, similarity search — the operations a large-scale
+  * training-data pipeline needs, each oracle-checked against DuckDB where
+  * SQL-expressible (md5-based hashing keeps the hash paths portable).
+  */
+object ExtensionQueries {
+
+  /** documents with vectors cast to double (float accumulation differs
+    * between engines; double-double is exact-comparable).
+    */
+  private def embeddingsD(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x01: token counting — whitespace + BPE-ish regex pre-tokenizer
+    "x01_token_count" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("n_pieces"))
+        .orderBy(col("doc_id"))),
+    // x02: language-ID by marker-word voting
+    "x02_lang_id" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(TextFunctions.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_guess"))),
+    // x03: quality scoring — length/punct/stopword ratios
+    "x03_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    // x04: document fingerprinting (normalised md5)
+    "x04_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    // x05: exact dedup groups (hash-groupBy)
+    "x05_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))),
+    // x06: exact n-gram Jaccard near-dup pairs (the all-pairs ground truth)
+    "x06_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+    // x07: MinHash+LSH near-dup pairs — banded candidates + exact verify;
+    // oracle = the all-pairs truth (at j≥0.8 with 4 bands × 3 rows the
+    // miss probability is <1e-4 per pair; the planted pairs sit at j≈0.99)
+    "x07_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8, bands = 4, rowsPerBand = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    // x08: SimHash near-dup pairs (rows-only: 60-bit conv() isn't
+    // expressible in DuckDB 1.0 SQL; mechanism locked by DedupSpec)
+    "x08_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+        maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+    // x09: embedding-cosine near-dup pairs
+    "x09_embed_pairs" -> ((s, dir) =>
+      Dedup.embeddingPairs(embeddingsD(s, dir), "vec_id", "vec",
+        threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+    // x10: brute-force cosine top-k ANN baseline (5 query vectors, k=10)
+    "x10_knn_brute" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      Similarity.bruteForceTopK(
+        e, "vec_id", "vec",
+        e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // x11: LSH-bucketed ANN (rows-only; recall vs x10 locked by SimilaritySpec)
+    "x11_knn_lsh" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      Similarity.lshTopK(
+        e, "vec_id", "vec",
+        e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  /** tokens as DuckDB list (mirrors TextFunctions.tokens). */
+  private val toks = raw"list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)"
+  private def markers(lang: String): String = {
+    val ws = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ts, t -> t IN ($ws)))"
+  }
+  /** 3-token shingle set (mirrors TextFunctions.shingles k=3). */
+  private val shingleSql =
+    "list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])"
+  /** replicate Dedup.cosine exactly: sequential dot products in double. */
+  private val cosSql =
+    "list_dot_product(iv, qv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv)))"
+  private val jaccardCte =
+    s"""WITH t AS (SELECT doc_id, $shingleSql AS sh
+       | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       | FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  def oracleSql: Map[String, String] = Map(
+    "x01_token_count" ->
+      (s"SELECT doc_id, len($toks) AS n_tokens, " +
+        raw"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces " +
+        "FROM documents ORDER BY doc_id"),
+    "x02_lang_id" ->
+      (s"WITH m AS (SELECT doc_id, $toks AS ts FROM documents), " +
+        s"s AS (SELECT doc_id, ${markers("en")} AS en, ${markers("de")} AS de, " +
+        s"${markers("fr")} AS fr, ${markers("es")} AS es FROM m) " +
+        "SELECT CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und' " +
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' " +
+        "WHEN de = greatest(en, de, fr, es) THEN 'de' " +
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' " +
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' ELSE 'und' END AS lang_guess, " +
+        "count(*) AS n FROM s GROUP BY 1 ORDER BY 1"),
+    "x03_quality" ->
+      (s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
+        s"c AS (SELECT doc_id, len(ts) AS n, CAST(${markers("en")} AS DOUBLE) AS mk, " +
+        raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
+        "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM m) " +
+        "SELECT doc_id, round(mk / n, 4) AS stop_ratio, round(punct, 4) AS punct_ratio, " +
+        "round(mtl, 4) AS mean_tok_len, " +
+        "floor((least(mk / n * 4, 1.0) * 0.3 + least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + " +
+        "(1.0 - punct) * 0.2 + (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
+        "* 10000 + 0.5) / 10000 AS quality FROM c ORDER BY doc_id"),
+    "x04_fingerprint" ->
+      (s"SELECT doc_id, md5(lower(array_to_string($toks, ' '))) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+    "x05_dedup_exact" ->
+      (s"SELECT md5(lower(array_to_string($toks, ' '))) AS fingerprint, " +
+        "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY 1 ORDER BY 1"),
+    "x06_jaccard_pairs" -> jaccardCte,
+    "x07_minhash_pairs" -> jaccardCte, // LSH must find the same pairs (see above)
+    "x09_embed_pairs" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) " +
+        "SELECT id_a, id_b, round(cos, 4) AS cos FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.vec, b.vec) / (sqrt(list_dot_product(a.vec, a.vec)) * " +
+        "sqrt(list_dot_product(b.vec, b.vec))) AS cos " +
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id) WHERE cos >= 0.45 " +
+        "ORDER BY id_a, id_b"),
+    "x10_knn_brute" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "i AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings) " +
+        "SELECT query_id, rank, item_id, round(cos, 4) AS cos FROM (" +
+        s"SELECT query_id, item_id, $cosSql AS cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank " +
+        "FROM i CROSS JOIN q WHERE item_id != query_id) " +
+        "WHERE rank <= 10 ORDER BY query_id, rank"),
+  )
+}

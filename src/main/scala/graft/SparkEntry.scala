@@ -43,7 +43,8 @@ object SparkEntry {
       .aggregate(CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus")))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = aQueries ++ EtlQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    aQueries ++ EtlQueries.queries ++ ExtensionQueries.queries
 
   private def aQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: facts scan + stable pagination (HOWTO.md:35-42)
@@ -146,5 +147,5 @@ object SparkEntry {
       (s"SELECT l_returnflag, $aggSql, CAST(grouping(l_returnflag) AS BIGINT) AS grouping_level " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag) " +
         "HAVING grouping(l_returnflag) IN (0, 1) ORDER BY grouping_level, l_returnflag"),
-  ) ++ EtlQueries.oracleSql
+  ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

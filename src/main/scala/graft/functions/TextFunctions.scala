@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines —
+  * beyond-reference extensions (SURVEY.md §2.C/§7.6). Everything is built
+  * from codegen'd built-in expressions (no UDFs): these run inside
+  * whole-stage codegen and scale linearly with executors.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (empty tokens dropped, leading/trailing safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single non-space
+    * symbols — the classic pre-tokenization split used by GPT-2-style BPE
+    * vocabularies.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** Word n-gram shingles over the whitespace tokens: k consecutive tokens
+    * joined by a single space; distinct set. Empty when the document has
+    * fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-language stopword marker sets for the n-gram language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "con"))
+
+  /** #tokens belonging to the given marker set. */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Stopword ratio (English markers by default) — a standard quality
+    * heuristic: natural prose has 0.2-0.5, keyword salad near 0.
+    */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val n = tokenCount(text)
+    when(n > 0, markerCount(text, stopwords(lang)).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Language-ID via marker-word voting: the language whose stopword set
+    * scores the most hits; ties break in fixed (en, de, fr, es) order;
+    * zero hits everywhere → "und" (undetermined). An n-gram-frequency model
+    * would slot in the same shape (argmax over per-language scores).
+    */
+  def langId(text: Column): Column = {
+    val ordered = Seq("en", "de", "fr", "es")
+    val scores = ordered.map(l => l -> markerCount(text, stopwords(l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards prose-like stopword ratio and
+    * 3-8 char mean tokens, penalises punctuation soup and tiny documents.
+    * Weights are heuristic; the value is the *shape* (a single codegen'd
+    * expression, no UDF, trivially re-weighted).
+    */
+  def qualityScore(text: Column): Column = {
+    val stop = stopwordRatio(text)
+    val stopTerm = least(stop * 4, lit(1.0)) // saturates at ratio 0.25
+    val lenTerm = least(tokenCount(text).cast("double") / 100, lit(1.0))
+    val punct = punctRatio(text)
+    val mtl = meanTokenLen(text)
+    val mtlTerm = when(mtl.between(3.0, 8.0), lit(1.0)).otherwise(lit(0.5))
+    val q = stopTerm * 0.3 + lenTerm * 0.3 + (lit(1.0) - punct) * 0.2 + mtlTerm * 0.2
+    // floor-based rounding: identical double math in every engine (Spark's
+    // round() goes through BigDecimal's decimal repr and disagrees with
+    // binary-double rounders exactly at .5 boundaries)
+    floor(q * 10000 + 0.5) / 10000
+  }
+
+  /** Document fingerprint: md5 over the whitespace-normalised, lower-cased
+    * text — the exact-dedup key. (A rolling/locality hash is the MinHash
+    * path in graft.operators.Dedup.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(concat_ws(" ", tokens(text))))
+}

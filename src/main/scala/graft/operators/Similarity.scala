@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.C): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale story: brute force is O(|queries| × |items|) with the item side
+  * streamed (queries broadcast) — right answer for ≤10⁴ queries over any
+  * item count, since it's one scan, no shuffle, all codegen. The LSH
+  * variant buckets items once (O(n) + one shuffle on the signature),
+  * then probes only matching buckets — the candidate set per query drops
+  * from n to n/2^bits on random data, at a recall cost governed by
+  * `planes` and `probes` (multi-probe: also search buckets at Hamming
+  * distance 1 from the query signature).
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
+
+  /** Exact top-k neighbors per query vector. `queries` must be small (it is
+    * broadcast); items of any size. Ranking: cosine desc, then item id — a
+    * total order, so pagination/repeats are deterministic.
+    */
+  def bruteForceTopK(items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    it.crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id")) // a vector is not its own neighbor
+      .withColumn("cos", cosine(col("ivec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is a
+    * fixed function of (p, d) via a splitmix64-style integer mix — no RNG
+    * state, reproducible across runs/engines, generated driver-side once.
+    */
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // map to (-1, 1)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    Array.tabulate(planes, dims)((p, d) => mix(p.toLong * 131071L + d))
+  }
+
+  /** Sign-of-projection LSH signature (one integer, bit p = sign of the dot
+    * product with plane p). Planes are inlined as literal arrays — the
+    * whole signature is one codegen'd expression over the vector column.
+    */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeCol, (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: items are signed once; each query probes its own bucket
+    * plus all buckets at Hamming distance 1 (multi-probe — recovers most of
+    * the recall lost to hard bucket boundaries), then ranks candidates by
+    * exact cosine. Same output shape as bruteForceTopK.
+    */
+  def lshTopK(items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dims)
+    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
+      lshSignature(col(itemVec), planes).as("sig"))
+    // multi-probe: query signature ± each single bit flip
+    val probeSigs = (q: Column) =>
+      array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
+        .pipe(flips => transform(flips, f => q.bitwiseXOR(f)))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      lshSignature(col(queryVec), planes).as("qsig"))
+      .select(col("query_id"), col("qvec"), explode(probeSigs(col("qsig"))).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id").asc)
+    it.join(broadcast(q), Seq("sig")) // shuffle-free: probe side broadcast
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("ivec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  private implicit class Piped[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Mechanism tests for dedup + similarity over the sf0.001 testdata, plus
+  * hand-planted duplicates. The oracle-scale equivalents run through
+  * Verify/check_oracle (x05-x11).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sf(), "documents")
+  private lazy val embs = Tables.table(spark, sf(), "embeddings")
+    .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
+
+  test("exactDeduplicate keeps exactly one row per content, smallest id") {
+    import spark.implicits._
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val deduped = Dedup.exactDeduplicate(withDups, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter($"doc_id" >= 100000).count() == 0) // keepers are the originals
+  }
+
+  test("minhash LSH candidates cover all true high-jaccard pairs") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("id_a", "id_b")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3,
+      bands = 4, rowsPerBand = 3)
+    // every true near-dup pair must be an LSH candidate (recall = 1 here;
+    // P(miss) at j≥0.9 with b=4,r=3 is (1-0.9³)⁴ ≈ 5e-3 per pair — the
+    // planted pairs sit at j≈0.99 where it is ~1e-5)
+    assert(truth.join(cands, Seq("id_a", "id_b"), "left_anti").count() == 0)
+  }
+
+  test("simhash: near-dup pairs are close in Hamming space, random pairs far") {
+    import spark.implicits._
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+    val withDist = truth
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .select(Dedup.hammingDistance($"sh_a", $"sh_b").as("d"))
+    val dupDists = withDist.collect().map(_.getInt(0)) // bit_count returns int
+    assert(dupDists.nonEmpty && dupDists.forall(_ <= 12),
+      s"near-dup hamming distances too large: ${dupDists.mkString(",")}")
+    // random-pair baseline: consecutive non-dup ids
+    val rnd = sh.as("a").join(sh.as("b"), col("a.doc_id") + 7 === col("b.doc_id"))
+      .select(Dedup.hammingDistance(col("a.sh"), col("b.sh")).as("d"))
+      .agg(avg($"d")).collect().head.getDouble(0)
+    assert(rnd > 15, s"random-pair mean hamming distance suspiciously low: $rnd")
+  }
+
+  test("embedding near-dup pairs are symmetric-safe and thresholded") {
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "vec", threshold = 0.4)
+      .collect()
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.4))
+  }
+
+  test("LSH ANN: results are correctly ranked true cosines; recall reported") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "vec",
+      queries, "vec_id", "vec", k = 10).collect()
+    val lsh = Similarity.lshTopK(embs, "vec_id", "vec",
+      queries, "vec_id", "vec", k = 10).collect()
+    // mechanism: per query, LSH ranks are 1..n without gaps and cosines
+    // are non-increasing
+    val byQ = lsh.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val cosines = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // recall@10 against brute force — sanity floor only (8 hyperplanes on
+    // random 64-d data is a coarse sieve; multi-probe keeps it usable)
+    val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    info(f"LSH ANN recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.05)
+  }
+}

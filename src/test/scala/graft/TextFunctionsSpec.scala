@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Edge-case tests for the text-analysis expressions (SURVEY.md §2.C). */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(textValue: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(textValue).toDF("text").select(c.as("v")).collect().head.get(0)
+  }
+
+  test("tokens: trims, collapses whitespace runs, drops empties") {
+    assert(one("  a  b\tc\nd ", tokenCount(col("text"))) == 4)
+    assert(one("", tokenCount(col("text"))) == 0)
+    assert(one("   ", tokenCount(col("text"))) == 0)
+    assert(one("single", tokenCount(col("text"))) == 1)
+  }
+
+  test("regex tokenizer splits letter/digit/symbol runs") {
+    assert(one("ab12!cd", regexTokens(col("text"))) ==
+      Seq("ab", "12", "!", "cd"))
+  }
+
+  test("shingles: k consecutive tokens, distinct, short docs -> empty") {
+    assert(one("a b c d", shingles(col("text"), 3)) == Seq("a b c", "b c d"))
+    assert(one("a b", shingles(col("text"), 3)) == Seq())
+    // repeated shingles dedup
+    assert(one("x y x y x y", shingles(col("text"), 2)) == Seq("x y", "y x"))
+  }
+
+  test("langId: marker voting with fixed tie order, und for no hits") {
+    assert(one("the cat sat on the mat", langId(col("text"))) == "en")
+    assert(one("der hund ist nicht da und das ist gut", langId(col("text"))) == "de")
+    assert(one("xyzzy plugh", langId(col("text"))) == "und")
+    // tie between en and de ('a'∈en...'und'∉de): construct a real tie
+    assert(one("the der", langId(col("text"))) == "en") // tie -> first in order
+  }
+
+  test("quality components behave") {
+    assert(one("", punctRatio(col("text"))) == 0.0)
+    assert(one("!!!", punctRatio(col("text"))) == 1.0)
+    assert(one("ab cd", punctRatio(col("text"))).asInstanceOf[Double] == 0.0)
+    assert(one("ab cdef", meanTokenLen(col("text"))) == 3.0)
+    val q = one("the quick brown fox jumps over the lazy dog and runs on", qualityScore(col("text"))).asInstanceOf[Double]
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint is whitespace/case insensitive but content sensitive") {
+    val a = one("Hello   World", fingerprint(col("text")))
+    val b = one("hello world", fingerprint(col("text")))
+    val c = one("hello worlds", fingerprint(col("text")))
+    assert(a == b)
+    assert(a != c)
+  }
+}
