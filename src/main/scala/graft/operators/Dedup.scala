@@ -129,17 +129,43 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup pairs: LSH candidates verified with the exact
-    * Jaccard of their shingle sets (semi-joined down to candidate docs
-    * only — the verification join touches O(candidates), not O(n²)).
+    * Jaccard of their shingle sets. The verification joins the (id,
+    * shingle-set) frame onto the candidate pairs and intersects arrays
+    * directly — it touches O(candidates) pairs, not O(n²), and the
+    * expensive md5 signature is computed exactly once per document.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, k, bands, rowsPerBand)
-    val involved = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val docs = df.join(involved, df(idCol) === involved("id")).drop("id")
-    jaccardPairs(docs, idCol, textCol, k, threshold)
-      .join(cand, Seq("id_a", "id_b")) // only LSH-found pairs
+    val numHashes = bands * rowsPerBand
+    // one pass: shingle set + signature per doc
+    val docs = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), k).as("sh"))
+    val sig = docs.select(col("id"), col("sh"), array((0 until numHashes).map { i =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))
+    }: _*).as("sig"))
+    val bk = sig.select(col("id"), explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+            .as("band_key"))
+      }: _*)).as("bkk"))
+      .select(col("id"), col("bkk.band"), col("bkk.band_key"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify on the candidate pairs via set intersection — same
+    // Jaccard value as the explode/self-join oracle path (both distinct sets)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -169,6 +195,28 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** (id, simhash) via explode + hash-aggregate — the FAST path: the same
+    * majority-vote simhash as `simhash(Column)`, but computed as one
+    * codegen'd HashAggregate with 60 bit-count sums instead of a 60-way
+    * nested higher-order-function expression per row (which executes
+    * interpreted and quadratically). Documents with zero tokens get
+    * simhash 0, matching the Column version.
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", when(col("tok").isNotNull,
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")).otherwise(lit(null)))
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+    val agg = tok.groupBy(col("id"))
+      .agg(count(col("h")).as("n"), bitSums: _*)
+    val sh = (0 until 60).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), sh.as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * 4-chunk banding (15 bits per chunk): any pair within distance ≤ 3
     * agrees on ≥1 chunk (pigeonhole), so the join is on chunk values, not
@@ -176,7 +224,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = simhashTable(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("sh"), explode(
       array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -211,9 +259,19 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // native codegen'd dot product (graft.functions.DotProduct): the HOF
+    // aggregate(zip_with(…)) allocates per pair and runs interpreted —
+    // measured 3-4× slower on the all-pairs join
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    // norms once per ROW (not per pair): cos = dot / (norm_a * norm_b) is
+    // the identical double arithmetic to dot/(sqrt(dot_aa)*sqrt(dot_bb)),
+    // at a third of the per-pair flops
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("norm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cos",
+        dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 4).as("cos"))

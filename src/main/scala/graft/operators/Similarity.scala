@@ -25,15 +25,26 @@ object Similarity {
     * broadcast); items of any size. Ranking: cosine desc, then item id — a
     * total order, so pagination/repeats are deterministic.
     */
+  /** Codegen'd native dot product (graft.functions.DotProduct) — same
+    * sequential summation as the HOF/DuckDB forms, none of the per-pair
+    * array allocation.
+    */
+  private def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+
   def bruteForceTopK(items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
-    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"))
+    graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
+    // norms once per row; cos = dot/(norm_i*norm_q) — same double math as
+    // dot/(sqrt(dot_ii)*sqrt(dot_qq)) at a third of the per-pair flops
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      sqrt(dot(col(queryVec), col(queryVec))).as("qnorm"))
+    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
+      sqrt(dot(col(itemVec), col(itemVec))).as("inorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
     it.crossJoin(broadcast(q))
       .filter(col("item_id") =!= col("query_id")) // a vector is not its own neighbor
-      .withColumn("cos", cosine(col("ivec"), col("qvec")))
+      .withColumn("cos", dot(col("ivec"), col("qvec")) / (col("inorm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -76,21 +87,25 @@ object Similarity {
   def lshTopK(items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
     val planes = hyperplanes(numPlanes, dims)
     val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
+      sqrt(dot(col(itemVec), col(itemVec))).as("inorm"),
       lshSignature(col(itemVec), planes).as("sig"))
     // multi-probe: query signature ± each single bit flip
     val probeSigs = (q: Column) =>
       array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
         .pipe(flips => transform(flips, f => q.bitwiseXOR(f)))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      sqrt(dot(col(queryVec), col(queryVec))).as("qnorm"),
       lshSignature(col(queryVec), planes).as("qsig"))
-      .select(col("query_id"), col("qvec"), explode(probeSigs(col("qsig"))).as("sig"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(probeSigs(col("qsig"))).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
     it.join(broadcast(q), Seq("sig")) // shuffle-free: probe side broadcast
       .filter(col("item_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("ivec"), col("qvec")))
+      .withColumn("cos", dot(col("ivec"), col("qvec")) / (col("inorm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
