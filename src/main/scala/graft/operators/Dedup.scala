@@ -18,10 +18,25 @@ import graft.functions.TextFunctions
   *  - ubiquitous shingles are the skew hazard in the shingle self-join: a
   *    shingle in f docs contributes f² candidate rows. `maxDocFreq` caps it
   *    (drop boilerplate shingles), the standard trick before salting.
-  *  - hash functions are md5-based so results are engine-portable (same
-  *    values in Spark, DuckDB, anything) — deterministic tests and oracles.
+  *  - the exact-dedup fingerprint is md5 so it is engine-portable (same
+  *    value in Spark, DuckDB, anything) — deterministic oracles. The
+  *    MinHash/SimHash internals use codegen'd `xxhash64` longs instead:
+  *    those hashes only steer candidate generation (verification is exact),
+  *    so the cheapest good hash family wins — no hex-string allocation, no
+  *    interpreted md5 per shingle.
   */
 object Dedup {
+
+  /** Ensure at least the session's shuffle parallelism before compute-heavy
+    * per-row expressions. A small parquet input arrives as 1-2 partitions,
+    * which would serialize the expensive text expressions on 1-2 cores; on
+    * a real cluster the input already has ≥ target partitions and this is
+    * a no-op (no shuffle inserted).
+    */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   // ---- exact ------------------------------------------------------------
 
@@ -50,7 +65,7 @@ object Dedup {
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val base = df
+    val base = widen(df)
       .select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
     maxDocFreq match {
@@ -68,7 +83,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k, maxDocFreq)
+    // persisted: the shingle expression is the expensive part and this
+    // subtree feeds three consumers (sizes + both self-join sides) — without
+    // the persist Spark recomputes it per consumer (measured 3× cost)
+    val sh = shingleTable(df, idCol, textCol, k, maxDocFreq).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -86,15 +104,17 @@ object Dedup {
   // ---- MinHash + banded LSH (the scale path) ----------------------------
 
   /** MinHash signature: `numHashes` independent permutations simulated by
-    * min over md5("<i>:" + shingle) — a string min is as good as an integer
-    * min for the MinHash property, and md5 is portable across engines.
+    * min over xxhash64(i, shingle) — seeding with the permutation index as
+    * an extra hash input gives independent families; 64-bit longs make the
+    * array_min and band hashing integer ops (no hex-string allocation).
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(text, k)
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashSignatureOf(TextFunctions.shingles(text, k), numHashes)
+
+  private def minhashSignatureOf(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
-  }
 
   /** (id, band, bandKey): one row per document per band; bandKey hashes
     * `rowsPerBand` consecutive signature components. Documents sharing any
@@ -103,14 +123,34 @@ object Dedup {
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, k: Int,
       bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, bands * rowsPerBand).as("sig"))
-      .select(col("id"), explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-              .as("band_key"))
-        }: _*)).as("bk"))
+    bandsOf(sigFrame(df, idCol, textCol, k, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** (id, sh, sig), with the shingle set persisted first: Catalyst's
+    * CollapseProject inlines a projected alias into every consumer and
+    * lambda-bearing expressions are excluded from subexpression
+    * elimination, so WITHOUT the materialization barrier the shingle HOF
+    * would be re-evaluated once per hash function (measured 10-20×
+    * slow-down). The persist caps that at exactly one evaluation per doc.
+    */
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int): DataFrame = {
+    val docs = widen(df).select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), k).as("sh")).persist()
+    docs.select(col("id"), col("sh"),
+      minhashSignatureOf(col("sh"), numHashes).as("sig"))
+  }
+
+  /** (id, band, band_key) from an (id, sig) frame: band_key is xxhash64 of
+    * the band's `rowsPerBand` signature longs (an integer-only hash).
+    */
+  private def bandsOf(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("band_key"))
+      }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
   /** Candidate pairs from banded LSH: distinct (id_a < id_b) sharing a
@@ -136,20 +176,11 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // one pass: shingle set + signature per doc
-    val docs = df.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), k).as("sh"))
-    val sig = docs.select(col("id"), col("sh"), array((0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))
-    }: _*).as("sig"))
-    val bk = sig.select(col("id"), explode(
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-            .as("band_key"))
-      }: _*)).as("bkk"))
-      .select(col("id"), col("bkk.band"), col("bkk.band_key"))
+    // one pass: shingle set per doc, persisted — it feeds the signature AND
+    // both sides of the verification join (3 consumers)
+    val withSig = sigFrame(df, idCol, textCol, k, bands * rowsPerBand)
+    val docs = withSig.select(col("id"), col("sh"))
+    val bk = bandsOf(withSig, bands, rowsPerBand)
     val cand = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
@@ -170,14 +201,20 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 60-bit SimHash over whitespace tokens: per token take the top 15 hex
-    * chars of md5 as a 60-bit integer; output bit j is 1 iff more tokens
-    * set bit j than clear it. Near-duplicates land within a small Hamming
-    * distance. Pure expression (conv + bit ops) — no UDF.
+  /** The low 60 bits of xxhash64 — the per-token hash both simhash
+    * variants share (must be value-identical between them).
+    */
+  private def tokenHash60(t: Column): Column =
+    xxhash64(t).bitwiseAND((1L << 60) - 1)
+
+  /** 60-bit SimHash over whitespace tokens: per token take the low 60 bits
+    * of xxhash64; output bit j is 1 iff more tokens set bit j than clear
+    * it. Near-duplicates land within a small Hamming distance. Pure
+    * expression — no UDF. (Column form, for per-row use; `simhashTable`
+    * is the fast path for whole-table computation.)
     */
   def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(TextFunctions.tokens(text), t => tokenHash60(t))
     val n = size(hashes)
     // for each bit j: set iff 2 * count_of_ones > n (majority vote).
     // call_function("shiftright", …) because the Scala API only takes a
@@ -203,17 +240,28 @@ object Dedup {
     * simhash 0, matching the Column version.
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    // Bit-sliced counting: the 60 per-bit counters are packed 4-per-long as
+    // 16-bit fields (safe for documents up to 65535 tokens), so the
+    // HashAggregate has 16 agg columns instead of 61 — a far smaller
+    // generated class (Janino compile time was the dominant cold cost) and
+    // a quarter of the aggregation buffer.
+    val slots = 4; val w = 16; val groups = 15 // 15 longs × 4 counters
+    val tok = widen(df).select(col(idCol).as("id"),
       explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", when(col("tok").isNotNull,
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")).otherwise(lit(null)))
-    val bitSums = (0 until 60).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+        tokenHash60(col("tok"))).otherwise(lit(null)))
+    val packs = (0 until groups).map { g =>
+      sum((0 until slots).map(s =>
+        shiftright(col("h"), g * slots + s).bitwiseAND(1L) * lit(1L << (w * s)))
+        .reduce(_ + _)).as(s"p$g")
+    }
     val agg = tok.groupBy(col("id"))
-      .agg(count(col("h")).as("n"), bitSums: _*)
-    val sh = (0 until 60).map(j =>
-      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .agg(count(col("h")).as("n"), packs: _*)
+    val sh = (0 until 60).map { j =>
+      val cnt = shiftright(col(s"p${j / slots}"), w * (j % slots))
+        .bitwiseAND((1L << w) - 1)
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     agg.select(col("id"), sh.as("sh"))
   }
 
@@ -224,7 +272,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = simhashTable(df, idCol, textCol)
+    // persisted: the simhash aggregate feeds both self-join sides
+    val sh = simhashTable(df, idCol, textCol).persist()
     val chunked = sh.select(col("id"), col("sh"), explode(
       array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -267,7 +316,10 @@ object Dedup {
     // norms once per ROW (not per pair): cos = dot / (norm_a * norm_b) is
     // the identical double arithmetic to dot/(sqrt(dot_aa)*sqrt(dot_bb)),
     // at a third of the per-pair flops
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // widen: the `a.id < b.id` join is a nested-loop whose parallelism is
+    // the stream side's partition count — a single-file input would
+    // otherwise run the whole cross product on one core
+    val v = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("norm"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos",

@@ -38,7 +38,9 @@ object Similarity {
     // dot/(sqrt(dot_ii)*sqrt(dot_qq)) at a third of the per-pair flops
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       sqrt(dot(col(queryVec), col(queryVec))).as("qnorm"))
-    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
+    // widen: the cross join's parallelism is the streamed item side's
+    // partition count (see Dedup.widen)
+    val it = Dedup.widen(items).select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
       sqrt(dot(col(itemVec), col(itemVec))).as("inorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
@@ -89,7 +91,7 @@ object Similarity {
       numPlanes: Int = 8, dims: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
     val planes = hyperplanes(numPlanes, dims)
-    val it = items.select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
+    val it = Dedup.widen(items).select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
       sqrt(dot(col(itemVec), col(itemVec))).as("inorm"),
       lshSignature(col(itemVec), planes).as("sig"))
     // multi-probe: query signature ± each single bit flip

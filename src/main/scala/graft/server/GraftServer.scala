@@ -1,0 +1,133 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.query.QueryParser
+import graft.registry.CubeRegistry
+
+/** Thin HTTP JSON facade over the cube engine — the Spark-native stand-in
+  * for the reference's slicer blueprint mount (/root/reference/
+  * olap_server.py:3,11) with the endpoint surface documented in
+  * /root/reference/HOWTO.md:
+  *
+  *   GET /cubes                       → cube list         (HOWTO.md:31-33)
+  *   GET /cube/<c>/model              → cube model        (HOWTO.md:69-71)
+  *   GET /cube/<c>/aggregate?cut&drilldown&order&page&pagesize
+  *                                    → {summary, cells, total_cell_count}
+  *                                                        (HOWTO.md:44-91)
+  *   GET /cube/<c>/facts?cut&order&page&pagesize
+  *                                    → row list          (HOWTO.md:35-42,93-104)
+  *   GET /cube/<c>/members/<dim>      → distinct values   (HOWTO.md:5 → cubes docs)
+  *
+  * The JDK's built-in HttpServer keeps the facade dependency-free; all data
+  * work stays in Spark (`Dataset.toJSON`), nothing is post-processed on the
+  * driver beyond string assembly. `recordLimit` mirrors the reference's
+  * `json_record_limit: 500` (slicer.ini:6): pagesize is capped, and an
+  * unpaginated facts listing is truncated to the limit.
+  */
+final class GraftServer(registry: CubeRegistry, port: Int = 0,
+    recordLimit: Int = 500) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- routing ----------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
+      val params = queryParams(ex)
+      val body = path match {
+        case Seq("cubes") => registry.listJson
+        case Seq("cube", c, "model") => modelJson(c)
+        case Seq("cube", c, "aggregate") => aggregateJson(c, params)
+        case Seq("cube", c, "facts") => factsJson(c, params)
+        case Seq("cube", c, "members", dim) => membersJson(c, dim, params)
+        case _ => throw new NoSuchElementException(s"no such endpoint: ${ex.getRequestURI.getPath}")
+      }
+      respond(ex, 200, body)
+    } catch {
+      case e: NoSuchElementException => respond(ex, 404, errJson(e))
+      case e: IllegalArgumentException => respond(ex, 400, errJson(e))
+      case e: Exception => respond(ex, 500, errJson(e))
+    } finally ex.close()
+
+  private def errJson(e: Exception): String =
+    s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  // ---- endpoints --------------------------------------------------------
+
+  private def modelJson(cube: String): String =
+    registry.model(cube).getOrElse(
+      throw new NoSuchElementException(s"no such cube: $cube")).toJson
+
+  /** Cap the client's pagesize at the record limit (slicer.ini:6 parity). */
+  private def parseQuery(params: Map[String, String]) = {
+    val q = QueryParser.parse(params)
+    q.copy(page = q.page.map(p =>
+      p.copy(pagesize = math.min(p.pagesize, recordLimit))))
+  }
+
+  private def aggregateJson(cube: String, params: Map[String, String]): String = {
+    val b = registry.browser(cube)
+    val q = parseQuery(params)
+    val summary = b.summary(q).toJSON.collect().headOption.getOrElse("{}")
+    val unpaged = b.aggregate(q.copy(page = None, orders = Nil))
+    val total = unpaged.count()
+    val cells =
+      if (q.drilldown.isEmpty) Array.empty[String] // summary IS the result
+      else b.aggregate(q).toJSON.collect()
+    s"""{"summary":$summary,"cells":[${cells.mkString(",")}],""" +
+      s""""total_cell_count":$total}"""
+  }
+
+  private def factsJson(cube: String, params: Map[String, String]): String = {
+    val b = registry.browser(cube)
+    val q = parseQuery(params)
+    val rows = q.page match {
+      case Some(_) => b.facts(q).toJSON.collect()
+      // unpaginated listing: truncate at the record limit like the
+      // reference server, over the stable factKey order
+      case None => b.facts(q.copy(page = Some(graft.query.Page(0, recordLimit))))
+        .toJSON.collect()
+    }
+    rows.mkString("[", ",", "]")
+  }
+
+  private def membersJson(cube: String, dim: String, params: Map[String, String]): String = {
+    val b = registry.browser(cube)
+    val q = parseQuery(params)
+    val vals = b.members(dim, q.cuts, q.page).toJSON.collect()
+    s"""{"dimension":${jstr(dim)},"values":[${vals.mkString(",")}]}"""
+  }
+}

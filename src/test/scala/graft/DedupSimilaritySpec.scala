@@ -52,6 +52,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rnd > 15, s"random-pair mean hamming distance suspiciously low: $rnd")
   }
 
+  test("simhashTable (packed-counter aggregate) == simhash Column expr") {
+    import spark.implicits._
+    val viaExpr = docs.select($"doc_id".as("id"), Dedup.simhash($"text").as("e"))
+    val viaTable = Dedup.simhashTable(docs, "doc_id", "text")
+    // the fast whole-table path must be bit-identical to the per-row
+    // expression (simhashPairs' hamming distances depend on it)
+    assert(viaTable.join(viaExpr, Seq("id"))
+      .filter($"sh" =!= $"e").count() == 0)
+  }
+
   test("embedding near-dup pairs are symmetric-safe and thresholded") {
     val pairs = Dedup.embeddingPairs(embs, "vec_id", "vec", threshold = 0.4)
       .collect()

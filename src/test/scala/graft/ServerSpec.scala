@@ -1,0 +1,91 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.registry.CubeRegistry
+import graft.server.GraftServer
+
+/** End-to-end HTTP facade tests: the endpoint surface of HOWTO.md served
+  * over a live socket, checked against direct Browser results.
+  */
+class ServerSpec extends SparkSpec {
+
+  private lazy val registry = {
+    val r = new CubeRegistry
+    r.register(TestCubes.lineitemModel, TestCubes.lineitemDf(spark, sf()))
+    r.register(TestCubes.ordersModel, TestCubes.ordersDf(spark, sf()))
+    r
+  }
+  private lazy val server = { val s = new GraftServer(registry); s.start(); s }
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${server.boundPort}$path")).GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("GET /cubes lists registered cubes (HOWTO q1)") {
+    val (code, body) = get("/cubes")
+    assert(code == 200)
+    assert(body.contains("\"lineitem\"") && body.contains("\"orders\""))
+  }
+
+  test("GET /cube/<c>/model returns dims + aggregates (HOWTO q9)") {
+    val (code, body) = get("/cube/lineitem/model")
+    assert(code == 200)
+    assert(body.contains("\"l_shipyear\"") && body.contains("\"rangeable\":true"))
+    assert(body.contains("\"price_sum\"") && body.contains("\"function\":\"sum\""))
+  }
+
+  test("GET aggregate: summary + cells + total_cell_count (HOWTO q5/q6)") {
+    val (code, body) = get("/cube/lineitem/aggregate?drilldown=l_returnflag")
+    assert(code == 200)
+    assert(body.contains("\"summary\":{") && body.contains("\"cells\":["))
+    val expectCells = TestCubes.lineitem(spark, sf())
+      .aggregate(query.CubeQuery(drilldown = Seq("l_returnflag"))).count()
+    assert(body.contains(s""""total_cell_count":$expectCells"""))
+    // every returnflag value appears as a cell
+    Seq("A", "N", "R").foreach(v =>
+      assert(body.contains(s""""l_returnflag":"$v"""")))
+  }
+
+  test("aggregate with cut == aggregate of pre-filtered data (HOWTO q10≡q5)") {
+    val (_, viaCut) = get("/cube/lineitem/aggregate?cut=l_returnflag:R")
+    val direct = TestCubes.lineitem(spark, sf())
+      .summary(query.CubeQuery(cuts = Seq(query.PointCut("l_returnflag", "R"))))
+      .toJSON.collect().head
+    assert(viaCut.contains(s""""summary":$direct"""))
+  }
+
+  test("GET facts: pagination is stable, pages concatenate (HOWTO q3/q4)") {
+    val p0 = get("/cube/lineitem/facts?page=0&pagesize=5")._2
+    val p1 = get("/cube/lineitem/facts?page=1&pagesize=5")._2
+    val both = get("/cube/lineitem/facts?page=0&pagesize=10")._2
+    assert(both == p0.dropRight(1) + "," + p1.drop(1))
+  }
+
+  test("facts honours the 500-row record limit when unpaginated") {
+    val body = get("/cube/lineitem/facts")._2
+    val n = body.sliding("\"l_orderkey\"".length).count(_ == "\"l_orderkey\"")
+    assert(n == 500) // sf0.001 lineitem has >500 rows; truncated at limit
+  }
+
+  test("GET members: sorted distinct dimension values") {
+    val (code, body) = get("/cube/lineitem/members/l_returnflag")
+    assert(code == 200)
+    val direct = TestCubes.lineitem(spark, sf()).members("l_returnflag")
+      .toJSON.collect().mkString(",")
+    assert(body == s"""{"dimension":"l_returnflag","values":[$direct]}""")
+  }
+
+  test("unknown cube → 404; malformed query → 400") {
+    assert(get("/cube/nope/facts")._1 == 404)
+    assert(get("/cube/lineitem/aggregate?page=1")._1 == 400) // missing pagesize
+    assert(get("/cube/lineitem/members/not_a_dim")._1 == 400)
+  }
+}
