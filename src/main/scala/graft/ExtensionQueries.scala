@@ -92,6 +92,17 @@ object ExtensionQueries {
         e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // x13: IVF ANN (rows-only; recall vs brute force locked by
+    // DedupSimilaritySpec — k-means bucketing + nProbe probing)
+    "x13_knn_ivf" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val centroids = graft.operators.Ivf.fit(e, "vec", k = 8)
+      graft.operators.Ivf.topK(
+        e, "vec_id", "vec",
+        e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10,
+        centroids, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // x12: multimodal binary-column pipeline — partition-batched decode
     // (STUBBED codec, real plumbing; graft.multimodal)
     "x12_multimodal_decode" -> ((s, dir) =>
