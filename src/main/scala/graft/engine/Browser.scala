@@ -49,12 +49,27 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
           case StringType => (col(d).try_cast(LongType), (s: String) => lit(s.toLong))
           case t => (col(d), (s: String) => lit(s).cast(t))
         }
-        (lo, hi) match {
+        val exact = (lo, hi) match {
           case (Some(l), Some(h)) => c >= cast(l) && c <= cast(h)
           case (Some(l), None)    => c >= cast(l)
           case (None, Some(h))    => c <= cast(h)
           case (None, None)       => lit(true)
         }
+        // Pushdown helper for string dims: a cast on the column blocks
+        // parquet filter pushdown, so min/max row-group pruning would be
+        // lost for the common `period:2014~2016` cut. When both bounds are
+        // equal-length digit strings without leading zeros, every numeric
+        // value in [lo,hi] has exactly that many digits, so the numeric
+        // range IMPLIES the lexicographic one — the raw string range is a
+        // semantics-neutral conjunct Catalyst can push to the scan.
+        val sargable = (lo, hi) match {
+          case (Some(l), Some(h)) if colType(d) == StringType &&
+              l.matches("[1-9][0-9]*") && h.matches("[1-9][0-9]*") &&
+              l.length == h.length =>
+            Some(col(d) >= lit(l) && col(d) <= lit(h))
+          case _ => None
+        }
+        sargable.map(_ && exact).getOrElse(exact)
     }
     if (cut.invert) !base else base
   }

@@ -45,6 +45,35 @@ class BrowserSpec extends SparkSpec {
     assert(years(s"l_shipyear:$mid~") === all.filter(_ >= mid))
   }
 
+  test("string range cut: NA falls out, leading-zero values exact, bounds sargable") {
+    import spark.implicits._
+    val df = Seq(("2013", 1.0), ("2014", 2.0), ("2016", 3.0), ("2017", 4.0),
+      ("NA", 5.0), ("901", 6.0), ("0500", 7.0)).toDF("period", "euro")
+    val m = graft.model.CubeModel("c", "c",
+      dimensions = Seq(graft.model.Dimension("period", rangeable = true)),
+      aggregates = Seq(graft.model.Aggregate("s", "sum", Some("euro"))))
+    val b = new Browser(m, df)
+    def vals(lo: String, hi: String) =
+      b.applyCuts(Seq(RangeCut("period", Some(lo), Some(hi))))
+        .select("period").collect().map(_.getString(0)).toSet
+    // closed range: numeric semantics (NA out; 901 < 2014 out)
+    assert(vals("2014", "2016") == Set("2014", "2016"))
+    // bounds spanning digit lengths: no sargable conjunct, still exact
+    assert(vals("500", "2016") == Set("2013", "2014", "2016", "901", "0500"))
+    // open end: NA must not sneak in lexicographically
+    assert(b.applyCuts(Seq(RangeCut("period", Some("2014"), None)))
+      .select("period").collect().map(_.getString(0)).toSet == Set("2014", "2016", "2017"))
+    // the equal-length digit bounds must reach a parquet scan as pushed
+    // filters (the try_cast alone would block row-group pruning)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sarg").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val bp = new Browser(m, spark.read.parquet(tmp))
+    val plan = bp.applyCuts(Seq(RangeCut("period", Some("2014"), Some("2016"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(period,2014)"), plan)
+    assert(plan.contains("LessThanOrEqual(period,2016)"), plan)
+  }
+
   test("range cut rejected on non-rangeable dim (HOWTO.md:79)") {
     intercept[IllegalArgumentException] {
       li.aggregate(CubeQuery(cuts = Seq(RangeCut("l_returnflag", Some("A"), Some("R")))))
