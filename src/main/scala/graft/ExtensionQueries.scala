@@ -128,6 +128,24 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .sessionizeStreaming(s, s"$dir/events.parquet", gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))),
+    // x23: incremental cube maintenance — foreachBatch upsert with dynamic
+    // partition overwrite (replaces the reference's full rebuild,
+    // update_olap.sh:12-16); oracle = the batch aggregate over all events
+    "x23_incremental_cube" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-x23-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(tmp) // fresh maintenance run per invocation
+      graft.streaming.StreamOps.incrementalCubeMaintenance(s,
+        s"$dir/events.parquet", s"$tmp/cube", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/cube")
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("value_sum"), 2).as("value_sum"))
+        .orderBy(col("day"), col("event_type"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -209,6 +227,9 @@ object ExtensionQueries {
       ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS value_sum " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x23_incremental_cube" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "x21_sessionize_batch" ->
       ("WITH e AS (SELECT user_id, ts, event_id, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +

@@ -41,6 +41,29 @@ class StreamingSpec extends SparkSpec {
         s"(batch=${batch.count()}, closed=${expected.count()}, streamed=${streamed.count()})")
   }
 
+  test("incremental cube maintenance == full batch rebuild, partition-wise") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    // split events into several files so AvailableNow+maxFilesPerTrigger=1
+    // produces several foreachBatch merges (the interesting path)
+    val srcDir = s"$tmp/src"
+    events.repartition(4).write.parquet(srcDir)
+    StreamOps.incrementalCubeMaintenance(spark,
+      srcDir, s"$tmp/cube", s"$tmp/ckpt")
+    val cube = spark.read.parquet(s"$tmp/cube")
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("value_sum"), 4).as("value_sum"))
+    val batch = events.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum"))
+    assert(cube.count() == batch.count())
+    assert(cube.exceptAll(batch).isEmpty && batch.exceptAll(cube).isEmpty)
+    // incremental run over already-consumed input is a no-op (checkpoint)
+    StreamOps.incrementalCubeMaintenance(spark,
+      srcDir, s"$tmp/cube", s"$tmp/ckpt")
+    val again = spark.read.parquet(s"$tmp/cube")
+    assert(again.count() == batch.count())
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
