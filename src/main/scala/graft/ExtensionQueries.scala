@@ -65,6 +65,13 @@ object ExtensionQueries {
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, bands = 4, rowsPerBand = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // x14: near-dup pairs closed into dedup groups (connected components,
+    // min-label propagation); oracle = DuckDB recursive-CTE reachability
+    "x14_dedup_groups" -> ((s, dir) =>
+      Dedup.pairGroups(
+        Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.8), "id_a", "id_b")
+        .orderBy(col("component"))),
     // x08: SimHash near-dup pairs (rows-only: 60-bit conv() isn't
     // expressible in DuckDB 1.0 SQL; mechanism locked by DedupSpec)
     "x08_simhash_pairs" -> ((s, dir) =>
@@ -206,6 +213,19 @@ object ExtensionQueries {
         "GROUP BY 1 ORDER BY 1"),
     "x06_jaccard_pairs" -> jaccardCte,
     "x07_minhash_pairs" -> jaccardCte, // LSH must find the same pairs (see above)
+    "x14_dedup_groups" ->
+      (s"""WITH RECURSIVE pr AS ($jaccardCte),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component, min(id) AS keep_id, count(*) AS n_members
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin
+        .replace("\n", " ")),
     "x09_embed_pairs" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) " +
         "SELECT id_a, id_b, round(cos, 4) AS cos FROM (" +

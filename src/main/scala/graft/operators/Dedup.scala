@@ -290,6 +290,69 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ---- connected components (pairs → dedup groups) ----------------------
+
+  /** Connected components over an undirected pair list: every node gets the
+    * smallest id reachable from it (`component`). Near-dup PAIRS only
+    * become droppable once closed transitively — a≈b, b≈c must collapse to
+    * one keeper even when a≉c directly.
+    *
+    * Algorithm: min-label propagation — each round every node takes the min
+    * of its own label and its neighbors'; converges in O(component
+    * diameter) rounds. Near-dup clusters are shallow (duplicates of a
+    * common source), so this is 2-4 shuffles in practice; the driver loop
+    * only coordinates (one count per round), all data work is distributed.
+    * For graphs with long chains swap in the large-star/small-star
+    * alternation — same contract.
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
+            .as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** One row per near-dup GROUP (component, keep_id = smallest member,
+    * n_members), given a pair list. Singletons are not listed — they are
+    * trivially their own keepers.
+    */
+  def pairGroups(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    components(pairs, aCol, bCol)
+      .groupBy(col("component"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** The deduplicated view: drop every row whose id belongs to a component
+    * but is not its keeper. Rows in no pair pass through untouched.
+    */
+  def deduplicateByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component")) // non-keepers
+      .select(col("id").as("__drop_id"))
+    df.join(drop, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   // ---- embedding cosine -------------------------------------------------
 
   /** Cosine similarity of two float-array columns — built-in `zip_with` +

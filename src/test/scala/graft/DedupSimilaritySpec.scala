@@ -52,6 +52,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rnd > 15, s"random-pair mean hamming distance suspiciously low: $rnd")
   }
 
+  test("components: chains close transitively, keepers are minima") {
+    import spark.implicits._
+    // a-b, b-c chain + isolated pair (10,11): {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val groups = Dedup.pairGroups(pairs, "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 1L, 3L), (10L, 10L, 2L)))
+    // dedup view: keepers + untouched singletons survive
+    val df = (1L to 12L).toDF("id")
+    val kept = Dedup.deduplicateByPairs(df, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("simhashTable (packed-counter aggregate) == simhash Column expr") {
     import spark.implicits._
     val viaExpr = docs.select($"doc_id".as("id"), Dedup.simhash($"text").as("e"))
