@@ -54,10 +54,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component d of plane p is a
-    * fixed function of (p, d) via a splitmix64-style integer mix — no RNG
-    * state, reproducible across runs/engines, generated driver-side once.
+    * fixed function of (seed, p, d) via a splitmix64-style integer mix — no
+    * RNG state, reproducible across runs/engines, generated driver-side
+    * once. Distinct seeds give independent LSH tables.
     */
-  def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {
+  def hyperplanes(planes: Int, dims: Int, seed: Long = 0L): Array[Array[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -66,55 +67,61 @@ object Similarity {
       // map to (-1, 1)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    Array.tabulate(planes, dims)((p, d) => mix(p.toLong * 131071L + d))
+    Array.tabulate(planes, dims)((p, d) =>
+      mix(seed * 0x9e3779b97f4a7c15L + p.toLong * 131071L + d))
   }
 
   /** Sign-of-projection LSH signature (one integer, bit p = sign of the dot
-    * product with plane p). Planes are inlined as literal arrays — the
-    * whole signature is one codegen'd expression over the vector column.
+    * product with plane p). Planes are inlined as literal arrays and the
+    * dot products use the native graft_dot expression — the whole signature
+    * is one codegen'd expression over the vector column (callers must have
+    * GraftFunctions registered).
     */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(dot(vec, array(plane.map(lit): _*)) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN: items are signed once; each query probes its own bucket
-    * plus all buckets at Hamming distance 1 (multi-probe — recovers most of
-    * the recall lost to hard bucket boundaries), then ranks candidates by
-    * exact cosine. Same output shape as bruteForceTopK.
+  /** Bucketed ANN with `numTables` independent LSH tables: items are signed
+    * once per table (index size ×L — the classic LSH trade); each query
+    * probes, per table, its own bucket plus all buckets at Hamming distance
+    * 1 (multi-probe). A true neighbor is missed only if it misses in EVERY
+    * table, so recall improves geometrically in L while the candidate set
+    * grows only linearly. Candidates are deduped across tables before the
+    * exact-cosine ranking. Same output shape as bruteForceTopK.
     */
   def lshTopK(items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
-      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
-    val planes = hyperplanes(numPlanes, dims)
+    val tables = (0 until numTables)
+      .map(t => hyperplanes(numPlanes, dims, seed = t.toLong))
+    def sigs(vec: Column): Column = array(tables.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), lshSignature(vec, planes).as("sig"))
+    }: _*)
     val it = Dedup.widen(items).select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
       sqrt(dot(col(itemVec), col(itemVec))).as("inorm"),
-      lshSignature(col(itemVec), planes).as("sig"))
-    // multi-probe: query signature ± each single bit flip
-    val probeSigs = (q: Column) =>
-      array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
-        .pipe(flips => transform(flips, f => q.bitwiseXOR(f)))
+      explode(sigs(col(itemVec))).as("ts"))
+      .select(col("item_id"), col("ivec"), col("inorm"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    // multi-probe: per table, the signature ± each single bit flip
+    val flips = array((0L +: (0 until numPlanes).map(p => 1L << p)).map(lit): _*)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       sqrt(dot(col(queryVec), col(queryVec))).as("qnorm"),
-      lshSignature(col(queryVec), planes).as("qsig"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(probeSigs(col("qsig"))).as("sig"))
+      explode(sigs(col(queryVec))).as("ts"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("ts.t").as("t"),
+        explode(transform(flips, f => col("ts.sig").bitwiseXOR(f))).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
-    it.join(broadcast(q), Seq("sig")) // shuffle-free: probe side broadcast
+    it.join(broadcast(q), Seq("t", "sig")) // shuffle-free: probe side broadcast
       .filter(col("item_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("ivec"), col("qvec")) / (col("inorm") * col("qnorm")))
+      .select(col("query_id"), col("item_id"),
+        (dot(col("ivec"), col("qvec")) / (col("inorm") * col("qnorm"))).as("cos"))
+      .distinct() // a pair found in several tables/probes ranks once
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("item_id"), round(col("cos"), 4).as("cos"))
-  }
-
-  private implicit class Piped[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
   }
 }

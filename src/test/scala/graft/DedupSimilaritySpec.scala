@@ -126,12 +126,12 @@ class DedupSimilaritySpec extends SparkSpec {
       val cosines = sorted.map(_.getAs[Double]("cos")).toSeq
       assert(cosines == cosines.sorted.reverse)
     }
-    // recall@10 against brute force — sanity floor only (8 hyperplanes on
-    // random 64-d data is a coarse sieve; multi-probe keeps it usable)
+    // recall@10 against brute force: 4 tables × 8 planes with 1-bit
+    // multi-probe on random 64-d data (miss only if missed in EVERY table)
     val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
     val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
     val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
     info(f"LSH ANN recall@10 vs brute force: $recall%.2f")
-    assert(recall >= 0.05)
+    assert(recall >= 0.25)
   }
 }
