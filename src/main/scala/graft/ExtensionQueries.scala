@@ -65,6 +65,12 @@ object ExtensionQueries {
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, bands = 4, rowsPerBand = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // x15: winnowing local-overlap pairs (rolling-hash fingerprints,
+    // MOSS scheme; rows-only — guarantees locked by DedupSimilaritySpec)
+    "x15_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 7, w = 8, minShared = 2, maxDocFreq = Some(20))
+        .orderBy(col("id_a"), col("id_b"))),
     // x14: near-dup pairs closed into dedup groups (connected components,
     // min-label propagation); oracle = DuckDB recursive-CTE reachability
     "x14_dedup_groups" -> ((s, dir) =>

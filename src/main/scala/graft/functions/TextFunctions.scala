@@ -113,4 +113,30 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(lower(concat_ws(" ", tokens(text))))
+
+  /** Whitespace-normalised, lower-cased text — the canonical form both the
+    * whole-document fingerprint and the winnow grams hash over.
+    */
+  def normalizedText(text: Column): Column =
+    lower(concat_ws(" ", tokens(text)))
+
+  /** Per-character k-gram rolling hashes of an ALREADY-normalised text
+    * column: element i = xxhash64 of the k chars starting at i (same
+    * k-gram → same hash, position-independent). Empty for texts shorter
+    * than k.
+    *
+    * IMPORTANT: pass a plain (materialised) column, not an expression —
+    * the transform lambda captures `norm` and re-evaluates it PER ELEMENT,
+    * so a captured `lower(concat_ws(tokens(...)))` tree turns this O(n)
+    * scan into O(n²) per document (measured 20-60s on 5000 docs). See
+    * `Dedup.winnowFingerprints` for the persist-first call pattern; the
+    * window-min selection there is likewise a DataFrame window function,
+    * not a nested HOF, for the same reason.
+    */
+  def charGramHashes(norm: Column, k: Int): Column = {
+    val nGrams = length(norm) - (k - 1)
+    when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i => xxhash64(norm.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
 }

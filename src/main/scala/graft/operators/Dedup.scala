@@ -290,6 +290,69 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ---- winnowing (rolling-hash local fingerprints) -----------------------
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every character k-gram
+    * (rolling hash via [[TextFunctions.charGramHashes]]), slide a window of
+    * `w` consecutive gram hashes, keep each window's minimum, dedup.
+    * Guarantee: any shared substring of length ≥ w+k−1 between two
+    * documents yields at least one shared fingerprint — local, position-
+    * independent overlap detection, unlike the whole-document
+    * `TextFunctions.fingerprint`.
+    *
+    * Shape: explode the gram array once, take the sliding min with a
+    * window function (one shuffle on id, each gram hashed exactly once),
+    * then distinct. A nested-HOF formulation would re-evaluate the gram
+    * array per window — O(n²) per document (the CSE trap, see `sigFrame`).
+    *
+    * Output: (id, fp) — one row per distinct selected fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    // persist the normalised text FIRST: charGramHashes' lambda captures
+    // its input per element, so it must see a materialised attribute, not
+    // the tokenizer expression (else O(n²) per doc — see its Scaladoc)
+    val norm = widen(df).select(col(idCol).as("id"),
+      TextFunctions.normalizedText(col(textCol)).as("t")).persist()
+    val grams = norm.select(col("id"),
+      posexplode(TextFunctions.charGramHashes(col("t"), k))
+        .as(Seq("pos", "g")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("wmin", min(col("g")).over(win))
+      // rows before the first full window only contribute for documents
+      // shorter than w grams (their single overall min is the fingerprint)
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .filter(col("pos") >= w - 1 || (col("ng") < w && col("pos") === col("ng") - 1))
+      .select(col("id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** Documents sharing ≥ `minShared` winnow fingerprints — the local-
+    * overlap near-dup relation (finds partial plagiarism/quotation overlap
+    * that whole-document similarity misses). Self-join on fp: the skew
+    * guard is the same df-cap idea as shingles — drop ubiquitous
+    * fingerprints via `maxDocFreq`.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val fps0 = winnowFingerprints(df, idCol, textCol, k, w).persist()
+    val fps = maxDocFreq match {
+      case None => fps0
+      case Some(cap) =>
+        val rare = fps0.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("fp")
+        fps0.join(rare, Seq("fp"))
+    }
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- connected components (pairs → dedup groups) ----------------------
 
   /** Connected components over an undirected pair list: every node gets the

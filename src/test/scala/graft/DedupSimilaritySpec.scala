@@ -52,6 +52,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rnd > 15, s"random-pair mean hamming distance suspiciously low: $rnd")
   }
 
+  test("winnowing: shared substring ≥ w+k−1 ⇒ shared fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, s"AAAA bbbb cccc $common dddd eeee"),
+      (2L, s"zzzz yyyy $common xxxx wwww vvvv uuuu"),
+      (3L, "completely different content with no overlap whatsoever here")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, "id", "text", k = 5, w = 4,
+      minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1 and 2 share a 63-char substring >> w+k-1 = 8 → many shared fps
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 >= 5, s"pairs: ${pairs.mkString(",")}")
+    // 3 overlaps nobody
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.mkString(","))
+    // determinism + shape: re-run yields identical fingerprints
+    val fp1 = Dedup.winnowFingerprints(df, "id", "text").collect().toSet
+    val fp2 = Dedup.winnowFingerprints(df, "id", "text").collect().toSet
+    assert(fp1 == fp2 && fp1.nonEmpty)
+    // short document (< w grams): fingerprints as its single overall min
+    val short = Seq((9L, "abcdef")).toDF("id", "text") // 2 grams at k=5
+    assert(Dedup.winnowFingerprints(short, "id", "text").count() == 1)
+  }
+
   test("components: chains close transitively, keepers are minima") {
     import spark.implicits._
     // a-b, b-c chain + isolated pair (10,11): {1,2,3} and {10,11}
