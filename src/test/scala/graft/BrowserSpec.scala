@@ -152,6 +152,30 @@ class BrowserSpec extends SparkSpec {
     assert(rolled.length === 4)
   }
 
+  test("property: drilldown partitions summary under random cut/dim combos (SURVEY §5)") {
+    // "drilling down will never reduce the amount of cells" (HOWTO.md:73):
+    // for ANY cut set and ANY drilldown, per-group counts sum to the
+    // summary count and per-group sums to the summary sum
+    val dims = Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_shipyear")
+    val cutPool = Seq(
+      Nil,
+      Seq(PointCut("l_returnflag", "R")),
+      Seq(RangeCut("l_shipyear", Some("1994"), Some("1996"))),
+      Seq(PointCut("l_linestatus", "F"), RangeCut("l_shipyear", None, Some("1995"))),
+      Seq(SetCut("l_returnflag", Seq("A", "N"))))
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val cuts = cutPool(rnd.nextInt(cutPool.size))
+      val dd = rnd.shuffle(dims).take(1 + rnd.nextInt(2))
+      val s = li.summary(CubeQuery(cuts = cuts)).collect().head
+      val cells = li.aggregate(CubeQuery(cuts = cuts, drilldown = dd)).collect()
+      assert(cells.map(_.getAs[Long]("n_items")).sum === s.getAs[Long]("n_items"),
+        s"cuts=$cuts dd=$dd")
+      assert(math.abs(cells.map(_.getAs[Double]("price_sum")).sum -
+        s.getAs[Double]("price_sum")) < 1e-4, s"cuts=$cuts dd=$dd")
+    }
+  }
+
   test("unknown dimension/aggregate raise useful errors") {
     intercept[IllegalArgumentException] { li.aggregate(CubeQuery(drilldown = Seq("nope"))) }
     intercept[IllegalArgumentException] { li.summary(CubeQuery(), Seq("nope")) }
