@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** The layout utilities must demonstrably change what the scan READS, not
+  * just where files land: point lookups over the range-sorted layout prune
+  * to a couple of row groups; partition layout prunes directories.
+  */
+class LayoutSpec extends SparkSpec {
+
+  /** Rows the parquet reader actually produced (post row-group pruning). */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect() // execute so metrics populate
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  test("range-sorted layout: point lookup reads a fraction of the rows") {
+    val li = Tables.table(spark, sf("sf0.01"), "lineitem")
+    val total = li.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    // unsorted baseline: same small row groups, random key order
+    li.orderBy(rand(7)).coalesce(1).write
+      .option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(s"$tmp/unsorted")
+    Layout.writeSorted(li, s"$tmp/sorted", Seq("l_orderkey"),
+      numFiles = 2, targetRowGroupBytes = 64 * 1024)
+    val key = li.select(max(col("l_orderkey"))).collect().head.getLong(0)
+    def lookup(path: String): Long =
+      scanOutputRows(spark.read.parquet(path).filter(col("l_orderkey") === key))
+    val sortedRead = lookup(s"$tmp/sorted")
+    val unsortedRead = lookup(s"$tmp/unsorted")
+    // the sorted layout must skip most row groups; the unsorted one cannot
+    assert(sortedRead < total / 4,
+      s"sorted read $sortedRead of $total — row-group pruning not effective")
+    assert(sortedRead < unsortedRead,
+      s"sorted=$sortedRead !< unsorted=$unsortedRead")
+    // both layouts agree on the answer
+    assert(spark.read.parquet(s"$tmp/sorted").filter(col("l_orderkey") === key).count() ==
+      li.filter(col("l_orderkey") === key).count())
+  }
+
+  test("partitioned layout: partition pruning drops directories from the scan") {
+    val li = Tables.table(spark, sf("sf0.01"), "lineitem")
+      .withColumn("l_shipyear", year(col("l_shipdate")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writePartitioned(li, s"$tmp/by_year", Seq("l_shipyear"))
+    val q = spark.read.parquet(s"$tmp/by_year").filter(col("l_shipyear") === 1994)
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+    // partition filter present and only one partition directory selected
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on scan")
+    assert(scan.relation.location.inputFiles.length >
+      scan.metrics("numFiles").value,
+      "scan did not prune partitions")
+    assert(q.count() == li.filter(col("l_shipyear") === 1994).count())
+  }
+}
