@@ -44,6 +44,35 @@ object ExtensionQueries {
         round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
+    // x16: quality-score quantiles per language — exact interpolated
+    // percentiles (Spark `percentile` == DuckDB `quantile_cont`)
+    "x16_quality_quantiles" -> ((s, dir) => {
+      val q = table(s, dir, "documents").select(
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      q.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("q"), lit(0.25)), 4).as("q25"),
+        round(percentile(col("q"), lit(0.5)), 4).as("q50"),
+        round(percentile(col("q"), lit(0.75)), 4).as("q75"))
+        .orderBy(col("lang"))
+    }),
+    // x17: heavy hitters — top-5 tokens per language by frequency with a
+    // deterministic tie-break. The per-doc lang column is persisted BEFORE
+    // the explode: as a plain expression it would be re-evaluated per
+    // emitted token (the HOF-inlining trap — 20s+ instead of ~1s)
+    "x17_top_tokens" -> ((s, dir) => {
+      val byDoc = table(s, dir, "documents").select(
+        TextFunctions.langId(col("text")).as("lang"), col("text")).persist()
+      val tok = byDoc.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
+      tok.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
     // x04: document fingerprinting (normalised md5)
     "x04_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -185,7 +214,41 @@ object ExtensionQueries {
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Shared lang-ID CASE over precomputed en/de/fr/es marker counts. */
+  private val langCase =
+    "CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und' " +
+      "WHEN en = greatest(en, de, fr, es) THEN 'en' " +
+      "WHEN de = greatest(en, de, fr, es) THEN 'de' " +
+      "WHEN fr = greatest(en, de, fr, es) THEN 'fr' " +
+      "WHEN es = greatest(en, de, fr, es) THEN 'es' ELSE 'und' END"
+
+  /** (doc_id, lang, ts, text) CTE prefix used by the per-language oracles. */
+  private val langCte =
+    s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
+      s"s AS (SELECT doc_id, text, ts, ${markers("en")} AS en, ${markers("de")} AS de, " +
+      s"${markers("fr")} AS fr, ${markers("es")} AS es FROM m), " +
+      s"l AS (SELECT doc_id, text, ts, $langCase AS lang FROM s)"
+
   def oracleSql: Map[String, String] = Map(
+    "x16_quality_quantiles" ->
+      (s"$langCte, c AS (SELECT lang, len(ts) AS n, " +
+        s"CAST(${markers("en")} AS DOUBLE) AS mk, " +
+        raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
+        "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM l), " +
+        "q AS (SELECT lang, floor((least(mk / n * 4, 1.0) * 0.3 + " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - punct) * 0.2 + " +
+        "(CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
+        "* 10000 + 0.5) / 10000 AS qv FROM c) " +
+        "SELECT lang, count(*) AS n, round(quantile_cont(qv, 0.25), 4) AS q25, " +
+        "round(quantile_cont(qv, 0.50), 4) AS q50, " +
+        "round(quantile_cont(qv, 0.75), 4) AS q75 " +
+        "FROM q GROUP BY 1 ORDER BY 1"),
+    "x17_top_tokens" ->
+      (s"$langCte, t AS (SELECT lang, unnest(ts) AS tok FROM l), " +
+        "f AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2), " +
+        "r AS (SELECT lang, tok, n, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n DESC, tok) AS rank FROM f) " +
+        "SELECT lang, tok, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
     "x01_token_count" ->
       (s"SELECT doc_id, len($toks) AS n_tokens, " +
         raw"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces " +
