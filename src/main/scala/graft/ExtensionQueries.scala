@@ -94,6 +94,22 @@ object ExtensionQueries {
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8, bands = 4, rowsPerBand = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // x18: as-of join — each click event picks up the user's most recent
+    // prior-or-simultaneous purchase; oracle = DuckDB's native ASOF JOIN
+    "x18_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = graft.operators.AsOf.latestPerKeyTime(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", tieBreak = "value")
+      graft.operators.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "purchase_ts", "value" -> "purchase_value"))
+        .withColumn("purchase_value", round(col("purchase_value"), 2))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // x15: winnowing local-overlap pairs (rolling-hash fingerprints,
     // MOSS scheme; rows-only — guarantees locked by DedupSimilaritySpec)
     "x15_winnow_overlap" -> ((s, dir) =>
@@ -316,6 +332,16 @@ object ExtensionQueries {
       ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS value_sum " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x18_asof_join" ->
+      ("WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'), " +
+        "p0 AS (SELECT user_id, ts, value, row_number() OVER " +
+        "(PARTITION BY user_id, ts ORDER BY value DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1) " +
+        "SELECT c.user_id, c.event_id, c.ts, p.ts AS purchase_ts, " +
+        "round(p.value, 2) AS purchase_value " +
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts " +
+        "ORDER BY c.user_id, c.event_id"),
     "x23_incremental_cube" ->
       ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
         "round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2 ORDER BY 1, 2"),

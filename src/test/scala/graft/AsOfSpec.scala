@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** As-of join semantics: most recent right row at-or-before each left row,
+  * per key; inclusive at equal timestamps; null when nothing precedes.
+  */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asof picks the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts(10)), (1L, 101L, ts(25)), (1L, 102L, ts(5)),
+      (2L, 200L, ts(50)), (3L, 300L, ts(7))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(30), 3.0),
+      (2L, ts(49), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Map("ts" -> "p_ts", "value" -> "p_value"))
+      .collect().map(r => (r.getLong(1),
+        Option(r.getAs[Timestamp]("p_ts")).map(_.getTime / 1000),
+        Option(r.getAs[Any]("p_value")).map(_.asInstanceOf[Double]))).toSet
+    assert(out == Set(
+      (100L, Some(10L), Some(1.0)), // equal ts → inclusive
+      (101L, Some(20L), Some(2.0)), // 25 picks 20, not 30
+      (102L, None, None),           // nothing at-or-before 5
+      (200L, Some(49L), Some(9.0)),
+      (300L, None, None)))          // key with no right rows at all
+  }
+
+  test("latestPerKeyTime dedups (key, time) deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, ts(10), 5.0), (1L, ts(10), 7.0), (1L, ts(11), 1.0))
+      .toDF("user_id", "ts", "value")
+    val d = AsOf.latestPerKeyTime(df, Seq("user_id"), "ts", "value")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000, r.getDouble(2))).toSet
+    assert(d == Set((10L, 7.0), (11L, 1.0)))
+  }
+
+  test("asof over real events matches a window-free nested-loop oracle on a sample") {
+    val ev = Tables.events(spark, sf())
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = AsOf.latestPerKeyTime(
+      ev.filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", "value")
+    val fast = AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Map("ts" -> "p_ts", "value" -> "p_value"))
+    // oracle: theta-join + argmax — O(n·m), fine on the sample
+    val slow = clicks.as("c").join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") && col("c.ts") >= col("p.ts"), "left")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c.user_id"), col("c.event_id"))
+          .orderBy(col("p.ts").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col("c.user_id"), col("c.event_id"), col("c.ts"),
+        col("p.ts").as("p_ts"), col("p.value").as("p_value"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+}
