@@ -110,6 +110,24 @@ object ExtensionQueries {
         .withColumn("purchase_value", round(col("purchase_value"), 2))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // x19: bucketized range join — every event assigned to the session
+    // interval containing it (equi-key user_id + ts∈[start,end]); the
+    // nested-loop-free interval join, oracle = plain BETWEEN join
+    "x19_range_join" -> ((s, dir) => {
+      val sess = graft.streaming.StreamOps
+        .sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("lo"),
+          unix_micros(col("session_end")).as("hi"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      graft.operators.RangeJoin.intervalJoin(ev, sess, Seq("user_id"),
+        pointCol = "t", loCol = "lo", hiCol = "hi",
+        bucketWidth = 30L * 60 * 1000000) // 30 min in micros ≈ session gap
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     // x15: winnowing local-overlap pairs (rolling-hash fingerprints,
     // MOSS scheme; rows-only — guarantees locked by DedupSimilaritySpec)
     "x15_winnow_overlap" -> ((s, dir) =>
@@ -230,6 +248,15 @@ object ExtensionQueries {
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Gaps-and-islands session CTE (30-min gap) shared by x21/x19. */
+  private val sessionCte =
+    "WITH e AS (SELECT user_id, ts, event_id, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+      "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL " +
+      "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
+      "g AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)"
+
   /** Shared lang-ID CASE over precomputed en/de/fr/es marker counts. */
   private val langCase =
     "CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und' " +
@@ -346,14 +373,16 @@ object ExtensionQueries {
       ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, " +
         "round(sum(value), 2) AS value_sum FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "x21_sessionize_batch" ->
-      ("WITH e AS (SELECT user_id, ts, event_id, " +
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
-        "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL " +
-        "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
-        "g AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f) " +
+      (s"$sessionCte " +
         "SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x19_range_join" ->
+      (s"$sessionCte, s AS (SELECT user_id, session_seq, min(ts) AS session_start, " +
+        "max(ts) AS session_end FROM g GROUP BY 1, 2) " +
+        "SELECT ev.user_id, s.session_seq, count(*) AS n_events " +
+        "FROM events ev JOIN s ON ev.user_id = s.user_id " +
+        "AND ev.ts BETWEEN s.session_start AND s.session_end " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "x10_knn_brute" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

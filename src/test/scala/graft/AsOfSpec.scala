@@ -45,6 +45,23 @@ class AsOfSpec extends SparkSpec {
     assert(d == Set((10L, 7.0), (11L, 1.0)))
   }
 
+  test("intervalJoin == naive BETWEEN join, including bucket-boundary edges") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // intervals straddling bucket edges (width 10): [5,14], [10,10], [29,41]
+    val iv = Seq((1L, 5L, 14L, "a"), (1L, 10L, 10L, "b"), (2L, 29L, 41L, "c"))
+      .toDF("k", "lo", "hi", "tag")
+    val pts = Seq((1L, 9L), (1L, 10L), (1L, 14L), (1L, 15L),
+      (2L, 30L), (2L, 41L), (2L, 42L), (3L, 10L)).toDF("k", "p")
+    val fast = RangeJoin.intervalJoin(pts, iv, Seq("k"), "p", "lo", "hi", 10L)
+      .select("k", "p", "tag")
+    val slow = pts.join(iv, Seq("k"))
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("k", "p", "tag")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    assert(fast.count() == 6) // (9,a)(10,a)(10,b)(14,a)(30,c)(41,c)
+  }
+
   test("asof over real events matches a window-free nested-loop oracle on a sample") {
     val ev = Tables.events(spark, sf())
     val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 20)
