@@ -92,6 +92,10 @@ object SparkEntry {
         drilldown = Seq("l_partkey"),
         orders = QueryParser.parseOrders("n_items:desc"),
         page = Some(Page(3, 50)))), aggRound: _*)),
+    // a19: full CUBE over two dims (beyond-reference grouping-sets surface)
+    "a19_cube" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregateCube(
+        CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus"))), aggRound: _*)),
     // A16: members — distinct dimension values (cubes /members endpoint)
     "a16_members" -> ((s, dir) =>
       TestCubes.lineitem(s, dir).members("l_shipyear")),
@@ -137,6 +141,11 @@ object SparkEntry {
     "a10_agg_page" ->
       (s"SELECT l_partkey, $aggSql FROM lineitem GROUP BY 1 " +
         "ORDER BY count(*) DESC, l_partkey LIMIT 50 OFFSET 150"),
+    "a19_cube" ->
+      (s"SELECT l_returnflag, l_linestatus, $aggSql, " +
+        "CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_level " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY grouping_level, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "a16_members" ->
       s"SELECT DISTINCT l_shipyear FROM $liSql ORDER BY l_shipyear",
     "a17_share_of_total" ->

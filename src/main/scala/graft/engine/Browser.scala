@@ -176,6 +176,23 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
       col("grouping_level").asc +: q.drilldown.map(col(_).asc), q.page)
   }
 
+  /** Full CUBE over the drilldown dims — every aggregation level in one
+    * pass (beyond-reference extension; the parity surface only needs
+    * ROLLUP for summary+cells, A18). `grouping_level` is Spark's
+    * `grouping_id` bit pattern (1-bit per aggregated-away dim). Order is
+    * (level, dims NULLS FIRST) — within a level each dim's nullness is
+    * constant, so the sort is total given distinct dim values.
+    */
+  def aggregateCube(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
+    require(q.drilldown.nonEmpty, "aggregateCube needs a drilldown")
+    val base = applyCuts(q.cuts)
+    val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
+    val aggs = aggExprs(aggNames) :+
+      grouping_id(dims: _*).cast(LongType).as("grouping_level")
+    paginate(base.cube(dims: _*).agg(aggs.head, aggs.tail: _*),
+      col("grouping_level").asc +: q.drilldown.map(col(_).asc_nulls_first), q.page)
+  }
+
   /** Percentage-of-total (SURVEY.md A17, YAML_STATIC_PART_APC:23-27): each
     * cell's aggregate divided by the summary total. Implemented as a
     * broadcast cross-join with the 1-row summary — scale-safe (no

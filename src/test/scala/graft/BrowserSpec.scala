@@ -152,6 +152,19 @@ class BrowserSpec extends SparkSpec {
     assert(rolled.length === 4)
   }
 
+  test("cube: every grouping level partitions the summary count") {
+    val cube = li.aggregateCube(
+      CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus"))).collect()
+    val total = li.summary(CubeQuery()).collect().head.getAs[Long]("n_items")
+    // levels 0 (both dims), 1 (flag only aggregated away), 2, 3 (grand total)
+    (0L to 3L).foreach { lvl =>
+      val rows = cube.filter(_.getAs[Long]("grouping_level") == lvl)
+      assert(rows.nonEmpty, s"level $lvl empty")
+      assert(rows.map(_.getAs[Long]("n_items")).sum === total, s"level $lvl")
+    }
+    assert(cube.count(_.getAs[Long]("grouping_level") == 3L) === 1)
+  }
+
   test("property: drilldown partitions summary under random cut/dim combos (SURVEY §5)") {
     // "drilling down will never reduce the amount of cells" (HOWTO.md:73):
     // for ANY cut set and ANY drilldown, per-group counts sum to the
