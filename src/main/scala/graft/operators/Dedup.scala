@@ -369,31 +369,75 @@ object Dedup {
     * alternation — same contract.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, collectThreshold: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // Size-adaptive: the candidate-pair graph is tiny relative to the
+    // corpus (it exists only where near-dups exist), so up to
+    // `collectThreshold` edges a driver-side union-find (milliseconds)
+    // beats an iterative distributed loop (seconds of per-job fixed cost).
+    // Above the threshold — or for non-long ids — the label-propagation
+    // loop below is the scale path.
+    val longIds = pairs.schema(aCol).dataType == LongType &&
+      pairs.schema(bCol).dataType == LongType
+    if (longIds && pairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
+      return componentsLocal(pairs, aCol, bCol)
+    // edges pre-partitioned on the probe key: the cached InMemoryRelation
+    // keeps its outputPartitioning, so each iteration's join reshuffles
+    // only the (much smaller) label frame
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+      .repartition(col("dst")).persist()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    var labels = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.as("l")
+      // one pass computes the new label AND whether it moved — the changed
+      // count is a metric on this frame, not a second join
+      val step = labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
             .as("label"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("label") =!= col("old_label")).count()
+      cached.unpersist() // unpersist the FRAME that holds the cache, not a projection
+      cached = step
+      labels = step.select(col("id"), col("label"))
       i += 1
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver-side union-find with path compression + union-by-min: the
+    * component of each node is its smallest reachable id — identical
+    * contract to the distributed loop, O(E α(E)) on collected edges.
+    */
+  private def componentsLocal(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN root so the component id is the min id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /** One row per near-dup GROUP (component, keep_id = smallest member,

@@ -84,6 +84,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val comp = Dedup.components(pairs, "id_a", "id_b").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the distributed label-propagation path (forced) must agree with the
+    // driver union-find path (the small-graph default)
+    val compDist = Dedup.components(pairs, "id_a", "id_b", collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDist == comp)
     val groups = Dedup.pairGroups(pairs, "id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(groups == Set((1L, 1L, 3L), (10L, 10L, 2L)))
