@@ -44,6 +44,32 @@ object ExtensionQueries {
         round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
+    // x24: pre-tokenization text cleaning (HTML strip, control chars,
+    // whitespace collapse) — regex chain identical in Java regex and RE2
+    "x24_clean_text" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(TextFunctions.cleanText(col("text"))).cast("long").as("clean_len"),
+        TextFunctions.tokenCount(TextFunctions.cleanText(col("text")))
+          .cast("long").as("clean_tokens"))
+        .orderBy(col("doc_id"))),
+    // x25: int8 embedding quantization — per-vector scale + cosine error
+    // of the dequantized vector vs the original
+    "x25_quantize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot", a, b)
+      val v = embeddingsD(s, dir).select(col("vec_id"), col("vec"),
+        Similarity.quantizeScale(col("vec")).as("scale"))
+      val dq = v.select(col("vec_id"), col("vec"), col("scale"),
+        Similarity.dequantize(
+          Similarity.quantize(col("vec"), col("scale")), col("scale")).as("dq"))
+      dq.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(dot(col("vec"), col("dq")) /
+          (sqrt(dot(col("vec"), col("vec"))) * sqrt(dot(col("dq"), col("dq")))), 4)
+          .as("cos_fidelity"))
+        .orderBy(col("vec_id"))
+    }),
     // x16: quality-score quantiles per language — exact interpolated
     // percentiles (Spark `percentile` == DuckDB `quantile_cont`)
     "x16_quality_quantiles" -> ((s, dir) => {
@@ -273,6 +299,23 @@ object ExtensionQueries {
       s"l AS (SELECT doc_id, text, ts, $langCase AS lang FROM s)"
 
   def oracleSql: Map[String, String] = Map(
+    "x24_clean_text" ->
+      (raw"WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        raw"regexp_replace(text, '<[^>]*>', ' ', 'g'), " +
+        raw"'[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, len(t) AS clean_len, " +
+        raw"len(list_filter(string_split_regex(trim(t), '\s+'), s -> len(s) > 0)) AS clean_tokens " +
+        "FROM c ORDER BY doc_id"),
+    "x25_quantize" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), " +
+        "s AS (SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v), " +
+        "d AS (SELECT vec_id, vec, scale, list_transform(vec, x -> " +
+        "greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale) AS dq FROM s) " +
+        "SELECT vec_id, round(scale, 6) AS scale, " +
+        "round(list_dot_product(vec, dq) / (sqrt(list_dot_product(vec, vec)) * " +
+        "sqrt(list_dot_product(dq, dq))), 4) AS cos_fidelity " +
+        "FROM d ORDER BY vec_id"),
     "x16_quality_quantiles" ->
       (s"$langCte, c AS (SELECT lang, len(ts) AS n, " +
         s"CAST(${markers("en")} AS DOUBLE) AS mk, " +

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Pre-tokenization cleanup: strip HTML/XML tags, drop control chars,
+    * collapse whitespace runs, trim — the standard scrub before any text
+    * op in a crawl-derived corpus. Pure regexp_replace chain (codegen'd;
+    * the patterns behave identically in Java regex and RE2, so the DuckDB
+    * oracle matches byte-for-byte).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]*>", " "), // tags → space
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""), // control chars (keep \t\n\r)
+      "\\s+", " "))
+
   /** Whitespace tokenizer (empty tokens dropped, leading/trailing safe). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)

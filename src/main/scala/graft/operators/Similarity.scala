@@ -53,6 +53,27 @@ object Similarity {
         col("item_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Symmetric int8 scalar quantization of a double-array vector column:
+    * scale = max|x| / 127 per vector; q_i = floor(x_i/scale + 0.5) clamped
+    * to [-127, 127] (floor-based rounding — identical double math in every
+    * engine, unlike BigDecimal-based round()). At 100 TB this is the 4-8×
+    * storage/bandwidth cut for the ANN index; the cosine error it
+    * introduces is measurable via `dequantize`.
+    * Zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeScale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / lit(127.0)
+
+  def quantize(vec: Column, scale: Column): Column =
+    when(scale > 0,
+      transform(vec, x =>
+        greatest(lit(-127.0), least(lit(127.0), floor(x / scale + 0.5)))
+          .cast("tinyint")))
+      .otherwise(transform(vec, _ => lit(0).cast("tinyint")))
+
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
   /** Deterministic pseudo-random hyperplanes: component d of plane p is a
     * fixed function of (seed, p, d) via a splitmix64-style integer mix — no
     * RNG state, reproducible across runs/engines, generated driver-side

@@ -141,6 +141,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4)
   }
 
+  test("int8 quantization: values bounded, high cosine fidelity, zero-safe") {
+    import spark.implicits._
+    val v = embs.select(col("vec_id"), col("vec"),
+      Similarity.quantizeScale(col("vec")).as("scale"))
+    val q = v.select(col("vec_id"), col("scale"),
+      Similarity.quantize(col("vec"), col("scale")).as("q"),
+      Similarity.dequantize(
+        Similarity.quantize(col("vec"), col("scale")), col("scale")).as("dq"),
+      col("vec"))
+    // every quantized component within int8 range
+    assert(q.select(explode(col("q"))).filter(abs(col("col")) > 127).count() == 0)
+    // fidelity: dequantized vectors stay within 1% cosine of the originals
+    val minCos = q.select((Dedup.cosine(col("vec"), col("dq"))).as("c"))
+      .agg(min(col("c"))).collect().head.getDouble(0)
+    assert(minCos > 0.99, s"min cosine fidelity $minCos")
+    // zero vector → zeros, no div-by-zero
+    val z = Seq((Seq(0.0, 0.0), 0.0)).toDF("vec", "scale")
+      .select(Similarity.quantize(col("vec"), col("scale"))).collect().head.getSeq[Byte](0)
+    assert(z == Seq(0, 0))
+  }
+
   test("LSH ANN: results are correctly ranked true cosines; recall reported") {
     val queries = embs.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(embs, "vec_id", "vec",

@@ -13,6 +13,14 @@ class TextFunctionsSpec extends SparkSpec {
     Seq(textValue).toDF("text").select(c.as("v")).collect().head.get(0)
   }
 
+  test("cleanText strips tags and control chars, collapses whitespace") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val out = Seq("<p>Hello <b>world</b></p>  spaced\t\tout ")
+      .toDF("t").select(TextFunctions.cleanText($"t")).collect().head.getString(0)
+    assert(out == "Hello world spaced out")
+  }
+
   test("tokens: trims, collapses whitespace runs, drops empties") {
     assert(one("  a  b\tc\nd ", tokenCount(col("text"))) == 4)
     assert(one("", tokenCount(col("text"))) == 0)
