@@ -32,7 +32,7 @@ object EtlQueries {
       li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("price_sum"))
         .orderBy(col("n_name"))
     }),
     // B6: projection/derivation via withColumn (assets_generator.py:521-524)
@@ -71,7 +71,7 @@ object EtlQueries {
         .withColumn("adj",
           when(col("o_year") === 1995, col("o_totalprice") / 2)
             .otherwise(col("o_totalprice")))
-        .groupBy(col("o_year")).agg(round(sum(col("adj")), 2).as("adj_sum"))
+        .groupBy(col("o_year")).agg(graft.functions.EngineMath.roundAway(sum(col("adj")), 2).as("adj_sum"))
         .orderBy(col("o_year"))),
     // B12: compound filter predicate (assets_generator.py:548-549)
     "b12_compound_filter" -> ((s, dir) =>
@@ -80,7 +80,7 @@ object EtlQueries {
           col("l_discount") > 0.05 && col("l_quantity") < 25 &&
           year(col("l_shipdate")) >= 1994)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("price_sum"))),
+          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("price_sum"))),
     // B13: multi-target routing — one source, several filtered/projected
     // lineages unioned (assets_generator.py:525-562,445-446)
     "b13_union_routing" -> ((s, dir) => {
@@ -103,7 +103,7 @@ object EtlQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "measure", "value")
         .groupBy(col("measure"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .agg(count(lit(1)).as("n"), graft.functions.EngineMath.roundAway(sum(col("value")), 2).as("value_sum"))
         .orderBy(col("measure"))),
     // B15: group-count aggregation with coalesce fallback key
     // (assets_generator.py:474-486)

@@ -39,9 +39,9 @@ object ExtensionQueries {
     "x03_quality" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
-        round(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
-        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        graft.functions.EngineMath.roundAway(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        graft.functions.EngineMath.roundAway(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        graft.functions.EngineMath.roundAway(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
     // x24: pre-tokenization text cleaning (HTML strip, control chars,
@@ -64,8 +64,8 @@ object ExtensionQueries {
       val dq = v.select(col("vec_id"), col("vec"), col("scale"),
         Similarity.dequantize(
           Similarity.quantize(col("vec"), col("scale")), col("scale")).as("dq"))
-      dq.select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        round(dot(col("vec"), col("dq")) /
+      dq.select(col("vec_id"), graft.functions.EngineMath.roundAway(col("scale"), 6).as("scale"),
+        graft.functions.EngineMath.roundAway(dot(col("vec"), col("dq")) /
           (sqrt(dot(col("vec"), col("vec"))) * sqrt(dot(col("dq"), col("dq")))), 4)
           .as("cos_fidelity"))
         .orderBy(col("vec_id"))
@@ -78,9 +78,9 @@ object ExtensionQueries {
         TextFunctions.qualityScore(col("text")).as("q"))
       q.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
-        round(percentile(col("q"), lit(0.25)), 4).as("q25"),
-        round(percentile(col("q"), lit(0.5)), 4).as("q50"),
-        round(percentile(col("q"), lit(0.75)), 4).as("q75"))
+        graft.functions.EngineMath.roundAway(percentile(col("q"), lit(0.25)), 4).as("q25"),
+        graft.functions.EngineMath.roundAway(percentile(col("q"), lit(0.5)), 4).as("q50"),
+        graft.functions.EngineMath.roundAway(percentile(col("q"), lit(0.75)), 4).as("q75"))
         .orderBy(col("lang"))
     }),
     // x17: heavy hitters — top-5 tokens per language by frequency with a
@@ -133,7 +133,7 @@ object ExtensionQueries {
       graft.operators.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
         payload = Map("ts" -> "purchase_ts", "value" -> "purchase_value"))
-        .withColumn("purchase_value", round(col("purchase_value"), 2))
+        .withColumn("purchase_value", graft.functions.EngineMath.roundAway(col("purchase_value"), 2))
         .orderBy(col("user_id"), col("event_id"))
     }),
     // x19: bucketized range join — every event assigned to the session
@@ -245,7 +245,7 @@ object ExtensionQueries {
         s"$dir/events.parquet", s"$tmp/cube", s"$tmp/ckpt")
       s.read.parquet(s"$tmp/cube")
         .select(col("day"), col("event_type"), col("n"),
-          round(col("value_sum"), 2).as("value_sum"))
+          graft.functions.EngineMath.roundAway(col("value_sum"), 2).as("value_sum"))
         .orderBy(col("day"), col("event_type"))
     }),
   )

@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** Round the named double columns post-aggregation (both sides round). */
   private def rounded(df: DataFrame, cols: (String, Int)*): DataFrame =
-    cols.foldLeft(df) { case (d, (c, n)) => d.withColumn(c, round(col(c), n)) }
+    cols.foldLeft(df) { case (d, (c, n)) => d.withColumn(c, graft.functions.EngineMath.roundAway(col(c), n)) }
 
   private val aggRound = Seq(
     "price_sum" -> 2, "price_avg" -> 4, "price_stddev" -> 4, "qty_sum" -> 2)

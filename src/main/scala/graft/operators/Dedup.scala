@@ -98,7 +98,7 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---- MinHash + banded LSH (the scale path) ----------------------------
@@ -196,7 +196,7 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -496,6 +496,6 @@ object Dedup {
         dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cos"), 4).as("cos"))
+        graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
 }

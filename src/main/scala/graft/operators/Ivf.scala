@@ -94,7 +94,7 @@ object Ivf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("item_id"), round(col("cos"), 4).as("cos"))
+        col("item_id"), graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
 
   /** (query_id, qvec, qnorm, centroid_id) × nProbe rows per query. */

@@ -50,7 +50,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("item_id"), round(col("cos"), 4).as("cos"))
+        col("item_id"), graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
 
   /** Symmetric int8 scalar quantization of a double-array vector column:
@@ -143,6 +143,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("item_id"), round(col("cos"), 4).as("cos"))
+        col("item_id"), graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
 }

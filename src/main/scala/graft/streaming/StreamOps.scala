@@ -46,7 +46,7 @@ object StreamOps {
   def tumblingAggBatch(events: DataFrame, interval: String): DataFrame =
     events
       .groupBy(window(col("ts"), interval).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n"), graft.functions.EngineMath.roundAway(sum(col("value")), 2).as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
