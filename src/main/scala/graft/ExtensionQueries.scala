@@ -280,8 +280,10 @@ object ExtensionQueries {
       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
       "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL " +
       "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
-      "g AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id " +
-      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)"
+      // CAST: DuckDB's integer sum() returns HUGEINT (int128); the driver's
+      // hash compare is type-sensitive, so match Spark's BIGINT exactly
+      "g AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)"
 
   /** Shared lang-ID CASE over precomputed en/de/fr/es marker counts. */
   private val langCase =

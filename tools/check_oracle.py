@@ -68,6 +68,14 @@ def main(sf_dir, out_dir):
         if s_cols != o_cols:
             print(f"FAIL {name}: columns spark={s_cols} oracle={o_cols}")
             failures += 1; continue
+        # driver's hash is type-sensitive (e.g. DuckDB HUGEINT vs BIGINT)
+        s_types = dict(zip(rel.columns, map(str, rel.types)))
+        o_types = dict(zip(orel.columns, map(str, orel.types)))
+        tdiff = {c: (s_types[c], o_types[c]) for c in s_types
+                 if c in o_types and s_types[c] != o_types[c]}
+        if tdiff:
+            print(f"FAIL {name}: column types differ spark-vs-oracle: {tdiff}")
+            failures += 1; continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
             failures += 1; continue
