@@ -88,8 +88,9 @@ object ExtensionQueries {
     // the explode: as a plain expression it would be re-evaluated per
     // emitted token (the HOF-inlining trap — 20s+ instead of ~1s)
     "x17_top_tokens" -> ((s, dir) => {
-      val byDoc = table(s, dir, "documents").select(
-        TextFunctions.langId(col("text")).as("lang"), col("text")).persist()
+      val byDoc = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(
+          TextFunctions.langId(col("text")).as("lang"), col("text")))
       val tok = byDoc.select(col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
@@ -243,7 +244,7 @@ object ExtensionQueries {
       rm(tmp) // fresh maintenance run per invocation
       graft.streaming.StreamOps.incrementalCubeMaintenance(s,
         s"$dir/events.parquet", s"$tmp/cube", s"$tmp/ckpt")
-      s.read.parquet(s"$tmp/cube")
+      graft.streaming.StreamOps.readCube(s, s"$tmp/cube")
         .select(col("day"), col("event_type"), col("n"),
           graft.functions.EngineMath.roundAway(col("value_sum"), 2).as("value_sum"))
         .orderBy(col("day"), col("event_type"))
@@ -265,8 +266,11 @@ object ExtensionQueries {
   private val cosSql =
     "list_dot_product(iv, qv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv)))"
   private val jaccardCte =
+    // tokenize with `toks` (whitespace regex, empties dropped) — the same
+    // tokenizer as the Spark side; a plain single-space split would diverge
+    // on tabs/newlines/double spaces
     s"""WITH t AS (SELECT doc_id, $shingleSql AS sh
-       | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+       | FROM (SELECT doc_id, $toks AS s FROM documents)),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS j

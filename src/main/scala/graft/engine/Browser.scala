@@ -59,14 +59,22 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
         // parquet filter pushdown, so min/max row-group pruning would be
         // lost for the common `period:2014~2016` cut. When both bounds are
         // equal-length digit strings without leading zeros, every numeric
-        // value in [lo,hi] has exactly that many digits, so the numeric
-        // range IMPLIES the lexicographic one — the raw string range is a
-        // semantics-neutral conjunct Catalyst can push to the scan.
+        // value in [lo,hi] is either (a) exactly that many digits — the
+        // lexicographic range holds — or (b) a NON-CANONICAL spelling the
+        // long cast still accepts: leading whitespace/'+'/'-'/zeros (first
+        // char < '1', so `col < "1"` admits it) or trailing whitespace
+        // after the digits (`col <= hi` unless the digits equal hi, which
+        // `startswith(hi)` admits). The union of those branches is a
+        // semantics-neutral superset of the exact numeric range built only
+        // from <, >=, <= and StringStartsWith — all parquet-pushable — so
+        // row-group pruning survives without excluding any value the
+        // try_cast range would keep (the exact filter stays conjoined).
         val sargable = (lo, hi) match {
           case (Some(l), Some(h)) if colType(d) == StringType &&
               l.matches("[1-9][0-9]*") && h.matches("[1-9][0-9]*") &&
               l.length == h.length =>
-            Some(col(d) >= lit(l) && col(d) <= lit(h))
+            Some(col(d) < lit("1") ||
+              (col(d) >= lit(l) && (col(d) <= lit(h) || col(d).startsWith(lit(h)))))
           case _ => None
         }
         sargable.map(_ && exact).getOrElse(exact)

@@ -85,8 +85,10 @@ object Dedup {
       threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
     // persisted: the shingle expression is the expensive part and this
     // subtree feeds three consumers (sizes + both self-join sides) — without
-    // the persist Spark recomputes it per consumer (measured 3× cost)
-    val sh = shingleTable(df, idCol, textCol, k, maxDocFreq).persist()
+    // the persist Spark recomputes it per consumer (measured 3× cost).
+    // Tracked in CacheScope; the query runner drains after its action.
+    val sh = graft.engine.CacheScope.persistTracked(
+      shingleTable(df, idCol, textCol, k, maxDocFreq))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -135,8 +137,9 @@ object Dedup {
     */
   private def sigFrame(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int): DataFrame = {
-    val docs = widen(df).select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), k).as("sh")).persist()
+    val docs = graft.engine.CacheScope.persistTracked(
+      widen(df).select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), k).as("sh")))
     docs.select(col("id"), col("sh"),
       minhashSignatureOf(col("sh"), numHashes).as("sig"))
   }
@@ -266,21 +269,39 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
-    * 4-chunk banding (15 bits per chunk): any pair within distance ≤ 3
-    * agrees on ≥1 chunk (pigeonhole), so the join is on chunk values, not
-    * all pairs.
+    * pigeonhole banding: the 60-bit hash is split into `maxDist + 1`
+    * chunks, so any pair within distance ≤ maxDist differs in at most
+    * maxDist chunks and therefore agrees exactly on ≥ 1 chunk — the join
+    * on (chunk, chunk_val) is COMPLETE, not approximate (Manku et al.,
+    * WWW'07 §3). The exact `hamming ≤ maxDist` filter after the join
+    * removes false candidates, so the result is exact.
+    *
+    * Scale note: chunk width is 60/(maxDist+1) bits, so large maxDist
+    * means coarse chunks and bigger candidate buckets (maxDist=10 → 5-6
+    * bit chunks → ≤ 64 distinct values per chunk). At billions of rows
+    * keep maxDist ≤ 5, or pre-partition by a second chunk before the
+    * per-bucket pair expansion.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    require(nChunks >= 1 && nChunks <= 60,
+      s"maxDist must be in [0, 59], got $maxDist")
+    // uneven split: the first (60 % nChunks) chunks get one extra bit
+    val base = 60 / nChunks; val rem = 60 % nChunks
+    val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     // persisted: the simhash aggregate feeds both self-join sides
-    val sh = simhashTable(df, idCol, textCol).persist()
+    val sh = graft.engine.CacheScope.persistTracked(
+      simhashTable(df, idCol, textCol))
     val chunked = sh.select(col("id"), col("sh"), explode(
-      array((0 until 4).map { c =>
+      array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 15).bitwiseAND((1L << 15) - 1).as("chunk_val"))
+          shiftright(col("sh"), offsets(c))
+            .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))
       }: _*)).as("ck"))
       .select(col("id"), col("sh"), col("ck.chunk"), col("ck.chunk_val"))
-    chunked.as("a").join(chunked.as("b"),
+    val pairs = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
@@ -288,6 +309,7 @@ object Dedup {
         hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    pairs
   }
 
   // ---- winnowing (rolling-hash local fingerprints) -----------------------
@@ -312,8 +334,9 @@ object Dedup {
     // persist the normalised text FIRST: charGramHashes' lambda captures
     // its input per element, so it must see a materialised attribute, not
     // the tokenizer expression (else O(n²) per doc — see its Scaladoc)
-    val norm = widen(df).select(col(idCol).as("id"),
-      TextFunctions.normalizedText(col(textCol)).as("t")).persist()
+    val norm = graft.engine.CacheScope.persistTracked(
+      widen(df).select(col(idCol).as("id"),
+        TextFunctions.normalizedText(col(textCol)).as("t")))
     val grams = norm.select(col("id"),
       posexplode(TextFunctions.charGramHashes(col("t"), k))
         .as(Seq("pos", "g")))
@@ -338,7 +361,8 @@ object Dedup {
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val fps0 = winnowFingerprints(df, idCol, textCol, k, w).persist()
+    val fps0 = graft.engine.CacheScope.persistTracked(
+      winnowFingerprints(df, idCol, textCol, k, w))
     val fps = maxDocFreq match {
       case None => fps0
       case Some(cap) =>
@@ -410,6 +434,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // the loop unpersists each superseded step; the FINAL step must stay
+    // cached until the caller's action — hand it to CacheScope
+    graft.engine.CacheScope.track(cached)
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -59,7 +59,10 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
       case e: NoSuchElementException => respond(ex, 404, errJson(e))
       case e: IllegalArgumentException => respond(ex, 400, errJson(e))
       case e: Exception => respond(ex, 500, errJson(e))
-    } finally ex.close()
+    } finally {
+      graft.engine.CacheScope.drain()
+      ex.close()
+    }
 
   private def errJson(e: Exception): String =
     s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""

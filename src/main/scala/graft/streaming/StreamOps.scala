@@ -190,9 +190,17 @@ object StreamOps {
     *     (`partitionOverwriteMode=dynamic`).
     *
     * At 100 TB this is the difference between an O(history) rebuild and an
-    * O(new data + touched partitions) upsert. Exactly-once comes from the
-    * checkpoint: a replayed batch overwrites the same partitions with the
-    * same merged result (the merge is idempotent per batchId re-run).
+    * O(new data + touched partitions) upsert.
+    *
+    * Exactly-once: the cube stores per-batch PARTIALS keyed by `batch_id`
+    * (readers aggregate them away — [[readCube]]). If a batch's overwrite
+    * commits but the checkpoint update then fails, the replayed batch
+    * first DROPS its own batch_id's rows from the affected partitions, so
+    * re-merging cannot double-count. Rows from earlier batches are
+    * compacted into a single batch_id = −1 row per group at each merge —
+    * safe because a micro-batch only starts after its predecessor's
+    * checkpoint commit, so every other batch_id present is final — which
+    * keeps each partition at (groups × 2) rows, not (groups × batches).
     */
   def incrementalCubeMaintenance(spark: SparkSession, eventsDir: String,
       cubeDir: String, checkpointDir: String): Unit = {
@@ -209,36 +217,55 @@ object StreamOps {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val partial = batch
-          .withColumn("day", to_date(col("ts")))
-          .groupBy(col("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
-        val spark2 = batch.sparkSession
-        val days = partial.select("day").distinct().collect().map(_.get(0))
-        val merged =
-          if (!new java.io.File(cubeDir).exists() || days.isEmpty) partial
-          else {
-            val existing = spark2.read.parquet(cubeDir)
-              .filter(col("day").isin(days.toSeq: _*)) // partition pruning
-            partial.unionByName(existing)
-              .groupBy(col("day"), col("event_type"))
-              .agg(sum(col("n")).as("n"), sum(col("value_sum")).as("value_sum"))
-          }
-        // localCheckpoint: materialize BEFORE the write — the merge reads
-        // the same path it overwrites, and Spark (correctly) refuses a
-        // write whose plan still references the target files
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day")
-          .parquet(cubeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCubeBatch(batch, batchId, cubeDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** One idempotent micro-batch merge (see [[incrementalCubeMaintenance]]).
+    * Public so the replay path is directly testable: calling this twice
+    * with the same batchId must leave the cube unchanged.
+    */
+  def mergeCubeBatch(batch: DataFrame, batchId: Long, cubeDir: String): Unit = {
+    val partial = batch
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .withColumn("batch_id", lit(batchId))
+    val spark2 = batch.sparkSession
+    val days = partial.select("day").distinct().collect().map(_.get(0))
+    val merged =
+      if (!new java.io.File(cubeDir).exists() || days.isEmpty) partial
+      else {
+        val existing = spark2.read.parquet(cubeDir)
+          .filter(col("day").isin(days.toSeq: _*)) // partition pruning
+          // replay guard: drop any rows a previously-committed attempt of
+          // THIS batch wrote, then compact the (final) rest to batch_id −1
+          .filter(col("batch_id") =!= batchId)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("value_sum")).as("value_sum"))
+          .withColumn("batch_id", lit(-1L))
+        partial.unionByName(existing)
+      }
+    // localCheckpoint: materialize BEFORE the write — the merge reads
+    // the same path it overwrites, and Spark (correctly) refuses a
+    // write whose plan still references the target files
+    merged.localCheckpoint(eager = true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(cubeDir)
+  }
+
+  /** The cube as readers consume it: per-batch partials aggregated away. */
+  def readCube(spark: SparkSession, cubeDir: String): DataFrame =
+    spark.read.parquet(cubeDir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_sum")).as("value_sum"))
 
   /** Finalize streaming sessions for comparison against the batch result:
     * the streaming query emits closed sessions; open tails live in state.

@@ -58,6 +58,18 @@ class BrowserSpec extends SparkSpec {
         .select("period").collect().map(_.getString(0)).toSet
     // closed range: numeric semantics (NA out; 901 < 2014 out)
     assert(vals("2014", "2016") == Set("2014", "2016"))
+    // NON-CANONICAL numeric spellings the long cast accepts must not be
+    // excluded by the sargable conjunct (they fail the raw lexicographic
+    // range but pass the numeric one)
+    val odd = Seq(("02015", 1.0), ("+2015", 1.0), (" 2015", 1.0),
+      ("2015 ", 1.0), ("2016 ", 1.0), ("2016x", 1.0), ("2017 ", 1.0))
+      .toDF("period", "euro")
+    val bo = new Browser(m, df.unionByName(odd))
+    def ovals(lo: String, hi: String) =
+      bo.applyCuts(Seq(RangeCut("period", Some(lo), Some(hi))))
+        .select("period").collect().map(_.getString(0)).toSet
+    assert(ovals("2014", "2016") ==
+      Set("2014", "2016", "02015", "+2015", " 2015", "2015 ", "2016 "))
     // bounds spanning digit lengths: no sargable conjunct, still exact
     assert(vals("500", "2016") == Set("2013", "2014", "2016", "901", "0500"))
     // open end: NA must not sneak in lexicographically
@@ -68,10 +80,16 @@ class BrowserSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sarg").toString
     df.write.mode("overwrite").parquet(tmp)
     val bp = new Browser(m, spark.read.parquet(tmp))
-    val plan = bp.applyCuts(Seq(RangeCut("period", Some("2014"), Some("2016"))))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(period,2014)"), plan)
-    assert(plan.contains("LessThanOrEqual(period,2016)"), plan)
+    // read the scan's pushed filters directly — the rendered plan string
+    // truncates long filter lists
+    val pushed = bp.applyCuts(Seq(RangeCut("period", Some("2014"), Some("2016"))))
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata("PushedFilters")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(period,2014)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(period,2016)"), pushed)
+    assert(pushed.contains("StringStartsWith(period,2016)"), pushed)
   }
 
   test("range cut rejected on non-rangeable dim (HOWTO.md:79)") {

@@ -99,6 +99,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("simhashPairs is COMPLETE at its maxDist (pigeonhole banding)") {
+    import spark.implicits._
+    // ground truth: brute-force every pair's Hamming distance
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+    def truthAt(d: Int) = sh.as("a").join(sh.as("b"),
+        col("a.id") < col("b.id") &&
+          Dedup.hammingDistance(col("a.sh"), col("b.sh")) <= d)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // maxDist=10 was the silent-recall-loss case: 4 fixed chunks only
+    // guarantee d<=3, so distance-4..10 pairs spanning all chunks vanished
+    for (d <- Seq(3, 10)) {
+      val found = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = d)
+        .select("id_a", "id_b")
+      val missed = truthAt(d).join(found, Seq("id_a", "id_b"), "left_anti").count()
+      assert(missed == 0, s"maxDist=$d: banding missed $missed true pairs")
+      // and no false positives: every returned pair is within d
+      val extra = found.join(truthAt(d), Seq("id_a", "id_b"), "left_anti").count()
+      assert(extra == 0, s"maxDist=$d: $extra pairs beyond the bound")
+    }
+  }
+
   test("simhashTable (packed-counter aggregate) == simhash Column expr") {
     import spark.implicits._
     val viaExpr = docs.select($"doc_id".as("id"), Dedup.simhash($"text").as("e"))

@@ -49,9 +49,10 @@ class StreamingSpec extends SparkSpec {
     events.repartition(4).write.parquet(srcDir)
     StreamOps.incrementalCubeMaintenance(spark,
       srcDir, s"$tmp/cube", s"$tmp/ckpt")
-    val cube = spark.read.parquet(s"$tmp/cube")
+    def cubeNow() = StreamOps.readCube(spark, s"$tmp/cube")
       .select(col("day"), col("event_type"), col("n"),
         round(col("value_sum"), 4).as("value_sum"))
+    val cube = cubeNow()
     val batch = events.withColumn("day", to_date(col("ts")))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum"))
@@ -60,8 +61,15 @@ class StreamingSpec extends SparkSpec {
     // incremental run over already-consumed input is a no-op (checkpoint)
     StreamOps.incrementalCubeMaintenance(spark,
       srcDir, s"$tmp/cube", s"$tmp/ckpt")
-    val again = spark.read.parquet(s"$tmp/cube")
-    assert(again.count() == batch.count())
+    assert(cubeNow().count() == batch.count())
+    // REPLAY: overwrite committed but checkpoint lost — re-merging the
+    // same (batch, batchId) must not double-count (exactly-once)
+    val lastBatch = spark.read.parquet(srcDir).filter(col("event_id") % 97 === 0)
+    StreamOps.mergeCubeBatch(lastBatch, batchId = 99L, s"$tmp/cube")
+    val afterOnce = cubeNow().collect().toSet
+    StreamOps.mergeCubeBatch(lastBatch, batchId = 99L, s"$tmp/cube")
+    assert(cubeNow().collect().toSet == afterOnce,
+      "replayed batchId changed the cube — merge is not idempotent")
   }
 
   test("sessions partition the event count") {
