@@ -249,7 +249,71 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(col("value_sum"), 2).as("value_sum"))
         .orderBy(col("day"), col("event_type"))
     }),
+    // x26: APPROX quality quantiles per language — the scale path for x16:
+    // percentile_approx is a bounded-memory mergeable sketch (one partial
+    // agg pass, no per-group sort/collect), the right call at 100 TB where
+    // exact `percentile` must buffer each group. Rows-only: Spark's GK
+    // sketch and DuckDB's t-digest give different approximations; the
+    // error bound vs exact is locked by TextFunctionsSpec.
+    "x26_quantiles_approx" -> ((s, dir) => {
+      val q = table(s, dir, "documents").select(
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      q.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("qs"))
+        .select(col("lang"), col("n"),
+          col("qs").getItem(0).as("q25"),
+          col("qs").getItem(1).as("q50"),
+          col("qs").getItem(2).as("q75"))
+        .orderBy(col("lang"))
+    }),
+    // x27: deterministic stratified sampling + train/val/test split via
+    // md5-threshold tickets (operators/Sampling) — reproducible across
+    // engines/reruns/repartitioning; the DuckDB oracle computes the
+    // IDENTICAL selection, which no RNG-based sample could match
+    "x27_stratified_sample" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+        .filter(graft.operators.Sampling.stratifiedKeep(
+          col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
+        .withColumn("split",
+          graft.operators.Sampling.assignSplit(col("doc_id"), splitWeights))
+        .orderBy(col("doc_id"))),
+    // x28: bucketed co-located join — both fact tables hash-bucketed on the
+    // join key at write time (sources/Layout.writeBucketed), so the join
+    // needs NO shuffle of either side (plan proof in LayoutSpec). The
+    // pay-once-at-ingest answer for fact-to-fact joins too big to
+    // broadcast; oracle = the plain join over the raw parquet.
+    "x28_bucketed_join" -> ((s, dir) => {
+      val sfName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"), s"graft-x28-$sfName")
+      graft.sources.Layout.writeBucketed(
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        s"graft_li_$sfName", s"$tmp/li", "l_orderkey", 8, Seq("l_orderkey"))
+      graft.sources.Layout.writeBucketed(
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        s"graft_ord_$sfName", s"$tmp/ord", "o_orderkey", 8, Seq("o_orderkey"))
+      s.table(s"graft_li_$sfName")
+        .join(s.table(s"graft_ord_$sfName"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // x29: shingle containment pairs — sub-document duplication (a doc
+    // pasted inside a bigger one) that Jaccard's union-dilution misses
+    "x29_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
   )
+
+  // x27 constants — the oracle SQL below derives its thresholds from these
+  private val sampleRates = Map("en" -> 0.25, "de" -> 0.5)
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   // ---- DuckDB oracles ---------------------------------------------------
 
@@ -441,5 +505,39 @@ object ExtensionQueries {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank " +
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
+    "x27_stratified_sample" -> x27Sql,
+    "x28_bucketed_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "x29_containment_pairs" ->
+      (s"""WITH t AS (SELECT doc_id, $shingleSql AS sh
+         | FROM (SELECT doc_id, $toks AS s FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS c_ab,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS c_ba
+         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(c_ab, 4) AS c_ab, round(c_ba, 4) AS c_ba
+         | FROM p WHERE greatest(c_ab, c_ba) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
   )
+
+  /** x27 oracle: thresholds generated from the SAME constants as the Spark
+    * side (operators/Sampling), so the two can never drift.
+    */
+  private def x27Sql: String = {
+    import graft.operators.Sampling.thresholdHex
+    def tick(salt: String) = s"substr(md5('$salt:'||CAST(doc_id AS VARCHAR)),1,4)"
+    val keepCase = "CASE " + sampleRates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN lang = '$l' THEN ${tick("smp")} < '${thresholdHex(r)}'"
+    }.mkString(" ") + " ELSE TRUE END"
+    val total = splitWeights.map(_._2).sum
+    val cum = splitWeights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val splitCase = "CASE " + splitWeights.init.zip(cum).map { case ((n, _), c) =>
+      s"WHEN ${tick("spl")} < '${thresholdHex(c)}' THEN '$n'"
+    }.mkString(" ") + s" ELSE '${splitWeights.last._1}' END"
+    s"$langCte SELECT doc_id, lang, $splitCase AS split FROM l " +
+      s"WHERE $keepCase ORDER BY doc_id"
+  }
 }

@@ -77,12 +77,11 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via shingle self-join:
-    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst
-    * case — use `minhashPairs` at scale; this is the ground truth.
+  /** (id_a, id_b, common, sz_a, sz_b) for every pair sharing ≥ 1 shingle —
+    * the overlap statistics both Jaccard and containment derive from.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+  private def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Option[Long]): DataFrame = {
     // persisted: the shingle expression is the expensive part and this
     // subtree feeds three consumers (sizes + both self-join sides) — without
     // the persist Spark recomputes it per consumer (measured 3× cost).
@@ -97,11 +96,36 @@ object Dedup {
     common
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via shingle self-join:
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst
+    * case — use `minhashPairs` at scale; this is the ground truth.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    overlapPairs(df, idCol, textCol, k, maxDocFreq)
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
-  }
+
+  /** Asymmetric shingle CONTAINMENT pairs: C(A⊆B) = |A∩B| / |A|. Catches
+    * sub-document duplication Jaccard misses — a paragraph pasted into a
+    * much larger document has high containment but low Jaccard (the size
+    * imbalance dilutes the union). Emits both directions for pairs where
+    * either containment ≥ threshold; same cost shape as `jaccardPairs`
+    * (one shingle self-join), same skew guard (`maxDocFreq`).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    overlapPairs(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("c_ab", col("common").cast("double") / col("sz_a"))
+      .withColumn("c_ba", col("common").cast("double") / col("sz_b"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EngineMath.roundAway(col("c_ab"), 4).as("c_ab"),
+        graft.functions.EngineMath.roundAway(col("c_ba"), 4).as("c_ba"))
 
   // ---- MinHash + banded LSH (the scale path) ----------------------------
 

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`, Bernoulli on a seeded RNG) is neither
+  * reproducible across engines nor stable under repartitioning — a 100 TB
+  * pipeline needs the SAME rows selected on every rerun, on any engine,
+  * regardless of physical layout. The standard fix is content-hash
+  * thresholding: a row is kept iff a hash of (salt, key) falls below the
+  * rate threshold. Properties:
+  *
+  *  - deterministic & layout-independent: the decision is a pure function
+  *    of the row key, so reruns, engine swaps (the DuckDB oracle computes
+  *    the identical md5), and repartitioning all agree;
+  *  - consistent across tables: the same key samples identically anywhere
+  *    it appears (joins between sampled tables stay aligned);
+  *  - independent samples by salt: 'smp' and 'spl' salts give independent
+  *    decisions (md5 avalanche), so a sampling pass and a train/val/test
+  *    split don't correlate.
+  *
+  * The hash is md5 (engine-portable, matching `TextFunctions.fingerprint`'s
+  * portability argument) compared on its 4-hex-char prefix — 16 bits of
+  * resolution (rate granularity 1/65536), compared LEXICOGRAPHICALLY:
+  * lowercase hex strings of equal length order identically to their
+  * numeric values, so no integer conversion is needed (DuckDB has no
+  * `conv`). Per-row cost is one md5 over a short key — negligible next to
+  * a scan at scale, and embarrassingly parallel (no shuffle, no state).
+  */
+object Sampling {
+
+  /** 4-hex-digit threshold: keys whose md5 prefix sorts below it are kept.
+    * Public so oracle SQL can be generated from the same constants.
+    */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    f"${math.floor(rate * 65536).toInt.min(65535)}%04x"
+  }
+
+  /** The 4-char md5 prefix of salt:key — the row's 16-bit sampling ticket. */
+  def ticket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 4)
+
+  /** Keep iff the ticket falls below `rate` (deterministic Bernoulli). */
+  def keep(key: Column, rate: Double, salt: String = "smp"): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else ticket(key, salt) < lit(thresholdHex(rate))
+
+  /** Stratified keep: per-stratum rates (e.g. downsample over-represented
+    * languages), `defaultRate` for strata not listed. Builds a single CASE
+    * chain — no join, no shuffle; rates are plan-time literals.
+    */
+  def stratifiedKeep(key: Column, stratum: Column, rates: Map[String, Double],
+      defaultRate: Double = 1.0, salt: String = "smp"): Column =
+    rates.toSeq.sortBy(_._1).foldRight(keep(key, defaultRate, salt)) {
+      case ((value, rate), elseCol) =>
+        when(stratum === lit(value), keep(key, rate, salt)).otherwise(elseCol)
+    }
+
+  /** Assign each key to a named split with the given weights (normalized),
+    * e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Deterministic:
+    * the same key lands in the same split on every engine and every run.
+    */
+  def assignSplit(key: Column, weights: Seq[(String, Double)],
+      salt: String = "spl"): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, "weights must be non-negative, sum > 0")
+    val total = weights.map(_._2).sum
+    val cum = weights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val t = ticket(key, salt)
+    weights.init.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cumRate), elseCol) =>
+        when(t < lit(thresholdHex(cumRate)), lit(name)).otherwise(elseCol)
+    }
+  }
+}

@@ -43,4 +43,28 @@ object Layout {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** **Bucketed layout** (`writeBucketed`): hash-bucket the table on its
+    * join key at WRITE time, so every subsequent equi-join or aggregation
+    * on that key runs with NO shuffle — the scan's output partitioning
+    * already matches the join's requirement. This is the co-located-join
+    * story for fact-to-fact joins too big to broadcast (lineitem ⋈ orders
+    * at 100 TB): the shuffle is paid once at ingest, then amortized over
+    * every downstream query. `sortCols` additionally sorts within buckets,
+    * letting SortMergeJoin skip its sort.
+    *
+    * Bucketing metadata lives in the catalog, so the table is registered
+    * via `saveAsTable` with an explicit external `path`.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
 }

@@ -77,6 +77,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.winnowFingerprints(short, "id", "text").count() == 1)
   }
 
+  test("containment finds sub-document duplication that Jaccard misses") {
+    import spark.implicits._
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 200).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, para),                 // the paragraph alone
+      (2L, s"$filler $para"),     // pasted into a much larger doc
+      (3L, "entirely different text with no shared trigrams at all")
+    ).toDF("id", "text")
+    val cont = Dedup.containmentPairs(df, "id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // every trigram of doc 1 appears in doc 2 → c_ab = 1.0
+    val p12 = cont.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 1.0, cont.mkString(","))
+    assert(p12.get._4 < 0.1) // asymmetric: doc 2 is mostly NOT doc 1
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+    // and Jaccard at the same threshold indeed misses the pair
+    assert(Dedup.jaccardPairs(df, "id", "text", k = 3, threshold = 0.9)
+      .filter($"id_a" === 1L && $"id_b" === 2L).count() == 0)
+  }
+
   test("components: chains close transitively, keepers are minima") {
     import spark.implicits._
     // a-b, b-c chain + isolated pair (10,11): {1,2,3} and {10,11}

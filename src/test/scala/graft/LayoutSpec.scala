@@ -69,4 +69,40 @@ class LayoutSpec extends SparkSpec {
       "scan did not prune partitions")
     assert(q.count() == li.filter(col("l_shipyear") === 1994).count())
   }
+
+  test("bucketed layout: equi-join on the bucket key runs with NO shuffle") {
+    val li = Tables.table(spark, sf("sf0.01"), "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = Tables.table(spark, sf("sf0.01"), "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    Layout.writeBucketed(li, "spec_li_b", s"$tmp/li", "l_orderkey", 4,
+      Seq("l_orderkey"))
+    Layout.writeBucketed(ord, "spec_ord_b", s"$tmp/ord", "o_orderkey", 4,
+      Seq("o_orderkey"))
+    // forbid broadcast so the join would OTHERWISE shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = spark.table("spec_li_b")
+        .join(spark.table("spec_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles:\n$plan")
+      // and the result is the plain-join result
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS spec_li_b")
+      spark.sql("DROP TABLE IF EXISTS spec_ord_b")
+    }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling invariants: reproducibility, layout-independence,
+  * rate accuracy, split exhaustiveness, and cross-salt independence.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val ids = {
+    import spark.implicits._
+    (0L until 20000L).toDF("id")
+  }
+
+  test("keep is deterministic and layout-independent") {
+    val a = ids.filter(Sampling.keep(col("id"), 0.3)).collect().map(_.getLong(0)).toSet
+    val b = ids.repartition(13).filter(Sampling.keep(col("id"), 0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample changed under repartitioning")
+    // nested rates: a 0.1 sample is a subset of the 0.3 sample (same salt)
+    val tenth = ids.filter(Sampling.keep(col("id"), 0.1)).collect().map(_.getLong(0)).toSet
+    assert(tenth.subsetOf(a), "threshold samples must nest")
+  }
+
+  test("rates land within binomial tolerance; 0/1 are exact") {
+    val n = ids.count().toDouble
+    for (rate <- Seq(0.1, 0.5, 0.9)) {
+      val kept = ids.filter(Sampling.keep(col("id"), rate)).count()
+      // 5 sigma of Binomial(20000, rate)
+      val tol = 5 * math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) <= tol, s"rate=$rate kept=$kept")
+    }
+    assert(ids.filter(Sampling.keep(col("id"), 1.0)).count() == n.toLong)
+    assert(ids.filter(Sampling.keep(col("id"), 0.0)).count() == 0)
+  }
+
+  test("assignSplit is exhaustive, deterministic, near the weights") {
+    val split = ids.withColumn("split", Sampling.assignSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000L) // every row assigned exactly once
+    val n = 20000.0
+    for ((name, w) <- Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
+      val tol = 5 * math.sqrt(n * w * (1 - w))
+      assert(math.abs(counts(name) - n * w) <= tol, s"$name=${counts(name)}")
+    }
+  }
+
+  test("different salts decide independently (sampling ⟂ splitting)") {
+    // if 'smp' and 'spl' tickets correlated, the kept 30% would not split
+    // ~80/10/10; check the train share within the kept subset
+    val kept = ids.filter(Sampling.keep(col("id"), 0.3))
+      .withColumn("split", Sampling.assignSplit(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val n = kept.count().toDouble
+    val train = kept.filter(col("split") === "train").count()
+    assert(math.abs(train / n - 0.8) < 0.03,
+      s"train share ${train / n} within kept sample drifted from 0.8")
+  }
+
+  test("stratifiedKeep applies per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = df.filter(Sampling.stratifiedKeep(col("id"), col("lang"),
+      Map("en" -> 0.2), defaultRate = 1.0))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 5000L) // default rate 1.0 keeps everything
+    val tol = 5 * math.sqrt(5000 * 0.2 * 0.8)
+    assert(math.abs(byLang("en") - 1000.0) <= tol, s"en=${byLang("en")}")
+  }
+}

@@ -64,4 +64,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a == b)
     assert(a != c)
   }
+
+  test("approx quantiles (x26 scale path) stay within rank-error of exact") {
+    // percentile_approx(acc): rank error <= n/acc; with n << acc on the
+    // test corpus the sketch keeps every value, so the approx quantile is
+    // an exact data point — within one inter-element gap of the exact
+    // interpolated percentile
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val Array(exact25, exact50, exact75) = docs
+      .agg(percentile(col("q"), lit(0.25)), percentile(col("q"), lit(0.5)),
+        percentile(col("q"), lit(0.75)))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val approx = docs.agg(percentile_approx(col("q"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+      .collect().head.getSeq[Double](0)
+    for (((a, e), p) <- approx.zip(Seq(exact25, exact50, exact75)).zip(Seq(.25, .5, .75)))
+      assert(math.abs(a - e) <= 0.05,
+        s"approx p$p=$a vs exact $e — beyond tolerance")
+  }
 }
