@@ -86,11 +86,18 @@ object Dedup {
     // subtree feeds three consumers (sizes + both self-join sides) — without
     // the persist Spark recomputes it per consumer (measured 3× cost).
     // Tracked in CacheScope; the query runner drains after its action.
+    // the self-join keys on xxhash64(shingle) longs, not the shingle
+    // strings: 8-byte fixed-width shuffle keys and comparisons instead of
+    // ~25-byte UTF8 strings. The hash only pairs up rows (the count is of
+    // matching hashes); a cross-document collision would need two distinct
+    // shingles with equal xxhash64 in the same doc pair — P ≈ 2⁻⁶⁴ per
+    // co-occurring shingle pair, negligible even at 100 TB.
     val sh = graft.engine.CacheScope.persistTracked(
-      shingleTable(df, idCol, textCol, k, maxDocFreq))
+      shingleTable(df, idCol, textCol, k, maxDocFreq)
+        .select(col("id"), xxhash64(col("shingle")).as("shash")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(sh.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
