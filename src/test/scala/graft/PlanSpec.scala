@@ -1,0 +1,62 @@
+package graft
+
+/** Pins the physical-plan invariants the scale story rests on (PLANS.md is
+  * the generated evidence; this spec makes regressions fail the build).
+  * Runs every batch query at sf0.001 through PlanAudit.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val skip = Set("x20_stream_tumbling", "x22_stream_sessionize",
+    "x23_incremental_cube", "x28_bucketed_join")
+
+  private lazy val audits: Map[String, PlanAudit.Audit] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1))
+      .map { case (name, fn) =>
+        val a = PlanAudit.audit(name, fn(spark, sf()))
+        graft.engine.CacheScope.drain()
+        name -> a
+      }.toMap
+
+  test("no query plans a shuffled cartesian product") {
+    val offenders = audits.values.filter(_.cartesian > 0).map(_.name)
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("point/range cuts reach the parquet scan as pushed filters") {
+    for (q <- Seq("a02_point_lookup", "a06_point_cut", "a07_range_cut",
+        "a08_multi_cut", "b12_compound_filter")) {
+      assert(audits(q).scansWithPushdown > 0, s"$q: no pushed filters")
+    }
+  }
+
+  test("enrichment joins broadcast the dimension side (no sort-merge)") {
+    assert(audits("b05_broadcast_enrich").broadcastJoins > 0)
+    assert(audits("b05_broadcast_enrich").sortMergeJoins == 0)
+  }
+
+  test("exact dedup is a bounded-shuffle hash aggregate") {
+    assert(audits("x05_dedup_exact").shuffles <= 2,
+      s"x05 shuffles=${audits("x05_dedup_exact").shuffles}")
+  }
+
+  test("as-of join stays within its one-shuffle-plus-output design") {
+    // union + per-key window = 1 data shuffle; ordered output + AQE
+    // coalescing may add up to 2 more exchanges, never a join explosion
+    val a = audits("x18_asof_join")
+    assert(a.shuffles <= 3 && a.cartesian == 0 && a.nestedLoopJoins == 0,
+      a.toString)
+  }
+
+  test("interval join never falls back to nested-loop/cartesian") {
+    val a = audits("x19_range_join")
+    assert(a.nestedLoopJoins == 0 && a.cartesian == 0, a.toString)
+  }
+
+  test("every non-trivial query runs inside whole-stage codegen") {
+    val uncodegened = audits.values
+      .filter(a => a.codegenSpans == 0 && a.shuffles > 0).map(_.name)
+    assert(uncodegened.isEmpty,
+      s"queries with shuffles but no codegen span: $uncodegened")
+  }
+}
