@@ -309,6 +309,13 @@ object ExtensionQueries {
       Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
+    // x30: STREAMING exact dedup — the x05 aggregate maintained statefully
+    // as documents arrive (readStream + Complete mode); same oracle as the
+    // batch dedup, proving stream≡batch for the dedup-group contract
+    "x30_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps
+        .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
+        .orderBy(col("fingerprint"))),
   )
 
   // x27 constants — the oracle SQL below derives its thresholds from these
@@ -506,6 +513,10 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x30_stream_dedup" ->
+      (s"SELECT md5(lower(array_to_string($toks, ' '))) AS fingerprint, " +
+        "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY 1 ORDER BY 1"),
     "x28_bucketed_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(sum(l_extendedprice), 2) AS sum_price " +

@@ -175,6 +175,36 @@ object StreamOps {
         col("n_events"))
   }
 
+  /** Streaming exact deduplication: the x05 dedup-group aggregate as a
+    * stateful streaming query — per content fingerprint, the smallest id
+    * seen so far and the duplicate count, maintained incrementally as
+    * documents arrive (Complete output into the memory sink here; at scale
+    * the same aggregate writes through foreachBatch like the cube).
+    *
+    * State is O(distinct contents): one (fingerprint, min, count) row per
+    * group in the state store — it does NOT hold documents. For unbounded
+    * streams where even that is too much, compose `dropDuplicatesWithin
+    * Watermark(fingerprint)` upstream: state then holds only the watermark
+    * window, trading global dedup for windowed dedup.
+    */
+  def dedupStreaming(spark: SparkSession, docsDir: String,
+      idCol: String, textCol: String,
+      queryName: String = "dedup_groups"): DataFrame = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val out = spark.readStream.schema(schema).parquet(dir)
+      .select(col(idCol),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Incremental cube maintenance — the Structured-Streaming replacement
     * for the reference's full drop/recreate rebuild (update_olap.sh:12-16,
     * assets_generator.py:570-573): instead of rebuilding every cube table

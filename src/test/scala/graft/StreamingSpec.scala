@@ -72,6 +72,15 @@ class StreamingSpec extends SparkSpec {
       "replayed batchId changed the cube — merge is not idempotent")
   }
 
+  test("streaming dedup == batch dedup groups") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val streamed = StreamOps.dedupStreaming(spark,
+      s"${sf()}/documents.parquet", "doc_id", "text", queryName = "spec_dedup")
+    val batch = graft.operators.Dedup.exactGroups(docs, "doc_id", "text")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
