@@ -289,10 +289,10 @@ object ExtensionQueries {
     "x28_bucketed_join" -> ((s, dir) => {
       val sfName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val tmp = new java.io.File(sys.props("java.io.tmpdir"), s"graft-x28-$sfName")
-      graft.sources.Layout.writeBucketed(
+      graft.sources.Layout.ensureBucketed(s,
         table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         s"graft_li_$sfName", s"$tmp/li", "l_orderkey", 8, Seq("l_orderkey"))
-      graft.sources.Layout.writeBucketed(
+      graft.sources.Layout.ensureBucketed(s,
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         s"graft_ord_$sfName", s"$tmp/ord", "o_orderkey", 8, Seq("o_orderkey"))
       s.table(s"graft_li_$sfName")

@@ -434,13 +434,19 @@ object Dedup {
     // loop below is the scale path.
     val longIds = pairs.schema(aCol).dataType == LongType &&
       pairs.schema(bCol).dataType == LongType
-    if (longIds && pairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
-      return componentsLocal(pairs, aCol, bCol)
+    // persist BEFORE the size probe: the threshold count and the
+    // local-path collect (or the distributed loop's first pass) would
+    // otherwise evaluate the full upstream pair computation twice
+    val cachedPairs = graft.engine.CacheScope.persistTracked(
+      pairs.select(col(aCol), col(bCol)))
+    if (longIds &&
+        cachedPairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
+      return componentsLocal(cachedPairs, aCol, bCol)
     // edges pre-partitioned on the probe key: the cached InMemoryRelation
     // keeps its outputPartitioning, so each iteration's join reshuffles
     // only the (much smaller) label frame
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = cachedPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(cachedPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("dst")).persist()
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()

@@ -67,4 +67,30 @@ object Layout {
       .format("parquet")
       .saveAsTable(tableName)
   }
+
+  /** Idempotent bucketed-table access: if `path` already holds a committed
+    * bucketed write, just (re)register the catalog entry over the existing
+    * files (bucket ids live in the file names, so a fresh session can
+    * adopt them via CREATE TABLE ... CLUSTERED BY); otherwise pay the
+    * ingest write once. This is the realistic cost model — bucketing is an
+    * ingest-time layout amortized over every later query, not a per-query
+    * cost. `df` is by-name and only evaluated on the write path.
+    */
+  def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, tableName: String, path: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    if (new java.io.File(path, "_SUCCESS").exists) {
+      if (!spark.catalog.tableExists(tableName)) {
+        val schema = spark.read.parquet(path).schema
+        val cols = schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        val sorted =
+          if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")}) "
+          else ""
+        spark.sql(s"CREATE TABLE $tableName ($cols) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) ${sorted}INTO $numBuckets BUCKETS " +
+          s"LOCATION '$path'")
+      }
+    } else writeBucketed(df, tableName, path, bucketCol, numBuckets, sortCols)
+  }
 }

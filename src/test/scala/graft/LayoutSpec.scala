@@ -105,4 +105,33 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS spec_ord_b")
     }
   }
+
+  test("ensureBucketed adopts an existing layout without rewriting") {
+    val li = Tables.table(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adopt").toString
+    Layout.ensureBucketed(spark, li, "spec_adopt", s"$tmp/t", "l_orderkey", 4)
+    val written = new java.io.File(s"$tmp/t").listFiles().map(_.lastModified).max
+    // simulate a NEW session: catalog entry gone, files remain
+    spark.sql("DROP TABLE spec_adopt")
+    Layout.ensureBucketed(spark,
+      fail("df must not be evaluated on the adopt path"),
+      "spec_adopt", s"$tmp/t", "l_orderkey", 4)
+    try {
+      val t = spark.table("spec_adopt")
+      assert(t.count() == li.count())
+      // the adopted table still carries bucket metadata: a groupBy on the
+      // bucket key must not shuffle
+      t.groupBy("l_orderkey").count().collect()
+      val plan = t.groupBy("l_orderkey").count()
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"adopted table lost bucketing:\n$plan")
+      // and no rewrite happened
+      assert(new java.io.File(s"$tmp/t").listFiles().map(_.lastModified).max
+        == written)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_adopt")
+  }
 }
