@@ -316,6 +316,31 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
         .orderBy(col("fingerprint"))),
+    // x31: the COMPOSED training-data pipeline — language-ID → stratified
+    // downsample → clean → exact-dedup (keep smallest id per cleaned
+    // fingerprint) → train/val/test split → per-(lang, split) corpus
+    // stats. Every stage is deterministic and engine-portable, so the
+    // WHOLE pipeline oracle-matches DuckDB end to end. One scan, two
+    // shuffles (dedup window + final stats), no collects.
+    "x31_pipeline" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang"))
+        .filter(Sampling.stratifiedKeep(
+          col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
+        .withColumn("t", TextFunctions.cleanText(col("text")))
+        .withColumn("fingerprint", TextFunctions.fingerprint(col("t")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("split", Sampling.assignSplit(col("doc_id"), splitWeights))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("t")).cast("long")).as("n_tokens"))
+        .orderBy(col("lang"), col("split"))
+    }),
   )
 
   // x27 constants — the oracle SQL below derives its thresholds from these
@@ -517,6 +542,7 @@ object ExtensionQueries {
       (s"SELECT md5(lower(array_to_string($toks, ' '))) AS fingerprint, " +
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY 1 ORDER BY 1"),
+    "x31_pipeline" -> x31Sql,
     "x28_bucketed_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(sum(l_extendedprice), 2) AS sum_price " +
@@ -534,21 +560,47 @@ object ExtensionQueries {
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
   )
 
-  /** x27 oracle: thresholds generated from the SAME constants as the Spark
-    * side (operators/Sampling), so the two can never drift.
-    */
-  private def x27Sql: String = {
+  // ---- sampling-oracle SQL builders: thresholds generated from the SAME
+  // constants as the Spark side (operators/Sampling), so they cannot drift
+  private def tick(salt: String) =
+    s"substr(md5('$salt:'||CAST(doc_id AS VARCHAR)),1,4)"
+  private def keepCaseSql: String = {
     import graft.operators.Sampling.thresholdHex
-    def tick(salt: String) = s"substr(md5('$salt:'||CAST(doc_id AS VARCHAR)),1,4)"
-    val keepCase = "CASE " + sampleRates.toSeq.sortBy(_._1).map { case (l, r) =>
+    "CASE " + sampleRates.toSeq.sortBy(_._1).map { case (l, r) =>
       s"WHEN lang = '$l' THEN ${tick("smp")} < '${thresholdHex(r)}'"
     }.mkString(" ") + " ELSE TRUE END"
+  }
+  private def splitCaseSql: String = {
+    import graft.operators.Sampling.thresholdHex
     val total = splitWeights.map(_._2).sum
     val cum = splitWeights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
-    val splitCase = "CASE " + splitWeights.init.zip(cum).map { case ((n, _), c) =>
+    "CASE " + splitWeights.init.zip(cum).map { case ((n, _), c) =>
       s"WHEN ${tick("spl")} < '${thresholdHex(c)}' THEN '$n'"
     }.mkString(" ") + s" ELSE '${splitWeights.last._1}' END"
-    s"$langCte SELECT doc_id, lang, $splitCase AS split FROM l " +
-      s"WHERE $keepCase ORDER BY doc_id"
+  }
+
+  private def x27Sql: String =
+    s"$langCte SELECT doc_id, lang, $splitCaseSql AS split FROM l " +
+      s"WHERE $keepCaseSql ORDER BY doc_id"
+
+  /** x31 oracle: the whole pipeline replicated in DuckDB — language-ID →
+    * stratified sample → clean → fingerprint-dedup → split → per-cell
+    * corpus stats. n_tokens CAST to BIGINT (DuckDB integer sums are
+    * HUGEINT; the driver hash compare is type-sensitive).
+    */
+  private def x31Sql: String = {
+    val cleaned = raw"trim(regexp_replace(regexp_replace(" +
+      raw"regexp_replace(text, '<[^>]*>', ' ', 'g'), " +
+      raw"'[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), '\s+', ' ', 'g'))"
+    val ctoks = raw"list_filter(string_split_regex(trim(t), '\s+'), s -> len(s) > 0)"
+    s"$langCte, " +
+      s"k AS (SELECT doc_id, lang, $cleaned AS t FROM l WHERE $keepCaseSql), " +
+      s"f AS (SELECT doc_id, lang, t, " +
+      s"md5(lower(array_to_string($ctoks, ' '))) AS fp FROM k), " +
+      "d AS (SELECT doc_id, lang, t, " +
+      "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f) " +
+      s"SELECT lang, $splitCaseSql AS split, count(*) AS n_docs, " +
+      s"CAST(sum(len($ctoks)) AS BIGINT) AS n_tokens " +
+      "FROM d WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"
   }
 }

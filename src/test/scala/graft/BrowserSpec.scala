@@ -92,6 +92,20 @@ class BrowserSpec extends SparkSpec {
     assert(pushed.contains("StringStartsWith(period,2016)"), pushed)
   }
 
+  test("approx_count_distinct opt-in stays within HLL error (A15 scale path)") {
+    val m = graft.model.CubeModel("li", "li",
+      dimensions = Seq(graft.model.Dimension("l_returnflag")),
+      aggregates = Seq(
+        graft.model.Aggregate("n_exact", "count_distinct", Some("l_orderkey")),
+        graft.model.Aggregate("n_approx", "approx_count_distinct", Some("l_orderkey"))))
+    val b = new Browser(m, TestCubes.lineitemDf(spark, sf("sf0.01")))
+    val r = b.summary(CubeQuery()).collect().head
+    val (exact, approx) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"))
+    // HLL++ default relative SD is 0.05; allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("range cut rejected on non-rangeable dim (HOWTO.md:79)") {
     intercept[IllegalArgumentException] {
       li.aggregate(CubeQuery(cuts = Seq(RangeCut("l_returnflag", Some("A"), Some("R")))))
