@@ -326,12 +326,18 @@ object ExtensionQueries {
       import graft.operators.Sampling
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-      table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TextFunctions.langId(col("text")).as("lang"))
-        .filter(Sampling.stratifiedKeep(
-          col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
-        .withColumn("t", TextFunctions.cleanText(col("text")))
+      // persist after sample+clean: langId and the cleanText regex chain
+      // are each consumed by 2+ downstream operators, and CollapseProject
+      // would inline (re-evaluate) them per consumer (the CSE trap)
+      val sampled = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextFunctions.langId(col("text")).as("lang"))
+          .filter(Sampling.stratifiedKeep(
+            col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
+          .withColumn("t", TextFunctions.cleanText(col("text")))
+          .drop("text"))
+      sampled
         .withColumn("fingerprint", TextFunctions.fingerprint(col("t")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)

@@ -24,6 +24,10 @@ import org.apache.spark.sql.Dataset
   * the cache only exists to dedupe work WITHIN one query's DAG.
   */
 object CacheScope {
+  // The registry is session-global and drains assume one query in flight
+  // at a time (Bench/Verify are sequential; GraftServer's cube surface
+  // never registers frames). A concurrent multi-query driver would need
+  // per-query scopes — thread the scope through the operator calls.
   private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
   /** Persist `ds` and register it for the next [[drain]]. */
