@@ -316,6 +316,13 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
         .orderBy(col("fingerprint"))),
+    // x32: sliding-window aggregate (1h window / 30m slide — each event in
+    // exactly 2 overlapping buckets); oracle enumerates the slide-grid
+    // starts per event in DuckDB
+    "x32_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamOps
+        .slidingAggBatch(Tables.events(s, dir), "1 hour", "30 minutes")
+        .orderBy(col("window_start"), col("event_type"))),
     // x31: the COMPOSED training-data pipeline — language-ID → stratified
     // downsample → clean → exact-dedup (keep smallest id per cleaned
     // fingerprint) → train/val/test split → per-(lang, split) corpus
@@ -549,6 +556,13 @@ object ExtensionQueries {
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY 1 ORDER BY 1"),
     "x31_pipeline" -> x31Sql,
+    "x32_sliding_window" ->
+      ("WITH b AS (SELECT event_type, unnest([" +
+        "time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'" +
+        "]) AS window_start FROM events) " +
+        "SELECT window_start, event_type, count(*) AS n FROM b " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "x28_bucketed_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(sum(l_extendedprice), 2) AS sum_price " +
