@@ -316,6 +316,28 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
         .orderBy(col("fingerprint"))),
+    // x33: salted join — identical rows to the plain equi-join (oracle
+    // proves it), with the hot-key state spread over 8 salt buckets; the
+    // static fallback when AQE skew-split can't apply (operators/Skew)
+    "x33_salted_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ords = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // x34: salted exact count-distinct — value-space bucketing spreads a
+    // hot group's distinct-state over 8 reducers; exact (buckets partition
+    // the value space), proven by the plain COUNT(DISTINCT) oracle
+    "x34_salted_distinct" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountDistinct(
+        table(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey",
+        buckets = 8)
+        .orderBy(col("l_returnflag"))),
     // x32: sliding-window aggregate (1h window / 30m slide — each event in
     // exactly 2 overlapping buckets); oracle enumerates the slide-grid
     // starts per event in DuckDB
@@ -556,6 +578,14 @@ object ExtensionQueries {
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY 1 ORDER BY 1"),
     "x31_pipeline" -> x31Sql,
+    "x33_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "x34_salted_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "x32_sliding_window" ->
       ("WITH b AS (SELECT event_type, unnest([" +
         "time_bucket(INTERVAL '30 minutes', ts), " +

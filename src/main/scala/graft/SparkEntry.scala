@@ -25,17 +25,42 @@ object SparkEntry {
   private val aggRound = Seq(
     "price_sum" -> 2, "price_avg" -> 4, "price_stddev" -> 4, "qty_sum" -> 2)
 
-  /** Shared SELECT list fragments for the lineitem-cube oracles. */
+  /** Shared SELECT list fragments for the lineitem-cube oracles.
+    *
+    * Money aggregates mirror Browser.aggExpr's EXACT decimal accumulation
+    * (model.Measure.decimalScale): sums run on DECIMAL(18,2) casts, then
+    * avg/stddev arithmetic on the resulting engine-identical doubles —
+    * double sums would differ in the last ulps by summation order and flip
+    * rounding boundaries (observed at sf0.1 before this).
+    */
+  private def exactSumSql(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private def stddevSql(c: String) =
+    s"CASE WHEN count($c) > 1 THEN sqrt(greatest(" +
+      s"(count($c) * CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) " +
+      s"- ${exactSumSql(c)} * ${exactSumSql(c)}) / (count($c) * (count($c) - 1.0)), 0.0)) " +
+      "ELSE NULL END"
   private val aggSql =
-    """round(sum(l_extendedprice),2) AS price_sum, count(*) AS n_items,
-      | round(avg(l_extendedprice),4) AS price_avg,
-      | round(stddev_samp(l_extendedprice),4) AS price_stddev,
+    s"""round(${exactSumSql("l_extendedprice")},2) AS price_sum, count(*) AS n_items,
+      | round(${exactSumSql("l_extendedprice")} / count(l_extendedprice),4) AS price_avg,
+      | round(${stddevSql("l_extendedprice")},4) AS price_stddev,
       | count(DISTINCT l_orderkey) AS n_orders,
-      | round(sum(l_quantity),2) AS qty_sum""".stripMargin.replace("\n", "")
+      | round(${exactSumSql("l_quantity")},2) AS qty_sum""".stripMargin.replace("\n", "")
 
   /** lineitem with the derived rangeable year dim, as the oracle sees it. */
   private val liSql =
     "(SELECT *, CAST(year(l_shipdate) AS INTEGER) AS l_shipyear FROM lineitem)"
+
+  /** Facts total order, mirroring Browser.facts: factKey then every other
+    * column in frame order (the testdata's (orderkey, linenumber) is NOT
+    * unique, so factKey alone would leave page boundaries to engine tie
+    * order). NULLS FIRST = Spark's asc default.
+    */
+  private val factsOrderSql = Seq(
+    "l_orderkey", "l_linenumber", // factKey
+    "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate", "l_shipyear")
+    .map(c => s"$c NULLS FIRST").mkString(", ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -115,9 +140,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "a01_facts_page" ->
-      s"SELECT * FROM $liSql ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 200",
+      s"SELECT * FROM $liSql ORDER BY $factsOrderSql LIMIT 100 OFFSET 200",
     "a02_point_lookup" ->
-      s"SELECT * FROM $liSql WHERE l_orderkey = 1 ORDER BY l_orderkey, l_linenumber LIMIT 500",
+      s"SELECT * FROM $liSql WHERE l_orderkey = 1 ORDER BY $factsOrderSql LIMIT 500",
     "a03_summary" ->
       s"SELECT $aggSql FROM lineitem",
     "a04_drilldown" ->
@@ -136,8 +161,10 @@ object SparkEntry {
         "WHERE l_returnflag = 'A' AND l_linestatus = 'F' AND l_shipyear <= 1995 " +
         "GROUP BY 1 ORDER BY 1"),
     "a09_order_by_agg" ->
+      // order by the SAME exact sum the projection uses (double sums could
+      // order near-ties differently)
       (s"SELECT l_suppkey, $aggSql FROM lineitem GROUP BY 1 " +
-        "ORDER BY sum(l_extendedprice) DESC, l_suppkey"),
+        s"ORDER BY ${exactSumSql("l_extendedprice")} DESC, l_suppkey"),
     "a10_agg_page" ->
       (s"SELECT l_partkey, $aggSql FROM lineitem GROUP BY 1 " +
         "ORDER BY count(*) DESC, l_partkey LIMIT 50 OFFSET 150"),
@@ -149,8 +176,11 @@ object SparkEntry {
     "a16_members" ->
       s"SELECT DISTINCT l_shipyear FROM $liSql ORDER BY l_shipyear",
     "a17_share_of_total" ->
+      // pct operand ORDER mirrors Browser.aggregateWithShare exactly:
+      // (group / total) * 100 — IEEE is not associative
       (s"SELECT l_returnflag, $aggSql, " +
-        "round(100.0 * sum(l_extendedprice) / (SELECT sum(l_extendedprice) FROM lineitem), 4) AS price_pct " +
+        s"round(${exactSumSql("l_extendedprice")} / " +
+        s"(SELECT ${exactSumSql("l_extendedprice")} FROM lineitem) * 100.0, 4) AS price_pct " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "a18_summary_cells" ->
       (s"SELECT l_returnflag, $aggSql, CAST(grouping(l_returnflag) AS BIGINT) AS grouping_level " +

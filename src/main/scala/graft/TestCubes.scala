@@ -51,7 +51,10 @@ object TestCubes {
       Dimension("l_orderkey"),
       Dimension("l_linenumber"),
       Dimension("l_shipyear", rangeable = true)),
-    measures = Seq(Measure("l_extendedprice"), Measure("l_quantity"), Measure("l_discount")),
+    measures = Seq(
+      Measure("l_extendedprice", decimalScale = Some(2)),
+      Measure("l_quantity", decimalScale = Some(2)),
+      Measure("l_discount", decimalScale = Some(2))),
     aggregates = Seq(
       Aggregate("price_sum", "sum", Some("l_extendedprice")),
       Aggregate("n_items", "count", None),

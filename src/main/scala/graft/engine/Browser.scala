@@ -96,13 +96,31 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     * (SURVEY.md §7.4.2).
     */
   def aggExpr(a: Aggregate): Column = {
-    def m = col(a.measure.getOrElse(throw new IllegalArgumentException(
-      s"aggregate '${a.name}' (${a.function}) needs a measure")))
+    def mName = a.measure.getOrElse(throw new IllegalArgumentException(
+      s"aggregate '${a.name}' (${a.function}) needs a measure"))
+    def m = col(mName)
+    // declared fixed-point scale → EXACT decimal accumulation (see
+    // model.Measure.decimalScale): the sums are deterministic under any
+    // partitioning/summation order, so downstream rounding can never flip
+    def scaleOf: Option[Int] =
+      model.measures.find(_.name == mName).flatMap(_.decimalScale)
+    def dec(s: Int) = m.cast(org.apache.spark.sql.types.DecimalType(18, s))
+    def exactSum(s: Int) = sum(dec(s)).cast("double")
     val e = a.function match {
-      case "sum"            => sum(m)
+      case "sum" => scaleOf.map(exactSum).getOrElse(sum(m))
       case "count"          => count(lit(1))
-      case "avg"            => avg(m)
-      case "stddev"         => stddev_samp(m)
+      case "avg" =>
+        scaleOf.map(s => exactSum(s) / count(m)).getOrElse(avg(m))
+      case "stddev" => scaleOf.map { s =>
+        // sqrt((n·Σx² − (Σx)²) / n(n−1)) over exact sums: the variance
+        // arithmetic runs on engine-identical doubles; greatest(…, 0)
+        // clamps the tiny negative a zero-variance group can cancel to
+        val n = count(m).cast("double")
+        val s1 = exactSum(s)
+        val s2 = sum(dec(s) * dec(s)).cast("double")
+        when(count(m) > 1,
+          sqrt(greatest((n * s2 - s1 * s1) / (n * (n - lit(1.0))), lit(0.0))))
+      }.getOrElse(stddev_samp(m))
       case "count_distinct" => countDistinct(m)
       case "approx_count_distinct" => approx_count_distinct(m)
       case "min"            => min(m)
@@ -222,9 +240,15 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     */
   def facts(q: CubeQuery): DataFrame = {
     val base = applyCuts(q.cuts)
+    // total-order tie-break: factKey first, then EVERY remaining column —
+    // a factKey that is not truly unique (dirty data) would otherwise make
+    // page boundaries depend on engine-internal tie order (only fully
+    // identical rows remain interchangeable, which is harmless)
     val tieBreak =
-      if (q.page.isDefined || q.orders.nonEmpty) model.factKey.map(col(_).asc)
-      else Nil
+      if (q.page.isDefined || q.orders.nonEmpty) {
+        val rest = df.columns.filterNot(model.factKey.contains).toSeq
+        (model.factKey ++ rest).map(col(_).asc)
+      } else Nil
     paginate(base, orderCols(q.orders) ++ tieBreak, q.page)
   }
 
