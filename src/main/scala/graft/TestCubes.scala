@@ -77,7 +77,7 @@ object TestCubes {
       Dimension("o_custkey"),
       Dimension("o_orderkey"),
       Dimension("o_year", rangeable = true)),
-    measures = Seq(Measure("o_totalprice")),
+    measures = Seq(Measure("o_totalprice", decimalScale = Some(2))),
     aggregates = Seq(
       Aggregate("total_sum", "sum", Some("o_totalprice")),
       Aggregate("n_rows", "count", None),
