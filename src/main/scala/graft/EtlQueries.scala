@@ -32,7 +32,8 @@ object EtlQueries {
       li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_items"),
-          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("price_sum"))
+          graft.functions.EngineMath.roundAway(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("price_sum"))
         .orderBy(col("n_name"))
     }),
     // B6: projection/derivation via withColumn (assets_generator.py:521-524)
@@ -80,7 +81,8 @@ object EtlQueries {
           col("l_discount") > 0.05 && col("l_quantity") < 25 &&
           year(col("l_shipdate")) >= 1994)
         .agg(count(lit(1)).as("n"),
-          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("price_sum"))),
+          graft.functions.EngineMath.roundAway(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("price_sum"))),
     // B13: multi-target routing — one source, several filtered/projected
     // lineages unioned (assets_generator.py:525-562,445-446)
     "b13_union_routing" -> ((s, dir) => {
@@ -103,7 +105,9 @@ object EtlQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "measure", "value")
         .groupBy(col("measure"))
-        .agg(count(lit(1)).as("n"), graft.functions.EngineMath.roundAway(sum(col("value")), 2).as("value_sum"))
+        // exact decimal sum: all three unpivoted measures are 2dp money
+        .agg(count(lit(1)).as("n"), graft.functions.EngineMath.roundAway(
+          sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("value_sum"))
         .orderBy(col("measure"))),
     // B15: group-count aggregation with coalesce fallback key
     // (assets_generator.py:474-486)
@@ -168,7 +172,7 @@ object EtlQueries {
 
   def oracleSql: Map[String, String] = Map(
     "b05_broadcast_enrich" ->
-      ("SELECT n_name, count(*) AS n_items, round(sum(l_extendedprice),2) AS price_sum " +
+      ("SELECT n_name, count(*) AS n_items, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS price_sum " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"),
     "b06_derive" ->
@@ -189,7 +193,7 @@ object EtlQueries {
         "round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice/2 " +
         "ELSE o_totalprice END),2) AS adj_sum FROM orders GROUP BY 1 ORDER BY 1"),
     "b12_compound_filter" ->
-      ("SELECT count(*) AS n, round(sum(l_extendedprice),2) AS price_sum FROM lineitem " +
+      ("SELECT count(*) AS n, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS price_sum FROM lineitem " +
         "WHERE l_returnflag = 'R' AND l_discount > 0.05 AND l_quantity < 25 " +
         "AND year(l_shipdate) >= 1994"),
     "b13_union_routing" ->
@@ -198,7 +202,7 @@ object EtlQueries {
         "UNION ALL SELECT o_orderkey, 'urgent' AS route FROM orders " +
         "WHERE o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1"),
     "b14_unpivot" ->
-      ("SELECT measure, count(*) AS n, round(sum(value),2) AS value_sum FROM (" +
+      ("SELECT measure, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),2) AS value_sum FROM (" +
         "SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
         "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
         "UNION ALL SELECT 'l_discount', l_discount FROM lineitem) " +
