@@ -556,6 +556,14 @@ object ExtensionQueries {
       (s"$sessionCte " +
         "SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+    // streaming emits CLOSED sessions: every batch session except each
+    // user's open tail (the last session, which no later event closes)
+    "x22_stream_sessionize" ->
+      (s"$sessionCte, s AS (SELECT user_id, session_seq, min(ts) AS session_start, " +
+        "max(ts) AS session_end, count(*) AS n_events FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, session_seq, session_start, session_end, n_events FROM s " +
+        "WHERE session_seq < (SELECT max(session_seq) FROM s s2 WHERE s2.user_id = s.user_id) " +
+        "ORDER BY user_id, session_seq"),
     "x19_range_join" ->
       (s"$sessionCte, s AS (SELECT user_id, session_seq, min(ts) AS session_start, " +
         "max(ts) AS session_end FROM g GROUP BY 1, 2) " +
