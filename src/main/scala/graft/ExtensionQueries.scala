@@ -300,7 +300,8 @@ object ExtensionQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("sum_price"))
+          graft.functions.EngineMath.roundAway(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
     // x29: shingle containment pairs — sub-document duplication (a doc
@@ -327,7 +328,8 @@ object ExtensionQueries {
       graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          graft.functions.EngineMath.roundAway(sum(col("l_extendedprice")), 2).as("sum_price"))
+          graft.functions.EngineMath.roundAway(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
     // x34: salted exact count-distinct — value-space bucketing spreads a
@@ -588,7 +590,7 @@ object ExtensionQueries {
     "x31_pipeline" -> x31Sql,
     "x33_salted_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
-        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
     "x34_salted_distinct" ->
@@ -603,7 +605,7 @@ object ExtensionQueries {
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "x28_bucketed_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
-        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
     "x29_containment_pairs" ->
@@ -624,8 +626,15 @@ object ExtensionQueries {
     s"substr(md5('$salt:'||CAST(doc_id AS VARCHAR)),1,4)"
   private def keepCaseSql: String = {
     import graft.operators.Sampling.thresholdHex
+    // mirror Sampling.keep exactly, incl. the rate >= 1 / <= 0 short-
+    // circuits (thresholdHex caps at 'ffff', which would drop md5-prefix
+    // 'ffff' rows that keep() retains)
     "CASE " + sampleRates.toSeq.sortBy(_._1).map { case (l, r) =>
-      s"WHEN lang = '$l' THEN ${tick("smp")} < '${thresholdHex(r)}'"
+      val cond =
+        if (r >= 1.0) "TRUE"
+        else if (r <= 0.0) "FALSE"
+        else s"${tick("smp")} < '${thresholdHex(r)}'"
+      s"WHEN lang = '$l' THEN $cond"
     }.mkString(" ") + " ELSE TRUE END"
   }
   private def splitCaseSql: String = {

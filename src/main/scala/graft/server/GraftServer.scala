@@ -59,10 +59,13 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
       case e: NoSuchElementException => respond(ex, 404, errJson(e))
       case e: IllegalArgumentException => respond(ex, 400, errJson(e))
       case e: Exception => respond(ex, 500, errJson(e))
-    } finally {
-      graft.engine.CacheScope.drain()
-      ex.close()
-    }
+    // NOTE: no CacheScope.drain() here — the server executor handles
+    // requests concurrently and CacheScope is session-global (a drain for
+    // request A would unpersist frames request B still computes over).
+    // The cube surface never registers tracked frames, so there is
+    // nothing to drain; an endpoint that ever uses tracked operators
+    // needs a per-request scope instead.
+    } finally ex.close()
 
   private def errJson(e: Exception): String =
     s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""

@@ -76,10 +76,24 @@ object Layout {
     * ingest-time layout amortized over every later query, not a per-query
     * cost. `df` is by-name and only evaluated on the write path.
     */
+  /** Bucket-spec marker written next to the data: adoption is only safe
+    * when the files were physically written with the SAME spec — adopting
+    * 8-bucket files as a 16-bucket table would silently mis-pair rows in
+    * "no-shuffle" joins.
+    */
+  private def bucketSpec(bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String]): String =
+    s"$bucketCol/$numBuckets/${sortCols.mkString(",")}"
+
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame, tableName: String, path: String, bucketCol: String,
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    if (new java.io.File(path, "_SUCCESS").exists) {
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_BUCKET_SPEC")
+    val spec = bucketSpec(bucketCol, numBuckets, sortCols)
+    val adoptable = new java.io.File(path, "_SUCCESS").exists &&
+      java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == spec
+    if (adoptable) {
       if (!spark.catalog.tableExists(tableName)) {
         val schema = spark.read.parquet(path).schema
         val cols = schema.fields
@@ -91,6 +105,9 @@ object Layout {
           s"CLUSTERED BY ($bucketCol) ${sorted}INTO $numBuckets BUCKETS " +
           s"LOCATION '$path'")
       }
-    } else writeBucketed(df, tableName, path, bucketCol, numBuckets, sortCols)
+    } else {
+      writeBucketed(df, tableName, path, bucketCol, numBuckets, sortCols)
+      java.nio.file.Files.writeString(marker, spec): Unit
+    }
   }
 }

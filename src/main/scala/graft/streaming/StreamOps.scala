@@ -261,6 +261,9 @@ object StreamOps {
     * with the same batchId must leave the cube unchanged.
     */
   def mergeCubeBatch(batch: DataFrame, batchId: Long, cubeDir: String): Unit = {
+    // -1 is the internal compaction sentinel; a caller passing it would
+    // make the replay guard delete all compacted history
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val partial = batch
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("day"), col("event_type"))

@@ -6,8 +6,7 @@ package graft
   */
 class PlanSpec extends SparkSpec {
 
-  private val skip = Set("x20_stream_tumbling", "x22_stream_sessionize",
-    "x23_incremental_cube", "x28_bucketed_join", "x30_stream_dedup")
+  private val skip = PlanAudit.skip
 
   private lazy val audits: Map[String, PlanAudit.Audit] =
     SparkEntry.queries.toSeq.sortBy(_._1)
