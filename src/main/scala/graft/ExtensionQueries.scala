@@ -317,6 +317,28 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
         .orderBy(col("fingerprint"))),
+    // x35: scan over the Z-ORDERED layout (sources/Layout.writeZOrdered):
+    // a selective range band on the SECOND z-dim — the case a single-key
+    // sort cannot prune (LayoutSpec proves the row-group skipping; this
+    // gates result correctness over the rewritten layout)
+    "x35_zorder_scan" -> ((s, dir) => {
+      val sfName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val z = new java.io.File(sys.props("java.io.tmpdir"), s"graft-x35-$sfName")
+      if (!new java.io.File(z, "_SUCCESS").exists)
+        graft.sources.Layout.writeZOrdered(
+          table(s, dir, "lineitem"), z.toString,
+          Seq("l_orderkey", "l_partkey"))
+      val li = s.read.parquet(z.toString)
+      val pmax = table(s, dir, "lineitem")
+        .agg(max(col("l_partkey"))).collect().head.getLong(0)
+      li.filter(col("l_partkey") >= pmax - pmax / 16 &&
+          col("l_partkey") <= pmax)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.EngineMath.roundAway(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("price_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
     // x33: salted join — identical rows to the plain equi-join (oracle
     // proves it), with the hot-key state spread over 8 salt buckets; the
     // static fallback when AQE skew-split can't apply (operators/Skew)
@@ -588,6 +610,12 @@ object ExtensionQueries {
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY 1 ORDER BY 1"),
     "x31_pipeline" -> x31Sql,
+    "x35_zorder_scan" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum " +
+        "FROM lineitem WHERE l_partkey >= (SELECT max(l_partkey) - max(l_partkey) // 16 FROM lineitem) " +
+        "AND l_partkey <= (SELECT max(l_partkey) FROM lineitem) " +
+        "GROUP BY 1 ORDER BY 1"),
     "x33_salted_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price " +

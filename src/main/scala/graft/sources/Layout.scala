@@ -76,6 +76,59 @@ object Layout {
     * ingest-time layout amortized over every later query, not a per-query
     * cost. `df` is by-name and only evaluated on the write path.
     */
+  /** **Z-ordered layout** (`writeZOrdered`): multi-dimensional locality
+    * for row-group pruning on MORE THAN ONE column — the range-sorted
+    * layout (`writeSorted`) prunes perfectly on its leading sort key and
+    * not at all on any other column. Each column is mapped to an 8-bit
+    * equal-width bucket (`width_bucket` over its min/max — two cheap agg
+    * jobs), the bucket bits are interleaved into a Z-value (Morton code),
+    * and the data is range-partitioned + sorted by that value. Row groups
+    * then cover small hyper-rectangles of the key space, so a selective
+    * predicate on ANY of the z-columns skips most groups via min/max
+    * stats. This is the lakehouse OPTIMIZE ZORDER technique expressed as
+    * plain Catalyst expressions — no UDF, fully codegen'd.
+    *
+    * Equal-width bucketing is skew-sensitive; swap in quantile boundaries
+    * (approxQuantile → when-chain) for heavily skewed dims.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int = 0, targetRowGroupBytes: Long = 0L): Unit = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns")
+    import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
+    val stats = df.agg(
+      org.apache.spark.sql.functions.array(zCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).cast("double"),
+        org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*)
+        .as("s")).collect().head.getSeq[Double](0)
+    val bits = 8
+    val bucketed = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats(2 * i), stats(2 * i + 1))
+      // width_bucket → 1..2^bits+1; clamp to 0..2^bits-1
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.width_bucket(
+            col(c).cast("double"), lit(lo), lit(hi), lit(1 << bits)) - 1,
+          lit(0L)),
+        lit((1L << bits) - 1))
+    }
+    // interleave: bit j of column i lands at position j*nCols + i
+    val n = zCols.size
+    val z = (0 until bits).flatMap { j =>
+      bucketed.zipWithIndex.map { case (b, i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(1L), j * n + i)
+      }
+    }.reduce(_ + _)
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    val w = ranged.sortWithinPartitions(col("__z")).drop("__z")
+      .write.mode(SaveMode.Overwrite)
+    (if (targetRowGroupBytes > 0)
+      w.option("parquet.block.size", targetRowGroupBytes) else w)
+      .parquet(path)
+  }
+
   /** Bucket-spec marker written next to the data: adoption is only safe
     * when the files were physically written with the SAME spec — adopting
     * 8-bucket files as a 16-bucket table would silently mis-pair rows in

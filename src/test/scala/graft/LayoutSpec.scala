@@ -106,6 +106,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout prunes on BOTH dims; single-sort prunes on one") {
+    val li = Tables.table(spark, sf("sf0.01"), "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Layout.writeSorted(li, s"$tmp/by_okey", Seq("l_orderkey"),
+      numFiles = 2, targetRowGroupBytes = 64 * 1024)
+    Layout.writeZOrdered(li, s"$tmp/z", Seq("l_orderkey", "l_partkey"),
+      numFiles = 2, targetRowGroupBytes = 64 * 1024)
+    val total = li.count()
+    // a ~6% RANGE band per dim: with random values every row group of the
+    // wrong-sorted layout intersects the band (no pruning possible), while
+    // z-order groups cover hyper-rectangles and skip most of them
+    val pmax = li.select(max(col("l_partkey"))).collect().head.getLong(0)
+    val omax = li.select(max(col("l_orderkey"))).collect().head.getLong(0)
+    def band(path: String, c: String, lo: Long, hi: Long): Long =
+      scanOutputRows(spark.read.parquet(path)
+        .filter(col(c) >= lo && col(c) <= hi))
+    val (pLo, pHi) = (pmax - pmax / 16, pmax)
+    val (oLo, oHi) = (omax - omax / 16, omax)
+    // the single-sort layout cannot prune a band on the second dim ...
+    assert(band(s"$tmp/by_okey", "l_partkey", pLo, pHi) > (total * 3) / 4,
+      "unexpected: orderkey-sorted layout pruned a partkey band")
+    // ... the z-order prunes bands on BOTH dims
+    val zPart = band(s"$tmp/z", "l_partkey", pLo, pHi)
+    val zOrd = band(s"$tmp/z", "l_orderkey", oLo, oHi)
+    assert(zPart < total / 2, s"z partkey band read $zPart of $total")
+    assert(zOrd < total / 2, s"z orderkey band read $zOrd of $total")
+    // and the data survives the rewrite intact
+    assert(spark.read.parquet(s"$tmp/z").count() == total)
+    assert(spark.read.parquet(s"$tmp/z")
+      .filter(col("l_partkey").between(pLo, pHi)).count() ==
+      li.filter(col("l_partkey").between(pLo, pHi)).count())
+  }
+
   test("ensureBucketed adopts an existing layout without rewriting") {
     val li = Tables.table(spark, sf("sf0.001"), "lineitem")
       .select("l_orderkey", "l_quantity")
