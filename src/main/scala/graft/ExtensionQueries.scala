@@ -29,21 +29,31 @@ object ExtensionQueries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFunctions.regexTokenCount(col("text")).cast("long").as("n_pieces"))
         .orderBy(col("doc_id"))),
-    // x02: language-ID by marker-word voting
-    "x02_lang_id" -> ((s, dir) =>
-      table(s, dir, "documents")
-        .select(TextFunctions.langId(col("text")).as("lang_guess"))
+    // x02: language-ID by marker-word voting — tokens materialized once
+    // (langId over raw text would re-tokenize per language's marker scan)
+    "x02_lang_id" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts")))
+      toks.select(TextFunctions.langIdOf(col("ts")).as("lang_guess"))
         .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
-        .orderBy(col("lang_guess"))),
-    // x03: quality scoring — length/punct/stopword ratios
-    "x03_quality" -> ((s, dir) =>
-      table(s, dir, "documents").select(
+        .orderBy(col("lang_guess"))
+    }),
+    // x03: quality scoring — length/punct/stopword ratios over one
+    // materialized tokens column (the ratios would otherwise each
+    // re-tokenize; ~10 tokenizations/row → 1)
+    "x03_quality" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      toks.select(
         col("doc_id"),
-        graft.functions.EngineMath.roundAway(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        graft.functions.EngineMath.roundAway(TextFunctions.stopwordRatioOf(col("ts")), 4).as("stop_ratio"),
         graft.functions.EngineMath.roundAway(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-        graft.functions.EngineMath.roundAway(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+        graft.functions.EngineMath.roundAway(TextFunctions.meanTokenLenOf(col("ts")), 4).as("mean_tok_len"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
     // x24: pre-tokenization text cleaning (HTML strip, control chars,
     // whitespace collapse) — regex chain identical in Java regex and RE2
     "x24_clean_text" -> ((s, dir) =>
@@ -73,9 +83,12 @@ object ExtensionQueries {
     // x16: quality-score quantiles per language — exact interpolated
     // percentiles (Spark `percentile` == DuckDB `quantile_cont`)
     "x16_quality_quantiles" -> ((s, dir) => {
-      val q = table(s, dir, "documents").select(
-        TextFunctions.langId(col("text")).as("lang"),
-        TextFunctions.qualityScore(col("text")).as("q"))
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val q = toks.select(
+        TextFunctions.langIdOf(col("ts")).as("lang"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
       q.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
         graft.functions.EngineMath.roundAway(percentile(col("q"), lit(0.25)), 4).as("q25"),
@@ -256,9 +269,12 @@ object ExtensionQueries {
     // sketch and DuckDB's t-digest give different approximations; the
     // error bound vs exact is locked by TextFunctionsSpec.
     "x26_quantiles_approx" -> ((s, dir) => {
-      val q = table(s, dir, "documents").select(
-        TextFunctions.langId(col("text")).as("lang"),
-        TextFunctions.qualityScore(col("text")).as("q"))
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val q = toks.select(
+        TextFunctions.langIdOf(col("ts")).as("lang"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
       q.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
         percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.75)),

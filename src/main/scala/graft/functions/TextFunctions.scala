@@ -60,14 +60,28 @@ object TextFunctions {
 
   /** #tokens belonging to the given marker set. */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    markerCountOf(tokens(text), words)
+
+  /** Every text-based function below also has an `…Of(ts)` form over a
+    * MATERIALIZED tokens column: lambda HOFs are excluded from
+    * subexpression elimination, so `langId(text)` tokenizes 4× and
+    * `qualityScore(text)` ~6× per row. Queries that need several of these
+    * per row should project `tokens(text)` once behind a persist barrier
+    * (CacheScope) and use the `…Of` forms — the HOFs then traverse an
+    * array attribute instead of re-splitting the string each time.
+    */
+  def markerCountOf(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words.map(lit): _*)))
 
   /** Stopword ratio (English markers by default) — a standard quality
     * heuristic: natural prose has 0.2-0.5, keyword salad near 0.
     */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val n = tokenCount(text)
-    when(n > 0, markerCount(text, stopwords(lang)).cast("double") / n)
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordRatioOf(tokens(text), lang)
+
+  def stopwordRatioOf(ts: Column, lang: String = "en"): Column = {
+    val n = size(ts)
+    when(n > 0, markerCountOf(ts, stopwords(lang)).cast("double") / n)
       .otherwise(lit(0.0))
   }
 
@@ -76,9 +90,11 @@ object TextFunctions {
     * zero hits everywhere → "und" (undetermined). An n-gram-frequency model
     * would slot in the same shape (argmax over per-language scores).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  def langIdOf(ts: Column): Column = {
     val ordered = Seq("en", "de", "fr", "es")
-    val scores = ordered.map(l => l -> markerCount(text, stopwords(l)))
+    val scores = ordered.map(l => l -> markerCountOf(ts, stopwords(l)))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
       acc.when(s === best, lit(l))
@@ -94,24 +110,28 @@ object TextFunctions {
   }
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  def meanTokenLenOf(ts: Column): Column =
     when(size(ts) > 0,
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
       .otherwise(lit(0.0))
-  }
 
   /** Composite quality score in [0,1]: rewards prose-like stopword ratio and
     * 3-8 char mean tokens, penalises punctuation soup and tiny documents.
     * Weights are heuristic; the value is the *shape* (a single codegen'd
     * expression, no UDF, trivially re-weighted).
     */
-  def qualityScore(text: Column): Column = {
-    val stop = stopwordRatio(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(tokens(text), text)
+
+  /** `ts` must be `tokens(text)` of the same `text` (see the `…Of` note). */
+  def qualityScoreOf(ts: Column, text: Column): Column = {
+    val stop = stopwordRatioOf(ts)
     val stopTerm = least(stop * 4, lit(1.0)) // saturates at ratio 0.25
-    val lenTerm = least(tokenCount(text).cast("double") / 100, lit(1.0))
+    val lenTerm = least(size(ts).cast("double") / 100, lit(1.0))
     val punct = punctRatio(text)
-    val mtl = meanTokenLen(text)
+    val mtl = meanTokenLenOf(ts)
     val mtlTerm = when(mtl.between(3.0, 8.0), lit(1.0)).otherwise(lit(0.5))
     val q = stopTerm * 0.3 + lenTerm * 0.3 + (lit(1.0) - punct) * 0.2 + mtlTerm * 0.2
     // floor-based rounding: identical double math in every engine (Spark's
