@@ -395,13 +395,17 @@ object ExtensionQueries {
       import graft.operators.Sampling
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-      // persist after sample+clean: langId and the cleanText regex chain
-      // are each consumed by 2+ downstream operators, and CollapseProject
-      // would inline (re-evaluate) them per consumer (the CSE trap)
+      // two persist stages: (1) tokens materialized once (langId over raw
+      // text re-tokenizes per marker scan); (2) sample+clean results —
+      // langIdOf/cleanText are each consumed by 2+ downstream operators
+      // and CollapseProject would inline (re-evaluate) them per consumer
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
       val sampled = graft.engine.CacheScope.persistTracked(
-        table(s, dir, "documents")
+        toks
           .select(col("doc_id"), col("text"),
-            TextFunctions.langId(col("text")).as("lang"))
+            TextFunctions.langIdOf(col("ts")).as("lang"))
           .filter(Sampling.stratifiedKeep(
             col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
           .withColumn("t", TextFunctions.cleanText(col("text")))
