@@ -333,6 +333,21 @@ object ExtensionQueries {
       graft.streaming.StreamOps
         .dedupStreaming(s, s"$dir/documents.parquet", "doc_id", "text")
         .orderBy(col("fingerprint"))),
+    // x36: multimodal frame sampling — the 1:N video fan-out (every 4th
+    // 64-byte slice), pipelined flatMap with no shuffle. Gated on exact
+    // frame accounting (count + byte totals — DuckDB can't slice BLOBs,
+    // but the slicing arithmetic is fully expressible; frame CONTENT
+    // equality is locked by MultimodalSpec)
+    "x36_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+        Multimodal.toMedia(Multimodal.mediaTable(table(s, dir, "documents"))))
+        .toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("frame_bytes_total"))
+        .orderBy(col("media_id"))
+    }),
     // x35: scan over the Z-ORDERED layout (sources/Layout.writeZOrdered):
     // a selective range band on the SECOND z-dim — the case a single-key
     // sort cannot prune (LayoutSpec proves the row-group skipping; this
@@ -630,6 +645,14 @@ object ExtensionQueries {
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY 1 ORDER BY 1"),
     "x31_pipeline" -> x31Sql,
+    "x36_frame_sample" ->
+      ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len " +
+        "FROM documents WHERE doc_id % 3 = 2), " + // round-robin slot 3 = webm
+        "f AS (SELECT media_id, len, " +
+        "unnest(range(0, greatest(len // 64, 1), 4)) AS i FROM m) " +
+        "SELECT media_id, count(*) AS n_frames, " +
+        "CAST(sum(least(64, len - i * 64)) AS BIGINT) AS frame_bytes_total " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
     "x35_zorder_scan" ->
       ("SELECT l_returnflag, count(*) AS n, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum " +
