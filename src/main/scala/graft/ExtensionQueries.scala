@@ -101,11 +101,17 @@ object ExtensionQueries {
     // the explode: as a plain expression it would be re-evaluated per
     // emitted token (the HOF-inlining trap — 20s+ instead of ~1s)
     "x17_top_tokens" -> ((s, dir) => {
+      // tokens materialized ONCE; lang derived from the same array (langId
+      // over raw text would tokenize 4x, and the explode would re-split a
+      // 5th time). The persist stays load-bearing: without it the lang
+      // expression would be re-evaluated per EMITTED token under the
+      // explode (the HOF-inlining trap — 20s+ instead of ~1s)
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts")))
       val byDoc = graft.engine.CacheScope.persistTracked(
-        table(s, dir, "documents").select(
-          TextFunctions.langId(col("text")).as("lang"), col("text")))
-      val tok = byDoc.select(col("lang"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
+        toks.select(TextFunctions.langIdOf(col("ts")).as("lang"), col("ts")))
+      val tok = byDoc.select(col("lang"), explode(col("ts")).as("tok"))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("n").desc, col("tok").asc)
@@ -289,14 +295,20 @@ object ExtensionQueries {
     // md5-threshold tickets (operators/Sampling) — reproducible across
     // engines/reruns/repartitioning; the DuckDB oracle computes the
     // IDENTICAL selection, which no RNG-based sample could match
-    "x27_stratified_sample" -> ((s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+    "x27_stratified_sample" -> ((s, dir) => {
+      // tokens-once: langId over raw text re-tokenizes per marker scan,
+      // and the filter pushdown would double it
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      toks
+        .select(col("doc_id"), TextFunctions.langIdOf(col("ts")).as("lang"))
         .filter(graft.operators.Sampling.stratifiedKeep(
           col("doc_id"), col("lang"), sampleRates, defaultRate = 1.0))
         .withColumn("split",
           graft.operators.Sampling.assignSplit(col("doc_id"), splitWeights))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
     // x28: bucketed co-located join — both fact tables hash-bucketed on the
     // join key at write time (sources/Layout.writeBucketed), so the join
     // needs NO shuffle of either side (plan proof in LayoutSpec). The
@@ -355,10 +367,21 @@ object ExtensionQueries {
     "x35_zorder_scan" -> ((s, dir) => {
       val sfName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val z = new java.io.File(sys.props("java.io.tmpdir"), s"graft-x35-$sfName")
-      if (!new java.io.File(z, "_SUCCESS").exists)
+      // staleness guard (same idea as Layout.ensureBucketed's marker):
+      // reuse only if the cached layout was built with these zCols from
+      // THIS source file (size+mtime) — else rewrite
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val spec = s"l_orderkey,l_partkey/${src.length}/${src.lastModified}"
+      val marker = java.nio.file.Paths.get(z.toString, "_GRAFT_Z_SPEC")
+      val fresh = new java.io.File(z, "_SUCCESS").exists &&
+        java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == spec
+      if (!fresh) {
         graft.sources.Layout.writeZOrdered(
           table(s, dir, "lineitem"), z.toString,
           Seq("l_orderkey", "l_partkey"))
+        java.nio.file.Files.writeString(marker, spec): Unit
+      }
       val li = s.read.parquet(z.toString)
       val pmax = table(s, dir, "lineitem")
         .agg(max(col("l_partkey"))).collect().head.getLong(0)

@@ -68,14 +68,6 @@ object Layout {
       .saveAsTable(tableName)
   }
 
-  /** Idempotent bucketed-table access: if `path` already holds a committed
-    * bucketed write, just (re)register the catalog entry over the existing
-    * files (bucket ids live in the file names, so a fresh session can
-    * adopt them via CREATE TABLE ... CLUSTERED BY); otherwise pay the
-    * ingest write once. This is the realistic cost model — bucketing is an
-    * ingest-time layout amortized over every later query, not a per-query
-    * cost. `df` is by-name and only evaluated on the write path.
-    */
   /** **Z-ordered layout** (`writeZOrdered`): multi-dimensional locality
     * for row-group pruning on MORE THAN ONE column — the range-sorted
     * layout (`writeSorted`) prunes perfectly on its leading sort key and
@@ -95,21 +87,32 @@ object Layout {
       numFiles: Int = 0, targetRowGroupBytes: Long = 0L): Unit = {
     require(zCols.size >= 2, "z-ordering needs >= 2 columns")
     import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
-    val stats = df.agg(
-      org.apache.spark.sql.functions.array(zCols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).cast("double"),
-        org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*)
-        .as("s")).collect().head.getSeq[Double](0)
+    val aggs = zCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).cast("double"),
+      org.apache.spark.sql.functions.max(col(c)).cast("double")))
+    val statRow = df.agg(aggs.head, aggs.tail: _*).collect().head
     val bits = 8
     val bucketed = zCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (stats(2 * i), stats(2 * i + 1))
-      // width_bucket → 1..2^bits+1; clamp to 0..2^bits-1
-      org.apache.spark.sql.functions.least(
-        org.apache.spark.sql.functions.greatest(
-          org.apache.spark.sql.functions.width_bucket(
-            col(c).cast("double"), lit(lo), lit(hi), lit(1 << bits)) - 1,
-          lit(0L)),
-        lit((1L << bits) - 1))
+      val degenerate = statRow.isNullAt(2 * i) || statRow.isNullAt(2 * i + 1) ||
+        statRow.getDouble(2 * i) == statRow.getDouble(2 * i + 1)
+      if (degenerate)
+        // constant or all-NULL column: width_bucket(lo==hi) would return
+        // NULL for EVERY row, collapsing __z to one partition — a constant
+        // contributes nothing to ordering, so bucket it as 0 instead
+        lit(0L)
+      else {
+        val (lo, hi) = (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1))
+        // width_bucket → 1..2^bits+1; clamp to 0..2^bits-1 (NULL values
+        // land in bucket 0 via the greatest/coalesce below)
+        org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.greatest(
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.width_bucket(
+                col(c).cast("double"), lit(lo), lit(hi), lit(1 << bits)),
+              lit(1L)) - 1,
+            lit(0L)),
+          lit((1L << bits) - 1))
+      }
     }
     // interleave: bit j of column i lands at position j*nCols + i
     val n = zCols.size
@@ -138,6 +141,15 @@ object Layout {
       sortCols: Seq[String]): String =
     s"$bucketCol/$numBuckets/${sortCols.mkString(",")}"
 
+  /** Idempotent bucketed-table access: if `path` already holds a committed
+    * bucketed write WITH a matching spec marker, just (re)register the
+    * catalog entry over the existing files (bucket ids live in the file
+    * names, so a fresh session can adopt them via CREATE TABLE ...
+    * CLUSTERED BY); otherwise pay the ingest write once. This is the
+    * realistic cost model — bucketing is an ingest-time layout amortized
+    * over every later query, not a per-query cost. `df` is by-name and
+    * only evaluated on the write path.
+    */
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame, tableName: String, path: String, bucketCol: String,
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
