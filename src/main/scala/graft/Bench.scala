@@ -32,7 +32,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine-state stamp: ambient load swings totals 2-3x on this box, so
+    // a bench line is only interpretable next to the load it ran under
+    val load = try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
+      s""","load1":${parts(0)},"load5":${parts(1)},"load15":${parts(2)}"""
+    } catch { case _: Throwable => "" }
+    val up = try {
+      val secs = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/uptime")).trim.split("\\s+")(0)
+      s""","uptime_sec":$secs"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up}""")
     spark.stop()
   }
 }

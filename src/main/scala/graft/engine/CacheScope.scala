@@ -24,25 +24,37 @@ import org.apache.spark.sql.Dataset
   * the cache only exists to dedupe work WITHIN one query's DAG.
   */
 object CacheScope {
-  // The registry is session-global and drains assume one query in flight
-  // at a time (Bench/Verify are sequential; GraftServer's cube surface
-  // never registers frames). A concurrent multi-query driver would need
-  // per-query scopes — thread the scope through the operator calls.
-  private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
+  // The registry is session-global; a query registers frames from its own
+  // (single) thread and the runner drains from that same thread after the
+  // terminal action (Bench/Verify are sequential; GraftServer's cube
+  // surface never registers frames). Each tracked frame records its
+  // registering thread and [[drain]] only releases the CALLING thread's
+  // frames — so if concurrently-driven code paths ever use tracked
+  // operators, one query's drain cannot unpersist frames another query is
+  // still computing over (the registry degrades to per-thread scopes
+  // instead of corrupting cache lifetimes).
+  private val tracked = new ConcurrentLinkedQueue[(Thread, Dataset[_])]()
 
   /** Persist `ds` and register it for the next [[drain]]. */
   def persistTracked[T <: Dataset[_]](ds: T): T = {
     ds.persist()
-    tracked.add(ds)
+    tracked.add((Thread.currentThread(), ds))
     ds
   }
 
   /** Register an already-persisted frame for the next [[drain]]. */
-  def track[T <: Dataset[_]](ds: T): T = { tracked.add(ds); ds }
+  def track[T <: Dataset[_]](ds: T): T = {
+    tracked.add((Thread.currentThread(), ds))
+    ds
+  }
 
-  /** Unpersist every tracked frame (non-blocking). Idempotent. */
+  /** Unpersist every frame tracked BY THIS THREAD (non-blocking). Idempotent. */
   def drain(): Unit = {
-    var ds = tracked.poll()
-    while (ds != null) { ds.unpersist(blocking = false); ds = tracked.poll() }
+    val me = Thread.currentThread()
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val (t, ds) = it.next()
+      if (t eq me) { it.remove(); ds.unpersist(blocking = false) }
+    }
   }
 }

@@ -73,7 +73,11 @@ object Sampling {
     val t = ticket(key, salt)
     weights.init.zip(cum).foldRight(lit(weights.last._1): Column) {
       case (((name, _), cumRate), elseCol) =>
-        when(t < lit(thresholdHex(cumRate)), lit(name)).otherwise(elseCol)
+        // short-circuit a cumulative fraction that reaches 1.0: thresholdHex
+        // caps at 'ffff', so `t < 'ffff'` would leak md5-prefix-'ffff' keys
+        // (~1/65536) past this split into later (possibly zero-weight) ones
+        if (cumRate >= 1.0) lit(name)
+        else when(t < lit(thresholdHex(cumRate)), lit(name)).otherwise(elseCol)
     }
   }
 }

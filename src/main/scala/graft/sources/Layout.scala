@@ -86,6 +86,10 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int = 0, targetRowGroupBytes: Long = 0L): Unit = {
     require(zCols.size >= 2, "z-ordering needs >= 2 columns")
+    // bit position j*n+i must stay below 64: with 8-bit buckets the max is
+    // 7*n+(n-1); more than 8 columns would wrap the shift amount mod 64 and
+    // silently scramble the Morton code (pruning quality collapses)
+    require(zCols.size <= 8, s"z-ordering supports at most 8 columns, got ${zCols.size}")
     import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
     val aggs = zCols.flatMap(c => Seq(
       org.apache.spark.sql.functions.min(col(c)).cast("double"),
@@ -135,11 +139,21 @@ object Layout {
   /** Bucket-spec marker written next to the data: adoption is only safe
     * when the files were physically written with the SAME spec — adopting
     * 8-bucket files as a 16-bucket table would silently mis-pair rows in
-    * "no-shuffle" joins.
+    * "no-shuffle" joins. `srcStamp` ties the layout to the SOURCE data's
+    * identity (e.g. file length+mtime): without it a re-generated source
+    * would silently keep serving the stale bucketed files.
     */
   private def bucketSpec(bucketCol: String, numBuckets: Int,
-      sortCols: Seq[String]): String =
-    s"$bucketCol/$numBuckets/${sortCols.mkString(",")}"
+      sortCols: Seq[String], srcStamp: String): String =
+    s"$bucketCol/$numBuckets/${sortCols.mkString(",")}/$srcStamp"
+
+  /** length+mtime stamp of a source file/dir, for `ensureBucketed`'s
+    * `srcStamp` (same staleness guard as the x35 z-order marker).
+    */
+  def fileStamp(path: String): String = {
+    val f = new java.io.File(path)
+    s"${f.length}:${f.lastModified}"
+  }
 
   /** Idempotent bucketed-table access: if `path` already holds a committed
     * bucketed write WITH a matching spec marker, just (re)register the
@@ -152,9 +166,9 @@ object Layout {
     */
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
       df: => DataFrame, tableName: String, path: String, bucketCol: String,
-      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+      numBuckets: Int, sortCols: Seq[String] = Nil, srcStamp: String = ""): Unit = {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_BUCKET_SPEC")
-    val spec = bucketSpec(bucketCol, numBuckets, sortCols)
+    val spec = bucketSpec(bucketCol, numBuckets, sortCols, srcStamp)
     val adoptable = new java.io.File(path, "_SUCCESS").exists &&
       java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker).trim == spec

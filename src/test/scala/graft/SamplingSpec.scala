@@ -50,6 +50,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("a split whose cumulative weight reaches 1.0 absorbs 'ffff' tickets") {
+    import spark.implicits._
+    // find a key whose 'spl' ticket is exactly 'ffff' — the one value the
+    // capped thresholdHex comparison (`t < 'ffff'`) used to leak past a
+    // cumulative-1.0 boundary into a zero-weight trailing split
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ffffKey = Iterator.from(0)
+      .find { i =>
+        md.reset()
+        md.digest(s"spl:$i".getBytes("UTF-8")).take(2)
+          .map("%02x".format(_)).mkString == "ffff"
+      }.get.toLong
+    val one = Seq(ffffKey).toDF("id")
+      .withColumn("split", Sampling.assignSplit(col("id"),
+        Seq("a" -> 0.5, "b" -> 0.5, "zero" -> 0.0)))
+    assert(one.collect().head.getString(1) == "b",
+      "ffff ticket must land in the last positive-weight split")
+  }
+
   test("different salts decide independently (sampling ⟂ splitting)") {
     // if 'smp' and 'spl' tickets correlated, the kept 30% would not split
     // ~80/10/10; check the train share within the kept subset
