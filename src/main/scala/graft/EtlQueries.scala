@@ -128,6 +128,21 @@ object EtlQueries {
         .select(col("n_name"), col("n_custs"))
         .orderBy(col("n_name"))
     }),
+    // B17: partition-by-institution — the per-institution cube is a
+    // registered FILTER VIEW over its parent (the reference copies rows
+    // verbatim, assets_generator.py:678-702; the view is semantically
+    // identical, SURVEY §1.1), registered and queried through the same
+    // CubeRegistry/Browser path GraftServer serves
+    "b17_institutional_slice" -> ((s, dir) => {
+      val reg = new graft.registry.CubeRegistry
+      reg.register(TestCubes.lineitemModel.copy(name = "supp1_lineitem"),
+        TestCubes.lineitemDf(s, dir).filter(col("l_suppkey") === 1))
+      reg.browser("supp1_lineitem")
+        .aggregate(graft.query.CubeQuery(drilldown = Seq("l_returnflag")),
+          Seq("price_sum", "n_items"))
+        .withColumn("price_sum",
+          graft.functions.EngineMath.roundAway(col("price_sum"), 2))
+    }),
     // B18: group-level having-like pruning (assets_generator.py:644-662)
     "b18_having_prune" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -214,6 +229,10 @@ object EtlQueries {
       ("SELECT n_name, coalesce(c.n_custs, 0) AS n_custs FROM nation " +
         "LEFT JOIN (SELECT c_nationkey, count(*) AS n_custs FROM customer GROUP BY 1) c " +
         "ON n_nationkey = c_nationkey ORDER BY n_name"),
+    "b17_institutional_slice" ->
+      ("SELECT l_returnflag, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS price_sum, " +
+        "count(*) AS n_items FROM lineitem WHERE l_suppkey = 1 " +
+        "GROUP BY 1 ORDER BY 1"),
     "b18_having_prune" ->
       ("SELECT l_suppkey, count(*) FILTER (WHERE l_discount > 0.08) AS n_disc " +
         "FROM lineitem GROUP BY 1 HAVING n_disc > 0 ORDER BY 1"),

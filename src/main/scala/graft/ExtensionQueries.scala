@@ -174,12 +174,19 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
-    // x15: winnowing local-overlap pairs (rolling-hash fingerprints,
-    // MOSS scheme; rows-only — guarantees locked by DedupSimilaritySpec)
-    "x15_winnow_overlap" -> ((s, dir) =>
-      Dedup.winnowOverlapPairs(table(s, dir, "documents"), "doc_id", "text",
-        k = 7, w = 8, minShared = 2, maxDocFreq = Some(20))
-        .orderBy(col("id_a"), col("id_b"))),
+    // x15: winnowing local-overlap pairs (rolling-hash fingerprints, MOSS
+    // scheme). The positional gram-hash table (the engine-specific xxhash64
+    // half) is STAGED to parquet; the window-min selection + pairing run
+    // over the staged table and are oracle-checked in DuckDB over the same
+    // files (gram-hash correctness itself is locked by DedupSimilaritySpec)
+    "x15_winnow_overlap" -> ((s, dir) => {
+      Stage.write(Dedup.winnowGrams(table(s, dir, "documents"), "doc_id",
+        "text", k = 7), dir, "x15_grams")
+      Dedup.winnowOverlapPairsOf(
+        Dedup.winnowFingerprintsOf(Stage.read(s, dir, "x15_grams"), w = 8),
+        minShared = 2, maxDocFreq = Some(20))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // x14: near-dup pairs closed into dedup groups (connected components,
     // min-label propagation); oracle = DuckDB recursive-CTE reachability
     "x14_dedup_groups" -> ((s, dir) =>
@@ -187,12 +194,17 @@ object ExtensionQueries {
         Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
           k = 3, threshold = 0.8), "id_a", "id_b")
         .orderBy(col("component"))),
-    // x08: SimHash near-dup pairs (rows-only: 60-bit conv() isn't
-    // expressible in DuckDB 1.0 SQL; mechanism locked by DedupSpec)
-    "x08_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
-        maxDist = 10)
-        .orderBy(col("id_a"), col("id_b"))),
+    // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
+    // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
+    // the pigeonhole banding + hamming verification run over the staged
+    // table and are oracle-checked in DuckDB (BIGINT bit ops) over the
+    // same files (signature semantics locked by DedupSimilaritySpec)
+    "x08_simhash_pairs" -> ((s, dir) => {
+      Stage.write(Dedup.simhashTable(table(s, dir, "documents"), "doc_id",
+        "text"), dir, "x08_simhash")
+      Dedup.simhashPairsOf(Stage.read(s, dir, "x08_simhash"), maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // x09: embedding-cosine near-dup pairs
     "x09_embed_pairs" -> ((s, dir) =>
       Dedup.embeddingPairs(embeddingsD(s, dir), "vec_id", "vec",
@@ -206,23 +218,37 @@ object ExtensionQueries {
         e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // x11: LSH-bucketed ANN (rows-only; recall vs x10 locked by SimilaritySpec)
+    // x11: LSH-bucketed ANN. The per-table bucket assignments and the
+    // multi-probe set (the engine-specific hyperplane-sign half) are
+    // STAGED; the candidate join + exact-cosine top-k ranking over them
+    // is oracle-checked in DuckDB against the same embeddings (recall vs
+    // x10 additionally locked by DedupSimilaritySpec)
     "x11_knn_lsh" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-      Similarity.lshTopK(
-        e, "vec_id", "vec",
-        e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
+      val q = e.filter(col("vec_id") < 5)
+      Stage.write(Similarity.lshItemBuckets(e, "vec_id", "vec"),
+        dir, "x11_item_buckets")
+      Stage.write(Similarity.lshProbeBuckets(q, "vec_id", "vec"),
+        dir, "x11_probe_buckets")
+      Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // x13: IVF ANN (rows-only; recall vs brute force locked by
-    // DedupSimilaritySpec — k-means bucketing + nProbe probing)
+    // x13: IVF ANN. The item→centroid assignments and the nProbe bucket
+    // probes (the engine-specific k-means half) are STAGED; the bucket
+    // join + exact-cosine top-k ranking is oracle-checked in DuckDB
+    // against the same embeddings (recall vs brute force additionally
+    // locked by DedupSimilaritySpec)
     "x13_knn_ivf" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
       val centroids = graft.operators.Ivf.fit(e, "vec", k = 8)
-      graft.operators.Ivf.topK(
-        e, "vec_id", "vec",
-        e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10,
-        centroids, nProbe = 3)
+      Stage.write(graft.operators.Ivf.assign(e, "vec_id", "vec", centroids),
+        dir, "x13_item_assign")
+      Stage.write(graft.operators.Ivf
+        .assignProbes(q, "vec_id", "vec", centroids, nProbe = 3)
+        .select(col("query_id"), col("centroid_id")), dir, "x13_probes")
+      graft.operators.Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec",
+        k = 10, centroids, nProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
     // x12: multimodal binary-column pipeline — partition-batched decode
@@ -271,9 +297,12 @@ object ExtensionQueries {
     // x26: APPROX quality quantiles per language — the scale path for x16:
     // percentile_approx is a bounded-memory mergeable sketch (one partial
     // agg pass, no per-group sort/collect), the right call at 100 TB where
-    // exact `percentile` must buffer each group. Rows-only: Spark's GK
-    // sketch and DuckDB's t-digest give different approximations; the
-    // error bound vs exact is locked by TextFunctionsSpec.
+    // exact `percentile` must buffer each group. Oracle: with accuracy
+    // 10000 ≫ group size the GK summary retains every sample (compression
+    // needs g_i + g_{i+1} + Δ ≤ 2·n/10000 < 2, impossible with g ≥ 1), so
+    // the query returns EXACTLY the ceil(q·n)-th order statistic — which
+    // DuckDB selects directly by row_number. The error bound of the truly
+    // lossy regime is additionally locked by TextFunctionsSpec.
     "x26_quantiles_approx" -> ((s, dir) => {
       val toks = graft.engine.CacheScope.persistTracked(
         table(s, dir, "documents").select(col("text"),
@@ -319,10 +348,12 @@ object ExtensionQueries {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"), s"graft-x28-$sfName")
       graft.sources.Layout.ensureBucketed(s,
         table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-        s"graft_li_$sfName", s"$tmp/li", "l_orderkey", 8, Seq("l_orderkey"))
+        s"graft_li_$sfName", s"$tmp/li", "l_orderkey", 8, Seq("l_orderkey"),
+        srcStamp = graft.sources.Layout.fileStamp(s"$dir/lineitem.parquet"))
       graft.sources.Layout.ensureBucketed(s,
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        s"graft_ord_$sfName", s"$tmp/ord", "o_orderkey", 8, Seq("o_orderkey"))
+        s"graft_ord_$sfName", s"$tmp/ord", "o_orderkey", 8, Seq("o_orderkey"),
+        srcStamp = graft.sources.Layout.fileStamp(s"$dir/orders.parquet"))
       s.table(s"graft_li_$sfName")
         .join(s.table(s"graft_ord_$sfName"),
           col("l_orderkey") === col("o_orderkey"))
@@ -663,6 +694,17 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x08_simhash_pairs" -> x08Sql,
+    "x15_winnow_overlap" -> x15Sql,
+    "x11_knn_lsh" -> knnSql(
+      s"SELECT id AS item_id, t, sig FROM ${graft.Stage.sqlRef("x11_item_buckets")}",
+      s"SELECT DISTINCT id AS query_id, t, sig FROM ${graft.Stage.sqlRef("x11_probe_buckets")}",
+      joinKeys = "a.t = b.t AND a.sig = b.sig", dedupCandidates = true),
+    "x13_knn_ivf" -> knnSql(
+      s"SELECT id AS item_id, centroid_id FROM ${graft.Stage.sqlRef("x13_item_assign")}",
+      s"SELECT query_id, centroid_id FROM ${graft.Stage.sqlRef("x13_probes")}",
+      joinKeys = "a.centroid_id = b.centroid_id", dedupCandidates = false),
+    "x26_quantiles_approx" -> x26Sql,
     "x30_stream_dedup" ->
       (s"SELECT md5(lower(array_to_string($toks, ' '))) AS fingerprint, " +
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
@@ -735,14 +777,105 @@ object ExtensionQueries {
     import graft.operators.Sampling.thresholdHex
     val total = splitWeights.map(_._2).sum
     val cum = splitWeights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    // mirror Sampling.assignSplit's cumRate >= 1.0 short-circuit exactly
     "CASE " + splitWeights.init.zip(cum).map { case ((n, _), c) =>
-      s"WHEN ${tick("spl")} < '${thresholdHex(c)}' THEN '$n'"
+      if (c >= 1.0) s"WHEN TRUE THEN '$n'"
+      else s"WHEN ${tick("spl")} < '${thresholdHex(c)}' THEN '$n'"
     }.mkString(" ") + s" ELSE '${splitWeights.last._1}' END"
   }
 
   private def x27Sql: String =
     s"$langCte SELECT doc_id, lang, $splitCaseSql AS split FROM l " +
       s"WHERE $keepCaseSql ORDER BY doc_id"
+
+  // ---- staged-intermediate oracles (see graft.Stage): the engine-specific
+  // signature/bucket computation is handed off via parquet; DuckDB
+  // re-derives everything downstream of it independently -------------------
+
+  /** x08 oracle: pigeonhole banding + exact hamming over the staged
+    * (id, sh) simhash table — chunk layout generated from the SAME
+    * simhashChunkSpec the Spark join uses, bit ops on BIGINT in DuckDB.
+    */
+  private def x08Sql: String = {
+    val maxDist = 10
+    val chunkRows = Dedup.simhashChunkSpec(maxDist)
+      .map { case (c, off, mask) => s"($c, $off, $mask)" }.mkString(", ")
+    s"WITH s AS (SELECT id, sh FROM ${Stage.sqlRef("x08_simhash")}), " +
+      s"ch(c_idx, c_off, c_mask) AS (VALUES $chunkRows), " +
+      "c AS (SELECT id, sh, c_idx, (sh >> c_off) & c_mask AS chunk_val " +
+      "FROM s CROSS JOIN ch), " +
+      "p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, " +
+      "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
+      "FROM c a JOIN c b ON a.c_idx = b.c_idx " +
+      "AND a.chunk_val = b.chunk_val AND a.id < b.id) " +
+      s"SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** x15 oracle: window-min winnow selection + shared-fingerprint pairing
+    * over the staged (id, pos, g) gram table — mirrors
+    * Dedup.winnowFingerprintsOf/winnowOverlapPairsOf (w=8, minShared=2,
+    * maxDocFreq=20, matching the x15 call).
+    */
+  private def x15Sql: String = {
+    val w = 8; val minShared = 2; val cap = 20
+    s"WITH gr AS (SELECT id, pos, g FROM ${Stage.sqlRef("x15_grams")}), " +
+      "wm AS (SELECT id, pos, min(g) OVER (PARTITION BY id ORDER BY pos " +
+      s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin, " +
+      "count(*) OVER (PARTITION BY id) AS ng FROM gr), " +
+      "f AS (SELECT DISTINCT id, wmin AS fp FROM wm " +
+      s"WHERE pos >= ${w - 1} OR (ng < $w AND pos = ng - 1)), " +
+      s"rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $cap), " +
+      "fr AS (SELECT f.id, f.fp FROM f JOIN rare USING (fp)), " +
+      "p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared " +
+      "FROM fr a JOIN fr b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2) " +
+      s"SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** x11/x13 shared oracle tail: candidate join over staged bucket
+    * assignments, then the exact-cosine top-10 ranking recomputed from the
+    * embeddings table (the same sequential-double cosine as x09/x10).
+    */
+  private def knnSql(itemsSel: String, probesSel: String, joinKeys: String,
+      dedupCandidates: Boolean): String = {
+    val distinct = if (dedupCandidates) "DISTINCT " else ""
+    s"WITH it AS ($itemsSel), pr AS ($probesSel), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), " +
+      s"cand AS (SELECT $distinct b.query_id, a.item_id " +
+      s"FROM it a JOIN pr b ON $joinKeys WHERE a.item_id != b.query_id), " +
+      "sc AS (SELECT query_id, item_id, " +
+      "list_dot_product(iv.vec, qv.vec) / (sqrt(list_dot_product(iv.vec, iv.vec)) * " +
+      "sqrt(list_dot_product(qv.vec, qv.vec))) AS cos " +
+      "FROM cand JOIN v iv ON cand.item_id = iv.vec_id " +
+      "JOIN v qv ON cand.query_id = qv.vec_id), " +
+      "r AS (SELECT query_id, item_id, cos, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank FROM sc) " +
+      "SELECT query_id, rank, item_id, round(cos, 4) AS cos FROM r " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"
+  }
+
+  /** x26 oracle: with accuracy ≫ n the GK sketch is lossless and
+    * percentile_approx returns exactly the ceil(q·n)-th order statistic
+    * (1-indexed; see the x26 query comment) — selected here by row_number
+    * over the same per-doc quality values the x16 oracle derives.
+    */
+  private def x26Sql: String =
+    s"$langCte, c AS (SELECT lang, len(ts) AS n, " +
+      s"CAST(${markers("en")} AS DOUBLE) AS mk, " +
+      raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
+      "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM l), " +
+      "q AS (SELECT lang, floor((least(mk / n * 4, 1.0) * 0.3 + " +
+      "least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - punct) * 0.2 + " +
+      "(CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
+      "* 10000 + 0.5) / 10000 AS qv FROM c), " +
+      "r AS (SELECT lang, qv, row_number() OVER (PARTITION BY lang ORDER BY qv) AS rn, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM q) " +
+      "SELECT lang, max(n) AS n, " +
+      "max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN qv END) AS q25, " +
+      "max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN qv END) AS q50, " +
+      "max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN qv END) AS q75 " +
+      "FROM r GROUP BY lang ORDER BY lang"
 
   /** x31 oracle: the whole pipeline replicated in DuckDB — language-ID →
     * stratified sample → clean → fingerprint-dedup → split → per-cell

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Oracle staging: parquet hand-off from the Spark engine to the DuckDB
+  * correctness oracle.
+  *
+  * Some operators hinge on an engine-specific primitive the oracle engine
+  * cannot reproduce (xxhash64 signatures, k-means centroids, LSH
+  * hyperplane signs). Their DOWNSTREAM logic — banding, window-min
+  * selection, candidate pairing, top-k ranking — is plain relational
+  * algebra, fully expressible in DuckDB SQL. So the query stages the
+  * engine-specific intermediate to parquet here, and the oracle SQL reads
+  * it back (`read_parquet`) and recomputes the downstream logic
+  * independently: the mechanism under test is everything AFTER the staged
+  * hand-off, which is exactly the part a port to another engine would
+  * need to get right.
+  *
+  * The staging directory is keyed by the scale-factor directory name so a
+  * bench run at sf0.1 cannot clobber the intermediates a Verify run at
+  * sf0.01 staged for its oracle pass. Oracle SQL references the directory
+  * via [[placeholder]]; `Verify` substitutes the actual path for the sf it
+  * runs (the oracle consumer executes the SQL as written, so the
+  * substitution must happen where the sf is known).
+  */
+object Stage {
+
+  /** Literal token oracle SQL embeds where the staging dir belongs. */
+  val placeholder = "__GRAFT_STAGE_DIR__"
+
+  def dir(sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-stage-$sfName"
+  }
+
+  /** Overwrite-write `df` as the staged intermediate `name` for this sf. */
+  def write(df: DataFrame, sfDir: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"${dir(sfDir)}/$name")
+
+  /** Read a staged intermediate back (the downstream Spark computation
+    * consumes the SAME files the oracle will read).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      name: String): DataFrame =
+    spark.read.parquet(s"${dir(sfDir)}/$name")
+
+  /** `read_parquet` reference for oracle SQL (placeholder substituted by
+    * Verify at dump time).
+    */
+  def sqlRef(name: String): String =
+    s"read_parquet('$placeholder/$name/*.parquet')"
+}

@@ -314,22 +314,36 @@ object Dedup {
     * per-bucket pair expansion.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    // persisted: the simhash aggregate feeds both self-join sides
+    simhashPairsOf(graft.engine.CacheScope.persistTracked(
+      simhashTable(df, idCol, textCol)), maxDist)
+
+  /** The pigeonhole chunk layout for a given distance bound: (chunk index,
+    * bit offset, value mask). Uneven split — the first (60 % nChunks)
+    * chunks get one extra bit. Shared by the banding join AND the oracle
+    * SQL builder, so the two cannot drift.
+    */
+  def simhashChunkSpec(maxDist: Int): Seq[(Int, Int, Long)] = {
     val nChunks = maxDist + 1
     require(nChunks >= 1 && nChunks <= 60,
       s"maxDist must be in [0, 59], got $maxDist")
-    // uneven split: the first (60 % nChunks) chunks get one extra bit
     val base = 60 / nChunks; val rem = 60 % nChunks
     val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    // persisted: the simhash aggregate feeds both self-join sides
-    val sh = graft.engine.CacheScope.persistTracked(
-      simhashTable(df, idCol, textCol))
+    (0 until nChunks).map(c => (c, offsets(c), (1L << widths(c)) - 1))
+  }
+
+  /** The banding + verification over an existing (id, sh) simhash table —
+    * the downstream half of [[simhashPairs]], callable over a staged/
+    * persisted signature frame (the per-doc signature computation is the
+    * engine-specific part; everything from here is relational algebra).
+    */
+  def simhashPairsOf(sh: DataFrame, maxDist: Int): DataFrame = {
     val chunked = sh.select(col("id"), col("sh"), explode(
-      array((0 until nChunks).map { c =>
+      array(simhashChunkSpec(maxDist).map { case (c, off, mask) =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sh"), offsets(c))
-            .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))
+          shiftright(col("sh"), off).bitwiseAND(mask).as("chunk_val"))
       }: _*)).as("ck"))
       .select(col("id"), col("sh"), col("ck.chunk"), col("ck.chunk_val"))
     val pairs = chunked.as("a").join(chunked.as("b"),
@@ -361,16 +375,31 @@ object Dedup {
     * Output: (id, fp) — one row per distinct selected fingerprint.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4): DataFrame =
+    winnowFingerprintsOf(winnowGrams(df, idCol, textCol, k), w)
+
+  /** (id, pos, g): the positional k-gram rolling-hash table — the
+    * engine-specific half of winnowing (xxhash64 per char k-gram), staged
+    * separately so the selection logic below can be oracle-checked over it.
+    */
+  def winnowGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
     // persist the normalised text FIRST: charGramHashes' lambda captures
     // its input per element, so it must see a materialised attribute, not
     // the tokenizer expression (else O(n²) per doc — see its Scaladoc)
     val norm = graft.engine.CacheScope.persistTracked(
       widen(df).select(col(idCol).as("id"),
         TextFunctions.normalizedText(col(textCol)).as("t")))
-    val grams = norm.select(col("id"),
+    norm.select(col("id"),
       posexplode(TextFunctions.charGramHashes(col("t"), k))
         .as(Seq("pos", "g")))
+  }
+
+  /** Window-min fingerprint selection over an (id, pos, g) gram table —
+    * the downstream half of [[winnowFingerprints]] (plain relational
+    * algebra: one window pass + distinct).
+    */
+  def winnowFingerprintsOf(grams: DataFrame, w: Int): DataFrame = {
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     grams
@@ -391,9 +420,17 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    winnowOverlapPairsOf(winnowFingerprints(df, idCol, textCol, k, w),
+      minShared, maxDocFreq)
+
+  /** Pairing over an existing (id, fp) fingerprint frame — the downstream
+    * half of [[winnowOverlapPairs]]. Persists its input: the fp frame
+    * feeds the doc-frequency count and both self-join sides.
+    */
+  def winnowOverlapPairsOf(fingerprints: DataFrame, minShared: Int = 2,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val fps0 = graft.engine.CacheScope.persistTracked(
-      winnowFingerprints(df, idCol, textCol, k, w))
+    val fps0 = graft.engine.CacheScope.persistTracked(fingerprints)
     val fps = maxDocFreq match {
       case None => fps0
       case Some(cap) =>

@@ -97,8 +97,12 @@ object Ivf {
         col("item_id"), graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
 
-  /** (query_id, qvec, qnorm, centroid_id) × nProbe rows per query. */
-  private def assignProbes(queries: DataFrame, queryId: String, queryVec: String,
+  /** (query_id, qvec, qnorm, centroid_id) × nProbe rows per query. Public:
+    * the (query_id, centroid_id) projection is the staged hand-off the
+    * candidate-generation oracle reads (centroids are the engine-specific
+    * part; bucket probing + ranking after it is plain relational algebra).
+    */
+  def assignProbes(queries: DataFrame, queryId: String, queryVec: String,
       centroids: DataFrame, nProbe: Int): DataFrame = {
     val c = centroids.select(col("centroid_id"), col("cvec"),
       dot(col("cvec"), col("cvec")).as("cnorm2"))

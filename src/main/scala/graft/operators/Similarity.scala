@@ -112,27 +112,65 @@ object Similarity {
     * grows only linearly. Candidates are deduped across tables before the
     * exact-cosine ranking. Same output shape as bruteForceTopK.
     */
+  /** (t, sig) struct array over all tables — the shared signature builder
+    * (single source of truth for lshTopK and the staged bucket exports).
+    */
+  private def tableSigs(vec: Column, numPlanes: Int, dims: Int,
+      numTables: Int): Column = {
+    val tables = (0 until numTables)
+      .map(t => hyperplanes(numPlanes, dims, seed = t.toLong))
+    array(tables.zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("t"), lshSignature(vec, planes).as("sig"))
+    }: _*)
+  }
+
+  /** Multi-probe flip set: the zero flip (own bucket) + each single bit. */
+  private def probeFlips(numPlanes: Int): Column =
+    array((0L +: (0 until numPlanes).map(p => 1L << p)).map(lit): _*)
+
+  /** (id, t, sig): each item's LSH bucket per table — the write-once index
+    * side at scale, and the staged hand-off the candidate-generation
+    * oracle reads (the hyperplane signature is the engine-specific part;
+    * the bucket join + ranking after it is plain relational algebra).
+    */
+  def lshItemBuckets(items: DataFrame, itemId: String, itemVec: String,
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
+    Dedup.widen(items).select(col(itemId).as("id"),
+      explode(tableSigs(col(itemVec), numPlanes, dims, numTables)).as("ts"))
+      .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+  }
+
+  /** (id, t, sig): the buckets each query probes per table — own signature
+    * plus all Hamming-distance-1 flips (multi-probe).
+    */
+  def lshProbeBuckets(queries: DataFrame, queryId: String, queryVec: String,
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    queries.select(col(queryId).as("id"),
+      explode(tableSigs(col(queryVec), numPlanes, dims, numTables)).as("ts"))
+      .select(col("id"), col("ts.t").as("t"),
+        explode(transform(probeFlips(numPlanes),
+          f => col("ts.sig").bitwiseXOR(f))).as("sig"))
+  }
+
   def lshTopK(items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
-    val tables = (0 until numTables)
-      .map(t => hyperplanes(numPlanes, dims, seed = t.toLong))
-    def sigs(vec: Column): Column = array(tables.zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("t"), lshSignature(vec, planes).as("sig"))
-    }: _*)
+    def sigs(vec: Column): Column = tableSigs(vec, numPlanes, dims, numTables)
     val it = Dedup.widen(items).select(col(itemId).as("item_id"), col(itemVec).as("ivec"),
       sqrt(dot(col(itemVec), col(itemVec))).as("inorm"),
       explode(sigs(col(itemVec))).as("ts"))
       .select(col("item_id"), col("ivec"), col("inorm"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))
     // multi-probe: per table, the signature ± each single bit flip
-    val flips = array((0L +: (0 until numPlanes).map(p => 1L << p)).map(lit): _*)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       sqrt(dot(col(queryVec), col(queryVec))).as("qnorm"),
       explode(sigs(col(queryVec))).as("ts"))
       .select(col("query_id"), col("qvec"), col("qnorm"), col("ts.t").as("t"),
-        explode(transform(flips, f => col("ts.sig").bitwiseXOR(f))).as("sig"))
+        explode(transform(probeFlips(numPlanes),
+          f => col("ts.sig").bitwiseXOR(f))).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id").asc)
     it.join(broadcast(q), Seq("t", "sig")) // shuffle-free: probe side broadcast
