@@ -202,6 +202,62 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
       col("grouping_level").asc +: q.drilldown.map(col(_).asc), q.page)
   }
 
+  /** One-pass HTTP aggregate response (the `GET /cube/<c>/aggregate` body):
+    * the same ROLLUP as [[aggregateWithSummary]], persisted so the summary
+    * row, the UNPAGED total cell count, and the ordered page are all served
+    * from one aggregation — an atomic snapshot (the three-separate-jobs
+    * alternative recomputes the scan per part and can see the cube change
+    * between them). The rollup result is as many rows as there are cells —
+    * already aggregated — so the persist is small and the count/page jobs
+    * over it are trivial; only the first action pays the scan+aggregate.
+    * Caller MUST invoke `release()` after consuming the frames.
+    */
+  final case class AggregateResponse(summary: DataFrame, cells: DataFrame,
+      totalCellCount: Long, release: () => Unit)
+
+  def aggregateResponse(q: CubeQuery, aggNames: Seq[String] = Nil): AggregateResponse = {
+    require(q.drilldown.nonEmpty, "aggregateResponse needs a drilldown")
+    val dimNames = q.drilldown.map(model.requireDimension(_).name)
+    val dims = dimNames.map(col)
+    val aggs = aggExprs(aggNames) :+
+      grouping_id(dims: _*).cast(LongType).as("grouping_level")
+    val grand = (1L << dims.size) - 1
+    val rolled = applyCuts(q.cuts).rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("grouping_level") === 0 || col("grouping_level") === grand)
+      .persist()
+    val total = rolled.filter(col("grouping_level") === 0).count()
+    val summaryDf = rolled.filter(col("grouping_level") === grand)
+      .drop("grouping_level").drop(dimNames: _*)
+    val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
+    val cellsDf = paginate(rolled.filter(col("grouping_level") === 0)
+      .drop("grouping_level"), orderCols(q.orders) ++ tieBreak, q.page)
+    AggregateResponse(summaryDf, cellsDf, total,
+      () => { rolled.unpersist(blocking = false); () })
+  }
+
+  /** `GET /cube/<c>/fact/<id>` — single-fact lookup by the cube's factKey
+    * (SURVEY §1.3; the reference's fact handle). Multi-column keys use
+    * comma-separated parts; literals cast to the key columns' types so
+    * parquet pushdown + sorted-layout row-group pruning apply (A2). A
+    * non-unique key (dirty data) resolves to the first row in the facts
+    * total order.
+    */
+  def fact(id: String): DataFrame = {
+    require(model.factKey.nonEmpty,
+      s"cube '${model.name}' declares no factKey — no fact endpoint")
+    val parts = id.split(",", -1).toSeq
+    require(parts.size == model.factKey.size,
+      s"fact id '$id': expected ${model.factKey.size} comma-separated " +
+        s"part(s) for factKey (${model.factKey.mkString(",")})")
+    val pred = model.factKey.zip(parts)
+      .map { case (k, v) => col(k) === lit(v).cast(colType(k)) }
+      .reduce(_ && _)
+    val rest = df.columns.filterNot(model.factKey.contains).toSeq
+    df.filter(pred)
+      .orderBy((model.factKey ++ rest).map(col(_).asc): _*)
+      .limit(1)
+  }
+
   /** Full CUBE over the drilldown dims — every aggregation level in one
     * pass (beyond-reference extension; the parity surface only needs
     * ROLLUP for summary+cells, A18). `grouping_level` is Spark's

@@ -21,6 +21,8 @@ import graft.registry.CubeRegistry
   *                                                        (HOWTO.md:44-91)
   *   GET /cube/<c>/facts?cut&order&page&pagesize
   *                                    → row list          (HOWTO.md:35-42,93-104)
+  *   GET /cube/<c>/fact/<id>          → single fact by factKey (cubes server
+  *                                      surface; SURVEY §1.3)
   *   GET /cube/<c>/members/<dim>      → distinct values   (HOWTO.md:5 → cubes docs)
   *
   * The JDK's built-in HttpServer keeps the facade dependency-free; all data
@@ -51,6 +53,7 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
         case Seq("cube", c, "model") => modelJson(c)
         case Seq("cube", c, "aggregate") => aggregateJson(c, params)
         case Seq("cube", c, "facts") => factsJson(c, params)
+        case Seq("cube", c, "fact", id) => factJson(c, id)
         case Seq("cube", c, "members", dim) => membersJson(c, dim, params)
         case _ => throw new NoSuchElementException(s"no such endpoint: ${ex.getRequestURI.getPath}")
       }
@@ -104,17 +107,40 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
       p.copy(pagesize = math.min(p.pagesize, recordLimit))))
   }
 
+  /** Summary + cells + total from Browser.aggregateResponse's single
+    * ROLLUP pass (one scan+aggregate per request, atomic snapshot —
+    * previously three independent Spark computations).
+    */
   private def aggregateJson(cube: String, params: Map[String, String]): String = {
     val b = registry.browser(cube)
     val q = parseQuery(params)
-    val summary = b.summary(q).toJSON.collect().headOption.getOrElse("{}")
-    val unpaged = b.aggregate(q.copy(page = None, orders = Nil))
-    val total = unpaged.count()
-    val cells =
-      if (q.drilldown.isEmpty) Array.empty[String] // summary IS the result
-      else b.aggregate(q).toJSON.collect()
-    s"""{"summary":$summary,"cells":[${cells.mkString(",")}],""" +
-      s""""total_cell_count":$total}"""
+    if (q.drilldown.isEmpty) {
+      // no drilldown: the summary IS the result (HOWTO.md:51-55); one job
+      val summary = b.summary(q).toJSON.collect().headOption.getOrElse("{}")
+      s"""{"summary":$summary,"cells":[],"total_cell_count":1}"""
+    } else {
+      val r = b.aggregateResponse(q)
+      try {
+        // ROLLUP over zero matching rows emits no grand-total row; fall
+        // back to the ungrouped aggregate (count=0 / null sums) for the
+        // summary shape the no-drilldown path produces
+        val summary = r.summary.toJSON.collect().headOption
+          .orElse(b.summary(q).toJSON.collect().headOption)
+          .getOrElse("{}")
+        val cells = r.cells.toJSON.collect()
+        s"""{"summary":$summary,"cells":[${cells.mkString(",")}],""" +
+          s""""total_cell_count":${r.totalCellCount}}"""
+      } finally r.release()
+    }
+  }
+
+  /** `GET /cube/<c>/fact/<id>`: single fact by factKey (comma-separated
+    * parts for composite keys); 404 when absent.
+    */
+  private def factJson(cube: String, id: String): String = {
+    val b = registry.browser(cube)
+    b.fact(id).toJSON.collect().headOption.getOrElse(
+      throw new NoSuchElementException(s"no fact '$id' in cube '$cube'"))
   }
 
   private def factsJson(cube: String, params: Map[String, String]): String = {

@@ -62,6 +62,33 @@ class ServerSpec extends SparkSpec {
     assert(viaCut.contains(s""""summary":$direct"""))
   }
 
+  test("one-pass aggregate response matches the direct three-part composition") {
+    // the ROLLUP-served response must byte-match what summary() +
+    // aggregate() + unpaged count would have produced independently
+    val (code, body) = get(
+      "/cube/lineitem/aggregate?drilldown=l_returnflag&order=n_items:desc&page=0&pagesize=2")
+    assert(code == 200)
+    val q = query.CubeQuery(drilldown = Seq("l_returnflag"),
+      orders = query.QueryParser.parseOrders("n_items:desc"),
+      page = Some(query.Page(0, 2)))
+    val b = TestCubes.lineitem(spark, sf())
+    val summary = b.summary(q).toJSON.collect().head
+    val cells = b.aggregate(q).toJSON.collect().mkString(",")
+    val total = b.aggregate(q.copy(page = None, orders = Nil)).count()
+    assert(body ==
+      s"""{"summary":$summary,"cells":[$cells],"total_cell_count":$total}""")
+  }
+
+  test("GET fact/<id>: single fact by composite factKey; 404 when absent") {
+    val (code, body) = get("/cube/lineitem/fact/1,3")
+    assert(code == 200)
+    val direct = TestCubes.lineitem(spark, sf()).fact("1,3").toJSON.collect().head
+    assert(body == direct)
+    assert(body.contains("\"l_orderkey\":1") && body.contains("\"l_linenumber\":3"))
+    assert(get("/cube/lineitem/fact/999999999,9")._1 == 404)
+    assert(get("/cube/lineitem/fact/1")._1 == 400) // arity mismatch
+  }
+
   test("GET facts: pagination is stable, pages concatenate (HOWTO q3/q4)") {
     val p0 = get("/cube/lineitem/facts?page=0&pagesize=5")._2
     val p1 = get("/cube/lineitem/facts?page=1&pagesize=5")._2
