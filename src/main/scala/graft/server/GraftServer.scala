@@ -53,7 +53,10 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
         case Seq("cube", c, "model") => modelJson(c)
         case Seq("cube", c, "aggregate") => aggregateJson(c, params)
         case Seq("cube", c, "facts") => factsJson(c, params)
-        case Seq("cube", c, "fact", id) => factJson(c, id)
+        // fact ids may themselves contain '/' (DOIs): everything after
+        // /fact/ is the id
+        case Seq("cube", c, "fact", idParts @ _*) if idParts.nonEmpty =>
+          factJson(c, idParts.mkString("/"))
         case Seq("cube", c, "members", dim) => membersJson(c, dim, params)
         case _ => throw new NoSuchElementException(s"no such endpoint: ${ex.getRequestURI.getPath}")
       }

@@ -6,19 +6,17 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 import graft.etl.{CubeBuilder, EtlOutputs}
 
-/** ETL snapshot tests over hand-written micro-fixtures — the FIXTURES.md §3
-  * scenarios, each citing the reference rule it locks in (SURVEY.md §2.B).
+/** Micro-fixture shared by EtlSpec and the e2e spec: 4 institutions (one
+  * NA-cube, one non-DEU, one deal-participant, one apc-deal-only),
+  * APC/TA/BPC/opt-out/additional-cost files + the three JSON caches.
   */
-class EtlSpec extends SparkSpec {
+object EtlFixture {
 
   private def write(dir: Path, name: String, content: String): Unit =
-    Files.writeString(dir.resolve(name), content.stripMargin.trim + "\n")
+    Files.writeString(dir.resolve(name), content.stripMargin.trim + "\n"): Unit
 
-  /** Micro-fixture: 4 institutions (one NA-cube, one non-DEU, one
-    * deal-participant, one apc-deal-only), APC/TA/BPC/opt-out/additional-cost
-    * files + the three JSON caches.
-    */
-  private lazy val outputs: EtlOutputs = {
+  /** Write the fixture CSV/JSON inputs into a fresh temp dir. */
+  def create(): Path = {
     val dir = Files.createTempDirectory("graft-etl")
     // institutions.csv (assets_generator.py:704-721); ror as URL, NA allowed
     write(dir, "institutions.csv",
@@ -78,8 +76,17 @@ class EtlSpec extends SparkSpec {
     write(dir, "article_pubdates.json",
       """{"40746": {"10.1007/s40746-d2": "2019"}}""")
     write(dir, "journal_ids.json", """{"3333-3333": "10052"}""")
-    CubeBuilder.build(CubeBuilder.readInputs(spark, dir.toString))
+    dir
   }
+}
+
+/** ETL snapshot tests over hand-written micro-fixtures — the FIXTURES.md §3
+  * scenarios, each citing the reference rule it locks in (SURVEY.md §2.B).
+  */
+class EtlSpec extends SparkSpec {
+
+  private lazy val outputs: EtlOutputs =
+    CubeBuilder.build(CubeBuilder.readInputs(spark, EtlFixture.create().toString))
 
   private def cube(name: String): DataFrame = outputs.cubes(name)
   private def rows(df: DataFrame): Seq[Row] = df.collect().toSeq

@@ -1,0 +1,165 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.server.GraftServer
+
+/** The full `update_olap.sh` parity path, end to end: OpenAPC-shaped CSV
+  * directory → OpenApcMain.launch (build → strict-validate → write parquet
+  * → emit model.json + YAMLs → register static + institutional cubes →
+  * serve) → the 14 HOWTO.md example queries over a live socket.
+  */
+class OpenApcE2eSpec extends SparkSpec {
+
+  private lazy val outDir = Files.createTempDirectory("graft-e2e").toString
+  private lazy val server: GraftServer =
+    OpenApcMain.launch(spark, EtlFixture.create().toString, outDir)
+  private lazy val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://localhost:${server.boundPort}$path")).GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def ok(path: String): String = {
+    val (code, body) = get(path)
+    assert(code == 200, s"GET $path -> $code: $body")
+    body
+  }
+
+  test("HOWTO q1: /cubes lists the 8 static cubes AND the institutional ones") {
+    val body = ok("/cubes")
+    Seq("openapc", "openapc_ac", "bpc", "transformative_agreements",
+      "combined", "deal", "doi_lookup", "springer_compact_coverage",
+      // institutional: bielefeld has all five types (EtlSpec manifest test)
+      "bielefeld", "bielefeld_apc_ac", "bielefeld_bpc", "bielefeld_ta",
+      "bielefeld_deal",
+      // konstanz/mit get their own apc cubes; Wellcome (cubes_name=NA) none
+      "konstanz", "mit")
+      .foreach(c => assert(body.contains(s""""name":"$c""""), s"missing cube $c"))
+    assert(!body.contains("wellcome"))
+  }
+
+  test("HOWTO q2-q4: institutional facts listing paginates stably") {
+    val all = ok("/cube/bielefeld/facts")
+    assert(all.contains("\"Bielefeld U\""))
+    val p0 = ok("/cube/bielefeld/facts?pagesize=2&page=0")
+    val p1 = ok("/cube/bielefeld/facts?pagesize=2&page=1")
+    val both = ok("/cube/bielefeld/facts?pagesize=4&page=0")
+    assert(both == p0.dropRight(1) + "," + p1.drop(1))
+  }
+
+  test("HOWTO q5≡q10: institutional aggregate == parent cube cut to the institution") {
+    val viaView = ok("/cube/bielefeld/aggregate")
+    val viaCut = ok("/cube/openapc/aggregate?cut=institution:Bielefeld%20U")
+    assert(viaView == viaCut)
+    // 3 Bielefeld APC rows, 1000.5 + 800 + 900 euro (EtlFixture)
+    assert(viaView.contains("\"apc_num_items\":3"))
+    assert(viaView.contains("\"apc_amount_sum\":2700.5"))
+  }
+
+  test("HOWTO q6-q8: drilldowns, aggregate ordering, multi-dim drilldown") {
+    val drill = ok("/cube/bielefeld/aggregate?drilldown=publisher")
+    val cells = mapper.readTree(drill).get("cells")
+    assert(cells.size() == 3) // EMBO, Wiley-Blackwell, Elsevier BV
+    val ordered = ok(
+      "/cube/bielefeld/aggregate?drilldown=publisher&order=apc_amount_sum:desc")
+    val first = mapper.readTree(ordered).get("cells").get(0)
+    assert(first.get("publisher").asText() == "EMBO") // 1000.5 is the max
+    val multi = ok(
+      "/cube/bielefeld/aggregate?drilldown=publisher%7Cjournal_full_title")
+    assert(mapper.readTree(multi).get("cells").size() == 3) // 1 journal each
+  }
+
+  test("HOWTO q9: institutional model lists dimensions incl. institution_ror") {
+    val body = ok("/cube/bielefeld/model")
+    val model = mapper.readTree(body)
+    assert(model.get("label").asText() == "Bielefeld University openAPC data cube")
+    val dims = (0 until model.get("dimensions").size())
+      .map(model.get("dimensions").get(_).get("name").asText())
+    assert(dims.contains("institution_ror") && dims.contains("period"))
+  }
+
+  test("HOWTO q11: range cut on period (the one rangeable dim)") {
+    val body = ok("/cube/openapc/aggregate?cut=period:2019~2020")
+    // fixture apc rows in [2019, 2020]: abc1, abc2, abc3, paper4, abc6
+    assert(mapper.readTree(body).get("summary").get("apc_num_items").asInt() == 5)
+  }
+
+  test("HOWTO q12: drilldown + cut composed on the full data set") {
+    val body = ok("/cube/openapc/aggregate?drilldown=institution&cut=country:DEU")
+    val cells = mapper.readTree(body).get("cells")
+    val insts = (0 until cells.size()).map(cells.get(_).get("institution").asText())
+    assert(insts.sorted == Seq("Bielefeld U", "Konstanz U"))
+  }
+
+  test("HOWTO q13: the full combination — 2-dim drilldown, 2 cuts, order, page") {
+    val body = ok("/cube/combined/aggregate?drilldown=publisher%7Cinstitution" +
+      "&cut=country:DEU%7Cis_hybrid:FALSE&order=apc_num_items&pagesize=500&page=0")
+    val tree = mapper.readTree(body)
+    assert(tree.get("cells").size() == tree.get("total_cell_count").asInt())
+    assert(tree.get("summary").get("apc_num_items").asInt() > 0)
+  }
+
+  test("HOWTO q14: DOI lookup via doi_lookup facts cut, with back-link url") {
+    val hit = ok("/cube/doi_lookup/facts?cut=doi:10.99/book1")
+    assert(hit.contains(
+      "https://olap.openapc.net/cube/bpc/facts?cut=doi:10.99/book1"))
+    assert(ok("/cube/doi_lookup/facts?cut=doi:10.9999/absent") == "[]")
+  }
+
+  test("fact/<id> resolves a DOI directly on the openapc cube") {
+    val body = ok("/cube/openapc/fact/10.1002/abc1")
+    assert(body.contains("\"euro\":1000.5"))
+    assert(get("/cube/openapc/fact/10.9999/absent")._1 == 404)
+  }
+
+  test("model.json: parseable, institutional entries between openapc and the rest") {
+    val model = mapper.readTree(Files.readString(Paths.get(outDir, "model.json")))
+    assert(model.get("name").asText() == "openapc_model")
+    val cubes = model.get("cubes")
+    val names = (0 until cubes.size()).map(cubes.get(_).get("name").asText())
+    assert(names.head == "openapc")
+    assert(names.containsSlice(Seq("bielefeld", "bielefeld_apc_ac")))
+    assert(names.count(_ == "openapc") == 1)
+    // the AC institutional entry carries the count_distinct dedup aggregate
+    val acEntry = cubes.get(names.indexOf("bielefeld_apc_ac"))
+    val aggs = (0 until acEntry.get("aggregates").size()).map(acEntry.get("aggregates").get(_))
+    assert(aggs.exists(a => a.get("name").asText() == "apc_num_items" &&
+      a.get("function").asText() == "count_distinct"))
+    // dimension catalog present with descriptions
+    assert(model.get("dimensions").size() > 20)
+  }
+
+  test("yamls: one per institution, hierarchies in priority order, default first") {
+    val y = Files.readString(Paths.get(outDir, "yamls", "bielefeld.yaml"))
+    assert(y.contains("name: \"Bielefeld University\""))
+    assert(y.contains("default: apc"))
+    Seq("cube: bielefeld", "cube: bielefeld_apc_ac", "cube: bielefeld_bpc",
+      "cube: bielefeld_ta", "cube: bielefeld_deal")
+      .foreach(c => assert(y.contains(c), s"missing $c"))
+    // priority order: apc hierarchy before deal
+    assert(y.indexOf("    apc:") < y.indexOf("    deal:"))
+    // konstanz is not a deal participant -> no deal hierarchy
+    val k = Files.readString(Paths.get(outDir, "yamls", "konstanz.yaml"))
+    assert(!k.contains("deal:"))
+    // Wellcome has cubes_name=NA -> no yaml at all
+    assert(!Files.exists(Paths.get(outDir, "yamls", "NA.yaml")))
+  }
+
+  test("springer_compact_coverage is served from the written parquet") {
+    val body = ok("/cube/springer_compact_coverage/aggregate?drilldown=period")
+    val tree = mapper.readTree(body)
+    assert(tree.get("summary").get("springer_compact_articles").asInt() == 1)
+    assert(tree.get("total_cell_count").asInt() == 2)
+  }
+}
