@@ -793,8 +793,11 @@ object ExtensionQueries {
   // re-derives everything downstream of it independently -------------------
 
   /** x08 oracle: pigeonhole banding + exact hamming over the staged
-    * (id, sh) simhash table — chunk layout generated from the SAME
-    * simhashChunkSpec the Spark join uses, bit ops on BIGINT in DuckDB.
+    * (id, sh) simhash table, bit ops on BIGINT in DuckDB. The oracle uses
+    * the simple single-chunk (maxDist+1) scheme even where the engine
+    * bands on chunk pairs: BOTH schemes are complete and the hamming
+    * filter is exact, so the result set is scheme-independent — which is
+    * precisely what this oracle proves.
     */
   private def x08Sql: String = {
     val maxDist = 10

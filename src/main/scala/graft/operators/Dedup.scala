@@ -307,11 +307,14 @@ object Dedup {
     * WWW'07 §3). The exact `hamming ≤ maxDist` filter after the join
     * removes false candidates, so the result is exact.
     *
-    * Scale note: chunk width is 60/(maxDist+1) bits, so large maxDist
-    * means coarse chunks and bigger candidate buckets (maxDist=10 → 5-6
-    * bit chunks → ≤ 64 distinct values per chunk). At billions of rows
-    * keep maxDist ≤ 5, or pre-partition by a second chunk before the
-    * per-bucket pair expansion.
+    * Scale note: single-chunk keys are 60/(maxDist+1) bits wide, so large
+    * maxDist means coarse chunks and bucket sizes ~n/2^6 at maxDist=10 —
+    * quadratic pain at billions of rows. For maxDist > 5 the banding
+    * therefore switches to TWO-CHUNK keys: with `maxDist + 2` chunks any
+    * pair within the bound still agrees on ≥ 2 chunks (pigeonhole), hence
+    * on at least one PAIR of chunks — the join key carries both chunks'
+    * bits (double the key entropy, squared bucket shrinkage) at the cost
+    * of C(maxDist+2, 2) explode rows per doc. Still COMPLETE and exact.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
@@ -324,10 +327,16 @@ object Dedup {
     * chunks get one extra bit. Shared by the banding join AND the oracle
     * SQL builder, so the two cannot drift.
     */
-  def simhashChunkSpec(maxDist: Int): Seq[(Int, Int, Long)] = {
-    val nChunks = maxDist + 1
+  def simhashChunkSpec(maxDist: Int): Seq[(Int, Int, Long)] =
+    chunkSpecOf(maxDist + 1)
+
+  /** Even-as-possible split of the 60 signature bits into nChunks chunks:
+    * (chunk index, bit offset, value mask); the first 60 % nChunks chunks
+    * get one extra bit.
+    */
+  private def chunkSpecOf(nChunks: Int): Seq[(Int, Int, Long)] = {
     require(nChunks >= 1 && nChunks <= 60,
-      s"maxDist must be in [0, 59], got $maxDist")
+      s"chunk count must be in [1, 60], got $nChunks")
     val base = 60 / nChunks; val rem = 60 % nChunks
     val widths = (0 until nChunks).map(c => if (c < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
@@ -338,17 +347,37 @@ object Dedup {
     * the downstream half of [[simhashPairs]], callable over a staged/
     * persisted signature frame (the per-doc signature computation is the
     * engine-specific part; everything from here is relational algebra).
+    * maxDist ≤ 5 bands on single chunks; above that on chunk PAIRS (see
+    * [[simhashPairs]]'s scale note) — the result set is identical either
+    * way (both schemes are complete; the hamming filter is exact).
     */
   def simhashPairsOf(sh: DataFrame, maxDist: Int): DataFrame = {
-    val chunked = sh.select(col("id"), col("sh"), explode(
-      array(simhashChunkSpec(maxDist).map { case (c, off, mask) =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), off).bitwiseAND(mask).as("chunk_val"))
-      }: _*)).as("ck"))
-      .select(col("id"), col("sh"), col("ck.chunk"), col("ck.chunk_val"))
+    // (bucket-key struct per explode row) for the chosen scheme
+    val keys: Seq[Column] =
+      if (maxDist <= 5)
+        chunkSpecOf(maxDist + 1).map { case (c, off, mask) =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), off).bitwiseAND(mask).as("v1"),
+            lit(0L).as("v2"))
+        }
+      else {
+        // pigeonhole on pairs: maxDist+2 chunks → ≥2 agreeing chunks →
+        // ≥1 agreeing chunk PAIR; key = both chunks' values
+        val spec = chunkSpecOf(maxDist + 2)
+        for {
+          (c1, o1, m1) <- spec
+          (c2, o2, m2) <- spec if c2 > c1
+        } yield struct(lit(c1 * 64 + c2).as("chunk"),
+          shiftright(col("sh"), o1).bitwiseAND(m1).as("v1"),
+          shiftright(col("sh"), o2).bitwiseAND(m2).as("v2"))
+      }
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(array(keys: _*)).as("ck"))
+      .select(col("id"), col("sh"),
+        col("ck.chunk"), col("ck.v1"), col("ck.v2"))
     val pairs = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
@@ -452,23 +481,27 @@ object Dedup {
     * become droppable once closed transitively — a≈b, b≈c must collapse to
     * one keeper even when a≉c directly.
     *
-    * Algorithm: min-label propagation — each round every node takes the min
-    * of its own label and its neighbors'; converges in O(component
-    * diameter) rounds. Near-dup clusters are shallow (duplicates of a
-    * common source), so this is 2-4 shuffles in practice; the driver loop
-    * only coordinates (one count per round), all data work is distributed.
-    * For graphs with long chains swap in the large-star/small-star
-    * alternation — same contract.
+    * Distributed algorithm: the large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * each round rewires every node's strictly-larger neighbors
+    * (large-star), then its smaller-or-equal neighbors (small-star), to
+    * the minimum of its neighborhood. Converges to per-component stars
+    * rooted at the minimum id in O(log n) rounds on ANY graph shape —
+    * unlike min-label propagation, whose round count is the component
+    * DIAMETER (a 10⁶-long chain would need 10⁶ shuffles; the star
+    * alternation needs ~20). Each half-step is one groupBy + one join,
+    * all distributed; the driver only compares a per-round checksum for
+    * the fixpoint test.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, collectThreshold: Long = 5000000L): DataFrame = {
+      maxIter: Int = 50, collectThreshold: Long = 5000000L): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // Size-adaptive: the candidate-pair graph is tiny relative to the
     // corpus (it exists only where near-dups exist), so up to
     // `collectThreshold` edges a driver-side union-find (milliseconds)
     // beats an iterative distributed loop (seconds of per-job fixed cost).
-    // Above the threshold — or for non-long ids — the label-propagation
-    // loop below is the scale path.
+    // Above the threshold — or for non-long ids — the star alternation
+    // below is the scale path.
     val longIds = pairs.schema(aCol).dataType == LongType &&
       pairs.schema(bCol).dataType == LongType
     // persist BEFORE the size probe: the threshold count and the
@@ -479,39 +512,82 @@ object Dedup {
     if (longIds &&
         cachedPairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
       return componentsLocal(cachedPairs, aCol, bCol)
-    // edges pre-partitioned on the probe key: the cached InMemoryRelation
-    // keeps its outputPartitioning, so each iteration's join reshuffles
-    // only the (much smaller) label frame
-    val edges = cachedPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(cachedPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .repartition(col("dst")).persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var labels = cached
-    var changed = 1L
+
+    /** large-star: for every node u with m = min(N(u) ∪ {u}), connect each
+      * strictly-larger neighbor to m. One aggregation + one join.
+      */
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = bidir.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      bidir.join(m, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    /** small-star: direct each edge large→small; for every node a with
+      * m = min of its smaller neighbors, connect those neighbors AND a
+      * itself to m.
+      */
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b")).filter(col("a") =!= col("b"))
+      val m = directed.groupBy(col("a")).agg(min(col("b")).as("m"))
+      directed.join(m, Seq("a"))
+        .select(col("b").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("a").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    /** (count, hash-xor) fingerprint of a canonicalized edge set — the
+      * driver-side fixpoint test (two tiny numbers per round, not a
+      * collected edge list). bit_xor is order-insensitive and cannot
+      * overflow under ANSI; the edge set is distinct so nothing cancels.
+      */
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // localCheckpoint (eager) each round: an iterative plan built on its
+    // own previous round grows multiplicatively (each half-step references
+    // its input several times) — without lineage truncation the logical
+    // plan explodes exponentially in the round count. Checkpointing
+    // materializes the (small) edge frame and restarts the plan from it.
+    // On a real cluster with executor churn, swap in reliable
+    // checkpointing (sc.setCheckpointDir + .checkpoint) — same contract.
+    var edges = cachedPairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var sig = checksum(edges)
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // one pass computes the new label AND whether it moved — the changed
-      // count is a metric on this frame, not a second join
-      val step = labels.as("l")
-        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"), col("l.label").as("old_label"),
-          least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
-            .as("label"))
-        .persist()
-      changed = step.filter(col("label") =!= col("old_label")).count()
-      cached.unpersist() // unpersist the FRAME that holds the cache, not a projection
-      cached = step
-      labels = step.select(col("id"), col("label"))
+    var converged = false
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
       i += 1
     }
-    edges.unpersist()
-    // the loop unpersists each superseded step; the FINAL step must stay
-    // cached until the caller's action — hand it to CacheScope
-    graft.engine.CacheScope.track(cached)
-    labels.select(col("id"), col("label").as("component"))
+    // fixpoint: `edges` is a star forest (child → component root). Roots
+    // appear only on the dst side; nodes from the ORIGINAL pairs that are
+    // roots (or isolated after self-loop removal) label themselves.
+    val nodes = cachedPairs.select(col(aCol).as("id"))
+      .unionByName(cachedPairs.select(col(bCol).as("id"))).distinct()
+    graft.engine.CacheScope.track(edges)
+    // min per src: at the fixpoint each child has exactly one root edge,
+    // but if maxIter cut the loop short the min keeps the result a function
+    val roots = edges.groupBy(col("src")).agg(min(col("dst")).as("root"))
+    nodes.join(roots.select(col("src").as("id"), col("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
 
   /** Driver-side union-find with path compression + union-by-min: the

@@ -80,44 +80,73 @@ object Layout {
     * stats. This is the lakehouse OPTIMIZE ZORDER technique expressed as
     * plain Catalyst expressions — no UDF, fully codegen'd.
     *
-    * Equal-width bucketing is skew-sensitive; swap in quantile boundaries
-    * (approxQuantile → when-chain) for heavily skewed dims.
+    * Equal-width bucketing (the default) is skew-sensitive: a heavy-tailed
+    * column packs most rows into one bucket, and bands inside the dense
+    * region then cannot prune at all. `quantileBuckets = true` switches to
+    * QUANTILE boundaries (one approxQuantile pass over all z-columns):
+    * buckets hold ~equal row counts by construction, so pruning quality is
+    * distribution-independent. The per-row bucket lookup scans a ≤255-
+    * element literal boundary array — a write-time-only cost.
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int = 0, targetRowGroupBytes: Long = 0L): Unit = {
+      numFiles: Int = 0, targetRowGroupBytes: Long = 0L,
+      quantileBuckets: Boolean = false): Unit = {
     require(zCols.size >= 2, "z-ordering needs >= 2 columns")
     // bit position j*n+i must stay below 64: with 8-bit buckets the max is
     // 7*n+(n-1); more than 8 columns would wrap the shift amount mod 64 and
     // silently scramble the Morton code (pruning quality collapses)
     require(zCols.size <= 8, s"z-ordering supports at most 8 columns, got ${zCols.size}")
     import org.apache.spark.sql.functions.{shiftleft, shiftright, lit}
-    val aggs = zCols.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(col(c)).cast("double"),
-      org.apache.spark.sql.functions.max(col(c)).cast("double")))
-    val statRow = df.agg(aggs.head, aggs.tail: _*).collect().head
     val bits = 8
-    val bucketed = zCols.zipWithIndex.map { case (c, i) =>
-      val degenerate = statRow.isNullAt(2 * i) || statRow.isNullAt(2 * i + 1) ||
-        statRow.getDouble(2 * i) == statRow.getDouble(2 * i + 1)
-      if (degenerate)
-        // constant or all-NULL column: width_bucket(lo==hi) would return
-        // NULL for EVERY row, collapsing __z to one partition — a constant
-        // contributes nothing to ordering, so bucket it as 0 instead
-        lit(0L)
-      else {
-        val (lo, hi) = (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1))
-        // width_bucket → 1..2^bits+1; clamp to 0..2^bits-1 (NULL values
-        // land in bucket 0 via the greatest/coalesce below)
-        org.apache.spark.sql.functions.least(
-          org.apache.spark.sql.functions.greatest(
-            org.apache.spark.sql.functions.coalesce(
-              org.apache.spark.sql.functions.width_bucket(
-                col(c).cast("double"), lit(lo), lit(hi), lit(1 << bits)),
-              lit(1L)) - 1,
-            lit(0L)),
-          lit((1L << bits) - 1))
+    val bucketed: Seq[org.apache.spark.sql.Column] =
+      if (quantileBuckets) {
+        // one pass computes all columns' interior quantiles; nulls are
+        // ignored by the sketch and bucket to 0 below
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        val casted = df.select(zCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__zq$i") }: _*)
+        val bounds = casted.stat.approxQuantile(
+          zCols.indices.map(i => s"__zq$i").toArray, probs, 0.001)
+        zCols.zipWithIndex.map { case (c, i) =>
+          val bs = bounds(i).distinct.sorted
+          if (bs.length <= 1) lit(0L) // constant/empty column: no ordering info
+          else {
+            // bucket = #boundaries <= value (0..255); NULL compares to
+            // null -> filtered out -> bucket 0
+            val arr = org.apache.spark.sql.functions.array(bs.map(lit): _*)
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(arr,
+                b => b <= col(c).cast("double"))).cast("long")
+          }
+        }
+      } else {
+        val aggs = zCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("double"),
+          org.apache.spark.sql.functions.max(col(c)).cast("double")))
+        val statRow = df.agg(aggs.head, aggs.tail: _*).collect().head
+        zCols.zipWithIndex.map { case (c, i) =>
+          val degenerate = statRow.isNullAt(2 * i) || statRow.isNullAt(2 * i + 1) ||
+            statRow.getDouble(2 * i) == statRow.getDouble(2 * i + 1)
+          if (degenerate)
+            // constant or all-NULL column: width_bucket(lo==hi) would return
+            // NULL for EVERY row, collapsing __z to one partition — a constant
+            // contributes nothing to ordering, so bucket it as 0 instead
+            lit(0L)
+          else {
+            val (lo, hi) = (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1))
+            // width_bucket → 1..2^bits+1; clamp to 0..2^bits-1 (NULL values
+            // land in bucket 0 via the greatest/coalesce below)
+            org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.greatest(
+                org.apache.spark.sql.functions.coalesce(
+                  org.apache.spark.sql.functions.width_bucket(
+                    col(c).cast("double"), lit(lo), lit(hi), lit(1 << bits)),
+                  lit(1L)) - 1,
+                lit(0L)),
+              lit((1L << bits) - 1))
+          }
+        }
       }
-    }
     // interleave: bit j of column i lands at position j*nCols + i
     val n = zCols.size
     val z = (0 until bits).flatMap { j =>

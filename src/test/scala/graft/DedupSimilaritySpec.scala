@@ -121,6 +121,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("components: a LONG CHAIN converges distributed in O(log n) rounds") {
+    import spark.implicits._
+    // a 2000-node chain has diameter 1999: min-label propagation would need
+    // 1999 rounds; the large-star/small-star alternation must close it
+    // within the default maxIter (~log2 n alternations). collectThreshold=0
+    // forces the distributed path.
+    val n = 2000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, "id_a", "id_b", collectThreshold = 0L)
+    assert(comp.count() == n)
+    assert(comp.filter(col("component") =!= 0L).count() == 0,
+      "chain did not collapse to the minimum id")
+  }
+
+  test("two-chunk simhash banding shrinks candidate buckets vs single-chunk") {
+    // at maxDist=10 single chunks are 5-6 bits (<= 64 values) — candidate
+    // buckets grow ~n²/2^5.45; pairing on chunk PAIRS doubles the key
+    // entropy. Verify the candidate-pair count shrinks and stays a
+    // superset of the true pairs (completeness is the d=10 case of the
+    // banding test above).
+    val sh = graft.engine.CacheScope.persistTracked(
+      Dedup.simhashTable(docs, "doc_id", "text"))
+    def candidates(spec: Seq[(Int, Int, Long)], pairKeys: Boolean): Long = {
+      val keys =
+        if (!pairKeys) spec.map { case (c, off, mask) =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), off).bitwiseAND(mask).as("v1"), lit(0L).as("v2")) }
+        else for { (c1, o1, m1) <- spec; (c2, o2, m2) <- spec if c2 > c1 }
+          yield struct(lit(c1 * 64 + c2).as("chunk"),
+            shiftright(col("sh"), o1).bitwiseAND(m1).as("v1"),
+            shiftright(col("sh"), o2).bitwiseAND(m2).as("v2"))
+      val ck = sh.select(col("id"), explode(array(keys: _*)).as("ck"))
+        .select(col("id"), col("ck.chunk"), col("ck.v1"), col("ck.v2"))
+      ck.as("a").join(ck.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.v1") === col("b.v1") &&
+            col("a.v2") === col("b.v2") && col("a.id") < col("b.id"))
+        .select("a.id", "b.id").distinct().count()
+    }
+    val single = candidates(Dedup.simhashChunkSpec(10), pairKeys = false)
+    val double = candidates(
+      // the two-chunk layout the engine uses at maxDist=10 (12 chunks)
+      Dedup.simhashChunkSpec(10 + 1), pairKeys = true)
+    assert(double < single,
+      s"two-chunk candidates ($double) not smaller than single-chunk ($single)")
+    graft.engine.CacheScope.drain()
+  }
+
   test("simhashPairs is COMPLETE at its maxDist (pigeonhole banding)") {
     import spark.implicits._
     // ground truth: brute-force every pair's Hamming distance

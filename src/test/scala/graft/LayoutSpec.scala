@@ -139,6 +139,37 @@ class LayoutSpec extends SparkSpec {
       li.filter(col("l_partkey").between(pLo, pHi)).count())
   }
 
+  test("quantile z-order prunes a dense-region band that equal-width cannot") {
+    // heavy-tailed dim: 90% of rows in [0, 100), 10% flung to ~1e10.
+    // Equal-width buckets over [0, max] put ALL dense rows in bucket 0 —
+    // a band inside the dense region then reads ~everything; quantile
+    // boundaries subdivide the dense mass and restore pruning.
+    val li = Tables.table(spark, sf("sf0.01"), "lineitem")
+      .withColumn("skewed",
+        when(col("l_orderkey") % 10 === 0,
+          (col("l_orderkey") % 1000) * 10000000L)
+          .otherwise(col("l_orderkey") % 100))
+    val total = li.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zq").toString
+    Layout.writeZOrdered(li, s"$tmp/eq", Seq("skewed", "l_partkey"),
+      numFiles = 2, targetRowGroupBytes = 64 * 1024)
+    Layout.writeZOrdered(li, s"$tmp/q", Seq("skewed", "l_partkey"),
+      numFiles = 2, targetRowGroupBytes = 64 * 1024, quantileBuckets = true)
+    def band(path: String): Long =
+      scanOutputRows(spark.read.parquet(path)
+        .filter(col("skewed") >= 10 && col("skewed") <= 20))
+    val eqRead = band(s"$tmp/eq")
+    val qRead = band(s"$tmp/q")
+    assert(qRead < total / 2, s"quantile z-order read $qRead of $total")
+    assert(qRead < eqRead,
+      s"quantile ($qRead) did not beat equal-width ($eqRead) on the skewed dim")
+    // the rewrite preserves the data and the answer
+    assert(spark.read.parquet(s"$tmp/q").count() == total)
+    assert(spark.read.parquet(s"$tmp/q")
+      .filter(col("skewed").between(10, 20)).count() ==
+      li.filter(col("skewed").between(10, 20)).count())
+  }
+
   test("ensureBucketed adopts an existing layout without rewriting") {
     val li = Tables.table(spark, sf("sf0.001"), "lineitem")
       .select("l_orderkey", "l_quantity")
