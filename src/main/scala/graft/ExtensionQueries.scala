@@ -180,10 +180,10 @@ object ExtensionQueries {
     // over the staged table and are oracle-checked in DuckDB over the same
     // files (gram-hash correctness itself is locked by DedupSimilaritySpec)
     "x15_winnow_overlap" -> ((s, dir) => {
-      Stage.write(Dedup.winnowGrams(table(s, dir, "documents"), "doc_id",
-        "text", k = 7), dir, "x15_grams")
-      Dedup.winnowOverlapPairsOf(
-        Dedup.winnowFingerprintsOf(Stage.read(s, dir, "x15_grams"), w = 8),
+      val grams = graft.engine.CacheScope.persistTracked(
+        Dedup.winnowGrams(table(s, dir, "documents"), "doc_id", "text", k = 7))
+      Stage.write(grams, dir, "x15_grams")
+      Dedup.winnowOverlapPairsOf(Dedup.winnowFingerprintsOf(grams, w = 8),
         minShared = 2, maxDocFreq = Some(20))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -200,9 +200,10 @@ object ExtensionQueries {
     // table and are oracle-checked in DuckDB (BIGINT bit ops) over the
     // same files (signature semantics locked by DedupSimilaritySpec)
     "x08_simhash_pairs" -> ((s, dir) => {
-      Stage.write(Dedup.simhashTable(table(s, dir, "documents"), "doc_id",
-        "text"), dir, "x08_simhash")
-      Dedup.simhashPairsOf(Stage.read(s, dir, "x08_simhash"), maxDist = 10)
+      val sh = graft.engine.CacheScope.persistTracked(
+        Dedup.simhashTable(table(s, dir, "documents"), "doc_id", "text"))
+      Stage.write(sh, dir, "x08_simhash")
+      Dedup.simhashPairsOf(sh, maxDist = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
     // x09: embedding-cosine near-dup pairs

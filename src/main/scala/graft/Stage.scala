@@ -28,21 +28,29 @@ object Stage {
   /** Literal token oracle SQL embeds where the staging dir belongs. */
   val placeholder = "__GRAFT_STAGE_DIR__"
 
+  /** Staging only happens under the Verify runner (which [[enable]]s it):
+    * the staged dumps exist solely for the DuckDB oracle, so Bench and
+    * PlanAudit runs of the same queries skip the writes — the timed/
+    * audited plan is the operator itself. The dumped frame and the query
+    * result derive from the same persisted intermediate, so the oracle
+    * still sees exactly the data the result was computed from.
+    */
+  def enabled: Boolean = sys.props.get("graft.stage.enabled").contains("1")
+
+  def enable(): Unit = sys.props("graft.stage.enabled") = "1"
+
   def dir(sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-stage-$sfName"
   }
 
-  /** Overwrite-write `df` as the staged intermediate `name` for this sf. */
-  def write(df: DataFrame, sfDir: String, name: String): Unit =
-    df.write.mode("overwrite").parquet(s"${dir(sfDir)}/$name")
-
-  /** Read a staged intermediate back (the downstream Spark computation
-    * consumes the SAME files the oracle will read).
+  /** Overwrite-write `df` as the staged intermediate `name` for this sf.
+    * `df` is by-name: when staging is disabled it is never even built, so
+    * staging-only frames (e.g. LSH bucket exports) cost nothing outside
+    * Verify.
     */
-  def read(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      name: String): DataFrame =
-    spark.read.parquet(s"${dir(sfDir)}/$name")
+  def write(df: => DataFrame, sfDir: String, name: String): Unit =
+    if (enabled) df.write.mode("overwrite").parquet(s"${dir(sfDir)}/$name")
 
   /** `read_parquet` reference for oracle SQL (placeholder substituted by
     * Verify at dump time).

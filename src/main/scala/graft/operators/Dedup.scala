@@ -352,13 +352,11 @@ object Dedup {
     * way (both schemes are complete; the hamming filter is exact).
     */
   def simhashPairsOf(sh: DataFrame, maxDist: Int): DataFrame = {
-    // (bucket-key struct per explode row) for the chosen scheme
-    val keys: Seq[Column] =
+    // (bucket id, chunk spec(s)) per explode row for the chosen scheme
+    val keySpecs: Seq[(Int, Seq[(Int, Long)])] =
       if (maxDist <= 5)
         chunkSpecOf(maxDist + 1).map { case (c, off, mask) =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sh"), off).bitwiseAND(mask).as("v1"),
-            lit(0L).as("v2"))
+          (c, Seq((off, mask)))
         }
       else {
         // pigeonhole on pairs: maxDist+2 chunks → ≥2 agreeing chunks →
@@ -367,15 +365,29 @@ object Dedup {
         for {
           (c1, o1, m1) <- spec
           (c2, o2, m2) <- spec if c2 > c1
-        } yield struct(lit(c1 * 64 + c2).as("chunk"),
-          shiftright(col("sh"), o1).bitwiseAND(m1).as("v1"),
-          shiftright(col("sh"), o2).bitwiseAND(m2).as("v2"))
+        } yield (c1 * 64 + c2, Seq((o1, m1), (o2, m2)))
       }
-    val chunked = sh.select(col("id"), col("sh"),
+    val keys: Seq[Column] = keySpecs.map { case (id, parts) =>
+      val vs = parts.zipWithIndex.map { case ((off, mask), i) =>
+        shiftright(col("sh"), off).bitwiseAND(mask).as(s"v${i + 1}")
+      }
+      val v2 = if (parts.size > 1) vs(1) else lit(0L).as("v2")
+      struct(lit(id).as("chunk") +: vs.head +: v2 +: Nil: _*)
+    }
+    // widen: the signature frame may arrive narrow (a small staged parquet
+    // is ONE partition) and the explode + bucket self-join below must not
+    // serialize on one core (see `widen`'s scaladoc)
+    val chunked = widen(sh).select(col("id"), col("sh"),
       explode(array(keys: _*)).as("ck"))
       .select(col("id"), col("sh"),
         col("ck.chunk"), col("ck.v1"), col("ck.v2"))
-    val pairs = chunked.as("a").join(chunked.as("b"),
+    // A pair within the bound shares MANY buckets, so the bucket join
+    // emits it several times; distinct() dedups. (Measured alternative:
+    // deciding the pair's canonical agreeing bucket inline from
+    // sh_a XOR sh_b avoids the dedup shuffle but pushes a large
+    // conditional into the join residual, knocking it out of codegen —
+    // 10-25x SLOWER than the narrow-row distinct at bench scale.)
+    chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
           col("a.id") < col("b.id"))
@@ -383,7 +395,6 @@ object Dedup {
         hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-    pairs
   }
 
   // ---- winnowing (rolling-hash local fingerprints) -----------------------
