@@ -119,6 +119,60 @@ object ExtensionQueries {
         .filter(col("rank") <= 5)
         .orderBy(col("lang"), col("rank"))
     }),
+    // x37: repetition quality signals (the Gopher-style filters): fraction
+    // of repeated tokens and the most-frequent-bigram share. The bigram
+    // mode is computed DISTRIBUTED (explode → per-(doc,bigram) count →
+    // per-doc max), not as a per-row nested HOF — O(tokens) rows through
+    // two hash aggregates instead of O(tokens²) per document
+    "x37_repetition" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val base = toks.select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"))
+      val top = toks
+        .select(col("doc_id"),
+          explode(TextFunctions.bigramsOf(col("ts"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          graft.functions.EngineMath.roundAway(
+            when(col("n_tokens") > 0, lit(1.0) -
+              col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .otherwise(lit(0.0)), 4).as("dup_token_frac"),
+          graft.functions.EngineMath.roundAway(
+            coalesce(col("top_c").cast("double") / col("n_bg").cast("double"),
+              lit(0.0)), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+    // x38: PII pattern scan + redaction accounting — email/phone patterns
+    // counted and redacted per document. The corpus carries no PII, so
+    // deterministic markers are synthesized in-query (the b20 precedent);
+    // regexes are fixed-shape and behave identically in Java regex and
+    // DuckDB's RE2
+    "x38_pii_scan" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" call 555-123-4567 today")).otherwise(lit("")))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      table(s, dir, "documents").select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          length(regexp_replace(
+            regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
     // x04: document fingerprinting (normalised md5)
     "x04_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -695,6 +749,29 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x37_repetition" ->
+      (s"WITH m AS (SELECT doc_id, $toks AS ts FROM documents), " +
+        "b AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM m), " +
+        "g AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg FROM m), " +
+        "c AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM c GROUP BY 1) " +
+        "SELECT b.doc_id, " +
+        "round(CASE WHEN n > 0 THEN 1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END, 4) AS dup_token_frac, " +
+        "round(coalesce(CAST(top_c AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0), 4) AS top_bigram_frac " +
+        "FROM b LEFT JOIN t USING (doc_id) ORDER BY doc_id"),
+    "x38_pii_scan" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      "WITH s AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today' ELSE '' END AS t " +
+        "FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), " +
+        s"'$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len " +
+        "FROM s ORDER BY doc_id"
+    },
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(

@@ -51,6 +51,16 @@ object TextFunctions {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Consecutive token 2-grams WITH multiplicity (unlike [[shingles]],
+    * which dedups): the input to repetition statistics, where how often a
+    * bigram repeats is the signal. Empty below 2 tokens.
+    */
+  def bigramsOf(ts: Column): Column =
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", slice(ts, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Per-language stopword marker sets for the n-gram language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "that", "it", "was"),
