@@ -110,6 +110,29 @@ class ServerSpec extends SparkSpec {
     assert(body == s"""{"dimension":"l_returnflag","values":[$direct]}""")
   }
 
+  test("concurrent requests: parallel aggregate/facts/members all correct") {
+    // the server executor handles 4 requests at once over one shared
+    // SparkSession; interleaved requests must not corrupt each other
+    // (no shared mutable per-request state, CacheScope never involved)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Seq(
+      "/cube/lineitem/aggregate?drilldown=l_returnflag",
+      "/cube/lineitem/facts?page=0&pagesize=5",
+      "/cube/lineitem/members/l_linestatus",
+      "/cube/orders/aggregate?drilldown=o_orderpriority")
+    val baselines = paths.map(p => get(p)._2)
+    val rounds = Future.traverse(1 to 4) { _ =>
+      Future.traverse(paths)(p => Future(get(p)))
+    }
+    val all = Await.result(rounds, 2.minutes)
+    all.foreach(_.zip(baselines).foreach { case ((code, body), expected) =>
+      assert(code == 200)
+      assert(body == expected, "concurrent response diverged from sequential")
+    })
+  }
+
   test("unknown cube → 404; malformed query → 400") {
     assert(get("/cube/nope/facts")._1 == 404)
     assert(get("/cube/lineitem/aggregate?page=1")._1 == 400) // missing pagesize
