@@ -89,6 +89,16 @@ class ServerSpec extends SparkSpec {
     assert(get("/cube/lineitem/fact/1")._1 == 400) // arity mismatch
   }
 
+  test("aggregate with a nothing-matches cut: empty cells, zero-count summary") {
+    val (code, body) = get(
+      "/cube/lineitem/aggregate?drilldown=l_returnflag&cut=l_returnflag:ZZZ")
+    assert(code == 200)
+    // ROLLUP over zero rows emits no grand-total row; the server falls
+    // back to the ungrouped aggregate (count 0, null sums)
+    assert(body.contains("\"cells\":[]") && body.contains("\"total_cell_count\":0"))
+    assert(body.contains("\"n_items\":0"))
+  }
+
   test("GET facts: pagination is stable, pages concatenate (HOWTO q3/q4)") {
     val p0 = get("/cube/lineitem/facts?page=0&pagesize=5")._2
     val p1 = get("/cube/lineitem/facts?page=1&pagesize=5")._2
