@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * frame-sample as partition-batched transforms.
   *
   * The Spark-side plumbing — schemas, encoders, partition batching, fan-out
-  * shape — is real and tested. The pixel/sample DECODE STEP IS A STUB
-  * (`StubCodec`): this container has no image/audio libraries, so it derives
-  * deterministic fake dimensions from the byte stream. Swapping in a real
-  * codec changes only the body of `StubCodec.decode`, nothing in the
-  * dataflow.
+  * shape — is real and tested, and the decode step is a pluggable
+  * [[Multimodal.MediaCodec]]. Two codecs ship: the deterministic
+  * `StubCodec` (the default — the driver's synthetic payloads are UTF-8
+  * text, not media containers, and determinism is what lets DuckDB oracle
+  * the accounting) and the REAL `ImageIoCodec` backed by the JDK's
+  * built-in ImageIO (PNG/JPEG/BMP/GIF — no external libraries), which
+  * MultimodalSpec drives through the same `decodeAll` dataflow on actual
+  * encoded images. Video/audio formats still need an external binding
+  * behind the same seam.
   *
   * Scale notes: blobs ride through the scan as binary columns (parquet keeps
   * them out of dictionary encoding); decode is `mapPartitions`, so per-batch
@@ -34,11 +38,25 @@ object Multimodal {
   /** One sampled frame of a (fake-)video asset. */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** THE STUB: deterministic pseudo-decode. A real build replaces this
-    * object with a codec-backed implementation (javax.imageio / ffmpeg
-    * bindings); everything downstream keeps its schema.
+  /** The codec seam: everything downstream (partition batching, schemas,
+    * fan-out) is codec-agnostic. Two implementations ship — the
+    * deterministic stub (default; the driver's synthetic payloads are not
+    * real media, and the oracle checks its accounting), and a REAL
+    * JDK-ImageIO-backed codec ([[ImageIoCodec]]) proving the slot-in on
+    * actual encoded images (MultimodalSpec round-trips generated PNGs/BMPs
+    * through the same `decodeAll` dataflow).
     */
-  object StubCodec {
+  trait MediaCodec extends Serializable {
+    def decode(format: String, blob: Array[Byte]): (Int, Int, Int)
+    def features(blob: Array[Byte], dims: Int = 16): Array[Float]
+  }
+
+  /** THE STUB: deterministic pseudo-decode. The driver's synthetic blobs
+    * are UTF-8 text, not media containers, so dimensions are derived from
+    * the byte stream — deterministically, which is what lets DuckDB
+    * oracle the accounting (x12/x36).
+    */
+  object StubCodec extends MediaCodec {
     def decode(format: String, blob: Array[Byte]): (Int, Int, Int) = {
       val n = blob.length
       val width = (n % 640) + 1
@@ -67,6 +85,49 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF —
+    * no external libraries): true pixel dimensions and color components,
+    * features = per-band mean luminance over `dims` horizontal bands.
+    * This is the production shape for image columns; formats ImageIO
+    * doesn't carry (video, audio) still need an external binding behind
+    * the same [[MediaCodec]] seam.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(blob: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    def decode(format: String, blob: Array[Byte]): (Int, Int, Int) = {
+      val img = read(blob)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+
+    def features(blob: Array[Byte], dims: Int = 16): Array[Float] = {
+      val img = read(blob)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](dims)
+      val counts = new Array[Int](dims)
+      var y = 0
+      while (y < h) {
+        val band = y * dims / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3f
+          out(band) += lum
+          counts(band) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var d = 0
+      while (d < dims) { if (counts(d) > 0) out(d) /= counts(d); d += 1 }
+      out
+    }
+  }
+
   /** Fake a media table from the documents table: UTF-8 payload bytes with a
     * round-robin container format. (Stands in for `spark.read.format
     * ("binaryFile")` or a parquet table with a binary column.)
@@ -79,17 +140,20 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("blob"))
 
   /** Partition-batched decode: one iterator pass per partition, codec init
-    * amortised (the `StubCodec` stands where a per-partition
-    * `ImageIO`/`avcodec` context would be created once).
+    * amortised (a stateful codec would open its context once per
+    * partition here). The codec is a parameter: the stub for the
+    * synthetic/oracle path, [[ImageIoCodec]] (or an external binding) for
+    * real media — the dataflow is identical.
     */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def decodeAll(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: init codec context here, once per partition
+      // a stateful codec context would be created here, once per partition
       rows.map { r =>
-        val (w, h, c) = StubCodec.decode(r.format, r.blob)
+        val (w, h, c) = codec.decode(r.format, r.blob)
         DecodedRow(r.media_id, r.format, w, h, c, r.blob.length.toLong,
-          StubCodec.features(r.blob))
+          codec.features(r.blob))
       }
     }
   }

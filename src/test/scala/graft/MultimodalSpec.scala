@@ -37,6 +37,35 @@ class MultimodalSpec extends SparkSpec {
     assert(png.map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("REAL codec slot-in: JDK ImageIO decodes actual PNGs/BMPs through the same dataflow") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      // height >= 16 so every luminance band has pixels
+      MediaRow(1L, "png", imageBytes("png", 17, 18, 0xFF8040)),
+      MediaRow(2L, "png", imageBytes("png", 5, 23, 0x102030)),
+      MediaRow(3L, "bmp", imageBytes("bmp", 31, 2, 0x000000))).toDS()
+    val out = Multimodal.decodeAll(media, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    // TRUE pixel dimensions, not byte-derived fakes
+    assert((out(0).width, out(0).height) == (17, 18))
+    assert((out(1).width, out(1).height) == (5, 23))
+    assert((out(2).width, out(2).height) == (31, 2))
+    assert(out.forall(_.channels == 3))
+    // uniform-color image: every luminance band equals the pixel luminance
+    val lum = (0xFF + 0x80 + 0x40) / 3f
+    assert(out(0).features.forall(f => math.abs(f - lum) <= 1f),
+      s"luminance bands ${out(0).features.mkString(",")} != $lum")
+    assert(out(2).features.forall(_ == 0f)) // black image
+  }
+
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val nVideos = media.filter(_.format == "webm").count()
