@@ -365,6 +365,15 @@ object ExtensionQueries {
       val q = toks.select(
         TextFunctions.langIdOf(col("ts")).as("lang"),
         TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
+      // the order-statistic oracle is valid only while the GK summary is
+      // lossless, i.e. every group stays under the accuracy — fail loudly
+      // instead of letting a bigger corpus surface as a baffling oracle
+      // mismatch (the sketch would be within-error but not exact)
+      val maxGroup = q.groupBy(col("lang")).count()
+        .agg(max(col("count"))).collect().head.getLong(0)
+      require(maxGroup < 10000,
+        s"x26 oracle needs every language group < accuracy 10000 rows for " +
+          s"GK exactness; largest group has $maxGroup — raise the accuracy")
       q.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
         percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.75)),

@@ -30,18 +30,10 @@ object Verify {
       }
       finally graft.engine.CacheScope.drain()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape (graft.util.Json): a tab or CR in
+    // builder-authored SQL would otherwise make the driver's json.load
+    // fail and silently zero the round's correctness.
+    def q(s: String): String = graft.util.Json.str(s)
     // staged-intermediate oracles reference Stage.placeholder; resolve it
     // to THIS run's sf-keyed staging dir (only Verify knows the sf)
     val json = SparkEntry.oracleSql

@@ -225,14 +225,24 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     val rolled = applyCuts(q.cuts).rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
       .filter(col("grouping_level") === 0 || col("grouping_level") === grand)
       .persist()
-    val total = rolled.filter(col("grouping_level") === 0).count()
-    val summaryDf = rolled.filter(col("grouping_level") === grand)
-      .drop("grouping_level").drop(dimNames: _*)
-    val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
-    val cellsDf = paginate(rolled.filter(col("grouping_level") === 0)
-      .drop("grouping_level"), orderCols(q.orders) ++ tieBreak, q.page)
-    AggregateResponse(summaryDf, cellsDf, total,
-      () => { rolled.unpersist(blocking = false); () })
+    // anything failing between persist() and handing release() to the
+    // caller (e.g. an unresolvable order key in paginate) must not leak
+    // the pinned cache entry — a long-running server would accumulate one
+    // materialized frame per malformed request
+    try {
+      val total = rolled.filter(col("grouping_level") === 0).count()
+      val summaryDf = rolled.filter(col("grouping_level") === grand)
+        .drop("grouping_level").drop(dimNames: _*)
+      val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
+      val cellsDf = paginate(rolled.filter(col("grouping_level") === 0)
+        .drop("grouping_level"), orderCols(q.orders) ++ tieBreak, q.page)
+      AggregateResponse(summaryDf, cellsDf, total,
+        () => { rolled.unpersist(blocking = false); () })
+    } catch {
+      case e: Throwable =>
+        rolled.unpersist(blocking = false)
+        throw e
+    }
   }
 
   /** `GET /cube/<c>/fact/<id>` — single-fact lookup by the cube's factKey
@@ -249,8 +259,11 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     require(parts.size == model.factKey.size,
       s"fact id '$id': expected ${model.factKey.size} comma-separated " +
         s"part(s) for factKey (${model.factKey.mkString(",")})")
+    // try_cast: a malformed id part for a typed key column must resolve to
+    // an empty result (→ 404), not an ANSI cast error (→ 500) — the same
+    // reasoning as the RangeCut handling above
     val pred = model.factKey.zip(parts)
-      .map { case (k, v) => col(k) === lit(v).cast(colType(k)) }
+      .map { case (k, v) => col(k) === lit(v).try_cast(colType(k)) }
       .reduce(_ && _)
     val rest = df.columns.filterNot(model.factKey.contains).toSeq
     df.filter(pred)

@@ -36,10 +36,7 @@ object Assets {
 
   // ---- model.json ---------------------------------------------------------
 
-  private def js(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  private def js(s: String): String = graft.util.Json.str(s)
 
   /** One cube entry in the reference's model.json shape: measures omitted
     * when the cube has none (as the TA/doi_lookup/scc templates do),

@@ -352,6 +352,9 @@ object Dedup {
     * way (both schemes are complete; the hamming filter is exact).
     */
   def simhashPairsOf(sh: DataFrame, maxDist: Int): DataFrame = {
+    // the two-chunk scheme needs maxDist+2 chunks within the 60 bits
+    require(maxDist >= 0 && (maxDist <= 5 || maxDist + 2 <= 60),
+      s"maxDist must be in [0, 58], got $maxDist")
     // (bucket id, chunk spec(s)) per explode row for the chosen scheme
     val keySpecs: Seq[(Int, Seq[(Int, Long)])] =
       if (maxDist <= 5)

@@ -181,6 +181,9 @@ object Layout {
     */
   def fileStamp(path: String): String = {
     val f = new java.io.File(path)
+    // File.length/lastModified return 0 for a MISSING path — a wrong path
+    // would stamp every run "0:0" and silently disable the staleness guard
+    require(f.exists, s"fileStamp: source path does not exist: $path")
     s"${f.length}:${f.lastModified}"
   }
 

@@ -87,6 +87,13 @@ class ServerSpec extends SparkSpec {
     assert(body.contains("\"l_orderkey\":1") && body.contains("\"l_linenumber\":3"))
     assert(get("/cube/lineitem/fact/999999999,9")._1 == 404)
     assert(get("/cube/lineitem/fact/1")._1 == 400) // arity mismatch
+    // malformed id part on a typed key column: clean 404 via try_cast,
+    // not an ANSI cast 500
+    assert(get("/cube/lineitem/fact/abc,1")._1 == 404)
+    // a bad order key errors without wedging the server (the persisted
+    // rollup is released on the failure path)
+    assert(get("/cube/lineitem/aggregate?drilldown=l_returnflag&order=bogus:desc")._1 == 500)
+    assert(get("/cube/lineitem/aggregate?drilldown=l_returnflag")._1 == 200)
   }
 
   test("aggregate with a nothing-matches cut: empty cells, zero-count summary") {
