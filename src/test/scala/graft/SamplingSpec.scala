@@ -81,6 +81,38 @@ class SamplingSpec extends SparkSpec {
       s"train share ${train / n} within kept sample drifted from 0.8")
   }
 
+  test("property: assignSplit is exhaustive and respects zero weights for random weight vectors") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val small = (0L until 2000L).toDF("id")
+    val weightsGen = for {
+      n <- Gen.choose(2, 5)
+      ws <- Gen.listOfN(n, Gen.choose(0.0, 10.0))
+      if ws.sum > 0
+    } yield ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+    // deterministic sample of generator outputs (fixed seed — reruns agree)
+    val cases = Iterator.iterate(org.scalacheck.rng.Seed(42L))(_.next)
+      .map(s => weightsGen.apply(Gen.Parameters.default, s))
+      .collect { case Some(ws) => ws }.take(12).toSeq
+    for (weights <- cases) {
+      val counts = small.withColumn("s", Sampling.assignSplit(col("id"), weights))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum == 2000L, s"not exhaustive for $weights")
+      // every zero-weight split stays empty (incl. the 'ffff'-cap edge)
+      val total = weights.map(_._2).sum
+      weights.filter(_._2 == 0.0).foreach { case (name, _) =>
+        assert(!counts.contains(name), s"zero-weight split $name got rows ($weights)")
+      }
+      // shares within 6 sigma of the weights
+      weights.filter(_._2 > 0).foreach { case (name, w) =>
+        val p = w / total
+        val tol = 6 * math.sqrt(2000 * p * (1 - p)) + 1
+        assert(math.abs(counts.getOrElse(name, 0L) - 2000 * p) <= tol,
+          s"$name=${counts.getOrElse(name, 0L)} far from ${2000 * p} ($weights)")
+      }
+    }
+  }
+
   test("stratifiedKeep applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
