@@ -318,7 +318,17 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
         val rest = df.columns.filterNot(model.factKey.contains).toSeq
         (model.factKey ++ rest).map(col(_).asc)
       } else Nil
-    paginate(base, orderCols(q.orders) ++ tieBreak, q.page)
+    val paged = paginate(base, orderCols(q.orders) ++ tieBreak, q.page)
+    // `fields=` projection (cubes facts param): applied AFTER the sort —
+    // the page order is over the full-row total order regardless of which
+    // columns the client asked for, so pages stay stable across field sets
+    if (q.fields.isEmpty) paged
+    else {
+      q.fields.foreach(f => if (!df.columns.contains(f))
+        throw new IllegalArgumentException(
+          s"cube '${model.name}': no column '$f' for fields projection"))
+      paged.select(q.fields.map(col): _*)
+    }
   }
 
   /** `GET /cube/<c>/members/<dim>`: distinct dimension values, sorted. */

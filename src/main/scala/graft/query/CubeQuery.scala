@@ -58,7 +58,9 @@ final case class CubeQuery(
     cuts: Seq[Cut] = Nil,
     drilldown: Seq[String] = Nil,
     orders: Seq[Order] = Nil,
-    page: Option[Page] = None) {
+    page: Option[Page] = None,
+    // facts-listing column projection (cubes `fields=` param, comma-sep)
+    fields: Seq[String] = Nil) {
   def renderCut: String = cuts.map(_.render).mkString("|")
   def renderDrilldown: String = drilldown.mkString("|")
   def renderOrder: String = orders.map(_.render).mkString(",")
@@ -77,7 +79,9 @@ object QueryParser {
       case _ => throw new IllegalArgumentException(
         "pagination requires BOTH page and pagesize (HOWTO.md:15)")
     }
-    CubeQuery(cuts, dd, orders, page)
+    val fields = params.get("fields").filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    CubeQuery(cuts, dd, orders, page, fields)
   }
 
   def parseCuts(s: String): Seq[Cut] = s.split('|').toSeq.filter(_.nonEmpty).map(parseCut)

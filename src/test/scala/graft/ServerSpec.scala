@@ -113,6 +113,21 @@ class ServerSpec extends SparkSpec {
     assert(both == p0.dropRight(1) + "," + p1.drop(1))
   }
 
+  test("facts fields= projection: same page order, only requested columns") {
+    val proj = get("/cube/lineitem/facts?fields=l_orderkey,l_linenumber&page=0&pagesize=3")._2
+    val full = get("/cube/lineitem/facts?page=0&pagesize=3")._2
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (p, f) = (mapper.readTree(proj), mapper.readTree(full))
+    assert(p.size() == 3)
+    (0 until 3).foreach { i =>
+      assert(p.get(i).size() == 2, s"row $i not projected: ${p.get(i)}")
+      // page order identical to the unprojected listing
+      assert(p.get(i).get("l_orderkey") == f.get(i).get("l_orderkey"))
+      assert(p.get(i).get("l_linenumber") == f.get(i).get("l_linenumber"))
+    }
+    assert(get("/cube/lineitem/facts?fields=nope&page=0&pagesize=3")._1 == 400)
+  }
+
   test("facts honours the 500-row record limit when unpaginated") {
     val body = get("/cube/lineitem/facts")._2
     val n = body.sliding("\"l_orderkey\"".length).count(_ == "\"l_orderkey\"")
