@@ -48,6 +48,12 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
     try {
       val path = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
       val params = queryParams(ex)
+      // facts supports the cubes `format=csv` alternative rendering
+      if (path.length == 3 && path(0) == "cube" && path(2) == "facts" &&
+          params.get("format").contains("csv")) {
+        respond(ex, 200, factsCsv(path(1), params), "text/csv; charset=utf-8")
+        return
+      }
       val body = path match {
         case Seq("cubes") => registry.listJson
         case Seq("cube", c, "model") => modelJson(c)
@@ -78,9 +84,10 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
 
   private def jstr(s: String): String = graft.util.Json.str(s)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json; charset=utf-8"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
   }
@@ -154,6 +161,32 @@ final class GraftServer(registry: CubeRegistry, port: Int = 0,
         .toJSON.collect()
     }
     rows.mkString("[", ",", "]")
+  }
+
+  /** `GET /cube/<c>/facts?format=csv` (cubes server alternative rendering):
+    * header row + RFC-4180-quoted values over the same stable listing the
+    * JSON form serves. Bounded by the record limit, so the driver-side
+    * string assembly stays small.
+    */
+  private def factsCsv(cube: String, params: Map[String, String]): String = {
+    val b = registry.browser(cube)
+    val q = parseQuery(params)
+    val frame = b.facts(q.page match {
+      case Some(_) => q
+      case None => q.copy(page = Some(graft.query.Page(0, recordLimit)))
+    })
+    def cell(v: Any): String = v match {
+      case null => ""
+      case s =>
+        val t = s.toString
+        if (t.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + t.replace("\"", "\"\"") + "\""
+        else t
+    }
+    val header = frame.columns.map(cell).mkString(",")
+    val rows = frame.collect().map(r =>
+      (0 until r.length).map(i => cell(r.get(i))).mkString(","))
+    (header +: rows).mkString("\r\n")
   }
 
   private def membersJson(cube: String, dim: String, params: Map[String, String]): String = {

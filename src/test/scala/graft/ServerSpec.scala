@@ -128,6 +128,23 @@ class ServerSpec extends SparkSpec {
     assert(get("/cube/lineitem/facts?fields=nope&page=0&pagesize=3")._1 == 400)
   }
 
+  test("facts format=csv: header + rows over the same stable order") {
+    val req = HttpRequest.newBuilder(URI.create(
+      s"http://localhost:${server.boundPort}/cube/lineitem/facts?format=csv&page=0&pagesize=3"))
+      .GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(res.statusCode() == 200)
+    assert(res.headers().firstValue("Content-Type").get.startsWith("text/csv"))
+    val lines = res.body().split("\r\n")
+    assert(lines.length == 4) // header + 3 rows
+    assert(lines.head.split(",").contains("l_orderkey"))
+    // same first row as the JSON listing
+    val json = get("/cube/lineitem/facts?page=0&pagesize=1")._2
+    val firstKey = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get(0).get("l_orderkey").asLong()
+    assert(lines(1).split(",")(lines.head.split(",").indexOf("l_orderkey")).toLong == firstKey)
+  }
+
   test("facts honours the 500-row record limit when unpaginated") {
     val body = get("/cube/lineitem/facts")._2
     val n = body.sliding("\"l_orderkey\"".length).count(_ == "\"l_orderkey\"")
