@@ -19,8 +19,9 @@ import graft.registry.CubeRegistry
   *   GET /cube/<c>/aggregate?cut&drilldown&order&page&pagesize
   *                                    → {summary, cells, total_cell_count}
   *                                                        (HOWTO.md:44-91)
-  *   GET /cube/<c>/facts?cut&order&page&pagesize
-  *                                    → row list          (HOWTO.md:35-42,93-104)
+  *   GET /cube/<c>/facts?cut&order&page&pagesize&fields&format=csv
+  *                                    → row list          (HOWTO.md:35-42,93-104;
+  *                                      fields/format are cubes-server params)
   *   GET /cube/<c>/fact/<id>          → single fact by factKey (cubes server
   *                                      surface; SURVEY §1.3)
   *   GET /cube/<c>/members/<dim>      → distinct values   (HOWTO.md:5 → cubes docs)
