@@ -371,12 +371,19 @@ object ExtensionQueries {
       // the order-statistic oracle is valid only while the GK summary is
       // lossless, i.e. every group stays under the accuracy — fail loudly
       // instead of letting a bigger corpus surface as a baffling oracle
-      // mismatch (the sketch would be within-error but not exact)
-      val maxGroup = q.groupBy(col("lang")).count()
-        .agg(max(col("count"))).collect().head.getLong(0)
-      require(maxGroup < 10000,
-        s"x26 oracle needs every language group < accuracy 10000 rows for " +
-          s"GK exactness; largest group has $maxGroup — raise the accuracy")
+      // mismatch (the sketch would be within-error but not exact). Gated on
+      // Stage.enabled (the Verify runner): Bench and production runs keep
+      // percentile_approx's approximate-but-in-bounds behavior — the guard
+      // protects only the EXACTNESS claim the oracle compare depends on,
+      // and it costs an extra driver-side job that doesn't belong in a
+      // timed or production plan.
+      if (graft.Stage.enabled) {
+        val maxGroup = q.groupBy(col("lang")).count()
+          .agg(max(col("count"))).collect().head.getLong(0)
+        require(maxGroup < 10000,
+          s"x26 oracle needs every language group < accuracy 10000 rows for " +
+            s"GK exactness; largest group has $maxGroup — raise the accuracy")
+      }
       q.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
         percentile_approx(col("q"), array(lit(0.25), lit(0.5), lit(0.75)),

@@ -48,6 +48,25 @@ object OpenApcMain {
     // until interrupted
   }
 
+  /** The served instance's physical layouts (CubeBuilder.writeCubes
+    * scaladoc): every period-bearing cube partitions by `period` — the one
+    * rangeable dim, so HOWTO.md:77-79 range cuts prune whole directories —
+    * and `doi_lookup` gets the range-sorted layout on its factKey instead
+    * (its workload is single-DOI point resolution, HOWTO.md:93-104; sorted
+    * row groups make that sub-linear via min/max pruning, A2). This is the
+    * engine's own Layout machinery applied to its flagship use case — the
+    * reference serves the same lookups from unindexed heap tables
+    * (assets_generator.py:241-249).
+    */
+  val servedPartitionCols: Map[String, Seq[String]] = Map(
+    "openapc" -> Seq("period"), "openapc_ac" -> Seq("period"),
+    "transformative_agreements" -> Seq("period"), "combined" -> Seq("period"),
+    "bpc" -> Seq("period"), "deal" -> Seq("period"),
+    "springer_compact_coverage" -> Seq("period"))
+
+  val servedSortedCols: Map[String, Seq[String]] = Map(
+    "doi_lookup" -> Seq("doi", "url"))
+
   /** Build → write → register → serve; returns the STARTED server (caller
     * stops it). Extracted from main so the e2e spec can drive the whole
     * pipeline against a fixture on an ephemeral port.
@@ -64,7 +83,8 @@ object OpenApcMain {
       throw new IllegalStateException(
         s"institutions missing from institutions.csv: ${unknown.mkString(", ")}")
 
-    CubeBuilder.writeCubes(outputs, s"$outDir/cubes")
+    CubeBuilder.writeCubes(outputs, s"$outDir/cubes",
+      partitionCols = servedPartitionCols, sortedCols = servedSortedCols)
     val manifest = Assets.manifestEntries(outputs.institutionalManifest)
     Assets.writeModelJson(manifest, outDir)
     Assets.writeYamls(manifest,
@@ -77,20 +97,67 @@ object OpenApcMain {
     server
   }
 
+  /** Read one written cube back with its SERVED schema: partition-column
+    * type inference turns the string-year `period=2019` directory names
+    * into ints, which would silently change the cube's schema between
+    * build and serve (string-year range-cut semantics, facts JSON types,
+    * e2e goldens). Overriding the inferred schema pins `period` back to
+    * string — partition pruning still applies, the directory values are
+    * just kept as the strings they were written from.
+    */
+  def readCube(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.parquet(path)
+    val fixed = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
+      if (f.name == "period" &&
+          f.dataType != org.apache.spark.sql.types.StringType)
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    if (fixed == raw.schema) raw else spark.read.schema(fixed).parquet(path)
+  }
+
   /** Register the static cubes from their written parquet plus one filter
     * view per institutional-manifest row.
+    *
+    * `cache = true` (the default, SURVEY §4's caching row) marks every
+    * static cube's frame for Spark caching: the data is rebuild-only, so
+    * the first request per cube materializes the InMemoryRelation and
+    * every later request is served from memory; invalidation is the
+    * [[reload]] hook on redeploy. Institutional views are NOT cached
+    * separately — they are filters over the cached parent plan, so the
+    * CacheManager substitutes the parent's InMemoryRelation into their
+    * plans for free (hundreds of per-institution copies would otherwise
+    * each materialize). At 100 TB the cache does not fit and this flag
+    * stays false — the partition/sorted disk layouts above are the scale
+    * path; caching is the small-hot-cube serving optimization.
     */
   def registerAll(spark: SparkSession, registry: CubeRegistry,
-      cubesDir: String, manifest: Seq[graft.etl.ManifestEntry]): Unit = {
+      cubesDir: String, manifest: Seq[graft.etl.ManifestEntry],
+      cache: Boolean = true): Unit = {
     val static = OpenApcModels.staticModels.map { m =>
-      m.name -> spark.read.parquet(s"$cubesDir/${m.name}.parquet")
+      m.name -> readCube(spark, s"$cubesDir/${m.name}.parquet")
     }.toMap
-    OpenApcModels.staticModels.foreach(m => registry.register(m, static(m.name)))
+    OpenApcModels.staticModels.foreach(m =>
+      registry.register(m, static(m.name), cache = cache))
     manifest.foreach { e =>
       val parent = static(OpenApcModels.parentCube(e.cubeType))
       registry.register(
         OpenApcModels.institutionalModel(e.cubeType, e.cubeName, e.fullName),
         parent.filter(col("institution") === lit(e.institution)))
     }
+  }
+
+  /** Rebuild-redeploy reload (update_olap.sh:12-16 parity without a server
+    * restart): drop + unpersist every registration, invalidate Spark's
+    * cached file listings/plans for the rewritten parquet, and re-register
+    * fresh reads. Requests racing the swap see either the old or the new
+    * registry entry — never a half-state — because the registry swap is
+    * per-cube atomic (TrieMap put) and the old cached data stays valid
+    * until its unpersist.
+    */
+  def reload(spark: SparkSession, registry: CubeRegistry, cubesDir: String,
+      manifest: Seq[graft.etl.ManifestEntry], cache: Boolean = true): Unit = {
+    registry.unregisterAll()
+    spark.catalog.refreshByPath(cubesDir)
+    registerAll(spark, registry, cubesDir, manifest, cache)
   }
 }

@@ -39,9 +39,20 @@ object Stage {
 
   def enable(): Unit = sys.props("graft.stage.enabled") = "1"
 
+  /** Staging dir for one (corpus, JVM) pair: keyed by a hash of the FULL
+    * absolute sf path (two corpora whose paths merely share a basename get
+    * distinct dirs) plus this JVM's pid (two concurrent Verify runs at the
+    * same sf cannot read each other's intermediates). The oracle never
+    * recomputes this path — Verify substitutes the resolved absolute path
+    * into oracle_sql.json at dump time, in the same JVM that staged.
+    */
   def dir(sfDir: String): String = {
+    val abs = new java.io.File(sfDir).getAbsolutePath
     val sfName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-stage-$sfName"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft-stage-$sfName-$hash-$pid"
   }
 
   /** Overwrite-write `df` as the staged intermediate `name` for this sf.

@@ -255,7 +255,12 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
   def fact(id: String): DataFrame = {
     require(model.factKey.nonEmpty,
       s"cube '${model.name}' declares no factKey — no fact endpoint")
-    val parts = id.split(",", -1).toSeq
+    // single-column keys take the id VERBATIM: DOIs may legally contain
+    // commas, and splitting would turn one valid id into a bogus arity
+    // mismatch (the /fact/ route already preserves embedded '/' the same
+    // way). Only composite keys use comma-separated parts.
+    val parts =
+      if (model.factKey.size == 1) Seq(id) else id.split(",", -1).toSeq
     require(parts.size == model.factKey.size,
       s"fact id '$id': expected ${model.factKey.size} comma-separated " +
         s"part(s) for factKey (${model.factKey.mkString(",")})")

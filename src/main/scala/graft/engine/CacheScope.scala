@@ -57,4 +57,24 @@ object CacheScope {
       if (t eq me) { it.remove(); ds.unpersist(blocking = false) }
     }
   }
+
+  /** Process-end escape hatch: unpersist EVERYTHING regardless of which
+    * thread registered it. Per-thread [[drain]] means a frame registered
+    * on a thread that never drains (a worker-pool future, a test framework
+    * dispatching on a different thread) would otherwise stay persisted for
+    * the session's lifetime. Only safe when no query is concurrently
+    * executing — runner shutdown, test teardown, server stop.
+    */
+  def drainAll(): Unit = {
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val (_, ds) = it.next()
+      it.remove(); ds.unpersist(blocking = false)
+    }
+  }
+
+  /** Number of currently-tracked (still-persisted) frames — lets runners
+    * and specs observe orphaned registrations instead of leaking silently.
+    */
+  def trackedCount: Int = tracked.size
 }

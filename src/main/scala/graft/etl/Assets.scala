@@ -159,12 +159,21 @@ object Assets {
 
   def institutionInfo(institutions: DataFrame): Map[String, InstitutionInfo] =
     institutions.collect().toSeq.map { r =>
+      // a null lookup field (sparse institutions.csv rows) must render as
+      // an empty YAML scalar, not the literal string "null"
+      def s(c: String): String = Option(r.getAs[String](c)).getOrElse("")
       r.getAs[String]("institution") -> InstitutionInfo(
-        r.getAs[String]("institution_full_name"),
-        r.getAs[String]("institution_cubes_name"),
-        r.getAs[String]("continent"), r.getAs[String]("country"),
-        r.getAs[String]("state"))
+        s("institution_full_name"), s("institution_cubes_name"),
+        s("continent"), s("country"), s("state"))
     }.toMap
+
+  /** Escape a value for a double-quoted YAML scalar (`"..."`): YAML
+    * double-quoted style uses backslash escapes, so `\` and `"` must be
+    * escaped or an embedded quote in an institution name truncates the
+    * scalar and leaves trailing garbage on the line.
+    */
+  private def yq(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** One YAML per institution with manifest rows: filename → content
     * (generate_yamls, assets_generator.py:744-789).
@@ -176,9 +185,9 @@ object Assets {
       val info = institutions.getOrElse(inst,
         throw new NoSuchElementException(s"institution '$inst' missing from lookup"))
       val sb = new StringBuilder
-      sb ++= s"""name: "${info.fullName}"\n"""
+      sb ++= s"""name: "${yq(info.fullName)}"\n"""
       sb ++= s"slug: ${info.cubeName}\n"
-      sb ++= s"""tagline: "${info.fullName} publication cost data"\n"""
+      sb ++= s"""tagline: "${yq(info.fullName)} publication cost data"\n"""
       sb ++= "source: Open APC\n"
       sb ++= "source_url: https://github.com/OpenAPC/openapc-de\n"
       sb ++= "data_url: https://github.com/OpenAPC/openapc-de/blob/master/data/apc_de.csv\n"

@@ -416,15 +416,31 @@ object CubeBuilder {
     * 100 TB the winning layout is partition-by-period (the only rangeable
     * dim → partition pruning for range cuts) with optional
     * `partitionBy("institution")` materialization when per-institution scans
-    * dominate the workload.
+    * dominate the workload. `sortedCols` selects the range-sorted layout
+    * instead (sources/Layout.writeSorted): row groups cover narrow key
+    * intervals, so point lookups prune via min/max stats — the sub-linear
+    * path for the doi_lookup cube, whose workload is single-DOI resolution
+    * (HOWTO.md:93-104), not period slicing. A cube named in both maps uses
+    * the sorted layout (the maps should be disjoint).
     */
   def writeCubes(out: EtlOutputs, dir: String,
-      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      sortedCols: Map[String, Seq[String]] = Map.empty): Unit = {
     out.cubes.foreach { case (name, df) =>
-      val w = df.write.mode("overwrite")
-      partitionCols.get(name).filter(_.nonEmpty)
-        .fold(w)(cols => w.partitionBy(cols: _*))
-        .parquet(s"$dir/$name.parquet")
+      sortedCols.get(name).filter(_.nonEmpty) match {
+        case Some(sc) =>
+          // explicit file count = configured shuffle parallelism: an
+          // implicit repartitionByRange is AQE-coalescible, and coalescing
+          // tiny range partitions into one file erases the key-interval
+          // granularity the point-lookup pruning depends on
+          graft.sources.Layout.writeSorted(df, s"$dir/$name.parquet", sc,
+            numFiles = df.sparkSession.sessionState.conf.numShufflePartitions)
+        case None =>
+          val w = df.write.mode("overwrite")
+          partitionCols.get(name).filter(_.nonEmpty)
+            .fold(w)(cols => w.partitionBy(cols: _*))
+            .parquet(s"$dir/$name.parquet")
+      }
     }
     out.institutionalManifest.coalesce(1).write.mode("overwrite")
       .option("header", true).csv(s"$dir/institutional_cubes.csv")

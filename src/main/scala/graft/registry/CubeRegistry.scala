@@ -21,6 +21,17 @@ final class CubeRegistry {
     cubes.put(model.name, (model, d))
   }
 
+  /** Drop every registration and unpersist whatever was cached — the
+    * rebuild-redeploy reload hook (the reference's update_olap.sh:12-16
+    * cycle restarts the server; we swap the registry contents in place).
+    * Unpersist on a never-cached frame is a no-op, so this is safe across
+    * mixed cached/view registrations.
+    */
+  def unregisterAll(): Unit = {
+    cubes.values.foreach { case (_, df) => df.unpersist(blocking = false) }
+    cubes.clear()
+  }
+
   def names: Seq[String] = cubes.keys.toSeq.sorted
   def model(name: String): Option[CubeModel] = cubes.get(name).map(_._1)
   def browser(name: String): Browser = {

@@ -32,7 +32,7 @@ import graft.registry.CubeRegistry
   * `json_record_limit: 500` (slicer.ini:6): pagesize is capped, and an
   * unpaginated facts listing is truncated to the limit.
   */
-final class GraftServer(registry: CubeRegistry, port: Int = 0,
+final class GraftServer(val registry: CubeRegistry, port: Int = 0,
     recordLimit: Int = 500) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
