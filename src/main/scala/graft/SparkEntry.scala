@@ -133,6 +133,12 @@ object SparkEntry {
     "a18_summary_cells" -> ((s, dir) =>
       rounded(TestCubes.lineitem(s, dir).aggregateWithSummary(
         CubeQuery(drilldown = Seq("l_returnflag"))), aggRound: _*)),
+    // a20: keyset continuation (after=) — deep pagination as a pushable
+    // factKey range predicate + top-pagesize instead of a global
+    // top-(offset+limit) sort (the A1/A10 scale blemish)
+    "a20_keyset_page" -> ((s, dir) =>
+      TestCubes.lineitem(s, dir).facts(CubeQuery(
+        after = Some("7000,2"), page = Some(Page(0, 100))))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +192,10 @@ object SparkEntry {
       (s"SELECT l_returnflag, $aggSql, CAST(grouping(l_returnflag) AS BIGINT) AS grouping_level " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag) " +
         "HAVING grouping(l_returnflag) IN (0, 1) ORDER BY grouping_level, l_returnflag"),
+    "a20_keyset_page" ->
+      // keyset: strictly after (7000, 2) lexicographically on the factKey
+      (s"SELECT * FROM $liSql WHERE l_orderkey >= 7000 AND " +
+        "(l_orderkey > 7000 OR (l_orderkey = 7000 AND l_linenumber > 2)) " +
+        s"ORDER BY $factsOrderSql LIMIT 100"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -253,17 +253,11 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     * total order.
     */
   def fact(id: String): DataFrame = {
-    require(model.factKey.nonEmpty,
-      s"cube '${model.name}' declares no factKey — no fact endpoint")
     // single-column keys take the id VERBATIM: DOIs may legally contain
     // commas, and splitting would turn one valid id into a bogus arity
     // mismatch (the /fact/ route already preserves embedded '/' the same
     // way). Only composite keys use comma-separated parts.
-    val parts =
-      if (model.factKey.size == 1) Seq(id) else id.split(",", -1).toSeq
-    require(parts.size == model.factKey.size,
-      s"fact id '$id': expected ${model.factKey.size} comma-separated " +
-        s"part(s) for factKey (${model.factKey.mkString(",")})")
+    val parts = factKeyParts(id)
     // try_cast: a malformed id part for a typed key column must resolve to
     // an empty result (→ 404), not an ANSI cast error (→ 500) — the same
     // reasoning as the RangeCut handling above
@@ -294,13 +288,29 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
   }
 
   /** Percentage-of-total (SURVEY.md A17, YAML_STATIC_PART_APC:23-27): each
-    * cell's aggregate divided by the summary total. Implemented as a
-    * broadcast cross-join with the 1-row summary — scale-safe (no
-    * unpartitioned window that would funnel 100 TB through one task).
+    * cell's aggregate divided by the summary total, from ONE ROLLUP pass —
+    * the grand-total row of the same rollup that yields the cells supplies
+    * the denominator, so the cube is scanned and aggregated once (the
+    * two-independent-jobs shape paid the scan twice and could see the cube
+    * change between them). The rolled frame is persist-tracked: it is as
+    * small as the cell count, and the total/cells branches both read it.
+    * The total joins back via broadcast cross-join — scale-safe (no
+    * unpartitioned window that would funnel 100 TB through one task), and
+    * correct for non-decomposable aggregates (count_distinct, stddev)
+    * where re-summing cells would be wrong.
     */
   def aggregateWithShare(q: CubeQuery, aggName: String, pctName: String): DataFrame = {
-    val cells = aggregate(q.copy(page = None, orders = Nil))
-    val total = summary(q, Seq(aggName)).select(col(aggName).as("__total"))
+    require(q.drilldown.nonEmpty, "aggregateWithShare needs a drilldown")
+    val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
+    val aggs = aggExprs() :+
+      grouping_id(dims: _*).cast(LongType).as("grouping_level")
+    val grand = (1L << dims.size) - 1
+    val rolled = CacheScope.persistTracked(
+      applyCuts(q.cuts).rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
+        .filter(col("grouping_level") === 0 || col("grouping_level") === grand))
+    val total = rolled.filter(col("grouping_level") === grand)
+      .select(col(aggName).as("__total"))
+    val cells = rolled.filter(col("grouping_level") === 0).drop("grouping_level")
     val shared = cells.crossJoin(broadcast(total))
       .withColumn(pctName, col(aggName) / col("__total") * lit(100.0))
       .drop("__total")
@@ -308,18 +318,65 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     paginate(shared, orderCols(q.orders) ++ tieBreak, q.page)
   }
 
+  /** Split a fact id / continuation token into factKey parts (single-column
+    * keys take the raw string — DOIs may contain commas).
+    */
+  private def factKeyParts(id: String): Seq[String] = {
+    require(model.factKey.nonEmpty,
+      s"cube '${model.name}' declares no factKey")
+    val parts =
+      if (model.factKey.size == 1) Seq(id) else id.split(",", -1).toSeq
+    require(parts.size == model.factKey.size,
+      s"id '$id': expected ${model.factKey.size} comma-separated " +
+        s"part(s) for factKey (${model.factKey.mkString(",")})")
+    parts
+  }
+
+  /** Keyset continuation predicate: factKey-tuple strictly AFTER the token,
+    * lexicographically. The leading-key lower bound (`k1 >= v1`) is
+    * redundant with the exact OR but sargable — it pushes to the parquet
+    * scan (row-group pruning over a factKey-sorted layout), which the
+    * disjunction does not. try_cast keeps a malformed token an empty page
+    * (≡ past-the-end), not an ANSI error.
+    */
+  private def keysetAfter(parts: Seq[String]): Column = {
+    val ks = model.factKey.zip(parts).map { case (k, v) =>
+      (col(k), lit(v).try_cast(colType(k))) }
+    val exact = ks.indices.map { i =>
+      (ks.take(i).map { case (c, v) => c === v } :+ (ks(i)._1 > ks(i)._2))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    (ks.head._1 >= ks.head._2) && exact
+  }
+
   /** `GET /cube/<c>/facts` (HOWTO.md:35-42): full-row listing with optional
     * cuts + mandatory-stable pagination. DOI-style point lookup
     * (HOWTO.md:93-104) is this with a PointCut on a high-cardinality dim.
+    *
+    * `after=` (keyset continuation, beyond-reference extension): the token
+    * is the factKey of the last row already seen; the page is the next
+    * `pagesize` rows of the factKey total order STRICTLY after it. Deep
+    * OFFSET pagination plans as a global top-(offset+limit) — page 10⁶ at
+    * 100× scale pays a top-50M sort — while the keyset page is a pushable
+    * range predicate + top-`pagesize`: O(page), depth-independent. Rows
+    * TYING the token's factKey are skipped (the token names a key, not a
+    * row), so clients of a non-unique factKey should treat keyset pages as
+    * key-granular; offset pagination remains the row-exact path.
     */
   def facts(q: CubeQuery): DataFrame = {
-    val base = applyCuts(q.cuts)
+    require(q.after.isEmpty || q.orders.isEmpty,
+      "keyset pagination (after=) pages the factKey total order; order= is not supported with it")
+    val cutBase = applyCuts(q.cuts)
+    val base = q.after match {
+      case Some(token) => cutBase.filter(keysetAfter(factKeyParts(token)))
+      case None => cutBase
+    }
     // total-order tie-break: factKey first, then EVERY remaining column —
     // a factKey that is not truly unique (dirty data) would otherwise make
     // page boundaries depend on engine-internal tie order (only fully
     // identical rows remain interchangeable, which is harmless)
     val tieBreak =
-      if (q.page.isDefined || q.orders.nonEmpty) {
+      if (q.page.isDefined || q.orders.nonEmpty || q.after.isDefined) {
         val rest = df.columns.filterNot(model.factKey.contains).toSeq
         (model.factKey ++ rest).map(col(_).asc)
       } else Nil

@@ -60,7 +60,10 @@ final case class CubeQuery(
     orders: Seq[Order] = Nil,
     page: Option[Page] = None,
     // facts-listing column projection (cubes `fields=` param, comma-sep)
-    fields: Seq[String] = Nil) {
+    fields: Seq[String] = Nil,
+    // keyset continuation token (`after=` param): the factKey of the last
+    // row already seen — O(page) deep pagination instead of O(offset+page)
+    after: Option[String] = None) {
   def renderCut: String = cuts.map(_.render).mkString("|")
   def renderDrilldown: String = drilldown.mkString("|")
   def renderOrder: String = orders.map(_.render).mkString(",")
@@ -73,15 +76,22 @@ object QueryParser {
     val dd = params.get("drilldown").filter(_.nonEmpty)
       .map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     val orders = params.get("order").filter(_.nonEmpty).map(parseOrders).getOrElse(Nil)
+    val after = params.get("after").filter(_.nonEmpty)
     val page = (params.get("page"), params.get("pagesize")) match {
-      case (Some(p), Some(ps)) => Some(Page(p.toInt, ps.toInt))
+      case (Some(p), Some(ps)) =>
+        if (after.isDefined) throw new IllegalArgumentException(
+          "after= (keyset) and page= (offset) pagination are mutually exclusive")
+        Some(Page(p.toInt, ps.toInt))
+      // keyset pagination: the token replaces the page number; pagesize
+      // alone gives the limit
+      case (None, Some(ps)) if after.isDefined => Some(Page(0, ps.toInt))
       case (None, None) => None
       case _ => throw new IllegalArgumentException(
         "pagination requires BOTH page and pagesize (HOWTO.md:15)")
     }
     val fields = params.get("fields").filter(_.nonEmpty)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    CubeQuery(cuts, dd, orders, page, fields)
+    CubeQuery(cuts, dd, orders, page, fields, after)
   }
 
   def parseCuts(s: String): Seq[Cut] = s.split('|').toSeq.filter(_.nonEmpty).map(parseCut)

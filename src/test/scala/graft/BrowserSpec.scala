@@ -175,6 +175,18 @@ class BrowserSpec extends SparkSpec {
     assert(math.abs(total - 100.0) < 1e-9)
   }
 
+  test("keyset continuation is strictly-after, lexicographic on the composite factKey") {
+    import graft.query.{CubeQuery, Page}
+    val rows = li.facts(CubeQuery(after = Some("5,2"), page = Some(Page(0, 20))))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    // every returned key is > (5, 2) lexicographically; none ties the token
+    assert(rows.forall { case (o, l) => o > 5 || (o == 5 && l > 2) })
+    // and the page is the sorted prefix of the remaining keys
+    assert(rows.sortBy(identity).toSeq == rows.toSeq)
+  }
+
   test("summary+cells rollup: grand total row matches summary (A18)") {
     val rolled = li.aggregateWithSummary(CubeQuery(drilldown = Seq("l_returnflag")))
       .collect()

@@ -151,6 +151,31 @@ class ServerSpec extends SparkSpec {
     assert(n == 500) // sf0.001 lineitem has >500 rows; truncated at limit
   }
 
+  test("keyset facts (after=): pages concatenate to the offset listing") {
+    // orders has a UNIQUE single-column factKey — keyset pages are
+    // row-exact there and must reproduce offset pagination page-for-page
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rows(path: String): Seq[String] = {
+      val (code, body) = get(path)
+      assert(code == 200, s"$path -> $code: $body")
+      val t = mapper.readTree(body)
+      (0 until t.size()).map(t.get(_).toString)
+    }
+    val offset = rows("/cube/orders/facts?page=0&pagesize=150") ++
+      rows("/cube/orders/facts?page=1&pagesize=150")
+    // keyset: first page from below the smallest key (0), then continue
+    val p0 = rows("/cube/orders/facts?after=-1&pagesize=150")
+    val lastKey = mapper.readTree(p0.last).get("o_orderkey").asLong()
+    val p1 = rows(s"/cube/orders/facts?after=$lastKey&pagesize=150")
+    assert(p0 ++ p1 == offset, "keyset pages != offset pages")
+    // a past-the-end token yields an empty page, not an error
+    assert(rows("/cube/orders/facts?after=99999999&pagesize=10").isEmpty)
+    // a malformed token for the typed key is an empty page (≡ past-the-end)
+    assert(rows("/cube/orders/facts?after=notakey&pagesize=10").isEmpty)
+    // mixing keyset and offset pagination is a client error
+    assert(get("/cube/orders/facts?after=5&page=0&pagesize=10")._1 == 400)
+  }
+
   test("GET members: sorted distinct dimension values") {
     val (code, body) = get("/cube/lineitem/members/l_returnflag")
     assert(code == 200)
