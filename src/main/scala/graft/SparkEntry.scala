@@ -139,6 +139,13 @@ object SparkEntry {
     "a20_keyset_page" -> ((s, dir) =>
       TestCubes.lineitem(s, dir).facts(CubeQuery(
         after = Some("7000,2"), page = Some(Page(0, 100))))),
+    // a21: set cut (`dim:v1;v2` disjunction-within-dim) + negated cut
+    // (`!dim:v`) — the cubes dialect beyond HOWTO's point/range cuts,
+    // parsed by QueryParser and compiled to isin / NOT predicates
+    "a21_set_cut" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        cuts = QueryParser.parseCuts("l_returnflag:A;R|!l_linestatus:O"),
+        drilldown = Seq("l_returnflag"))), aggRound: _*)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,5 +204,9 @@ object SparkEntry {
       (s"SELECT * FROM $liSql WHERE l_orderkey >= 7000 AND " +
         "(l_orderkey > 7000 OR (l_orderkey = 7000 AND l_linenumber > 2)) " +
         s"ORDER BY $factsOrderSql LIMIT 100"),
+    "a21_set_cut" ->
+      (s"SELECT l_returnflag, $aggSql FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R') AND NOT (l_linestatus = 'O') " +
+        "GROUP BY 1 ORDER BY 1"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

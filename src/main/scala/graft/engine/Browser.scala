@@ -292,12 +292,21 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     * the grand-total row of the same rollup that yields the cells supplies
     * the denominator, so the cube is scanned and aggregated once (the
     * two-independent-jobs shape paid the scan twice and could see the cube
-    * change between them). The rolled frame is persist-tracked: it is as
-    * small as the cell count, and the total/cells branches both read it.
-    * The total joins back via broadcast cross-join — scale-safe (no
-    * unpartitioned window that would funnel 100 TB through one task), and
-    * correct for non-decomposable aggregates (count_distinct, stddev)
-    * where re-summing cells would be wrong.
+    * change between them), and the result stays correct for
+    * non-decomposable aggregates (count_distinct, stddev) where re-summing
+    * cells would be wrong.
+    *
+    * The grand total is ONE row, so it is collected here and embedded as a
+    * foldable literal (the degenerate broadcast — scale-safe: no
+    * unpartitioned window funnelling every cell through one task). A
+    * joined-in broadcast branch looks equivalent but is NOT: the rolled
+    * subtree would then appear twice in one plan, `DeduplicateRelations`
+    * re-aliases the second occurrence, and cache substitution misses it —
+    * the broadcast side silently re-scans and re-aggregates the cube
+    * (observed: 5-10× the expected a17 cost at sf0.1). One occurrence per
+    * plan keeps the cache hit; the collect runs the rollup once,
+    * materializing the tracked cache the returned cells frame reads.
+    * NOTE: this makes the method eager (one Spark job runs on call).
     */
   def aggregateWithShare(q: CubeQuery, aggName: String, pctName: String): DataFrame = {
     require(q.drilldown.nonEmpty, "aggregateWithShare needs a drilldown")
@@ -308,12 +317,13 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     val rolled = CacheScope.persistTracked(
       applyCuts(q.cuts).rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
         .filter(col("grouping_level") === 0 || col("grouping_level") === grand))
-    val total = rolled.filter(col("grouping_level") === grand)
-      .select(col(aggName).as("__total"))
+    // ROLLUP over zero matching rows emits no grand row → no cells either;
+    // the null literal keeps the (empty) frame's schema intact
+    val totalVal = rolled.filter(col("grouping_level") === grand)
+      .select(col(aggName)).collect().headOption.map(_.get(0)).orNull
     val cells = rolled.filter(col("grouping_level") === 0).drop("grouping_level")
-    val shared = cells.crossJoin(broadcast(total))
-      .withColumn(pctName, col(aggName) / col("__total") * lit(100.0))
-      .drop("__total")
+    val shared = cells.withColumn(pctName,
+      (col(aggName) / lit(totalVal) * lit(100.0)).cast("double"))
     val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
     paginate(shared, orderCols(q.orders) ++ tieBreak, q.page)
   }

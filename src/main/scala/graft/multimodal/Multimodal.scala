@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schemas, encoders, partition batching, fan-out
   * shape — is real and tested, and the decode step is a pluggable
-  * [[Multimodal.MediaCodec]]. Two codecs ship: the deterministic
+  * [[Multimodal.MediaCodec]]. Three codecs ship: the deterministic
   * `StubCodec` (the default — the driver's synthetic payloads are UTF-8
   * text, not media containers, and determinism is what lets DuckDB oracle
-  * the accounting) and the REAL `ImageIoCodec` backed by the JDK's
-  * built-in ImageIO (PNG/JPEG/BMP/GIF — no external libraries), which
-  * MultimodalSpec drives through the same `decodeAll` dataflow on actual
-  * encoded images. Video/audio formats still need an external binding
-  * behind the same seam.
+  * the accounting), the REAL `ImageIoCodec` backed by the JDK's built-in
+  * ImageIO (PNG/JPEG/BMP/GIF — no external libraries), and the REAL
+  * `WavCodec` backed by the JDK's built-in javax.sound.sampled (WAV/PCM).
+  * MultimodalSpec drives both real codecs through the same `decodeAll`
+  * dataflow on actual encoded payloads. Video containers still need an
+  * external binding behind the same seam.
   *
   * Scale notes: blobs ride through the scan as binary columns (parquet keeps
   * them out of dictionary encoding); decode is `mapPartitions`, so per-batch
@@ -39,12 +40,14 @@ object Multimodal {
   final case class FrameRow(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** The codec seam: everything downstream (partition batching, schemas,
-    * fan-out) is codec-agnostic. Two implementations ship — the
+    * fan-out) is codec-agnostic. Three implementations ship — the
     * deterministic stub (default; the driver's synthetic payloads are not
-    * real media, and the oracle checks its accounting), and a REAL
+    * real media, and the oracle checks its accounting), a REAL
     * JDK-ImageIO-backed codec ([[ImageIoCodec]]) proving the slot-in on
-    * actual encoded images (MultimodalSpec round-trips generated PNGs/BMPs
-    * through the same `decodeAll` dataflow).
+    * actual encoded images, and a REAL javax.sound.sampled-backed codec
+    * ([[WavCodec]]) proving it on actual WAV/PCM audio (MultimodalSpec
+    * round-trips generated PNGs/BMPs/WAVs through the same `decodeAll`
+    * dataflow).
     */
   trait MediaCodec extends Serializable {
     def decode(format: String, blob: Array[Byte]): (Int, Int, Int)
@@ -124,6 +127,99 @@ object Multimodal {
       }
       var d = 0
       while (d < dims) { if (counts(d) > 0) out(d) /= counts(d); d += 1 }
+      out
+    }
+  }
+
+  /** REAL audio decode via the JDK's built-in javax.sound.sampled
+    * (WAV/PCM — no external libraries), the second real modality behind
+    * the [[MediaCodec]] seam. The (width, height, channels) triple carries
+    * the audio metadata as (sample rate in Hz, frame count, channels) —
+    * duration follows as frames / rate. Features = per-band RMS amplitude
+    * over `dims` equal time bands of the normalized PCM signal (the audio
+    * analogue of ImageIoCodec's per-band luminance): real signal
+    * arithmetic, deterministic, and O(samples) in one pass.
+    *
+    * Supports the PCM encodings AudioSystem decodes without an external
+    * SPI: signed/unsigned 8-bit and signed 16/24/32-bit, mono or
+    * interleaved multi-channel, either endianness.
+    */
+  object WavCodec extends MediaCodec {
+    private def open(blob: Array[Byte]) =
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+
+    def decode(format: String, blob: Array[Byte]): (Int, Int, Int) = {
+      val in = open(blob)
+      try {
+        val f = in.getFormat
+        // frame length can exceed Int for multi-hour audio; the metadata
+        // triple is Int-typed, so clamp (callers needing exactness read
+        // n_bytes / frame size)
+        val frames = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt
+        (f.getSampleRate.toInt, frames, f.getChannels)
+      } finally in.close()
+    }
+
+    /** One normalized [-1, 1] sample per frame (channels averaged). */
+    private[multimodal] def samples(blob: Array[Byte]): Array[Float] = {
+      val in = open(blob)
+      try {
+        val f = in.getFormat
+        val bytesPerSample = f.getSampleSizeInBits / 8
+        require(bytesPerSample >= 1 && bytesPerSample <= 4,
+          s"unsupported sample size: ${f.getSampleSizeInBits} bits")
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        require(signed || enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported encoding: $enc (PCM only)")
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / f.getFrameSize
+        val out = new Array[Float](nFrames)
+        val full = (1L << (f.getSampleSizeInBits - 1)).toFloat
+        var i = 0
+        while (i < nFrames) {
+          var ch = 0
+          var acc = 0f
+          while (ch < f.getChannels) {
+            val base = i * f.getFrameSize + ch * bytesPerSample
+            var v = 0L
+            var b = 0
+            while (b < bytesPerSample) {
+              val idx = if (f.isBigEndian) base + b else base + (bytesPerSample - 1 - b)
+              v = (v << 8) | (raw(idx) & 0xffL)
+              b += 1
+            }
+            val bits = bytesPerSample * 8
+            val s =
+              if (signed) (v << (64 - bits)) >> (64 - bits) // sign-extend
+              else v - (1L << (bits - 1)) // unsigned PCM centers at mid-scale
+            acc += s / full
+            ch += 1
+          }
+          out(i) = acc / f.getChannels
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    def features(blob: Array[Byte], dims: Int = 16): Array[Float] = {
+      val xs = samples(blob)
+      val out = new Array[Float](dims)
+      val counts = new Array[Int](dims)
+      var i = 0
+      while (i < xs.length) {
+        val band = i * dims / xs.length
+        out(band) += xs(i) * xs(i)
+        counts(band) += 1
+        i += 1
+      }
+      var d = 0
+      while (d < dims) {
+        if (counts(d) > 0) out(d) = math.sqrt(out(d) / counts(d)).toFloat
+        d += 1
+      }
       out
     }
   }

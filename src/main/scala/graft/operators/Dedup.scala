@@ -508,7 +508,8 @@ object Dedup {
     * the fixpoint test.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50, collectThreshold: Long = 5000000L): DataFrame = {
+      maxIter: Int = 50, collectThreshold: Long = 5000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // Size-adaptive: the candidate-pair graph is tiny relative to the
     // corpus (it exists only where near-dups exist), so up to
@@ -569,21 +570,31 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    // localCheckpoint (eager) each round: an iterative plan built on its
-    // own previous round grows multiplicatively (each half-step references
-    // its input several times) — without lineage truncation the logical
-    // plan explodes exponentially in the round count. Checkpointing
+    // Lineage truncation each round: an iterative plan built on its own
+    // previous round grows multiplicatively (each half-step references
+    // its input several times) — without truncation the logical plan
+    // explodes exponentially in the round count. Checkpointing
     // materializes the (small) edge frame and restarts the plan from it.
-    // On a real cluster with executor churn, swap in reliable
-    // checkpointing (sc.setCheckpointDir + .checkpoint) — same contract.
-    var edges = cachedPairs
+    // Two flavors, same contract:
+    //  - localCheckpoint (default): executor-local blocks, no filesystem —
+    //    fastest, but blocks die with their executor, so a lost executor
+    //    fails the job (fine in local mode / short loops);
+    //  - reliable checkpoint (`checkpointDir = Some(dir)`): rounds persist
+    //    to the (fault-tolerant) checkpoint filesystem — a mid-loop
+    //    executor loss recomputes from the last round's files instead of
+    //    failing, the right trade on a 1000-executor cluster where churn
+    //    over a 20-round loop is routine.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var edges = barrier(cachedPairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct())
     var sig = checksum(edges)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = barrier(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       edges.unpersist()

@@ -135,6 +135,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "chain did not collapse to the minimum id")
   }
 
+  test("components: RELIABLE checkpointing runs the star-alternation loop to the same fixpoint") {
+    import spark.implicits._
+    // executor-churn-safe variant: rounds persist to the checkpoint
+    // filesystem instead of executor-local blocks. Same contract —
+    // identical components — plus evidence the loop actually wrote
+    // reliable checkpoints (RDD checkpoint files under the dir).
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b",
+        collectThreshold = 0L, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(wrote > 0, s"no reliable checkpoint files under $ckpt")
+  }
+
   test("two-chunk simhash banding shrinks candidate buckets vs single-chunk") {
     // at maxDist=10 single chunks are 5-6 bits (<= 64 values) — candidate
     // buckets grow ~n²/2^5.45; pairing on chunk PAIRS doubles the key

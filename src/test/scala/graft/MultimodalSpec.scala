@@ -66,6 +66,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).features.forall(_ == 0f)) // black image
   }
 
+  test("REAL codec slot-in: javax.sound.sampled decodes actual WAV/PCM through the same dataflow") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // sine WAV: 16-bit signed PCM, little-endian; amp in [0,1]
+    def wavBytes(rateHz: Int, seconds: Double, freqHz: Double, amp: Double,
+        channels: Int = 1): Array[Byte] = {
+      val n = (rateHz * seconds).toInt
+      val raw = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n; ch <- 0 until channels) {
+        val v = (amp * 32767 * math.sin(2 * math.Pi * freqHz * i / rateHz)).toInt
+        val base = (i * channels + ch) * 2
+        raw(base) = (v & 0xff).toByte
+        raw(base + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "wav", wavBytes(8000, 0.5, 440, 0.5)),
+      MediaRow(2L, "wav", wavBytes(16000, 0.25, 1000, 0.9, channels = 2)),
+      MediaRow(3L, "wav", wavBytes(8000, 0.5, 440, 0.0))).toDS()
+    val out = Multimodal.decodeAll(media, Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
+    // TRUE audio metadata: (sample rate, frame count, channels)
+    assert((out(0).width, out(0).height, out(0).channels) == (8000, 4000, 1))
+    assert((out(1).width, out(1).height, out(1).channels) == (16000, 4000, 2))
+    // duration follows: frames / rate
+    assert(out(0).height.toDouble / out(0).width == 0.5)
+    // per-band RMS of a steady sine ≈ amp/sqrt(2) in every time band
+    val rms0 = 0.5 / math.sqrt(2)
+    assert(out(0).features.length == 16)
+    assert(out(0).features.forall(f => math.abs(f - rms0) < 0.02),
+      s"RMS bands ${out(0).features.mkString(",")} != $rms0")
+    val rms1 = 0.9 / math.sqrt(2)
+    assert(out(1).features.forall(f => math.abs(f - rms1) < 0.04))
+    // silence: every band exactly 0
+    assert(out(2).features.forall(_ == 0f))
+  }
+
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val nVideos = media.filter(_.format == "webm").count()
