@@ -112,7 +112,12 @@ object OpenApcMain {
           f.dataType != org.apache.spark.sql.types.StringType)
         f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
-    if (fixed == raw.schema) raw else spark.read.schema(fixed).parquet(path)
+    val df = if (fixed == raw.schema) raw else spark.read.schema(fixed).parquet(path)
+    // incremental refresh (streaming.OpenApcRefresh) tags rows with a
+    // replay-guard batch id; the SERVED schema stays the reference schema
+    if (df.columns.contains(graft.streaming.OpenApcRefresh.batchCol))
+      df.drop(graft.streaming.OpenApcRefresh.batchCol)
+    else df
   }
 
   /** Register the static cubes from their written parquet plus one filter

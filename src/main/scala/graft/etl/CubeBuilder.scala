@@ -204,14 +204,28 @@ object CubeBuilder {
 
   // ---- the dataflow -----------------------------------------------------
 
+  /** The enriched-APC lineage head (B5/B6/B8) — shared by the batch build
+    * and the incremental-refresh path (streaming.OpenApcRefresh), so a new
+    * ETL rule lands in both automatically.
+    */
+  def apcEnriched(apc: DataFrame, lookup: DataFrame): DataFrame =
+    enrich(apc, lookup)
+      .withColumn("journal_full_title", scrubColons(col("journal_full_title")))
+      .withColumn("country", col("_country"))
+      .withColumn("institution_ror", col("_ror_id"))
+
+  /** openapc-cube rows for a RAW apc frame — the per-batch unit of the
+    * incremental refresh (the same projection `build` uses for the full
+    * cube).
+    */
+  def openApcRows(apc: DataFrame, lookup: DataFrame): DataFrame =
+    conform(apcEnriched(apc, lookup), OpenApcSchemas.apc)
+
   def build(inputs: EtlInputs): EtlOutputs = {
     val lookup = institutionLookup(inputs.institutions)
 
     // --- enriched sources (shared lineage heads; B5/B6/B8) ---
-    val apcE = enrich(inputs.apc, lookup)
-      .withColumn("journal_full_title", scrubColons(col("journal_full_title")))
-      .withColumn("country", col("_country"))
-      .withColumn("institution_ror", col("_ror_id"))
+    val apcE = apcEnriched(inputs.apc, lookup)
     val bpcE = enrich(inputs.bpc, lookup)
       .withColumn("book_title", scrubColons(col("book_title")))
       .withColumn("country", col("_country"))

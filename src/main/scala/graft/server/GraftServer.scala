@@ -19,6 +19,9 @@ import graft.registry.CubeRegistry
   *   GET /cube/<c>/aggregate?cut&drilldown&order&page&pagesize
   *                                    → {summary, cells, total_cell_count}
   *                                                        (HOWTO.md:44-91)
+  *   GET /cube/<c>/aggregate?drilldown&share=<agg>
+  *                                    → {cells, cell_count} with
+  *                                      <agg>_pct share-of-total per cell
   *   GET /cube/<c>/facts?cut&order&page&pagesize&fields&format=csv
   *                                    → row list          (HOWTO.md:35-42,93-104;
   *                                      fields/format are cubes-server params)
@@ -72,13 +75,17 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
       case e: NoSuchElementException => respond(ex, 404, errJson(e))
       case e: IllegalArgumentException => respond(ex, 400, errJson(e))
       case e: Exception => respond(ex, 500, errJson(e))
-    // NOTE: no CacheScope.drain() here — the server executor handles
-    // requests concurrently and CacheScope is session-global (a drain for
-    // request A would unpersist frames request B still computes over).
-    // The cube surface never registers tracked frames, so there is
-    // nothing to drain; an endpoint that ever uses tracked operators
-    // needs a per-request scope instead.
-    } finally ex.close()
+    } finally {
+      // Per-REQUEST cache scope: a request is handled synchronously on one
+      // executor thread, and CacheScope.drain() releases only the CALLING
+      // thread's tracked frames — so this drains exactly what this request
+      // registered (the share= path's tracked rollup), never frames a
+      // concurrent request on another pool thread is still computing over.
+      // Endpoints that persist outside CacheScope (aggregateResponse)
+      // keep their own explicit release().
+      graft.engine.CacheScope.drain()
+      ex.close()
+    }
 
   private def errJson(e: Exception): String =
     s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
@@ -118,10 +125,31 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   /** Summary + cells + total from Browser.aggregateResponse's single
     * ROLLUP pass (one scan+aggregate per request, atomic snapshot —
     * previously three independent Spark computations).
+    *
+    * `share=<aggregate>` (extension; the treemap frontend's
+    * `total_percentage` relates_to semantics, YAML_STATIC_PART_APC:23-27,
+    * served engine-side): each cell additionally carries
+    * `<aggregate>_pct`, its share of the grand total, from
+    * Browser.aggregateWithShare's single ROLLUP pass. The tracked rollup
+    * cache is released by the per-request drain in [[handle]].
     */
   private def aggregateJson(cube: String, params: Map[String, String]): String = {
     val b = registry.browser(cube)
     val q = parseQuery(params)
+    params.get("share").filter(_.nonEmpty) match {
+      case Some(aggName) =>
+        if (q.drilldown.isEmpty) throw new IllegalArgumentException(
+          "share= needs a drilldown (a grand total has no cells to share)")
+        if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
+          s"unknown aggregate '$aggName' for share=")
+        val cells = b.aggregateWithShare(q, aggName, s"${aggName}_pct")
+          .toJSON.collect()
+        // cell_count = cells in THIS response (the page, when paginated) —
+        // not the unpaged total the plain aggregate response reports
+        return s"""{"cells":[${cells.mkString(",")}],""" +
+          s""""cell_count":${cells.length}}"""
+      case None => ()
+    }
     if (q.drilldown.isEmpty) {
       // no drilldown: the summary IS the result (HOWTO.md:51-55); one job
       val summary = b.summary(q).toJSON.collect().headOption.getOrElse("{}")

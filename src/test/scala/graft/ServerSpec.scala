@@ -207,6 +207,44 @@ class ServerSpec extends SparkSpec {
     })
   }
 
+  test("share= endpoint: per-cell share-of-total, correct under concurrency (per-request cache scope)") {
+    // the share path uses a CacheScope-TRACKED operator
+    // (Browser.aggregateWithShare persists its rollup); the server drains
+    // per request. Per-thread draining means concurrent requests cannot
+    // unpersist each other's frames — responses must match the sequential
+    // baseline, shares must sum to 100, and no tracked frame may leak
+    // after the storm settles.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = "/cube/lineitem/aggregate?drilldown=l_returnflag&share=price_sum"
+    val (code, baseline) = get(path)
+    assert(code == 200)
+    assert(baseline.contains("\"price_sum_pct\":"))
+    val pcts = """"price_sum_pct":([0-9.]+)""".r
+      .findAllMatchIn(baseline).map(_.group(1).toDouble).toSeq
+    assert(pcts.size == 3 && math.abs(pcts.sum - 100.0) < 1e-6,
+      s"shares $pcts do not sum to 100")
+    val other = "/cube/orders/aggregate?drilldown=o_orderpriority&share=total_sum"
+    val otherBaseline = get(other)._2
+    val storm = Future.traverse(1 to 8) { i =>
+      Future(get(if (i % 2 == 0) path else other))
+    }
+    val all = Await.result(storm, 2.minutes)
+    all.zipWithIndex.foreach { case ((c, body), idx) =>
+      assert(c == 200)
+      val expected = if ((idx + 1) % 2 == 0) baseline else otherBaseline
+      assert(body == expected, "concurrent share response diverged")
+    }
+    // the per-request drains released every tracked rollup: nothing
+    // persists after the storm (the test thread itself tracked nothing)
+    assert(graft.engine.CacheScope.trackedCount == 0,
+      s"${graft.engine.CacheScope.trackedCount} tracked frames leaked")
+    // share without a drilldown is a client error, not a 500
+    assert(get("/cube/lineitem/aggregate?share=price_sum")._1 == 400)
+    assert(get("/cube/lineitem/aggregate?drilldown=l_returnflag&share=nope")._1 == 400)
+  }
+
   test("unknown cube → 404; malformed query → 400") {
     assert(get("/cube/nope/facts")._1 == 404)
     assert(get("/cube/lineitem/aggregate?page=1")._1 == 400) // missing pagesize
