@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(a.nestedLoopJoins == 0 && a.cartesian == 0, a.toString)
   }
 
+  test("share-of-total serves cells from the cached rollup (no second cube scan)") {
+    // a17's denominator is collected from the persisted rollup and embedded
+    // as a literal; the returned cells frame must read the SAME cache — a
+    // parquet scan in its final plan means the rollup was recomputed (the
+    // DeduplicateRelations cache-miss this design explicitly avoids)
+    val a = audits("a17_share_of_total")
+    assert(a.scans == 0, s"a17 re-scanned parquet instead of the cache: $a")
+  }
+
   test("every non-trivial query runs inside whole-stage codegen") {
     val uncodegened = audits.values
       .filter(a => a.codegenSpans == 0 && a.shuffles > 0).map(_.name)
