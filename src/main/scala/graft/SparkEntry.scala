@@ -146,6 +146,13 @@ object SparkEntry {
       rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
         cuts = QueryParser.parseCuts("l_returnflag:A;R|!l_linestatus:O"),
         drilldown = Seq("l_returnflag"))), aggRound: _*)),
+    // a22: keyset continuation over aggregate CELLS — the drilldown key IS
+    // the group key, so the token predicate pushes below the aggregation
+    // onto the scan (already-served groups are never aggregated again)
+    "a22_keyset_cells" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        drilldown = Seq("l_returnflag", "l_linestatus"),
+        after = Some("A,F"), page = Some(Page(0, 3)))), aggRound: _*)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,5 +215,12 @@ object SparkEntry {
       (s"SELECT l_returnflag, $aggSql FROM lineitem " +
         "WHERE l_returnflag IN ('A', 'R') AND NOT (l_linestatus = 'O') " +
         "GROUP BY 1 ORDER BY 1"),
+    "a22_keyset_cells" ->
+      // cells strictly after ('A','F') in drilldown-key order; the filter
+      // sits BELOW the GROUP BY, mirroring the pre-aggregation pushdown
+      (s"SELECT l_returnflag, l_linestatus, $aggSql FROM lineitem " +
+        "WHERE l_returnflag >= 'A' AND (l_returnflag > 'A' OR " +
+        "(l_returnflag = 'A' AND l_linestatus > 'F')) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 3"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

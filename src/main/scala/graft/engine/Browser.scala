@@ -161,16 +161,37 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
 
   /** `GET /cube/<c>/aggregate` cells: drilldown grouping (HOWTO.md:57-67);
     * with no drilldown the single summary row is the result (HOWTO.md:51-55).
+    *
+    * `after=` (keyset continuation over CELLS, beyond-reference extension):
+    * the token is the drilldown-key tuple of the last cell already seen;
+    * the page is the next `pagesize` cells of the drilldown-key total
+    * order. Because the page order IS the group key, the keyset predicate
+    * pushes BELOW the aggregation onto the scan columns themselves — deep
+    * cell pagination prunes the scan instead of paying a global
+    * top-(offset+limit) sort over every group (the same scale fix
+    * [[facts]] gets from its factKey token; here it also skips aggregating
+    * the already-served groups). Key-order pages only: `order=` by an
+    * aggregate is inherently post-aggregation and keeps the offset path.
+    * Null group keys sort before every token and are unreachable by
+    * keyset pages (the reference's NA sentinel is a value, not null —
+    * SURVEY §1.2 — so this does not arise on reference-shaped data).
     */
   def aggregate(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
-    val base = applyCuts(q.cuts)
+    require(q.after.isEmpty || q.orders.isEmpty,
+      "keyset pagination (after=) pages the drilldown-key order; order= is not supported with it")
+    require(q.after.isEmpty || q.drilldown.nonEmpty,
+      "keyset pagination (after=) needs a drilldown (the token is a drilldown-key tuple)")
+    val cutBase = applyCuts(q.cuts)
+    val dimNames = q.drilldown.map(model.requireDimension(_).name)
+    val base = q.after match {
+      case Some(token) =>
+        cutBase.filter(keysetStrictlyAfter(dimNames, keyParts(token, dimNames.size)))
+      case None => cutBase
+    }
     val aggs = aggExprs(aggNames)
     val cells =
       if (q.drilldown.isEmpty) base.agg(aggs.head, aggs.tail: _*)
-      else {
-        val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
-        base.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
-      }
+      else base.groupBy(dimNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // user order first, then all drilldown dims as the stable tie-breaker
     val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
     paginate(cells, orderCols(q.orders) ++ tieBreak, q.page)
@@ -217,6 +238,8 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
 
   def aggregateResponse(q: CubeQuery, aggNames: Seq[String] = Nil): AggregateResponse = {
     require(q.drilldown.nonEmpty, "aggregateResponse needs a drilldown")
+    require(q.after.isEmpty || q.orders.isEmpty,
+      "keyset pagination (after=) pages the drilldown-key order; order= is not supported with it")
     val dimNames = q.drilldown.map(model.requireDimension(_).name)
     val dims = dimNames.map(col)
     val aggs = aggExprs(aggNames) :+
@@ -234,8 +257,17 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
       val summaryDf = rolled.filter(col("grouping_level") === grand)
         .drop("grouping_level").drop(dimNames: _*)
       val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
-      val cellsDf = paginate(rolled.filter(col("grouping_level") === 0)
-        .drop("grouping_level"), orderCols(q.orders) ++ tieBreak, q.page)
+      val cellsLevel = rolled.filter(col("grouping_level") === 0)
+        .drop("grouping_level")
+      // `after=` keyset page over the CELLS (summary + total stay global):
+      // the response needs the full rollup anyway, so the token filters the
+      // tiny cached cell frame — depth-independent, no top-(offset+limit)
+      val cellsAfter = q.after match {
+        case Some(token) => cellsLevel.filter(
+          keysetStrictlyAfter(dimNames, keyParts(token, dimNames.size)))
+        case None => cellsLevel
+      }
+      val cellsDf = paginate(cellsAfter, orderCols(q.orders) ++ tieBreak, q.page)
       AggregateResponse(summaryDf, cellsDf, total,
         () => { rolled.unpersist(blocking = false); () })
     } catch {
@@ -328,29 +360,30 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     paginate(shared, orderCols(q.orders) ++ tieBreak, q.page)
   }
 
-  /** Split a fact id / continuation token into factKey parts (single-column
+  /** Split a fact id / continuation token into key parts (single-column
     * keys take the raw string — DOIs may contain commas).
     */
-  private def factKeyParts(id: String): Seq[String] = {
-    require(model.factKey.nonEmpty,
-      s"cube '${model.name}' declares no factKey")
-    val parts =
-      if (model.factKey.size == 1) Seq(id) else id.split(",", -1).toSeq
-    require(parts.size == model.factKey.size,
-      s"id '$id': expected ${model.factKey.size} comma-separated " +
-        s"part(s) for factKey (${model.factKey.mkString(",")})")
+  private def keyParts(id: String, arity: Int): Seq[String] = {
+    require(arity > 0, s"cube '${model.name}' declares no key to page by")
+    val parts = if (arity == 1) Seq(id) else id.split(",", -1).toSeq
+    require(parts.size == arity,
+      s"id '$id': expected $arity comma-separated part(s)")
     parts
   }
 
-  /** Keyset continuation predicate: factKey-tuple strictly AFTER the token,
+  private def factKeyParts(id: String): Seq[String] =
+    keyParts(id, model.factKey.size)
+
+  /** Keyset continuation predicate: key-tuple strictly AFTER the token,
     * lexicographically. The leading-key lower bound (`k1 >= v1`) is
     * redundant with the exact OR but sargable — it pushes to the parquet
-    * scan (row-group pruning over a factKey-sorted layout), which the
-    * disjunction does not. try_cast keeps a malformed token an empty page
-    * (≡ past-the-end), not an ANSI error.
+    * scan (row-group pruning over a key-sorted layout; partition pruning
+    * for a partition-dim key), which the disjunction does not. try_cast
+    * keeps a malformed token an empty page (≡ past-the-end), not an ANSI
+    * error.
     */
-  private def keysetAfter(parts: Seq[String]): Column = {
-    val ks = model.factKey.zip(parts).map { case (k, v) =>
+  private def keysetStrictlyAfter(keys: Seq[String], parts: Seq[String]): Column = {
+    val ks = keys.zip(parts).map { case (k, v) =>
       (col(k), lit(v).try_cast(colType(k))) }
     val exact = ks.indices.map { i =>
       (ks.take(i).map { case (c, v) => c === v } :+ (ks(i)._1 > ks(i)._2))
@@ -378,7 +411,8 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
       "keyset pagination (after=) pages the factKey total order; order= is not supported with it")
     val cutBase = applyCuts(q.cuts)
     val base = q.after match {
-      case Some(token) => cutBase.filter(keysetAfter(factKeyParts(token)))
+      case Some(token) =>
+        cutBase.filter(keysetStrictlyAfter(model.factKey, factKeyParts(token)))
       case None => cutBase
     }
     // total-order tie-break: factKey first, then EVERY remaining column —

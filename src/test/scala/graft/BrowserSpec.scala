@@ -187,6 +187,40 @@ class BrowserSpec extends SparkSpec {
     assert(rows.sortBy(identity).toSeq == rows.toSeq)
   }
 
+  test("keyset cell pages concatenate to the offset cell listing, pushed below the aggregation") {
+    import graft.query.{CubeQuery, Page}
+    val dd = Seq("l_returnflag", "l_linestatus")
+    val all = li.aggregate(CubeQuery(drilldown = dd)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // walk the whole cell space 2 cells per page: the first page is a
+    // plain offset page, every later one continues from the last cell's
+    // drilldown-key tuple
+    var walked = Seq.empty[(String, String)]
+    var last: Option[(String, String)] = None
+    var done = false
+    while (!done) {
+      val q = last match {
+        case Some((a, b)) => CubeQuery(drilldown = dd,
+          after = Some(s"$a,$b"), page = Some(Page(0, 2)))
+        case None => CubeQuery(drilldown = dd, page = Some(Page(0, 2)))
+      }
+      val page = li.aggregate(q).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      walked ++= page
+      if (page.isEmpty) done = true else last = Some(page.last)
+    }
+    assert(walked == all, s"keyset cell walk $walked != offset listing $all")
+    // the token predicate sits BELOW the aggregation: it reaches the scan
+    val keyed = li.aggregate(CubeQuery(drilldown = dd,
+      after = Some("A,F"), page = Some(Page(0, 3))))
+    keyed.collect()
+    val pushed = keyed.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "GreaterThanOrEqual(l_returnflag,A)") ||
+      pushed.contains("GreaterThanOrEqual(l_returnflag,A)"),
+      s"keyset predicate not pushed to the scan:\n$pushed")
+  }
+
   test("summary+cells rollup: grand total row matches summary (A18)") {
     val rolled = li.aggregateWithSummary(CubeQuery(drilldown = Seq("l_returnflag")))
       .collect()

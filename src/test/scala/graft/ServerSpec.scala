@@ -176,6 +176,28 @@ class ServerSpec extends SparkSpec {
     assert(get("/cube/orders/facts?after=5&page=0&pagesize=10")._1 == 400)
   }
 
+  test("keyset aggregate cells (after=): continuation token pages the drilldown-key order") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def cells(path: String) = {
+      val (code, body) = get(path)
+      assert(code == 200, s"$path -> $code: $body")
+      val t = mapper.readTree(body)
+      (0 until t.get("cells").size()).map(t.get("cells").get(_))
+    }
+    val all = cells("/cube/lineitem/aggregate?drilldown=l_suppkey&page=0&pagesize=500")
+    assert(all.size == 10) // sf0.001 supplier cardinality
+    val p0 = cells("/cube/lineitem/aggregate?drilldown=l_suppkey&after=-1&pagesize=4")
+    val tok = p0.last.get("l_suppkey").asLong()
+    val p1 = cells(s"/cube/lineitem/aggregate?drilldown=l_suppkey&after=$tok&pagesize=4")
+    assert((p0 ++ p1).map(_.toString) == all.take(8).map(_.toString),
+      "keyset cell pages != offset cell listing")
+    // summary and the unpaged total stay GLOBAL on a keyset page
+    val paged = mapper.readTree(
+      get(s"/cube/lineitem/aggregate?drilldown=l_suppkey&after=$tok&pagesize=4")._2)
+    assert(paged.get("total_cell_count").asInt() == all.size)
+    assert(paged.get("summary").get("n_items").asLong() == 6000L)
+  }
+
   test("GET members: sorted distinct dimension values") {
     val (code, body) = get("/cube/lineitem/members/l_returnflag")
     assert(code == 200)
@@ -217,6 +239,9 @@ class ServerSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // other suites in this JVM may hold tracked frames on their own
+    // threads; the invariant here is that the STORM adds none
+    val trackedBefore = graft.engine.CacheScope.trackedCount
     val path = "/cube/lineitem/aggregate?drilldown=l_returnflag&share=price_sum"
     val (code, baseline) = get(path)
     assert(code == 200)
@@ -236,10 +261,10 @@ class ServerSpec extends SparkSpec {
       val expected = if ((idx + 1) % 2 == 0) baseline else otherBaseline
       assert(body == expected, "concurrent share response diverged")
     }
-    // the per-request drains released every tracked rollup: nothing
-    // persists after the storm (the test thread itself tracked nothing)
-    assert(graft.engine.CacheScope.trackedCount == 0,
-      s"${graft.engine.CacheScope.trackedCount} tracked frames leaked")
+    // the per-request drains released every tracked rollup: the storm
+    // leaves no additional persisted frame behind
+    assert(graft.engine.CacheScope.trackedCount == trackedBefore,
+      s"${graft.engine.CacheScope.trackedCount - trackedBefore} tracked frames leaked")
     // share without a drilldown is a client error, not a 500
     assert(get("/cube/lineitem/aggregate?share=price_sum")._1 == 400)
     assert(get("/cube/lineitem/aggregate?drilldown=l_returnflag&share=nope")._1 == 400)
