@@ -148,6 +148,24 @@ object ExtensionQueries {
               lit(0.0)), 4).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     }),
+    // x39: document chunking — fixed token windows with stride/overlap,
+    // the doc→training-sequence fan-out; one posexplode, no shuffle
+    "x39_chunk" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocs(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // x40: benchmark decontamination — corpus docs sharing 5-gram shingles
+    // with the benchmark split (every 50th doc); benchmark grams broadcast,
+    // corpus grams never shuffled before the per-doc aggregation
+    "x40_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.contaminationScan(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
     // x38: PII pattern scan + redaction accounting — email/phone patterns
     // counted and redacted per document. The corpus carries no PII, so
     // deterministic markers are synthesized in-query (the b20 precedent);
@@ -799,6 +817,29 @@ object ExtensionQueries {
         s"'$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len " +
         "FROM s ORDER BY doc_id"
     },
+    "x39_chunk" ->
+      // mirrors Chunking.chunkDocs: nChunks = 1 + ceil(max(len-64,0)/48);
+      // list_slice is 1-based inclusive (Spark slice(start,len) with
+      // start=i*48+1, len=64 covers [i*48+1, i*48+64])
+      (s"WITH m AS (SELECT doc_id, $toks AS s FROM documents WHERE len($toks) > 0), " +
+        "c AS (SELECT doc_id, unnest(range(0, 1 + (greatest(len(s) - 64, 0) + 47) // 48)) AS i, s FROM m) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "array_to_string(list_slice(s, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text, " +
+        "CAST(least(64, len(s) - i * 48) AS BIGINT) AS n_tokens " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
+    "x40_decontaminate" ->
+      // 5-gram shingle sets (mirrors TextFunctions.shingles k=5), split
+      // into corpus (doc_id % 50 != 0) vs benchmark; inner join on the
+      // shared gram, grouped per corpus doc
+      (s"WITH t AS (SELECT doc_id, unnest(list_distinct(" +
+        "[array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)]" +
+        s")) AS sh FROM (SELECT doc_id, $toks AS s FROM documents)), " +
+        "c AS (SELECT * FROM t WHERE doc_id % 50 <> 0), " +
+        "b AS (SELECT * FROM t WHERE doc_id % 50 = 0) " +
+        "SELECT c.doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared_shingles, " +
+        "CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs " +
+        "FROM c JOIN b ON c.sh = b.sh GROUP BY 1 " +
+        "HAVING count(DISTINCT c.sh) >= 1 ORDER BY 1"),
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(

@@ -117,6 +117,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
 
+  /** Benchmark DECONTAMINATION scan: corpus documents sharing at least
+    * `minShared` k-gram shingles with ANY benchmark document — the
+    * test-set-overlap check a training pipeline runs before releasing a
+    * corpus (flagged documents are dropped or audited). Cross-dataset by
+    * construction, unlike the self-join dedup family above.
+    *
+    * Scale shape: the benchmark side (eval sets) is small — its gram table
+    * is broadcast, so the corpus side joins map-side with NO shuffle of
+    * corpus grams; the only shuffle is the per-corpus-document aggregation.
+    * `maxDocFreq` (applied to the CORPUS side) drops boilerplate grams
+    * that would flag everything. Output: (idCol, n_shared_shingles,
+    * n_bench_docs) per flagged corpus document.
+    */
+  def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, minShared: Long = 1,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val cg = shingleTable(corpus, idCol, textCol, k, maxDocFreq)
+    val bg = shingleTable(benchmark, idCol, textCol, k, None)
+      .select(col("id").as("__bench_id"), col("shingle"))
+    cg.join(broadcast(bg), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("__bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs: C(A⊆B) = |A∩B| / |A|. Catches
     * sub-document duplication Jaccard misses — a paragraph pasted into a
     * much larger document has high containment but low Jaccard (the size

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Chunking
+
+class ChunkingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("stride = window partitions the tokens exactly; concatenation reconstructs the doc") {
+    val d = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val chunks = Chunking.chunkDocs(d, "doc_id", "text", window = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 2L))
+    assert(chunks.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    // lossless: the chunks concatenate back to the token stream
+    assert(chunks.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
+  test("stride < window overlaps adjacent chunks by window - stride tokens") {
+    val d = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val chunks = Chunking.chunkDocs(d, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text")).toSeq
+    assert(chunks == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10"))
+    // every token index appears; adjacent chunks share exactly 2 tokens
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.split(' ').takeRight(2).toSeq == b.split(' ').take(2).toSeq)
+    }
+  }
+
+  test("short docs yield one chunk, empty docs none, whitespace normalized") {
+    val d = docs((1L, "just three tokens"), (2L, ""), (3L, "  \t\n  "),
+      (4L, "a  b\t\nc"))
+    val out = Chunking.chunkDocs(d, "doc_id", "text", window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("chunk_text"))).toSeq
+    assert(out.sortBy(_._1) == Seq((1L, "just three tokens"), (4L, "a b c")))
+  }
+
+  test("guard rails: bad window/stride rejected") {
+    val d = docs((1L, "x"))
+    intercept[IllegalArgumentException](
+      Chunking.chunkDocs(d, "doc_id", "text", window = 0, stride = 1))
+    intercept[IllegalArgumentException](
+      Chunking.chunkDocs(d, "doc_id", "text", window = 4, stride = 5))
+  }
+
+  test("contamination scan flags corpus docs sharing k-grams with the benchmark") {
+    import graft.operators.Dedup
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docs(
+      // contains the benchmark 5-grams verbatim inside a longer doc
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      // shares tokens but no 5-gram run
+      (2L, "quick dog brown lazy fox the over jumps"),
+      (3L, "completely unrelated content about spark physical plans"))
+    val flagged = Dedup.contaminationScan(corpus, bench, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_shared_shingles"),
+        r.getAs[Long]("n_bench_docs"))).toSeq
+    // doc 1 shares all 5 of the benchmark's 5-gram shingles (9 tokens -> 5)
+    assert(flagged == Seq((1L, 5L, 1L)))
+    // benchmark grams are broadcast: the corpus side must not shuffle
+    // before its per-doc aggregation (one Exchange total on the corpus path)
+    val plan = Dedup.contaminationScan(corpus, bench, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+}
