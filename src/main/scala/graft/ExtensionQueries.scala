@@ -166,6 +166,42 @@ object ExtensionQueries {
         "doc_id", "text", k = 5)
         .orderBy(col("doc_id"))
     }),
+    // x41: sequence packing — documents assigned to fixed token-budget
+    // training sequences, sharded prefix sums (no global-order task);
+    // modulo shard key so the assignment is oracle-portable
+    "x41_pack" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        table(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048, shards = 8,
+        shardExpr = Some(pmod(col("doc_id"), lit(8L))))
+        .orderBy(col("doc_id"))),
+    // x42: TF-IDF top terms per document — tf and document frequency from
+    // two hash aggregates over one exploded token table (persisted: it
+    // feeds both), ranked on INTEGER keys (tf desc, df asc, term) so the
+    // ranking is engine-exact; the tfidf value itself is rounded
+    "x42_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = graft.engine.CacheScope.persistTracked(
+        docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term")))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("__N"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfr, Seq("term")).crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          graft.functions.EngineMath.roundAway(
+            col("tf").cast("double") *
+              log(col("__N").cast("double") / col("df").cast("double")), 4)
+            .as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     // x38: PII pattern scan + redaction accounting — email/phone patterns
     // counted and redacted per document. The corpus carries no PII, so
     // deterministic markers are synthesized in-query (the b20 precedent);
@@ -840,6 +876,28 @@ object ExtensionQueries {
         "CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs " +
         "FROM c JOIN b ON c.sh = b.sh GROUP BY 1 " +
         "HAVING count(DISTINCT c.sh) >= 1 ORDER BY 1"),
+    "x41_pack" ->
+      // mirrors Packing.packSequences: per-shard running token total in
+      // doc_id order, start-based sequence assignment; all-integer math
+      (s"WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n, " +
+        "doc_id % 8 AS shard FROM documents), " +
+        "c AS (SELECT doc_id, shard, n, CAST(sum(n) OVER (PARTITION BY shard " +
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST((cum - n) // 2048 AS BIGINT) AS seq_id, " +
+        "CAST((cum - n) % 2048 AS BIGINT) AS start_offset " +
+        "FROM c ORDER BY doc_id"),
+    "x42_tfidf" ->
+      (s"WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "fd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents), " +
+        "r AS (SELECT doc_id, term, tf, df, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank " +
+        "FROM tf JOIN fd USING (term)) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, " +
+        "round(CAST(tf AS DOUBLE) * ln(nn / CAST(df AS DOUBLE)), 4) AS tfidf " +
+        "FROM r, n WHERE rank <= 3 ORDER BY doc_id, rank"),
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(
