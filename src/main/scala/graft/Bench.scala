@@ -38,6 +38,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val gateAttempts = awaitQuietBox(threshold = 2.0, maxAttempts = 20,
       sleepSec = 30)
+    // ambient load BEFORE Spark starts: the end-of-run stamp includes the
+    // bench's own 32 threads (a 95 s burst alone pushes load1 to 3-6), so
+    // only the pre-run number measures what ELSE the box was doing
+    val loadStart = load1.getOrElse(-1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,7 +76,7 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/uptime")).trim.split("\\s+")(0)
       s""","uptime_sec":$secs"""
     } catch { case _: Throwable => "" }
-    val gate = s""","load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
+    val gate = s""","load1_start":$loadStart,"load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate}""")
     spark.stop()
   }
