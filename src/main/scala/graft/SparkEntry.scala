@@ -153,6 +153,11 @@ object SparkEntry {
       rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
         drilldown = Seq("l_returnflag", "l_linestatus"),
         after = Some("A,F"), page = Some(Page(0, 3)))), aggRound: _*)),
+    // a23: keyset continuation over MEMBERS — the token predicate is on
+    // the dim column itself, below both the distinct and the scan
+    "a23_keyset_members" -> ((s, dir) =>
+      TestCubes.lineitem(s, dir).members("l_partkey",
+        after = Some("500"), page = Some(Page(0, 100)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,5 +227,8 @@ object SparkEntry {
         "WHERE l_returnflag >= 'A' AND (l_returnflag > 'A' OR " +
         "(l_returnflag = 'A' AND l_linestatus > 'F')) " +
         "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 3"),
+    "a23_keyset_members" ->
+      ("SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey > 500 " +
+        "ORDER BY 1 LIMIT 100"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -437,9 +437,21 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     }
   }
 
-  /** `GET /cube/<c>/members/<dim>`: distinct dimension values, sorted. */
-  def members(dim: String, cuts: Seq[Cut] = Nil, page: Option[Page] = None): DataFrame = {
+  /** `GET /cube/<c>/members/<dim>`: distinct dimension values, sorted.
+    * `after=` keyset continuation (same contract as facts/cells): the
+    * token is the last value already seen; the predicate is on the dim
+    * column itself, so it pushes below BOTH the distinct and the scan —
+    * a high-cardinality member listing pages in O(page), and row-group
+    * pruning applies on a dim-sorted layout.
+    */
+  def members(dim: String, cuts: Seq[Cut] = Nil, page: Option[Page] = None,
+      after: Option[String] = None): DataFrame = {
     val d = model.requireDimension(dim).name
-    paginate(applyCuts(cuts).select(col(d)).distinct(), Seq(col(d).asc), page)
+    val base = applyCuts(cuts)
+    val keyed = after match {
+      case Some(token) => base.filter(keysetStrictlyAfter(Seq(d), Seq(token)))
+      case None => base
+    }
+    paginate(keyed.select(col(d)).distinct(), Seq(col(d).asc), page)
   }
 }

@@ -221,7 +221,7 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   private def membersJson(cube: String, dim: String, params: Map[String, String]): String = {
     val b = registry.browser(cube)
     val q = parseQuery(params)
-    val vals = b.members(dim, q.cuts, q.page).toJSON.collect()
+    val vals = b.members(dim, q.cuts, q.page, q.after).toJSON.collect()
     s"""{"dimension":${jstr(dim)},"values":[${vals.mkString(",")}]}"""
   }
 }

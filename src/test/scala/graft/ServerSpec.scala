@@ -198,6 +198,20 @@ class ServerSpec extends SparkSpec {
     assert(paged.get("summary").get("n_items").asLong() == 6000L)
   }
 
+  test("keyset members (after=): pages concatenate to the full sorted member list") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def vals(path: String): Seq[Long] = {
+      val t = mapper.readTree(get(path)._2).get("values")
+      (0 until t.size()).map(t.get(_).get("l_suppkey").asLong())
+    }
+    val all = vals("/cube/lineitem/members/l_suppkey")
+    val p0 = vals("/cube/lineitem/members/l_suppkey?after=-1&pagesize=4")
+    val p1 = vals(s"/cube/lineitem/members/l_suppkey?after=${p0.last}&pagesize=4")
+    val p2 = vals(s"/cube/lineitem/members/l_suppkey?after=${p1.last}&pagesize=4")
+    assert(p0 ++ p1 ++ p2 == all, "keyset member pages != full listing")
+    assert(vals("/cube/lineitem/members/l_suppkey?after=99999&pagesize=4").isEmpty)
+  }
+
   test("GET members: sorted distinct dimension values") {
     val (code, body) = get("/cube/lineitem/members/l_returnflag")
     assert(code == 200)
