@@ -302,6 +302,20 @@ object ExtensionQueries {
         Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
           k = 3, threshold = 0.8), "id_a", "id_b")
         .orderBy(col("component"))),
+    // x43: keeper selection by SCORE — keep the LONGEST member of each
+    // near-dup group (the production policy; min-id is x14's convention).
+    // Integer score + id tie-break keeps the selection engine-exact. The
+    // pair source here is the exact oracle path (x06); at scale the same
+    // keeper composes with minhashPairs (x07) unchanged.
+    "x43_keep_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      Dedup.deduplicateByPairsKeepBest(docs, "doc_id", pairs, col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -898,6 +912,26 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, " +
         "round(CAST(tf AS DOUBLE) * ln(nn / CAST(df AS DOUBLE)), 4) AS tfidf " +
         "FROM r, n WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "x43_keep_best" ->
+      (s"""WITH RECURSIVE pr AS ($jaccardCte),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |m AS (SELECT d.doc_id, d.n_tokens, comp.component FROM d JOIN comp ON d.doc_id = comp.id),
+         |k AS (SELECT doc_id, n_tokens FROM (
+         |  SELECT doc_id, n_tokens, row_number() OVER (
+         |    PARTITION BY component ORDER BY n_tokens DESC, doc_id ASC) AS rk
+         |  FROM m) WHERE rk = 1),
+         |nm AS (SELECT doc_id, n_tokens FROM d
+         |  WHERE doc_id NOT IN (SELECT id FROM comp))
+         |SELECT doc_id, n_tokens FROM (SELECT * FROM k UNION ALL SELECT * FROM nm)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(

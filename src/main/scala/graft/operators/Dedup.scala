@@ -689,6 +689,32 @@ object Dedup {
     df.join(drop, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Keeper selection by SCORE: keep the best-scoring member of each
+    * near-dup group — the production policy (longest document, highest
+    * quality score) rather than [[deduplicateByPairs]]'s min-id
+    * convention. Ties break by smallest id, so an integer score keeps the
+    * whole selection engine-exact.
+    *
+    * Scale shape: only dup-group MEMBERS (the tiny component table) go
+    * through the per-component ranking window; everything else passes
+    * through via anti-join — no window over the full corpus.
+    */
+  def deduplicateByPairsKeepBest(df: DataFrame, idCol: String,
+      pairs: DataFrame, score: Column,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component").as("__component"))
+    val members = df.join(comp, df(idCol) === col("__cid"))
+    val w = Window.partitionBy(col("__component"))
+      .orderBy(score.desc, df(idCol).asc)
+    val keepers = members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cid", "__component", "__rk")
+    val untouched = df.join(comp, df(idCol) === col("__cid"), "left_anti")
+    untouched.unionByName(keepers)
+  }
+
   // ---- embedding cosine -------------------------------------------------
 
   /** Cosine similarity of two float-array columns — built-in `zip_with` +

@@ -135,6 +135,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "chain did not collapse to the minimum id")
   }
 
+  test("keep-best dedup keeps the highest score per group, id on ties, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // group {1,2,3}: 2 wins on score
+      (10L, 5L), (11L, 5L),            // group {10,11}: tie -> smaller id
+      (42L, 1L))                       // singleton: passes through
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.deduplicateByPairsKeepBest(docs, "id", pairs, col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 42L))
+    // min-id convention (deduplicateByPairs) differs exactly where the
+    // score ranking does
+    val minId = Dedup.deduplicateByPairs(docs, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 42L))
+  }
+
   test("components: RELIABLE checkpointing runs the star-alternation loop to the same fixpoint") {
     import spark.implicits._
     // executor-churn-safe variant: rounds persist to the checkpoint
