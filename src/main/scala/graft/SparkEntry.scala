@@ -157,7 +157,7 @@ object SparkEntry {
     // the dim column itself, below both the distinct and the scan
     "a23_keyset_members" -> ((s, dir) =>
       TestCubes.lineitem(s, dir).members("l_partkey",
-        after = Some("500"), page = Some(Page(0, 100)))),
+        after = Some("50"), page = Some(Page(0, 100)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,7 +228,7 @@ object SparkEntry {
         "(l_returnflag = 'A' AND l_linestatus > 'F')) " +
         "GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 3"),
     "a23_keyset_members" ->
-      ("SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey > 500 " +
+      ("SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey > 50 " +
         "ORDER BY 1 LIMIT 100"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -52,6 +52,25 @@ class PlanSpec extends SparkSpec {
     assert(a.nestedLoopJoins == 0 && a.cartesian == 0, a.toString)
   }
 
+  test("keyset tokens reach the parquet scan as pushed filters") {
+    // a20 (facts factKey range), a22 (below the aggregation), a23 (below
+    // the distinct): the whole point of the keyset design is scan-level
+    // pruning — a missing pushdown silently degrades to offset-grade cost
+    for (q <- Seq("a20_keyset_page", "a22_keyset_cells", "a23_keyset_members"))
+      assert(audits(q).scansWithPushdown > 0, s"$q: keyset predicate not pushed")
+  }
+
+  test("corpus-shaping plans keep their scale shapes") {
+    // chunking: pipelined posexplode — only the output-order exchange
+    assert(audits("x39_chunk").shuffles <= 1, audits("x39_chunk").toString)
+    // decontamination: benchmark grams broadcast, never a sort-merge of
+    // corpus grams
+    val d = audits("x40_decontaminate")
+    assert(d.broadcastJoins > 0 && d.sortMergeJoins == 0, d.toString)
+    // packing: the sharded prefix-sum window + output order, nothing more
+    assert(audits("x41_pack").shuffles <= 2, audits("x41_pack").toString)
+  }
+
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
     // a17's denominator is collected from the persisted rollup and embedded
     // as a literal; the returned cells frame must read the SAME cache — a
