@@ -316,6 +316,17 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // x44: LEAKAGE-SAFE split — the md5 split keyed by near-dup GROUP, so
+    // duplicates can never straddle train/test (the eval-contamination
+    // failure of id-keyed splits)
+    "x44_group_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      Dedup.groupAwareSplit(docs.select(col("doc_id")), "doc_id", pairs,
+        splitWeights)
+        .orderBy(col("doc_id"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -932,6 +943,7 @@ object ExtensionQueries {
          |  WHERE doc_id NOT IN (SELECT id FROM comp))
          |SELECT doc_id, n_tokens FROM (SELECT * FROM k UNION ALL SELECT * FROM nm)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x44_group_split" -> x44Sql,
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(
@@ -1025,6 +1037,36 @@ object ExtensionQueries {
   private def x27Sql: String =
     s"$langCte SELECT doc_id, lang, $splitCaseSql AS split FROM l " +
       s"WHERE $keepCaseSql ORDER BY doc_id"
+
+  /** x44: the assignSplit CASE over an arbitrary key expression (mirrors
+    * Sampling.assignSplit keyed by group, not doc).
+    */
+  private def splitCaseOver(keyExpr: String): String = {
+    import graft.operators.Sampling.thresholdHex
+    val total = splitWeights.map(_._2).sum
+    val cum = splitWeights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val t = s"substr(md5('spl:'||CAST($keyExpr AS VARCHAR)),1,4)"
+    "CASE " + splitWeights.init.zip(cum).map { case ((n, _), c) =>
+      if (c >= 1.0) s"WHEN TRUE THEN '$n'"
+      else s"WHEN $t < '${thresholdHex(c)}' THEN '$n'"
+    }.mkString(" ") + s" ELSE '${splitWeights.last._1}' END"
+  }
+
+  private def x44Sql: String =
+    s"""WITH RECURSIVE pr AS ($jaccardCte),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |g AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS group_key
+       |  FROM (SELECT doc_id FROM documents) d
+       |  LEFT JOIN comp ON d.doc_id = comp.id)
+       |SELECT doc_id, group_key, ${splitCaseOver("group_key")} AS split
+       |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   // ---- staged-intermediate oracles (see graft.Stage): the engine-specific
   // signature/bucket computation is handed off via parquet; DuckDB

@@ -715,6 +715,25 @@ object Dedup {
     untouched.unionByName(keepers)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the deterministic md5 split
+    * ([[Sampling.assignSplit]]) keyed by near-dup GROUP instead of
+    * document id — near-duplicates land in the SAME split by construction,
+    * so a test document can never have a training-set twin (the classic
+    * eval-contamination failure of id-keyed splits). Singletons key by
+    * their own id; group members key by their component id. Adds
+    * `group_key` and `split` columns.
+    */
+  def groupAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component").as("__component"))
+    df.join(comp, df(idCol) === col("__cid"), "left")
+      .withColumn("group_key", coalesce(col("__component"), df(idCol)))
+      .withColumn("split", Sampling.assignSplit(col("group_key"), weights))
+      .drop("__cid", "__component")
+  }
+
   // ---- embedding cosine -------------------------------------------------
 
   /** Cosine similarity of two float-array columns — built-in `zip_with` +

@@ -113,6 +113,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("group-aware split: near-dup groups never straddle splits; singletons keyed by own id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 12L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.operators.Dedup.groupAwareSplit(docs, "id", pairs, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // whole group shares one split (no train/test straddle possible)
+    assert(Set(byId(1L)._3, byId(2L)._3, byId(3L)._3).size == 1)
+    assert(byId(10L)._3 == byId(11L)._3)
+    // group key is the component min; singletons key by their own id
+    assert(byId(2L)._2 == 1L && byId(11L)._2 == 10L && byId(7L)._2 == 7L)
+    // the group's split IS assignSplit of the group key (not of member ids)
+    val direct = Seq(1L).toDF("k")
+      .select(graft.operators.Sampling.assignSplit(col("k"), w)).collect().head.getString(0)
+    assert(byId(3L)._3 == direct)
+    graft.engine.CacheScope.drain()
+  }
+
   test("stratifiedKeep applies per-stratum rates") {
     import spark.implicits._
     val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
