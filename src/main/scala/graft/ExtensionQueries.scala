@@ -202,6 +202,27 @@ object ExtensionQueries {
             .as("tfidf"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    // x45: chunk→pack composition — the end-to-end training-sequence
+    // builder: documents into 64-token chunks (stride=window: exact
+    // partition), chunks packed into 256-token sequences sharded by DOC
+    // (a document's chunks stay on one shard, ordered by chunk_key).
+    // One posexplode + one sharded window; per-sequence stats gate it
+    "x45_chunk_pack" -> ((s, dir) => {
+      val chunks = graft.operators.Chunking.chunkDocs(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 64)
+        // composite (doc, chunk) order as ONE sortable key; chunk_idx is
+        // bounded far below 100 at any document length seen (<= 2 here)
+        .withColumn("chunk_key", col("doc_id") * 100 + col("chunk_idx"))
+      graft.operators.Packing.packSequences(chunks, "chunk_key", "n_tokens",
+        budget = 256, shards = 4,
+        shardExpr = Some(pmod(col("doc_id"), lit(4L))))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          min(col("chunk_key")).as("first_chunk"))
+        .orderBy(col("shard"), col("seq_id"))
+    }),
     // x38: PII pattern scan + redaction accounting — email/phone patterns
     // counted and redacted per document. The corpus carries no PII, so
     // deterministic markers are synthesized in-query (the b20 precedent);
@@ -908,7 +929,7 @@ object ExtensionQueries {
         "doc_id % 8 AS shard FROM documents), " +
         "c AS (SELECT doc_id, shard, n, CAST(sum(n) OVER (PARTITION BY shard " +
         "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d) " +
-        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard, " +
         "CAST((cum - n) // 2048 AS BIGINT) AS seq_id, " +
         "CAST((cum - n) % 2048 AS BIGINT) AS start_offset " +
         "FROM c ORDER BY doc_id"),
@@ -944,6 +965,22 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens FROM (SELECT * FROM k UNION ALL SELECT * FROM nm)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x44_group_split" -> x44Sql,
+    "x45_chunk_pack" ->
+      // chunk CTE mirrors x39 at window=stride=64; packing window mirrors
+      // x41 at budget=256 sharded by doc_id % 4, ordered by chunk_key
+      (s"WITH m AS (SELECT doc_id, $toks AS s FROM documents WHERE len($toks) > 0), " +
+        "ch AS (SELECT doc_id, unnest(range(0, 1 + (greatest(len(s) - 64, 0) + 63) // 64)) AS i, s FROM m), " +
+        "c AS (SELECT doc_id, doc_id * 100 + i AS chunk_key, " +
+        "CAST(least(64, len(s) - i * 64) AS BIGINT) AS n FROM ch), " +
+        "p AS (SELECT doc_id % 4 AS shard, chunk_key, n, " +
+        "CAST(sum(n) OVER (PARTITION BY doc_id % 4 ORDER BY chunk_key " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, " +
+        "CAST((cum - n) // 256 AS BIGINT) AS seq_id, " +
+        "CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(n) AS BIGINT) AS seq_tokens, " +
+        "CAST(min(chunk_key) AS BIGINT) AS first_chunk " +
+        "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
     "x08_simhash_pairs" -> x08Sql,
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(

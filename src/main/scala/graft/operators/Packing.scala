@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Pack each document into (shard, seq_id, start_offset): the sequence
-    * index within its shard and the token offset at which the document
-    * starts inside that sequence. Deterministic given (idCol order,
-    * shards, budget). All integer arithmetic — results are engine-exact.
+  /** Pack each row into (shard, seq_id, start_offset): the sequence index
+    * within its shard and the token offset at which the row's tokens start
+    * inside that sequence. Input columns PASS THROUGH (so compositions —
+    * chunks into sequences — never need a self-join back to their source,
+    * which would reference the same subtree twice in one plan and trip the
+    * cache-substitution miss documented on Browser.aggregateWithShare).
+    * Deterministic given (idCol order, shards, budget); all integer
+    * arithmetic — results are engine-exact.
     *
     * `shardExpr` overrides the shard key (default: xxhash64 of the id for
     * uniform load; a modulo key keeps the assignment portable to engines
@@ -41,15 +45,16 @@ object Packing {
     require(shards > 0, s"shards must be positive, got $shards")
     val shard = shardExpr
       .getOrElse(pmod(xxhash64(col(idCol)), lit(shards.toLong)))
-      .cast("long").as("shard")
+      .cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(tokenCountCol).cast("long").as("__n"), shard)
+    df.withColumn("shard", shard)
+      .withColumn("__n", col(tokenCountCol).cast("long"))
       .withColumn("__cum", sum(col("__n")).over(w))
-      .select(
-        col(idCol),
-        col("shard"),
-        floor((col("__cum") - col("__n")) / budget).cast("long").as("seq_id"),
-        pmod(col("__cum") - col("__n"), lit(budget.toLong)).as("start_offset"))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("__n")) / budget).cast("long"))
+      .withColumn("start_offset",
+        pmod(col("__cum") - col("__n"), lit(budget.toLong)))
+      .drop("__n", "__cum")
   }
 }

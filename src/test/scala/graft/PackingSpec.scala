@@ -12,7 +12,8 @@ class PackingSpec extends SparkSpec {
       .toDF("doc_id", "n_tokens")
     val out = Packing.packSequences(d, "doc_id", "n_tokens",
         budget = 10, shards = 2, shardExpr = Some(pmod(col("doc_id"), lit(2L))))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("start_offset")))
       .sortBy(_._1).toSeq
     // shard 0: ids 0(4) 2(5) 4(3) 6(9) -> starts 0,4,9,12
     // shard 1: ids 1(10) 3(1)          -> starts 0,10
@@ -27,7 +28,7 @@ class PackingSpec extends SparkSpec {
     val a = Packing.packSequences(d, "doc_id", "n_tokens", budget = 128, shards = 8)
     val rows = a.collect()
     assert(rows.length == 1000)
-    val byShard = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val byShard = rows.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).toMap
     assert(byShard.keySet.subsetOf((0L until 8L).toSet))
     // hash sharding balances within a loose factor
     assert(byShard.values.max < 3 * byShard.values.min,
@@ -37,6 +38,8 @@ class PackingSpec extends SparkSpec {
       .collect()
     assert(rows.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     // offsets always inside the budget
-    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 128))
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("start_offset"); off >= 0 && off < 128
+    })
   }
 }
