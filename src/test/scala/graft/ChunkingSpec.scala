@@ -44,6 +44,37 @@ class ChunkingSpec extends SparkSpec {
     assert(out.sortBy(_._1) == Seq((1L, "just three tokens"), (4L, "a b c")))
   }
 
+  test("property: chunk count, coverage, and bounds hold across doc/window/stride shapes") {
+    // deterministic sweep standing in for a generator: doc lengths around
+    // the window boundaries x window/stride combinations
+    val cases = for {
+      n <- Seq(1, 3, 4, 5, 7, 8, 9, 16, 63, 64, 65, 100, 129)
+      (w, st) <- Seq((4, 4), (4, 2), (8, 3), (64, 48), (64, 64))
+    } yield (n, w, st)
+    val docs = cases.zipWithIndex.map { case ((n, _, _), i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }
+    for (((n, w, st), i) <- cases.zipWithIndex) {
+      val d = this.docs(docs(i))
+      val chunks = Chunking.chunkDocs(d, "doc_id", "text", w, st)
+        .orderBy("chunk_idx").collect()
+      val expected = 1 + math.ceil(math.max(n - w, 0).toDouble / st).toInt
+      assert(chunks.length == expected, s"n=$n w=$w st=$st: ${chunks.length} chunks")
+      // chunk i starts at token i*st+1 and carries min(w, n - i*st) tokens
+      chunks.zipWithIndex.foreach { case (r, idx) =>
+        assert(r.getAs[Long]("n_tokens") == math.min(w, n - idx * st).toLong,
+          s"n=$n w=$w st=$st chunk $idx")
+        assert(r.getAs[String]("chunk_text").startsWith(s"w${idx * st + 1} ") ||
+          !r.getAs[String]("chunk_text").contains(' ') &&
+            r.getAs[String]("chunk_text") == s"w${idx * st + 1}",
+          s"n=$n w=$w st=$st chunk $idx start")
+      }
+      // every token appears in at least one chunk (coverage)
+      val covered = chunks.flatMap(_.getAs[String]("chunk_text").split(' ')).toSet
+      assert(covered == (1 to n).map(k => s"w$k").toSet, s"n=$n w=$w st=$st coverage")
+    }
+  }
+
   test("guard rails: bad window/stride rejected") {
     val d = docs((1L, "x"))
     intercept[IllegalArgumentException](
