@@ -5,14 +5,60 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Queries run in sorted-name order
   * after one untimed warmup query, so per-query numbers aren't polluted by
   * JVM/codegen warmup landing on whichever query ran first.
+  *
+  * Pollution control covers the WHOLE run, not just its start (round-4
+  * lesson: the start gate passed at load1 1.7, ambient load ramped mid-run,
+  * and per-query numbers came out 2-6× their idle values):
+  *
+  *  - Start gate (unchanged): refuse to start while load1 > threshold,
+  *    bounded sleep-retry.
+  *  - Per-query ambient-CPU stamp: loadavg is a 1-minute EMA that cannot
+  *    separate the bench's own 32 threads from interference mid-run, so
+  *    each query instead measures OTHER processes' CPU directly —
+  *    (Δ system busy jiffies − Δ own-process jiffies) / wall — from
+  *    /proc/stat and /proc/self/stat. That is exactly "what else the box
+  *    was doing while this query ran", in cores.
+  *  - Queries whose ambient exceeded [[AmbientCores]] are re-run once at
+  *    the end (by then the interfering burst has usually passed); the
+  *    reported time is the better of the two and the `reran` field names
+  *    them so a reader knows which lines were contested.
+  *  - The JSON line is also written to a FILE (SPARK_GRAFT_BENCH_OUT, or
+  *    BENCH_LAST.json in cwd) — log-tail capture truncated 21 of 79
+  *    queries from BENCH_r04; the file artifact cannot be.
+  *
+  * Optional args: a subset of query names to run (local iteration); no
+  * args = the full suite (driver contract).
   */
 object Bench {
+
+  /** Ambient (non-bench) CPU, in cores, above which a query's timing is
+    * considered contested and re-run once at the end of the suite.
+    */
+  val AmbientCores = 2.0
 
   private def load1: Option[Double] =
     try Some(java.nio.file.Files
       .readString(java.nio.file.Paths.get("/proc/loadavg"))
       .trim.split("\\s+")(0).toDouble)
     catch { case _: Throwable => None }
+
+  /** (system busy jiffies across all cpus, this process's jiffies).
+    * Busy excludes idle (field 4) and iowait (field 5). /proc/self/stat's
+    * comm field may contain spaces, so fields are taken after the last ')'
+    * (utime/stime are then 0-based fields 11/12).
+    */
+  private def cpuSample(): Option[(Long, Long)] = try {
+    val sys0 = java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    val busy = sys0.zipWithIndex.collect {
+      case (v, i) if i != 3 && i != 4 => v }.sum
+    val selfStat = java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/self/stat"))
+    val after = selfStat.substring(selfStat.lastIndexOf(')') + 2)
+      .trim.split("\\s+")
+    Some((busy, after(11).toLong + after(12).toLong))
+  } catch { case _: Throwable => None }
 
   /** Load-gate: ambient load swings bench totals 2-3× on a shared box
     * (three rounds of BENCH files needed an idle re-run to interpret), so
@@ -31,6 +77,23 @@ object Bench {
       attempts += 1
     }
     attempts
+  }
+
+  /** Run one query; returns (wall sec, ambient cores during the run). */
+  private def timeOne(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val c0 = cpuSample()
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // release operator-persisted intermediates between queries so cached
+    // blocks don't accumulate across the run (storage-memory churn)
+    graft.engine.CacheScope.drain()
+    val ambient = (for { (b0, s0) <- c0; (b1, s1) <- cpuSample() } yield {
+      val hz = 100.0 // USER_HZ; Linux fixes this at 100 on all common arches
+      math.max(0.0, ((b1 - b0) - (s1 - s0)) / hz / math.max(dt, 1e-3))
+    }).getOrElse(-1.0)
+    (dt, ambient)
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,17 +115,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("a03_summary")(spark, sfDir).count() // warmup
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release operator-persisted intermediates between queries so cached
-      // blocks don't accumulate across the run (storage-memory churn)
-      graft.engine.CacheScope.drain()
-      name -> dt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => args.isEmpty || args.contains(q._1))
+    val firstPass = selected.map { case (name, fn) =>
+      val (dt, ambient) = timeOne(spark, sfDir, fn)
+      if (ambient > AmbientCores)
+        System.err.println(f"[bench] $name contested: ambient=$ambient%.1f cores")
+      (name, fn, dt, ambient)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // second chance for contested lines: by suite end the interfering burst
+    // has usually passed; keep the better time (a re-run can itself be hit)
+    val contested = firstPass.filter(_._4 > AmbientCores)
+    val reruns: Map[String, (Double, Double)] = contested.map {
+      case (name, fn, _, _) =>
+        System.err.println(s"[bench] re-running contested $name")
+        name -> timeOne(spark, sfDir, fn)
+    }.toMap
+    val results = firstPass.map { case (name, _, dt, ambient) =>
+      reruns.get(name) match {
+        case Some((dt2, amb2)) if dt2 < dt => (name, dt2, amb2)
+        case _ => (name, dt, ambient)
+      }
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ambients = results.map { case (k, _, a) =>
+      s"\"" + k + "\":" + f"$a%.2f" }.mkString("{", ",", "}")
+    val reranNames = contested.map(c => s"\"${c._1}\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // machine-state stamp: ambient load swings totals 2-3x on this box, so
     // a bench line is only interpretable next to the load it ran under
@@ -77,7 +156,18 @@ object Bench {
       s""","uptime_sec":$secs"""
     } catch { case _: Throwable => "" }
     val gate = s""","load1_start":$loadStart,"load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate}""")
+    val ambientStamp =
+      s""","ambient_cores":$ambients,"ambient_threshold":$AmbientCores,"reran":$reranNames"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate$ambientStamp}"""
+    println(line)
+    // file artifact: stdout/log-tail capture truncated BENCH_r04; the file
+    // version is always complete
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LAST.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write file artifact: $e") }
     spark.stop()
   }
 }

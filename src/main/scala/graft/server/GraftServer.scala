@@ -142,6 +142,8 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
           "share= needs a drilldown (a grand total has no cells to share)")
         if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
           s"unknown aggregate '$aggName' for share=")
+        if (q.after.nonEmpty) throw new IllegalArgumentException(
+          "after= is not supported with share= (share cells page by offset)")
         val cells = b.aggregateWithShare(q, aggName, s"${aggName}_pct")
           .toJSON.collect()
         // cell_count = cells in THIS response (the page, when paginated) —
