@@ -176,23 +176,30 @@ object ExtensionQueries {
         "doc_id", "n_tokens", budget = 2048, shards = 8,
         shardExpr = Some(pmod(col("doc_id"), lit(8L))))
         .orderBy(col("doc_id"))),
-    // x42: TF-IDF top terms per document — tf and document frequency from
-    // two hash aggregates over one exploded token table (persisted: it
-    // feeds both), ranked on INTEGER keys (tf desc, df asc, term) so the
-    // ranking is engine-exact; the tfidf value itself is rounded
+    // x42: TF-IDF top terms per document — ONE linear plan: the exploded
+    // token table aggregates to per-(doc, term) tf, document frequency is
+    // a count over a term-partitioned window on that SAME frame (no second
+    // aggregate + self-join — the round-4 shape referenced the persisted
+    // token table twice in one plan, the exact DeduplicateRelations
+    // cache-substitution trap that bit a17). Ranked on INTEGER keys
+    // (tf desc, df asc, term) so the ranking is engine-exact; the tfidf
+    // value itself is rounded. At scale the term window concentrates a
+    // stopword-grade hot term in one task — the same skew the
+    // groupBy(term)+join shape had; a production df over a skewed corpus
+    // would two-phase it with a salt (operators/Skew.scala pattern).
     "x42_tfidf" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val toks = graft.engine.CacheScope.persistTracked(
-        docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("term")))
-      val tf = toks.groupBy(col("doc_id"), col("term"))
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
       val total = docs.agg(count(lit(1)).as("__N"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(dfr, Seq("term")).crossJoin(broadcast(total))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(total))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
@@ -211,9 +218,14 @@ object ExtensionQueries {
       val chunks = graft.operators.Chunking.chunkDocs(
         table(s, dir, "documents"), "doc_id", "text",
         window = 64, stride = 64)
-        // composite (doc, chunk) order as ONE sortable key; chunk_idx is
-        // bounded far below 100 at any document length seen (<= 2 here)
-        .withColumn("chunk_key", col("doc_id") * 100 + col("chunk_idx"))
+        // composite (doc, chunk) order as ONE sortable key. The multiplier
+        // bounds chunk_idx at 1M chunks/doc (= 64M tokens at window 64)
+        // before keys could collide; the guard makes a longer document a
+        // loud error instead of a silently misordered packing
+        .withColumn("chunk_idx", when(col("chunk_idx") >= 1000000L,
+          raise_error(concat(lit("chunk_key overflow: doc "),
+            col("doc_id"), lit(" has >= 1M chunks")))).otherwise(col("chunk_idx")))
+        .withColumn("chunk_key", col("doc_id") * 1000000L + col("chunk_idx"))
       graft.operators.Packing.packSequences(chunks, "chunk_key", "n_tokens",
         budget = 256, shards = 4,
         shardExpr = Some(pmod(col("doc_id"), lit(4L))))
@@ -970,7 +982,7 @@ object ExtensionQueries {
       // x41 at budget=256 sharded by doc_id % 4, ordered by chunk_key
       (s"WITH m AS (SELECT doc_id, $toks AS s FROM documents WHERE len($toks) > 0), " +
         "ch AS (SELECT doc_id, unnest(range(0, 1 + (greatest(len(s) - 64, 0) + 63) // 64)) AS i, s FROM m), " +
-        "c AS (SELECT doc_id, doc_id * 100 + i AS chunk_key, " +
+        "c AS (SELECT doc_id, doc_id * 1000000 + i AS chunk_key, " +
         "CAST(least(64, len(s) - i * 64) AS BIGINT) AS n FROM ch), " +
         "p AS (SELECT doc_id % 4 AS shard, chunk_key, n, " +
         "CAST(sum(n) OVER (PARTITION BY doc_id % 4 ORDER BY chunk_key " +

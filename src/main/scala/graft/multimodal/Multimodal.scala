@@ -257,11 +257,19 @@ object Multimodal {
       def walk(end: Int): Unit = while (bb.position() + 8 <= end) {
         val id = fourcc()
         val size = bb.getInt
+        // size fields come from untrusted bytes: a negative or
+        // past-the-buffer value must fail as a malformed-media error, not
+        // surface as NegativeArraySizeException/OOM at the allocation
+        require(size >= 0 && size <= bb.remaining,
+          s"malformed RIFF: chunk '$id' declares $size bytes with ${bb.remaining} remaining")
         val next = bb.position() + size + (size & 1) // chunks pad to even
         if (id == "LIST" || id == "RIFF") {
+          require(size >= 4, s"malformed RIFF: LIST chunk of $size bytes has no type")
           fourcc() // list type (hdrl / movi / strl…) — recurse through all
           walk(math.min(next, end))
         } else if (id == "avih") {
+          require(size >= 40,
+            s"malformed AVI: avih chunk of $size bytes (need >= 40 for dwWidth/dwHeight)")
           val base = bb.position()
           width = bb.getInt(base + 32)   // dwWidth / dwHeight offsets in
           height = bb.getInt(base + 36)  // the 56-byte main AVI header

@@ -166,6 +166,18 @@ class MultimodalSpec extends SparkSpec {
     // malformed container fails loudly, not silently
     intercept[IllegalArgumentException](
       Multimodal.AviMjpegCodec.decode("avi", "not an avi".getBytes))
+    // untrusted size fields: negative / past-the-buffer chunk sizes and a
+    // truncated avih must fail as IllegalArgumentException, never surface
+    // as NegativeArraySizeException/OOM at the frame allocation
+    def rawAvi(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        "AVI ".getBytes("US-ASCII") ++ chunks
+    val negSize = rawAvi("00dc".getBytes("US-ASCII") ++ le32(-8))
+    intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", negSize))
+    val hugeSize = rawAvi("00dc".getBytes("US-ASCII") ++ le32(Int.MaxValue - 16))
+    intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", hugeSize))
+    val shortAvih = rawAvi(chunk("avih", new Array[Byte](8)))
+    intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", shortAvih))
   }
 
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {

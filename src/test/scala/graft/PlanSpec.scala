@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpec {
     assert(a.scans == 0, s"a17 re-scanned parquet instead of the cache: $a")
   }
 
+  test("tfidf is one linear plan over a single token explode") {
+    // x42's df comes from a window over the SAME tf frame — no second
+    // aggregate + self-join, so the exploded token table cannot be
+    // recomputed. Two scans are legitimate (token explode + the broadcast
+    // doc-count); a third means the explode subtree got duplicated (the
+    // DeduplicateRelations cache-substitution trap this shape retired)
+    val a = audits("x42_tfidf")
+    assert(a.scans <= 2 && a.sortMergeJoins == 0, a.toString)
+  }
+
   test("every non-trivial query runs inside whole-stage codegen") {
     val uncodegened = audits.values
       .filter(a => a.codegenSpans == 0 && a.shuffles > 0).map(_.name)
