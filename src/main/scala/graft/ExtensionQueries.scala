@@ -360,6 +360,29 @@ object ExtensionQueries {
         splitWeights)
         .orderBy(col("doc_id"))
     }),
+    // x46: the BANDED-SOURCE composition — x43/x44 gate keeper selection
+    // and the leakage-safe split over the quadratic jaccardPairs ORACLE
+    // source; this gates the same downstream logic over the PRODUCTION
+    // pair source (MinHash+LSH banding, the 100 TB path). The banded pair
+    // table is staged so DuckDB re-derives components, keeper choice, and
+    // the no-straddle split from exactly the pairs the engine found.
+    "x46_banded_keep_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = graft.engine.CacheScope.persistTracked(
+        Dedup.minhashPairs(d, "doc_id", "text", k = 3, threshold = 0.8))
+      Stage.write(pairs.select(col("id_a"), col("id_b")), dir, "x46_pairs")
+      val base = d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val kept = Dedup.deduplicateByPairsKeepBest(base, "doc_id", pairs,
+          col("n_tokens"))
+        .select(col("doc_id"), lit(true).as("__kept"))
+      Dedup.groupAwareSplit(base, "doc_id", pairs, splitWeights)
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("__kept"), lit(false)).as("kept"),
+          col("group_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -977,6 +1000,32 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens FROM (SELECT * FROM k UNION ALL SELECT * FROM nm)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x44_group_split" -> x44Sql,
+    "x46_banded_keep_split" ->
+      // components + keeper rank + group-keyed split, all re-derived in
+      // DuckDB from the STAGED banded pair table (the engine-specific
+      // MinHash/LSH half is the hand-off; everything downstream is
+      // recomputed independently). Singletons form their own group →
+      // rk = 1 → kept, matching the engine's anti-join pass-through.
+      (s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ${Stage.sqlRef("x46_pairs")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |g AS (SELECT d.doc_id, d.n_tokens,
+         |    coalesce(comp.component, d.doc_id) AS group_key
+         |  FROM d LEFT JOIN comp ON d.doc_id = comp.id),
+         |k AS (SELECT doc_id, row_number() OVER (
+         |    PARTITION BY group_key ORDER BY n_tokens DESC, doc_id ASC) AS rk
+         |  FROM g)
+         |SELECT g.doc_id, g.n_tokens, (k.rk = 1) AS kept, g.group_key,
+         |  ${splitCaseOver("group_key")} AS split
+         |FROM g JOIN k ON g.doc_id = k.doc_id
+         |ORDER BY g.doc_id""".stripMargin.replace("\n", " ")),
     "x45_chunk_pack" ->
       // chunk CTE mirrors x39 at window=stride=64; packing window mirrors
       // x41 at budget=256 sharded by doc_id % 4, ordered by chunk_key

@@ -158,6 +158,17 @@ object SparkEntry {
     "a23_keyset_members" -> ((s, dir) =>
       TestCubes.lineitem(s, dir).members("l_partkey",
         after = Some("50"), page = Some(Page(0, 100)))),
+    // a24: keyset continuation over AGGREGATE-ORDERED cells (the HOWTO
+    // query-7 sorted-drilldown idiom) — token = (order value, group key)
+    // of the last cell; compiles to a post-aggregation strictly-after
+    // filter + top-pagesize instead of the offset path's global
+    // top-(offset+limit). Integer order key (n_items) so the token
+    // comparison is engine-exact
+    "a24_keyset_agg_page" -> ((s, dir) =>
+      rounded(TestCubes.lineitem(s, dir).aggregate(CubeQuery(
+        drilldown = Seq("l_partkey"),
+        orders = QueryParser.parseOrders("n_items:desc"),
+        after = Some("30,1000"), page = Some(Page(0, 50)))), aggRound: _*)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,5 +241,12 @@ object SparkEntry {
     "a23_keyset_members" ->
       ("SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey > 50 " +
         "ORDER BY 1 LIMIT 100"),
+    "a24_keyset_agg_page" ->
+      // cells strictly after (n_items=30, l_partkey=1000) in
+      // (n_items DESC, l_partkey ASC) order — post-aggregation HAVING,
+      // mirroring the engine's filter over the aggregated cells
+      (s"SELECT l_partkey, $aggSql FROM lineitem GROUP BY 1 " +
+        "HAVING count(*) < 30 OR (count(*) = 30 AND l_partkey > 1000) " +
+        "ORDER BY count(*) DESC, l_partkey LIMIT 50"),
   ) ++ EtlQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -170,31 +170,48 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     * cell pagination prunes the scan instead of paying a global
     * top-(offset+limit) sort over every group (the same scale fix
     * [[facts]] gets from its factKey token; here it also skips aggregating
-    * the already-served groups). Key-order pages only: `order=` by an
-    * aggregate is inherently post-aggregation and keeps the offset path.
-    * Null group keys sort before every token and are unreachable by
-    * keyset pages (the reference's NA sentinel is a value, not null —
-    * SURVEY §1.2 — so this does not arise on reference-shaped data).
+    * the already-served groups). Null group keys sort before every token
+    * and are unreachable by keyset pages (the reference's NA sentinel is a
+    * value, not null — SURVEY §1.2 — so this does not arise on
+    * reference-shaped data).
+    *
+    * `after=` WITH `order=<aggregate>` (the HOWTO query-7 sorted-drilldown
+    * idiom): the token is `<aggValue>,<drilldown-key tuple>` — the
+    * (order-value, group-key) of the last cell seen. This is inherently
+    * post-aggregation (every group must still aggregate), but the
+    * continuation compiles to a strictly-after FILTER over the aggregated
+    * cells + top-`pagesize` — page depth costs a filter, not the global
+    * top-(offset+limit) sort the offset path plans (page 10⁶ of a sorted
+    * drilldown at 100× scale pays a top-50M sort; this pays top-50).
+    * Integer aggregates (count, count_distinct) make exact tokens;
+    * double-aggregate tokens are compared as the client received them.
     */
   def aggregate(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
-    require(q.after.isEmpty || q.orders.isEmpty,
-      "keyset pagination (after=) pages the drilldown-key order; order= is not supported with it")
+    val aggOrdered = q.after.nonEmpty && q.orders.nonEmpty
     require(q.after.isEmpty || q.drilldown.nonEmpty,
       "keyset pagination (after=) needs a drilldown (the token is a drilldown-key tuple)")
+    if (aggOrdered) require(
+      q.orders.size == 1 && model.aggregate(q.orders.head.key).isDefined,
+      "keyset pagination with order= takes exactly one AGGREGATE order key " +
+        "(dim-ordered pages use the plain drilldown-key token)")
     val cutBase = applyCuts(q.cuts)
     val dimNames = q.drilldown.map(model.requireDimension(_).name)
     val base = q.after match {
-      case Some(token) =>
+      case Some(token) if !aggOrdered =>
         cutBase.filter(keysetStrictlyAfter(dimNames, keyParts(token, dimNames.size)))
-      case None => cutBase
+      case _ => cutBase
     }
     val aggs = aggExprs(aggNames)
     val cells =
       if (q.drilldown.isEmpty) base.agg(aggs.head, aggs.tail: _*)
       else base.groupBy(dimNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val cellsAfter =
+      if (aggOrdered)
+        cells.filter(aggOrderedAfterPred(cells, dimNames, q.orders.head, q.after.get))
+      else cells
     // user order first, then all drilldown dims as the stable tie-breaker
     val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
-    paginate(cells, orderCols(q.orders) ++ tieBreak, q.page)
+    paginate(cellsAfter, orderCols(q.orders) ++ tieBreak, q.page)
   }
 
   /** Ungrouped summary over the same cell (the `summary` part of the
@@ -240,8 +257,11 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
 
   def aggregateResponse(q: CubeQuery, aggNames: Seq[String] = Nil): AggregateResponse = {
     require(q.drilldown.nonEmpty, "aggregateResponse needs a drilldown")
-    require(q.after.isEmpty || q.orders.isEmpty,
-      "keyset pagination (after=) pages the drilldown-key order; order= is not supported with it")
+    val aggOrdered = q.after.nonEmpty && q.orders.nonEmpty
+    if (aggOrdered) require(
+      q.orders.size == 1 && model.aggregate(q.orders.head.key).isDefined,
+      "keyset pagination with order= takes exactly one AGGREGATE order key " +
+        "(dim-ordered pages use the plain drilldown-key token)")
     val dimNames = q.drilldown.map(model.requireDimension(_).name)
     val dims = dimNames.map(col)
     val grand = (1L << dims.size) - 1
@@ -264,8 +284,12 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
         .drop("grouping_level")
       // `after=` keyset page over the CELLS (summary + total stay global):
       // the response needs the full rollup anyway, so the token filters the
-      // tiny cached cell frame — depth-independent, no top-(offset+limit)
+      // tiny cached cell frame — depth-independent, no top-(offset+limit).
+      // With order=<aggregate> the token is (order value, key tuple) and
+      // the filter applies in that order instead of the drilldown-key one.
       val cellsAfter = q.after match {
+        case Some(token) if aggOrdered => cellsLevel.filter(
+          aggOrderedAfterPred(cellsLevel, dimNames, q.orders.head, token))
         case Some(token) => cellsLevel.filter(
           keysetStrictlyAfter(dimNames, keyParts(token, dimNames.size)))
         case None => cellsLevel
@@ -493,6 +517,27 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
 
   private def factKeyParts(id: String): Seq[String] =
     keyParts(id, model.factKey.size)
+
+  /** Strictly-after predicate for an AGGREGATE-ordered cell page: the
+    * token is `<order value>,<drilldown-key tuple>` and the total order is
+    * (order value in its direction, dims asc). Post-aggregation by nature
+    * (the order value only exists once groups aggregate), so literals cast
+    * against the AGGREGATED schema; try_cast keeps a malformed token an
+    * empty page, not an ANSI error.
+    */
+  private def aggOrderedAfterPred(cells: DataFrame, dimNames: Seq[String],
+      order: Order, token: String): Column = {
+    val parts = keyParts(token, 1 + dimNames.size)
+    def typ(c: String) = cells.schema(cells.schema.fieldIndex(c)).dataType
+    val keys = (col(order.key), lit(parts.head).try_cast(typ(order.key)), order.desc) +:
+      dimNames.zip(parts.tail).map { case (d, v) =>
+        (col(d), lit(v).try_cast(typ(d)), false) }
+    keys.indices.map { i =>
+      (keys.take(i).map { case (c, v, _) => c === v } :+ {
+        val (c, v, desc) = keys(i); if (desc) c < v else c > v
+      }).reduce(_ && _)
+    }.reduce(_ || _)
+  }
 
   /** Keyset continuation predicate: key-tuple strictly AFTER the token,
     * lexicographically. The leading-key lower bound (`k1 >= v1`) is

@@ -153,6 +153,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(minId == Set(1L, 10L, 42L))
   }
 
+  test("banded composition: minhashPairs → keep-best/group-split ≡ the jaccardPairs composition") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // the production (banded) pair source must drive the SAME downstream
+    // keeper selection and leakage-safe split as the quadratic oracle
+    // source — x43/x44 gate the logic, this gates the composition
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val banded = Dedup.minhashPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    def keptIds(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.deduplicateByPairsKeepBest(base, "doc_id", pairs, col("n_tokens"))
+        .collect().map(_.getLong(0)).toSet
+    assert(keptIds(banded) == keptIds(exact))
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Dedup.groupAwareSplit(base.select(col("doc_id")), "doc_id",
+      banded, weights)
+    // no-straddle: both endpoints of every banded near-dup pair land in
+    // the same split
+    val straddlers = banded.select(col("id_a"), col("id_b"))
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
+      .filter(col("sp_a") =!= col("sp_b"))
+    assert(straddlers.count() == 0)
+    graft.engine.CacheScope.drain()
+  }
+
   test("components: RELIABLE checkpointing runs the star-alternation loop to the same fixpoint") {
     import spark.implicits._
     // executor-churn-safe variant: rounds persist to the checkpoint

@@ -198,6 +198,28 @@ class ServerSpec extends SparkSpec {
     assert(paged.get("summary").get("n_items").asLong() == 6000L)
   }
 
+  test("keyset aggregate cells with order= (A24): token pages the (aggValue, key) order") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def cells(path: String) = {
+      val (code, body) = get(path)
+      assert(code == 200, s"$path -> $code: $body")
+      val t = mapper.readTree(body)
+      (0 until t.get("cells").size()).map(t.get("cells").get(_))
+    }
+    val all = cells("/cube/lineitem/aggregate?drilldown=l_suppkey" +
+      "&order=n_items:desc&page=0&pagesize=500")
+    val p0 = cells("/cube/lineitem/aggregate?drilldown=l_suppkey" +
+      "&order=n_items:desc&after=999999999,-1&pagesize=4")
+    val tok = s"${p0.last.get("n_items").asLong()},${p0.last.get("l_suppkey").asLong()}"
+    val p1 = cells("/cube/lineitem/aggregate?drilldown=l_suppkey" +
+      s"&order=n_items:desc&after=$tok&pagesize=4")
+    assert((p0 ++ p1).map(_.toString) == all.take(8).map(_.toString),
+      "agg-ordered keyset pages != offset listing")
+    // a dim order key with after= is a 400, not silent offset semantics
+    assert(get("/cube/lineitem/aggregate?drilldown=l_suppkey" +
+      "&order=l_suppkey:asc&after=1,1")._1 == 400)
+  }
+
   test("keyset members (after=): pages concatenate to the full sorted member list") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def vals(path: String): Seq[Long] = {
