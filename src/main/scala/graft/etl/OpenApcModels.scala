@@ -127,8 +127,10 @@ object OpenApcModels {
     aggregates = Seq(
       Aggregate("num_items", "count", Some("doi"), "Number of Records")),
     // the url embeds the source cube, so (doi, url) is the stable handle
-    // for a DOI present in several data sets
-    factKey = Seq("doi", "url"))
+    // for a DOI present in several data sets; unique by the data contract
+    // (one row per publication per data set — a violation only relaxes
+    // page-boundary determinism among the colliding rows)
+    factKey = Seq("doi", "url"), factKeyUnique = true)
 
   val springerCompactCoverage: CubeModel = CubeModel(
     name = "springer_compact_coverage", table = "springer_compact_coverage",
