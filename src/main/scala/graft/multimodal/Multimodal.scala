@@ -330,6 +330,24 @@ object Multimodal {
     }
   }
 
+  /** Keyframe EXTRACTION for ISO-BMFF (MP4) — the container production
+    * H.264/HEVC ships in: a per-partition walk of the `moov` sample tables
+    * ([[Mp4]]) pulling every `stride`-th sync sample's COMPRESSED payload.
+    * No decode happens here (inter-frame codecs need an external binding
+    * behind [[MediaCodec]]; none exists in this environment) — but this is
+    * the half a 100 TB pipeline runs fleet-wide: the cheap pure-JVM
+    * keyframe pull that feeds only SELECTED frames to the expensive
+    * (GPU/native) decode stage instead of whole videos. `frame_idx` is the
+    * container's 1-based sample number so that stage can seek.
+    */
+  def sampleKeyframesMp4(media: Dataset[MediaRow], stride: Int = 1): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Mp4.sampleKeyframes(r.blob, stride).map { case (sampleNo, bytes) =>
+        FrameRow(r.media_id, sampleNo, bytes) }
+    }
+  }
+
   /** Fake a media table from the documents table: UTF-8 payload bytes with a
     * round-robin container format. (Stands in for `spark.read.format
     * ("binaryFile")` or a parquet table with a binary column.)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Mp4, Multimodal}
 import graft.multimodal.Multimodal._
 
 /** The multimodal plumbing is real (schemas, encoders, partition batching,
@@ -178,6 +178,65 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", hugeSize))
     val shortAvih = rawAvi(chunk("avih", new Array[Byte](8)))
     intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", shortAvih))
+  }
+
+  test("MP4 sample tables: keyframe extraction pulls exactly the stss-marked payloads") {
+    import spark.implicits._
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, new Array[Byte](4) ++ payload) // version 0, flags 0
+    // five fake compressed samples; chunk 1 holds 1-2, chunk 2 holds 3-5
+    val samples = (1 to 5).map(i => s"NAL-payload-$i!".getBytes("US-ASCII") ++
+      Array.fill(i)(i.toByte))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mdatStart = ftyp.length + 8L
+    val chunk1 = mdatStart
+    val chunk2 = mdatStart + samples(0).length + samples(1).length
+    val mdat = box("mdat", samples.reduce(_ ++ _))
+    // VisualSampleEntry: 8-byte entry header + 8 SampleEntry + 16 pre_defined,
+    // then u16 width/height (ISO 14496-12 §12.1.3)
+    val avc1 = box("avc1", new Array[Byte](8 + 16) ++ be16(320) ++ be16(240) ++
+      new Array[Byte](50))
+    val stsd = full("stsd", be32(1) ++ avc1)
+    val stsz = full("stsz", be32(0) ++ be32(5) ++ samples.flatMap(s => be32(s.length)))
+    val stsc = full("stsc", be32(2) ++
+      (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(3) ++ be32(1)))
+    val stco = full("stco", be32(2) ++ be32(chunk1.toInt) ++ be32(chunk2.toInt))
+    val stss = full("stss", be32(2) ++ be32(1) ++ be32(4))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+    val hdlr = full("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12))
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    val mp4 = ftyp ++ mdat ++ moov
+
+    val t = Mp4.parse(mp4)
+    assert(t.codec == "avc1" && t.width == 320 && t.height == 240 && t.sampleCount == 5)
+    assert(t.keyframes.map(_.sample) == Seq(1, 4))
+    assert(Mp4.keyframeBytes(mp4, t.keyframes.head).toSeq == samples(0).toSeq)
+    assert(Mp4.keyframeBytes(mp4, t.keyframes(1)).toSeq == samples(3).toSeq)
+    // through the Spark dataflow: compressed keyframe payloads, pipelined
+    val media = Seq(MediaRow(7L, "mp4", mp4)).toDS()
+    val frames = Multimodal.sampleKeyframesMp4(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(1, 4))
+    assert(frames(1).frame_bytes.toSeq == samples(3).toSeq)
+    // no stss box ⇒ every sample is a sync point (ISO 14496-12 §8.6.2)
+    val stblNoStss = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val noStss = ftyp ++ mdat ++ box("moov", box("trak",
+      box("mdia", hdlr ++ box("minf", stblNoStss))))
+    assert(Mp4.parse(noStss).keyframes.map(_.sample) == (1 to 5))
+    // untrusted fields fail as malformed-media errors, not array errors
+    intercept[IllegalArgumentException](Mp4.parse("notanmp4".getBytes))
+    val badStss = full("stss", be32(2) ++ be32(1) ++ be32(99)) // sample 99 of 5
+    val bad = ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+      hdlr ++ box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stco ++ badStss)))))
+    intercept[IllegalArgumentException](Mp4.parse(bad))
   }
 
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
