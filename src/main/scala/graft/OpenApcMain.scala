@@ -65,7 +65,15 @@ object OpenApcMain {
     "springer_compact_coverage" -> Seq("period"))
 
   val servedSortedCols: Map[String, Seq[String]] = Map(
-    "doi_lookup" -> Seq("doi", "url"))
+    "doi_lookup" -> Seq("doi", "url"),
+    // the treemap frontend pages publisher/journal MEMBERS of the apc
+    // cubes (YAML drilldown config): within each period directory, files
+    // range-split and sort on (publisher, journal) so member keyset pages
+    // (`after=` pushes below the distinct, A23) prune row groups instead
+    // of scanning the cube — combined with the period partitioning above
+    // via Layout.writePartitionedSorted
+    "openapc" -> Seq("publisher", "journal_full_title"),
+    "combined" -> Seq("publisher", "journal_full_title"))
 
   /** Build → write → register → serve; returns the STARTED server (caller
     * stops it). Extracted from main so the e2e spec can drive the whole

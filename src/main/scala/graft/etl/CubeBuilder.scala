@@ -441,19 +441,22 @@ object CubeBuilder {
       partitionCols: Map[String, Seq[String]] = Map.empty,
       sortedCols: Map[String, Seq[String]] = Map.empty): Unit = {
     out.cubes.foreach { case (name, df) =>
-      sortedCols.get(name).filter(_.nonEmpty) match {
-        case Some(sc) =>
-          // explicit file count = configured shuffle parallelism: an
-          // implicit repartitionByRange is AQE-coalescible, and coalescing
-          // tiny range partitions into one file erases the key-interval
-          // granularity the point-lookup pruning depends on
+      // explicit file count = configured shuffle parallelism: an
+      // implicit repartitionByRange is AQE-coalescible, and coalescing
+      // tiny range partitions into one file erases the key-interval
+      // granularity the point-lookup pruning depends on
+      val numFiles = df.sparkSession.sessionState.conf.numShufflePartitions
+      (partitionCols.get(name).filter(_.nonEmpty),
+        sortedCols.get(name).filter(_.nonEmpty)) match {
+        case (Some(pc), Some(sc)) =>
+          graft.sources.Layout.writePartitionedSorted(df, s"$dir/$name.parquet",
+            pc, sc, numFiles = numFiles)
+        case (None, Some(sc)) =>
           graft.sources.Layout.writeSorted(df, s"$dir/$name.parquet", sc,
-            numFiles = df.sparkSession.sessionState.conf.numShufflePartitions)
-        case None =>
+            numFiles = numFiles)
+        case (pc, None) =>
           val w = df.write.mode("overwrite")
-          partitionCols.get(name).filter(_.nonEmpty)
-            .fold(w)(cols => w.partitionBy(cols: _*))
-            .parquet(s"$dir/$name.parquet")
+          pc.fold(w)(cols => w.partitionBy(cols: _*)).parquet(s"$dir/$name.parquet")
       }
     }
     out.institutionalManifest.coalesce(1).write.mode("overwrite")

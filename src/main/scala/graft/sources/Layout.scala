@@ -44,6 +44,31 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** **Partitioned + range-sorted layout**: directory partitions on
+    * `partitionCols` (pruned by partition filters, e.g. the period range
+    * cut) AND, within every directory, files range-split and sorted on
+    * `sortCols` — so high-cardinality predicates on the sort key (member
+    * keyset pages, point cuts) additionally prune row groups via parquet
+    * min/max. The task-level sort leads with the partition columns on
+    * purpose: FileFormatWriter requires partition-column ordering when a
+    * task writes multiple directories and would otherwise insert its OWN
+    * sort, destroying the `sortCols` run order the pruning depends on;
+    * providing (partitionCols ++ sortCols) satisfies the writer's
+    * requirement while keeping rows sorted by `sortCols` within every
+    * output file.
+    */
+  def writePartitionedSorted(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      else df.repartitionByRange(sortCols.map(col): _*)
+    ranged.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** **Bucketed layout** (`writeBucketed`): hash-bucket the table on its
     * join key at WRITE time, so every subsequent equi-join or aggregation
     * on that key runs with NO shuffle — the scan's output partitioning

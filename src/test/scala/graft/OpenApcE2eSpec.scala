@@ -199,6 +199,34 @@ class OpenApcE2eSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("served openapc members page prunes row groups via the dim-sorted layout") {
+    val _ = server
+    import org.apache.spark.sql.functions.col
+    // subset schema dodges the served cube's cache (see doi_lookup test):
+    // the member keyset predicate is on the SORT key, so parquet min/max
+    // skips the files/row groups whose publisher range is below the token
+    val df = spark.read.schema("publisher STRING, period STRING")
+      .parquet(s"$outDir/cubes/openapc.parquet")
+    val total = df.count()
+    assert(total > 1)
+    val publishers = df.select("publisher").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(publishers.length > 1, "fixture needs >1 publisher for a keyset page")
+    val token = publishers(publishers.length / 2)
+    val keyed = df.filter(col("publisher") > token)
+    val read = scanOutputRows(keyed)
+    assert(read < total,
+      s"members keyset page decoded $read of $total rows — dim-sorted layout not pruning")
+    // and the HTTP members page itself serves the continuation correctly
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tok = java.net.URLEncoder.encode(token, "UTF-8")
+    val t = mapper.readTree(ok(s"/cube/openapc/members/publisher?after=$tok"))
+    val vals = (0 until t.get("values").size())
+      .map(t.get("values").get(_).get("publisher").asText())
+    assert(vals == publishers.filter(_ > token).toSeq,
+      s"served members page $vals != expected strictly-after listing")
+  }
+
   test("served openapc is period-partitioned: range cut prunes directories, schema stays string") {
     val _ = server
     // the SERVED read keeps period a string despite directory-name inference
