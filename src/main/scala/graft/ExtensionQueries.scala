@@ -383,6 +383,27 @@ object ExtensionQueries {
           col("group_key"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // x47: INCREMENTAL cross-corpus dedup — the 100 TB "dedup the new
+    // crawl batch against the existing corpus index" shape: even doc_ids
+    // play the indexed corpus, odd ones the incoming batch; only the
+    // batch is signed fresh, candidates join its band keys against the
+    // reusable index, verification is the exact shingle Jaccard. All four
+    // engine-specific tables (bands + shingle sets per side) are staged;
+    // DuckDB re-derives candidates, intersection counts, and the
+    // threshold independently.
+    "x47_incremental_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val corpus = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 3)
+      val batch = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", k = 3)
+      Stage.write(corpus.bands, dir, "x47_corpus_bands")
+      Stage.write(corpus.shingles, dir, "x47_corpus_sh")
+      Stage.write(batch.bands, dir, "x47_batch_bands")
+      Stage.write(batch.shingles, dir, "x47_batch_sh")
+      Dedup.minhashPairsBetween(batch, corpus, threshold = 0.8)
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -533,6 +554,19 @@ object ExtensionQueries {
     // md5-threshold tickets (operators/Sampling) — reproducible across
     // engines/reruns/repartitioning; the DuckDB oracle computes the
     // IDENTICAL selection, which no RNG-based sample could match
+    // x48: WEIGHTED sampling without replacement (Efraimidis–Spirakis) —
+    // importance/temperature sampling over a per-row weight (here token
+    // count: longer documents proportionally likelier). Deterministic
+    // 48-bit md5 ticket → identical draw in DuckDB; ranks rounded for the
+    // float gate, ordering computed on the unrounded value in both engines
+    "x48_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        table(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), k = 50)
+        .withColumn("es_rank",
+          graft.functions.EngineMath.roundAway(col("es_rank"), 6))
+        .orderBy(col("doc_id"))),
     "x27_stratified_sample" -> ((s, dir) => {
       // tokens-once: langId over raw text re-tokenizes per marker scan,
       // and the filter pushdown would double it
@@ -911,6 +945,18 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x48_weighted_sample" ->
+      // identical 48-bit ticket + ln(u)/w rank recomputed in DuckDB; the
+      // top-50 selection orders on the UNROUNDED rank in both engines
+      (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |u AS (SELECT doc_id, n_tokens,
+         |  ln((('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+         |    / 281474976710656.0) / n_tokens AS r
+         |  FROM d WHERE n_tokens > 0),
+         |k AS (SELECT doc_id, n_tokens, r FROM u
+         |  ORDER BY r DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_tokens, round(r, 6) AS es_rank FROM k
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x37_repetition" ->
       (s"WITH m AS (SELECT doc_id, $toks AS ts FROM documents), " +
         "b AS (SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM m), " +
@@ -1043,6 +1089,23 @@ object ExtensionQueries {
         "CAST(min(chunk_key) AS BIGINT) AS first_chunk " +
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
     "x08_simhash_pairs" -> x08Sql,
+    "x47_incremental_dedup" ->
+      // candidates + exact Jaccard re-derived from the four STAGED
+      // engine tables (bands + shingle sets per side); the division
+      // mirrors minhashPairsBetween operand-for-operand
+      (s"""WITH cb AS (SELECT id, band, band_key FROM ${Stage.sqlRef("x47_corpus_bands")}),
+         |nb AS (SELECT id, band, band_key FROM ${Stage.sqlRef("x47_batch_bands")}),
+         |cand AS (SELECT DISTINCT nb.id AS id_new, cb.id AS id_corpus
+         |  FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key),
+         |ns AS (SELECT id, sh FROM ${Stage.sqlRef("x47_batch_sh")}),
+         |cs AS (SELECT id, sh FROM ${Stage.sqlRef("x47_corpus_sh")}),
+         |p AS (SELECT cand.id_new, cand.id_corpus,
+         |  CAST(len(list_intersect(ns.sh, cs.sh)) AS DOUBLE)
+         |    / (len(ns.sh) + len(cs.sh) - len(list_intersect(ns.sh, cs.sh))) AS j
+         |  FROM cand JOIN ns ON ns.id = cand.id_new
+         |  JOIN cs ON cs.id = cand.id_corpus)
+         |SELECT id_new, id_corpus, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+         |ORDER BY id_new, id_corpus""".stripMargin.replace("\n", " ")),
     "x15_winnow_overlap" -> x15Sql,
     "x11_knn_lsh" -> knnSql(
       s"SELECT id AS item_id, t, sig FROM ${graft.Stage.sqlRef("x11_item_buckets")}",

@@ -186,6 +186,61 @@ object Dedup {
     bandsOf(sigFrame(df, idCol, textCol, k, bands * rowsPerBand),
       bands, rowsPerBand)
 
+  /** Reusable MinHash index of a corpus: the banded signature table +
+    * shingle-set table a 100 TB pipeline builds ONCE per corpus and
+    * dedups every incoming batch against ([[minhashPairsBetween]]).
+    * At scale both frames are written out (`bands` partitioned/bucketed
+    * by (band, band_key), `shingles` by id) so indexing cost — the only
+    * pass over the full corpus — is paid once and amortized over every
+    * subsequent crawl increment.
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
+      k: Int, numBands: Int, rowsPerBand: Int)
+
+  /** Build the [[MinhashIndex]]: one pass — shingle sets (persisted once,
+    * see [[sigFrame]]), signatures, band keys.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+      bands: Int = 4, rowsPerBand: Int = 3): MinhashIndex = {
+    val withSig = sigFrame(df, idCol, textCol, k, bands * rowsPerBand)
+    MinhashIndex(bandsOf(withSig, bands, rowsPerBand),
+      withSig.select(col("id"), col("sh")), k, bands, rowsPerBand)
+  }
+
+  /** INCREMENTAL cross-corpus near-dup pairs: every batch document whose
+    * Jaccard with some corpus document clears the threshold — the "dedup
+    * the new crawl against the existing corpus" shape. Only the batch
+    * side is freshly signed; the corpus index is reused as-is, so the
+    * per-batch cost is O(batch × K hashes) + a join of the (small) batch
+    * band table against the corpus bands — with the index stored
+    * band-bucketed, that join co-locates (or broadcasts the batch side)
+    * and the corpus is never re-shuffled. Candidates verify with the
+    * exact shingle-set Jaccard, same as [[minhashPairs]]; recall
+    * characteristics are identical (1 − (1 − j^r)^b per pair).
+    */
+  def minhashPairsBetween(batch: MinhashIndex, corpus: MinhashIndex,
+      threshold: Double): DataFrame = {
+    require(batch.k == corpus.k && batch.numBands == corpus.numBands &&
+      batch.rowsPerBand == corpus.rowsPerBand,
+      "batch and corpus indexes must share (k, bands, rowsPerBand)")
+    val cand = batch.bands.as("n").join(corpus.bands.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_key") === col("c.band_key"))
+      .select(col("n.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+    cand
+      .join(batch.shingles.select(col("id").as("id_new"), col("sh").as("sh_n")),
+        Seq("id_new"))
+      .join(corpus.shingles.select(col("id").as("id_corpus"), col("sh").as("sh_c")),
+        Seq("id_corpus"))
+      .withColumn("common", size(array_intersect(col("sh_n"), col("sh_c"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_n")) + size(col("sh_c")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"),
+        graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** (id, sh, sig), with the shingle set persisted first: Catalyst's
     * CollapseProject inlines a projected alias into every consumer and
     * lambda-bearing expressions are excluded from subexpression

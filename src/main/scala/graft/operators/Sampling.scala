@@ -80,4 +80,36 @@ object Sampling {
         else when(t < lit(thresholdHex(cumRate)), lit(name)).otherwise(elseCol)
     }
   }
+
+  /** 48-bit uniform ticket in (0, 1): the first 12 md5 hex chars as an
+    * integer, centered (+0.5) so 0 is unreachable (ln(u) stays finite).
+    * Engine-portable: DuckDB computes the identical value via
+    * `('0x' || substr(md5(…),1,12))::BIGINT`.
+    */
+  def uniformTicket(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(math.pow(2, 48))
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis, IPL 2006):
+    * rank every row by ln(u)/w — the log of the classic u^(1/w) draw key,
+    * same order, no pow() — and keep the k LARGEST. P(row sampled) scales
+    * with its weight (importance / temperature sampling over quality
+    * scores, domain weights, token counts). Deterministic u per (salt,
+    * key): reruns, engines, and repartitionings pick the same rows, and
+    * different salts give independent samples.
+    *
+    * Scale shape: one per-row md5 + a top-k (TakeOrdered — no global sort
+    * materialization, no shuffle beyond the k-row gather). Rows with
+    * non-positive weight are excluded (a zero weight cannot be sampled;
+    * E–S is undefined there). Ties in `es_rank` (only from md5 collisions
+    * on the 48-bit prefix) break by key for a total order.
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      weight: Column, k: Int, salt: String = "wsmp"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.filter(weight > lit(0))
+      .withColumn("es_rank", log(uniformTicket(col(keyCol), salt)) / weight)
+      .orderBy(col("es_rank").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

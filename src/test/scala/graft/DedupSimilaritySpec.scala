@@ -153,6 +153,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(minId == Set(1L, 10L, 42L))
   }
 
+  test("incremental dedup: batch-vs-index pairs ≡ whole-corpus minhash pairs restricted to cross pairs") {
+    import org.apache.spark.sql.functions.col
+    // same seed/banding on both paths → the cross-corpus operator must
+    // find exactly the even↔odd subset of the whole-corpus pair set
+    val corpus = Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", k = 3)
+    val batch = Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 3)
+    val cross = Dedup.minhashPairsBetween(batch, corpus, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Dedup.minhashPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) } // (new, corpus)
+      .toSet
+    assert(cross == whole, s"cross-corpus pairs $cross != restricted whole-corpus $whole")
+    assert(cross.nonEmpty, "fixture plants no cross-parity near-dups?")
+    // mismatched index parameters are a loud error, not silent bad recall
+    intercept[IllegalArgumentException](Dedup.minhashPairsBetween(
+      batch, Dedup.minhashIndex(docs, "doc_id", "text", k = 3, bands = 2, rowsPerBand = 6),
+      threshold = 0.8))
+    graft.engine.CacheScope.drain()
+  }
+
   test("banded composition: minhashPairs → keep-best/group-split ≡ the jaccardPairs composition") {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     // the production (banded) pair source must drive the SAME downstream

@@ -24,6 +24,37 @@ class SamplingSpec extends SparkSpec {
     assert(tenth.subsetOf(a), "threshold samples must nest")
   }
 
+  test("weightedSample: matches a local Efraimidis–Spirakis recomputation; deterministic; weight-proportional") {
+    import spark.implicits._
+    // weights 1..400 over 400 keys: heavier keys must dominate the sample
+    val rows = (1L to 400L).map(i => (i, i)) // (id, weight = id)
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    // brute-force: same md5 ticket and rank computed locally
+    def rank(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsmp:$id".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md, 16) + 0.5) / math.pow(2, 48)
+      math.log(u) / w
+    }
+    val expect = rows.sortBy { case (id, w) => (-rank(id, w), id) }
+      .take(40).map(_._1).toSet
+    assert(got == expect, s"engine sample $got != local E-S $expect")
+    // layout-independent
+    val re = Sampling.weightedSample(df.repartition(7), "id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == got)
+    // weight-proportional: the heavy half should dominate a 40-of-400 draw
+    assert(got.count(_ > 200) > 25, s"heavy-half count ${got.count(_ > 200)}")
+    // non-positive weights are excluded, never sampled
+    val withZero = ((-5L to 0L).map(i => (i, 0L)) ++ rows).toDF("id", "w")
+    val z = Sampling.weightedSample(withZero, "id", col("w"), k = 400)
+      .collect().map(_.getLong(0))
+    assert(z.forall(_ > 0) && z.length == 400)
+  }
+
   test("rates land within binomial tolerance; 0/1 are exact") {
     val n = ids.count().toDouble
     for (rate <- Seq(0.1, 0.5, 0.9)) {
