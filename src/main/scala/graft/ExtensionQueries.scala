@@ -404,6 +404,31 @@ object ExtensionQueries {
       Dedup.minhashPairsBetween(batch, corpus, threshold = 0.8)
         .orderBy(col("id_new"), col("id_corpus"))
     }),
+    // x49: STREAMING incremental dedup — x47's shape as the crawl lands:
+    // odd doc_ids stream in, each micro-batch signs itself and joins the
+    // static even-id corpus index (foreachBatch; batch_id-partitioned
+    // idempotent append). The staged batch-side tables recompute the same
+    // deterministic signatures the stream computes per batch (minhash is
+    // a pure function of text), so the DuckDB re-derivation is exact.
+    "x49_stream_incr_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val corpus = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 3)
+      val batch = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", k = 3)
+      Stage.write(corpus.bands, dir, "x49_corpus_bands")
+      Stage.write(corpus.shingles, dir, "x49_corpus_sh")
+      Stage.write(batch.bands, dir, "x49_batch_bands")
+      Stage.write(batch.shingles, dir, "x49_batch_sh")
+      val pairsDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-incrdedup-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid()).toString
+      graft.streaming.StreamOps.incrementalDedupStream(s,
+        s"$dir/documents.parquet", "doc_id", "text", corpus,
+        threshold = 0.8, pairsDir = pairsDir,
+        where = col("doc_id") % 2 === 1)
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -1089,6 +1114,22 @@ object ExtensionQueries {
         "CAST(min(chunk_key) AS BIGINT) AS first_chunk " +
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
     "x08_simhash_pairs" -> x08Sql,
+    "x49_stream_incr_dedup" ->
+      // identical derivation as x47 over the x49-staged tables (the
+      // streaming path must find exactly the batch path's pairs)
+      (s"""WITH cb AS (SELECT id, band, band_key FROM ${Stage.sqlRef("x49_corpus_bands")}),
+         |nb AS (SELECT id, band, band_key FROM ${Stage.sqlRef("x49_batch_bands")}),
+         |cand AS (SELECT DISTINCT nb.id AS id_new, cb.id AS id_corpus
+         |  FROM nb JOIN cb ON nb.band = cb.band AND nb.band_key = cb.band_key),
+         |ns AS (SELECT id, sh FROM ${Stage.sqlRef("x49_batch_sh")}),
+         |cs AS (SELECT id, sh FROM ${Stage.sqlRef("x49_corpus_sh")}),
+         |p AS (SELECT cand.id_new, cand.id_corpus,
+         |  CAST(len(list_intersect(ns.sh, cs.sh)) AS DOUBLE)
+         |    / (len(ns.sh) + len(cs.sh) - len(list_intersect(ns.sh, cs.sh))) AS j
+         |  FROM cand JOIN ns ON ns.id = cand.id_new
+         |  JOIN cs ON cs.id = cand.id_corpus)
+         |SELECT id_new, id_corpus, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
+         |ORDER BY id_new, id_corpus""".stripMargin.replace("\n", " ")),
     "x47_incremental_dedup" ->
       // candidates + exact Jaccard re-derived from the four STAGED
       // engine tables (bands + shingle sets per side); the division

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -203,6 +203,64 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** STREAMING incremental near-dup dedup: every micro-batch of arriving
+    * documents is checked against a static corpus [[graft.operators.Dedup
+    * .MinhashIndex]] — the "dedup the crawl as it lands" shape. Each batch
+    * runs the batch-side half of [[graft.operators.Dedup
+    * .minhashPairsBetween]] (sign the batch, band-join against the stored
+    * index, exact-Jaccard verify) via `foreachBatch`: the index is a plain
+    * static frame, so the per-batch work is O(batch) and carries NO
+    * streaming state — exactly-once comes from the idempotent append of
+    * (id_new, id_corpus) pairs keyed by the batch's own ids. Returns the
+    * accumulated pair table (memory sink here; a real deployment appends
+    * to a table the keeper/split pass reads).
+    */
+  def incrementalDedupStream(spark: SparkSession, docsDir: String,
+      idCol: String, textCol: String,
+      corpus: graft.operators.Dedup.MinhashIndex, threshold: Double,
+      pairsDir: String, where: Column = lit(true),
+      maxFilesPerTrigger: Option[Int] = None,
+      queryName: String = "incr_dedup"): DataFrame = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+      .filter(where)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.Dedup.minhashIndex(batch, idCol, textCol,
+          corpus.k, corpus.numBands, corpus.rowsPerBand)
+        // batch_id-partitioned append: a replayed batch overwrites ONLY its
+        // own partition (dynamic overwrite), so retries stay exactly-once —
+        // the same replay guard the incremental cube uses
+        graft.operators.Dedup.minhashPairsBetween(idx, corpus, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
+        graft.engine.CacheScope.drain()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    // a run whose batches all found zero pairs wrote no parquet footers —
+    // that is an EMPTY pair table, not an error
+    try spark.read.parquet(pairsDir).drop("batch_id")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_new", schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("id_corpus", schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+    }
   }
 
   /** Incremental cube maintenance — the Structured-Streaming replacement

@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming incremental dedup across MULTIPLE micro-batches == the one-shot batch pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, sf(), "documents")
+    val corpus = graft.operators.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 3)
+    // odd docs written as several files + maxFilesPerTrigger=1 → the
+    // stream really processes multiple foreachBatch micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-spec").toString
+    docs.filter(col("doc_id") % 2 === 1).repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/batchdocs")
+    val streamed = graft.streaming.StreamOps.incrementalDedupStream(spark,
+      s"$tmp/batchdocs", "doc_id", "text", corpus, threshold = 0.8,
+      pairsDir = s"$tmp/pairs", maxFilesPerTrigger = Some(1),
+      queryName = "spec_incr_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIdx = graft.operators.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", k = 3)
+    val oneShot = graft.operators.Dedup
+      .minhashPairsBetween(batchIdx, corpus, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot,
+      s"multi-batch streamed pairs $streamed != one-shot $oneShot")
+    assert(streamed.nonEmpty)
+    graft.engine.CacheScope.drain()
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
