@@ -584,6 +584,39 @@ object ExtensionQueries {
     // count: longer documents proportionally likelier). Deterministic
     // 48-bit md5 ticket → identical draw in DuckDB; ranks rounded for the
     // float gate, ordering computed on the unrounded value in both engines
+    // x50: corpus-LM quality scoring — the CCNet-style quality-filter
+    // signal as an honest in-engine unigram proxy: pass 1 aggregates
+    // corpus term counts (the Zipf head, count >= floor, broadcasts;
+    // the tail scores AT the floor, so the broadcast stays small at any
+    // corpus size), pass 2 scores every document by its mean token
+    // log-probability. Two deliberate scans — the stats table is a
+    // maintained artifact in a real pipeline, not a per-query subtree
+    // (and sharing one scan would re-trip the double-reference cache
+    // trap). FP determinism: per-doc log-probs re-assemble in TOKEN
+    // ORDER (sort_array over (pos, lp)) and fold sequentially, the same
+    // adds in the same order DuckDB's list_reduce performs.
+    "x50_unigram_logprob" -> ((s, dir) => {
+      val minCount = 3
+      val docs = table(s, dir, "documents")
+      def toks(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      val counts = toks(docs).groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val vocab = counts.filter(col("c") >= minCount)
+      val nTotal = counts.agg(sum(col("c"))).collect().head.getLong(0)
+      toks(docs)
+        .join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("lp", log(
+          coalesce(col("c"), lit(minCount.toLong)).cast("double") /
+            lit(nTotal.toDouble)))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+        .select(col("doc_id"),
+          size(col("lps")).cast("long").as("n_tokens"),
+          graft.functions.EngineMath.roundAway(
+            aggregate(transform(col("lps"), x => x("lp")), lit(0.0d),
+              (a, v) => a + v) / size(col("lps")), 4).as("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
     "x48_weighted_sample" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(
         table(s, dir, "documents").select(col("doc_id"),
@@ -970,6 +1003,23 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x50_unigram_logprob" ->
+      // identical two-pass derivation: corpus counts, floor-at-minCount
+      // probs, per-doc log-probs folded in TOKEN order (list(lp ORDER BY
+      // pos) + list_reduce ≡ Spark's sort_array + aggregate: the same
+      // IEEE adds in the same sequence)
+      (s"""WITH t AS (SELECT doc_id, unnest($toks) AS term,
+         |    generate_subscripts($toks, 1) AS pos FROM documents),
+         |c AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         |v AS (SELECT term, c FROM c WHERE c >= 3),
+         |s AS (SELECT t.doc_id, t.pos,
+         |    ln(CAST(coalesce(v.c, 3) AS DOUBLE) / (SELECT n FROM n)) AS lp
+         |  FROM t LEFT JOIN v USING (term)),
+         |a AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM s GROUP BY 1)
+         |SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+         |  round(list_reduce(list_prepend(0.0, lps), (x, y) -> x + y) / len(lps), 4) AS lm_score
+         |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x48_weighted_sample" ->
       // identical 48-bit ticket + ln(u)/w rank recomputed in DuckDB; the
       // top-50 selection orders on the UNROUNDED rank in both engines
