@@ -474,6 +474,25 @@ object ExtensionQueries {
     // join + exact-cosine top-k ranking is oracle-checked in DuckDB
     // against the same embeddings (recall vs brute force additionally
     // locked by DedupSimilaritySpec)
+    // x51: product-quantization ANN (the memory-bounded billion-vector
+    // path): per-subspace codebooks + integer codes staged; ADC top-k
+    // scored from the broadcast query↔centroid sub-distance table. All
+    // float folds are sequential in a defined order (dims, then subs) so
+    // DuckDB's re-derivation compares bit-exactly.
+    "x51_knn_pq" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val cb = graft.operators.Pq.fit(e, "vec", dim = 64, m = 4, ksub = 16,
+        maxIter = 5)
+      val codes = graft.engine.CacheScope.persistTracked(
+        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
+      Stage.write(cb, dir, "x51_codebooks")
+      Stage.write(codes, dir, "x51_codes")
+      graft.operators.Pq.topK(codes, cb, q, "vec_id", "vec",
+        k = 10, dim = 64, m = 4)
+        .withColumn("ad2", graft.functions.EngineMath.roundAway(col("ad2"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x13_knn_ivf" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -1202,6 +1221,31 @@ object ExtensionQueries {
       s"SELECT id AS item_id, t, sig FROM ${graft.Stage.sqlRef("x11_item_buckets")}",
       s"SELECT DISTINCT id AS query_id, t, sig FROM ${graft.Stage.sqlRef("x11_probe_buckets")}",
       joinKeys = "a.t = b.t AND a.sig = b.sig", dedupCandidates = true),
+    "x51_knn_pq" ->
+      // ADC re-derived from the staged codebooks + codes: per-query
+      // sub-distance table from the raw embeddings, lookups summed in
+      // SUB ORDER (list_reduce ≡ the engine's sequential fold)
+      (s"""WITH cb AS (SELECT sub, centroid_id, cvec FROM ${Stage.sqlRef("x51_codebooks")}),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |qp AS (SELECT query_id, sub, centroid_id,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(list_slice(qv, sub * 16 + 1, sub * 16 + 16), cvec),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2p
+         |  FROM q CROSS JOIN cb),
+         |sc AS (SELECT qp.query_id, c.id, qp.sub, qp.d2p
+         |  FROM ${Stage.sqlRef("x51_codes")} c
+         |  JOIN qp ON qp.sub = c.sub AND qp.centroid_id = c.code),
+         |ag AS (SELECT query_id, id, list(d2p ORDER BY sub) AS ps
+         |  FROM sc GROUP BY 1, 2),
+         |s AS (SELECT query_id, id,
+         |  list_reduce(list_prepend(0.0, ps), (x, y) -> x + y) AS ad2 FROM ag),
+         |r AS (SELECT query_id, id AS item_id, ad2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,
+         |  round(ad2, 6) AS ad2
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        .replace("\n", " ")),
     "x13_knn_ivf" -> knnSql(
       s"SELECT id AS item_id, centroid_id FROM ${graft.Stage.sqlRef("x13_item_assign")}",
       s"SELECT query_id, centroid_id FROM ${graft.Stage.sqlRef("x13_probes")}",

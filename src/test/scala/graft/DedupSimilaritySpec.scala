@@ -319,6 +319,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4)
   }
 
+  test("PQ: codes well-formed; ADC == exact distance to the reconstruction; recall beats chance") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = 4; val ksub = 16; val dim = 64
+    val cb = graft.operators.Pq.fit(embs, "vec", dim, m, ksub, maxIter = 5)
+    assert(cb.count() == m.toLong * ksub)
+    val codes = graft.operators.Pq.encode(embs, "vec_id", "vec", cb, dim, m)
+    codes.cache().count()
+    // m codes per item, every code a valid centroid id
+    val byItem = codes.groupBy(col("id")).count().collect()
+    assert(byItem.forall(_.getLong(1) == m))
+    assert(codes.filter(col("code") < 0 || col("code") >= ksub).count() == 0)
+    val q = embs.filter(col("vec_id") < 5)
+    val top = graft.operators.Pq.topK(codes, cb, q, "vec_id", "vec",
+      k = 10, dim, m).collect()
+    // ADC identity: the approximate distance IS the exact squared distance
+    // between the query and the item's reconstruction (concatenated
+    // nearest centroids) — check one (query, item) pair end-to-end
+    val cbL = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val codeL = codes.collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getLong(2))) }
+    val qv = q.filter(col("vec_id") === 0).select(col("vec"))
+      .collect().head.getSeq[Double](0)
+    val probe = top.filter(_.getLong(0) == 0L).minBy(_.getLong(1))
+    val recon = codeL(probe.getLong(2)).flatMap { case (sub, code) => cbL((sub, code)) }
+    val exact = qv.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(exact - probe.getDouble(3)) < 1e-9,
+      s"ADC ${probe.getDouble(3)} != reconstruction distance $exact")
+    // recall vs brute-force euclidean top-10 well above chance (10/500)
+    val brute = embs.as("a").crossJoin(q.select(col("vec_id").as("qid"),
+        col("vec").as("qv")))
+      .select(col("qid"), col("vec_id").as("item_id"),
+        graft.operators.Dedup.cosine(col("vec"), col("qv")).as("cos"))
+      .collect().groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.sortBy(-_.getDouble(2)).take(10).map(_.getLong(1)).toSet }
+    val recall = top.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      rs.map(_.getLong(2)).toSet.intersect(brute(qid)).size / 10.0 }
+    val mean = recall.sum / recall.size
+    assert(mean > 0.2, s"PQ mean recall $mean not above chance")
+    codes.unpersist()
+    graft.engine.CacheScope.drain()
+  }
+
   test("int8 quantization: values bounded, high cosine fidelity, zero-safe") {
     import spark.implicits._
     val v = embs.select(col("vec_id"), col("vec"),
