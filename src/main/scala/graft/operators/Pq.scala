@@ -94,21 +94,21 @@ object Pq {
     * total order (ad2 asc, item_id asc). `codes` is the exploded
     * [[encode]] output.
     */
-  def topK(codes: DataFrame, codebooks: DataFrame,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, dim: Int, m: Int): DataFrame = {
+  private def qpartsOf(codebooks: DataFrame, queries: DataFrame,
+      queryId: String, queryVec: String, dim: Int, m: Int): DataFrame = {
     val d = dim / m
-    val qparts = Dedup.widen(queries)
+    Dedup.widen(queries)
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .crossJoin(codebooks)
       .select(col("query_id"), col("sub"), col("centroid_id"),
         subDist2(slice(col("qv"), col("sub") * d + 1, lit(d)).cast("array<double>"),
           col("cvec")).as("d2p"))
-    val perPair = codes.join(broadcast(qparts),
-        codes("sub") === qparts("sub") &&
-          codes("code") === qparts("centroid_id"))
+  }
+
+  private def rankPairs(scored: DataFrame, k: Int): DataFrame = {
+    val perPair = scored
       .groupBy(col("query_id"), col("id"))
-      .agg(sort_array(collect_list(struct(codes("sub"), col("d2p")))).as("ps"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("d2p")))).as("ps"))
       .select(col("query_id"), col("id"),
         aggregate(transform(col("ps"), p => p("d2p")), lit(0.0d),
           (acc, v) => acc + v).as("ad2"))
@@ -117,5 +117,36 @@ object Pq {
     perPair.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("item_id"), col("ad2"))
+  }
+
+  def topK(codes: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int, m: Int): DataFrame = {
+    val qparts = qpartsOf(codebooks, queries, queryId, queryVec, dim, m)
+    val scored = codes.join(broadcast(qparts),
+        codes("sub") === qparts("sub") &&
+          codes("code") === qparts("centroid_id"))
+      .select(col("query_id"), col("id"), codes("sub"), col("d2p"))
+    rankPairs(scored, k)
+  }
+
+  /** IVF × PQ composition: ADC top-k restricted to each query's CANDIDATE
+    * items (`cand`: one row per (query_id, id) — e.g. the items in the
+    * query's probed [[Ivf]] buckets). At scale the candidate join is
+    * partition pruning over a centroid-partitioned code layout: the scan
+    * itself shrinks to the probed buckets, and PQ keeps what's scanned
+    * memory-resident — the standard coarse+fine billion-vector index.
+    */
+  def topKWithin(cand: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int, m: Int): DataFrame = {
+    val qparts = qpartsOf(codebooks, queries, queryId, queryVec, dim, m)
+    val pairs = cand.select(col("query_id"), col("id")).join(codes, Seq("id"))
+    val scored = pairs.join(broadcast(qparts),
+        pairs("query_id") === qparts("query_id") &&
+          pairs("sub") === qparts("sub") &&
+          pairs("code") === qparts("centroid_id"))
+      .select(pairs("query_id"), col("id"), pairs("sub"), col("d2p"))
+    rankPairs(scored, k)
   }
 }

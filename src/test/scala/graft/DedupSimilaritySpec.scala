@@ -362,6 +362,47 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("IVF × PQ composition: ADC over only the probed buckets, candidate set actually shrinks") {
+    import org.apache.spark.sql.functions.col
+    // the full billion-vector architecture: coarse IVF partitions prune
+    // the candidate set, PQ codes score what survives — memory-bounded
+    // AND scan-bounded. Composition here: assign items to IVF buckets,
+    // keep only items in each query's probed buckets, ADC-score those.
+    val m = 4; val ksub = 16; val dim = 64
+    val centroids = graft.operators.Ivf.fit(embs, "vec", k = 8, maxIter = 5)
+    val assign = graft.operators.Ivf.assign(embs, "vec_id", "vec", centroids)
+    val cb = graft.operators.Pq.fit(embs, "vec", dim, m, ksub, maxIter = 5)
+    val codes = graft.operators.Pq.encode(embs, "vec_id", "vec", cb, dim, m)
+    val q = embs.filter(col("vec_id") < 5)
+    val probes = graft.operators.Ivf.assignProbes(q, "vec_id", "vec",
+      centroids, nProbe = 3).select(col("query_id"), col("centroid_id"))
+    // candidate items per query = items in probed buckets (at scale this
+    // is partition pruning over the centroid_id layout)
+    val cand = assign.join(probes, Seq("centroid_id"))
+      .select(col("query_id"), col("id"))
+    val total = embs.count() * q.count()
+    val candN = cand.count()
+    assert(candN < total, s"probing pruned nothing: $candN of $total")
+    val composed = graft.operators.Pq.topKWithin(cand, codes, cb, q,
+      "vec_id", "vec", k = 10, dim, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // equivalence: composed == full-PQ ranking restricted to each query's
+    // candidate set (probing changes WHICH items compete, not their score)
+    val candSets = cand.collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    val fullPairs = graft.operators.Pq.topK(codes, cb, q, "vec_id", "vec",
+      k = embs.count().toInt, dim, m)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = fullPairs.toSeq.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      rs.filter(r => candSets(qid).contains(r._2))
+        .sortBy(r => (r._3, r._2)).take(10).zipWithIndex
+        .map { case ((_, item, ad2), i) => (qid, (i + 1).toLong, item, ad2) }
+    }.toSet
+    assert(composed.toSet == expected,
+      s"composed IVF x PQ != full PQ restricted to probed candidates")
+    graft.engine.CacheScope.drain()
+  }
+
   test("int8 quantization: values bounded, high cosine fidelity, zero-safe") {
     import spark.implicits._
     val v = embs.select(col("vec_id"), col("vec"),
