@@ -493,6 +493,32 @@ object ExtensionQueries {
         .withColumn("ad2", graft.functions.EngineMath.roundAway(col("ad2"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // x52: the COMPOSED two-level ANN (IVF coarse pruning × PQ fine
+    // scoring) — candidates are each query's probed buckets, scored by
+    // ADC over integer codes. All three engine-specific tables staged;
+    // DuckDB re-derives the candidate-restricted ranking bit-exactly.
+    "x52_knn_ivfpq" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val centroids = graft.operators.Ivf.fit(e, "vec", k = 8, maxIter = 5)
+      val cand = graft.engine.CacheScope.persistTracked(
+        graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
+          .join(graft.operators.Ivf
+            .assignProbes(q, "vec_id", "vec", centroids, nProbe = 3)
+            .select(col("query_id"), col("centroid_id")), Seq("centroid_id"))
+          .select(col("query_id"), col("id")))
+      val cb = graft.operators.Pq.fit(e, "vec", dim = 64, m = 4, ksub = 16,
+        maxIter = 5)
+      val codes = graft.engine.CacheScope.persistTracked(
+        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
+      Stage.write(cand, dir, "x52_cand")
+      Stage.write(cb, dir, "x52_codebooks")
+      Stage.write(codes, dir, "x52_codes")
+      graft.operators.Pq.topKWithin(cand, codes, cb, q, "vec_id", "vec",
+        k = 10, dim = 64, m = 4)
+        .withColumn("ad2", graft.functions.EngineMath.roundAway(col("ad2"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x13_knn_ivf" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -1236,6 +1262,33 @@ object ExtensionQueries {
          |sc AS (SELECT qp.query_id, c.id, qp.sub, qp.d2p
          |  FROM ${Stage.sqlRef("x51_codes")} c
          |  JOIN qp ON qp.sub = c.sub AND qp.centroid_id = c.code),
+         |ag AS (SELECT query_id, id, list(d2p ORDER BY sub) AS ps
+         |  FROM sc GROUP BY 1, 2),
+         |s AS (SELECT query_id, id,
+         |  list_reduce(list_prepend(0.0, ps), (x, y) -> x + y) AS ad2 FROM ag),
+         |r AS (SELECT query_id, id AS item_id, ad2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,
+         |  round(ad2, 6) AS ad2
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        .replace("\n", " ")),
+    "x52_knn_ivfpq" ->
+      // x51's ADC derivation, restricted to the staged per-query
+      // candidate sets before ranking
+      (s"""WITH cb AS (SELECT sub, centroid_id, cvec FROM ${Stage.sqlRef("x52_codebooks")}),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |qp AS (SELECT query_id, sub, centroid_id,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(list_slice(qv, sub * 16 + 1, sub * 16 + 16), cvec),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2p
+         |  FROM q CROSS JOIN cb),
+         |cand AS (SELECT query_id, id FROM ${Stage.sqlRef("x52_cand")}),
+         |sc AS (SELECT qp.query_id, c.id, qp.sub, qp.d2p
+         |  FROM ${Stage.sqlRef("x52_codes")} c
+         |  JOIN cand ON cand.id = c.id
+         |  JOIN qp ON qp.query_id = cand.query_id
+         |    AND qp.sub = c.sub AND qp.centroid_id = c.code),
          |ag AS (SELECT query_id, id, list(d2p ORDER BY sub) AS ps
          |  FROM sc GROUP BY 1, 2),
          |s AS (SELECT query_id, id,
