@@ -41,7 +41,13 @@ object Pq {
     val d = dim / m
     val spark = items.sparkSession
     import spark.implicits._
-    (0 until m).map { sub =>
+    // the m fits are independent — run them as CONCURRENT Spark jobs
+    // (driver threads; the scheduler interleaves their stages) instead of
+    // serially paying m × fit latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { sub => Future {
       val model = new KMeans().setK(ksub).setMaxIter(maxIter)
         .setSeed(seed + sub).setFeaturesCol("__features")
         .fit(items.select(array_to_vector(
@@ -50,7 +56,8 @@ object Pq {
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (v, i) => (sub, i.toLong, v.toArray) }
         .toDF("sub", "centroid_id", "cvec")
-    }.reduce(_.unionByName(_))
+    } }
+    Await.result(Future.sequence(fits), Duration.Inf).reduce(_.unionByName(_))
   }
 
   private def dot(x: Column, y: Column): Column =
