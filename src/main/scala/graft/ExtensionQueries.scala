@@ -662,6 +662,38 @@ object ExtensionQueries {
               (a, v) => a + v) / size(col("lps")), 4).as("lm_score"))
         .orderBy(col("doc_id"))
     }),
+    // x53: corpus DRIFT detection — add-1-smoothed unigram KL divergence
+    // between two corpus snapshots (even doc_ids = reference, odd = new
+    // crawl): the "did the incoming data shift the token distribution"
+    // gate a refresh pipeline runs before accepting a drop. Exact-count
+    // aggregations; the final Σ p·ln(p/q) folds in TERM order (binary
+    // string sort, identical in DuckDB) so the scalar compares exactly.
+    // The deterministic global fold is the ORACLE shape; production at a
+    // billion-term vocab would tree-sum contributions and accept FP
+    // reorder on the monitoring metric.
+    "x53_corpus_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      def counts(parity: Int) = docs.filter(col("doc_id") % 2 === parity)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val joined = counts(0).withColumnRenamed("c", "ca")
+        .join(counts(1).withColumnRenamed("c", "cb"), Seq("term"), "full_outer")
+        .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val t = joined.agg(count(lit(1)).as("v"), sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb")).collect().head
+      val (v, na, nb) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val p = (col("ca") + lit(1.0)) / lit((na + v).toDouble)
+      val q = (col("cb") + lit(1.0)) / lit((nb + v).toDouble)
+      joined
+        .select(col("term"), (p * log(p / q)).as("contrib"))
+        .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+          .as("cs"))
+        .select(lit(v).as("vocab_size"), lit(na).as("n_ref"), lit(nb).as("n_new"),
+          graft.functions.EngineMath.roundAway(
+            aggregate(transform(col("cs"), x => x("contrib")), lit(0.0d),
+              (a, x) => a + x), 6).as("kl_ref_new"))
+    }),
     "x48_weighted_sample" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(
         table(s, dir, "documents").select(col("doc_id"),
@@ -1048,6 +1080,28 @@ object ExtensionQueries {
         "FROM i CROSS JOIN q WHERE item_id != query_id) " +
         "WHERE rank <= 10 ORDER BY query_id, rank"),
     "x27_stratified_sample" -> x27Sql,
+    "x53_corpus_drift" ->
+      // identical smoothed-KL derivation; contributions folded in the
+      // same binary term order
+      (s"""WITH ta AS (SELECT unnest($toks) AS term FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest($toks) AS term FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT term, count(*) AS c FROM ta GROUP BY 1),
+         |cb AS (SELECT term, count(*) AS c FROM tb GROUP BY 1),
+         |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+         |    coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM j),
+         |c AS (SELECT term,
+         |    ((ca + 1.0) / CAST(t.na + t.v AS DOUBLE)) *
+         |    ln(((ca + 1.0) / CAST(t.na + t.v AS DOUBLE)) /
+         |       ((cb + 1.0) / CAST(t.nb + t.v AS DOUBLE))) AS contrib
+         |  FROM j CROSS JOIN t),
+         |a AS (SELECT list(contrib ORDER BY term) AS cs FROM c)
+         |SELECT (SELECT v FROM t) AS vocab_size, (SELECT na FROM t) AS n_ref,
+         |  (SELECT nb FROM t) AS n_new,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS kl_ref_new
+         |FROM a""".stripMargin.replace("\n", " ")),
     "x50_unigram_logprob" ->
       // identical two-pass derivation: corpus counts, floor-at-minCount
       // probs, per-doc log-probs folded in TOKEN order (list(lp ORDER BY
