@@ -694,6 +694,104 @@ object ExtensionQueries {
             aggregate(transform(col("cs"), x => x("contrib")), lit(0.0d),
               (a, x) => a + x), 6).as("kl_ref_new"))
     }),
+    // x54: SemDeDup semantic near-duplicate pairs — k-means clusters
+    // (engine-specific half, STAGED as the assignment table) restrict the
+    // quadratic cosine scan to within-cluster pairs; the oracle re-derives
+    // every within-cluster pair + cosine from the staged assignments in
+    // DuckDB. The exact all-pairs twin is x09; this is its scale path
+    // (N²/K work instead of N², one shuffle on centroid_id).
+    "x54_semantic_pairs" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val centroids = graft.operators.Ivf.fit(e, "vec", k = 8, maxIter = 5)
+      val assign = graft.engine.CacheScope.persistTracked(
+        graft.operators.SemDedup.assign(e, "vec_id", "vec", centroids))
+      Stage.write(assign, dir, "x54_assign")
+      graft.operators.SemDedup.semanticPairs(e, "vec_id", "vec", assign,
+        threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // x55: count-min-sketch heavy hitters — the sketch folds the token
+    // stream into a fixed 4×512 long matrix via the typed mergeable
+    // Aggregator (map-side partial aggregation: only 16 KB arrays shuffle,
+    // never tokens); the top-20-by-exact-count candidates then read their
+    // estimates from the collected sketch (one row — collected rather than
+    // cross-joined so the candidate plan never references the token table
+    // twice; the a17/x42 double-reference lesson). The oracle rebuilds the
+    // ENTIRE sketch independently in DuckDB (cells = tokens grouped by
+    // (row, md5 bucket); est = min over rows) — est must match cell-exactly,
+    // and est >= n is the CMS overcount guarantee.
+    "x55_cms_heavy_hitters" -> ((s, dir) => {
+      val depth = 4; val width = 512
+      val toksT = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("term")))
+      val sk = toksT
+        .agg(graft.functions.CountMin.sketchUdaf(depth, width)(col("term")).as("sk"))
+        .collect().head.getAs[scala.collection.Seq[Long]]("sk")
+      toksT.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(20)
+        .select(col("term"), col("n"),
+          graft.functions.CountMin.estimate(
+            typedlit(sk.toSeq), col("term"), depth, width).as("est"))
+        .orderBy(col("n").desc, col("term").asc)
+    }),
+    // x56: bloom-pruned decontamination — identical INPUTS and OUTPUT to
+    // x40 (same oracle SQL): the corpus gram stream is pre-filtered by a
+    // broadcast BloomFilter of the benchmark grams before the exact join,
+    // the shape for benchmark sets too big to broadcast exactly. Equality
+    // with the exact path IS the gate (bloom admits no false negatives;
+    // the exact join removes its false positives).
+    "x56_bloom_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.contaminationScanBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // x58: domain-mixture temperature sampling — per-source quotas
+    // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
+    // md5-ticket rank within each source. Quota arithmetic and the
+    // ticket ranks re-derive exactly in DuckDB (the Σ n^α normalizer
+    // folds in source order on both engines).
+    "x58_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", alpha = 0.5, k = 200)
+        .orderBy(col("doc_id"))),
+    // x59: bigram-LM scoring (the x50 signal, one order higher): per-doc
+    // mean conditional log-prob ln((c(ab)+1)/(c(a)+V)) with add-1
+    // smoothing over corpus bigram counts. Same two-deliberate-scans
+    // shape and same position-ordered fold as x50 (the per-doc sum
+    // re-assembles in bigram order, so the IEEE adds sequence
+    // identically in DuckDB). At scale the count tables floor their
+    // tails like x50's Zipf head so both broadcasts stay bounded.
+    "x59_bigram_logprob" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      def bgs = docs.select(col("doc_id"),
+        posexplode(TextFunctions.bigramsOf(TextFunctions.tokens(col("text"))))
+          .as(Seq("pos", "bg")))
+      val vocabSize = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .agg(countDistinct(col("term"))).collect().head.getLong(0)
+      val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      val cp = cb.groupBy(substring_index(col("bg"), " ", 1).as("a"))
+        .agg(sum(col("cab")).as("ca"))
+      bgs
+        .join(broadcast(cb), Seq("bg"))
+        .join(broadcast(cp),
+          substring_index(col("bg"), " ", 1) === col("a"))
+        .withColumn("lp", log((col("cab") + lit(1.0)) /
+          (col("ca") + lit(vocabSize)).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
+        .select(col("doc_id"),
+          size(col("lps")).cast("long").as("n_bigrams"),
+          graft.functions.EngineMath.roundAway(
+            aggregate(transform(col("lps"), x => x("lp")), lit(0.0d),
+              (a, v) => a + v) / size(col("lps")), 4).as("lm2_score"))
+        .orderBy(col("doc_id"))
+    }),
     "x48_weighted_sample" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(
         table(s, dir, "documents").select(col("doc_id"),
@@ -908,6 +1006,22 @@ object ExtensionQueries {
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Decontamination oracle shared by x40 (exact path) and x56 (bloom
+    * path): 5-gram shingle sets (mirrors TextFunctions.shingles k=5),
+    * split into corpus (doc_id % 50 != 0) vs benchmark; inner join on the
+    * shared gram, grouped per corpus doc.
+    */
+  private val decontaminateSql =
+    s"WITH t AS (SELECT doc_id, unnest(list_distinct(" +
+      "[array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)]" +
+      s")) AS sh FROM (SELECT doc_id, $toks AS s FROM documents)), " +
+      "c AS (SELECT * FROM t WHERE doc_id % 50 <> 0), " +
+      "b AS (SELECT * FROM t WHERE doc_id % 50 = 0) " +
+      "SELECT c.doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared_shingles, " +
+      "CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs " +
+      "FROM c JOIN b ON c.sh = b.sh GROUP BY 1 " +
+      "HAVING count(DISTINCT c.sh) >= 1 ORDER BY 1"
+
   /** Gaps-and-islands session CTE (30-min gap) shared by x21/x19. */
   private val sessionCte =
     "WITH e AS (SELECT user_id, ts, event_id, " +
@@ -1119,6 +1233,71 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
          |  round(list_reduce(list_prepend(0.0, lps), (x, y) -> x + y) / len(lps), 4) AS lm_score
          |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x54_semantic_pairs" ->
+      // within-cluster pairs + exact cosine re-derived from the STAGED
+      // assignment table (the k-means half is engine-specific; everything
+      // after it is relational algebra + the x09-portable dot product)
+      (s"""WITH asg AS (SELECT id, centroid_id FROM ${Stage.sqlRef("x54_assign")}),
+         |v AS (SELECT a.centroid_id, e.vec_id AS id, e.embedding::DOUBLE[] AS vec
+         |  FROM embeddings e JOIN asg a ON a.id = e.vec_id),
+         |p AS (SELECT a.centroid_id, a.id AS id_a, b.id AS id_b,
+         |  list_dot_product(a.vec, b.vec) / (sqrt(list_dot_product(a.vec, a.vec)) *
+         |    sqrt(list_dot_product(b.vec, b.vec))) AS cos
+         |  FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.id < b.id)
+         |SELECT centroid_id, id_a, id_b, round(cos, 4) AS cos FROM p
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x55_cms_heavy_hitters" ->
+      // a fully independent CMS: every (row, bucket) cell recomputed by
+      // grouping the token stream on the SAME md5 bucket function, the
+      // estimate as the same min-over-rows — plus the same exact top-20
+      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+         |ex AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |top AS (SELECT term, n FROM ex ORDER BY n DESC, term LIMIT 20),
+         |cells AS (SELECT d.d,
+         |    ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 512 AS b,
+         |    count(*) AS c
+         |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d GROUP BY 1, 2),
+         |est AS (SELECT top.term, top.n, min(c.c) AS est FROM top
+         |  JOIN cells c ON c.b =
+         |    ('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || top.term), 1, 8))::BIGINT % 512
+         |  GROUP BY 1, 2)
+         |SELECT term, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
+         |FROM est ORDER BY n DESC, term""".stripMargin.replace("\n", " ")),
+    "x58_temperature_mix" ->
+      // same quota arithmetic (Σ n^α folded in source order — the one FP
+      // sum — then floor per domain) and the same 16-bit md5 ticket rank
+      (s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |c AS (SELECT source, count(*) AS n_domain FROM d GROUP BY 1),
+         |zl AS (SELECT list(pow(CAST(n_domain AS DOUBLE), 0.5) ORDER BY source) AS ws FROM c),
+         |z AS (SELECT list_reduce(list_prepend(0.0, ws), (x, y) -> x + y) AS z FROM zl),
+         |q AS (SELECT source, n_domain, least(n_domain,
+         |    CAST(floor(200.0 * pow(CAST(n_domain AS DOUBLE), 0.5) / (SELECT z FROM z)) AS BIGINT)) AS quota
+         |  FROM c),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS domain_rank
+         |  FROM d)
+         |SELECT r.source, r.doc_id, q.n_domain, q.quota,
+         |  CAST(r.domain_rank AS BIGINT) AS domain_rank
+         |FROM r JOIN q USING (source) WHERE domain_rank <= q.quota
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x59_bigram_logprob" ->
+      // identical derivation: corpus bigram counts, prefix counts summed
+      // from them, unigram vocab size, add-1 conditional log-probs folded
+      // in bigram-position order (list(lp ORDER BY pos) + list_reduce ≡
+      // Spark's sort_array + aggregate)
+      (s"""WITH m AS (SELECT doc_id, $toks AS s FROM documents),
+         |bl AS (SELECT doc_id, [s[i] || ' ' || s[i+1] for i in range(1, len(s))] AS bgs FROM m),
+         |g AS (SELECT doc_id, unnest(bgs) AS bg, generate_subscripts(bgs, 1) AS pos FROM bl),
+         |cb AS (SELECT bg, count(*) AS cab FROM g GROUP BY 1),
+         |cp AS (SELECT split_part(bg, ' ', 1) AS a, CAST(sum(cab) AS BIGINT) AS ca FROM cb GROUP BY 1),
+         |vc AS (SELECT count(DISTINCT term) AS v FROM (SELECT unnest($toks) AS term FROM documents)),
+         |sgl AS (SELECT g.doc_id, g.pos,
+         |    ln((cb.cab + 1.0) / CAST(cp.ca + (SELECT v FROM vc) AS DOUBLE)) AS lp
+         |  FROM g JOIN cb USING (bg) JOIN cp ON cp.a = split_part(g.bg, ' ', 1)),
+         |ag AS (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM sgl GROUP BY 1)
+         |SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+         |  round(list_reduce(list_prepend(0.0, lps), (x, y) -> x + y) / len(lps), 4) AS lm2_score
+         |FROM ag ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x48_weighted_sample" ->
       // identical 48-bit ticket + ln(u)/w rank recomputed in DuckDB; the
       // top-50 selection orders on the UNROUNDED rank in both engines
@@ -1164,19 +1343,10 @@ object ExtensionQueries {
         "array_to_string(list_slice(s, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text, " +
         "CAST(least(64, len(s) - i * 48) AS BIGINT) AS n_tokens " +
         "FROM c ORDER BY doc_id, chunk_idx"),
-    "x40_decontaminate" ->
-      // 5-gram shingle sets (mirrors TextFunctions.shingles k=5), split
-      // into corpus (doc_id % 50 != 0) vs benchmark; inner join on the
-      // shared gram, grouped per corpus doc
-      (s"WITH t AS (SELECT doc_id, unnest(list_distinct(" +
-        "[array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)]" +
-        s")) AS sh FROM (SELECT doc_id, $toks AS s FROM documents)), " +
-        "c AS (SELECT * FROM t WHERE doc_id % 50 <> 0), " +
-        "b AS (SELECT * FROM t WHERE doc_id % 50 = 0) " +
-        "SELECT c.doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared_shingles, " +
-        "CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs " +
-        "FROM c JOIN b ON c.sh = b.sh GROUP BY 1 " +
-        "HAVING count(DISTINCT c.sh) >= 1 ORDER BY 1"),
+    "x40_decontaminate" -> decontaminateSql,
+    // x56 computes the SAME result through the bloom-pruned path — result
+    // equality with the exact derivation is the gate
+    "x56_bloom_decontaminate" -> decontaminateSql,
     "x41_pack" ->
       // mirrors Packing.packSequences: per-shard running token total in
       // doc_id order, start-based sequence assignment; all-integer math

@@ -144,6 +144,45 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** [[contaminationScan]] with a BLOOM-FILTER pre-prune of the corpus gram
+    * stream — the shape for when the benchmark gram table outgrows an exact
+    * broadcast (hundreds of eval sets ≈ 10⁹ grams: tens of GB as exact
+    * strings, ~1.2 GB as a 1% bloom). Same output, bit-for-bit:
+    *
+    *  1. the benchmark's distinct grams fold into a `BloomFilter`
+    *     (spark.util.sketch — mergeable, built distributed via
+    *     `stat.bloomFilter`'s treeAggregate) broadcast to every task;
+    *  2. corpus grams filter through `mightContain` IN the scan stage — no
+    *     false negatives, so nothing real is lost; ~fpp of clean grams
+    *     survive falsely;
+    *  3. survivors (a sliver of the corpus stream) join the exact benchmark
+    *     gram table, which removes the false positives. This join SHUFFLES
+    *     both sides — correct at this size precisely because the bloom
+    *     already discarded the corpus bulk map-side.
+    *
+    * The equality `contaminationScanBloom ≡ contaminationScan` is the
+    * correctness gate (x56 runs the bloom path against the exact oracle).
+    */
+  def contaminationScanBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, minShared: Long = 1,
+      maxDocFreq: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val cg = shingleTable(corpus, idCol, textCol, k, maxDocFreq)
+    val bg = shingleTable(benchmark, idCol, textCol, k, None)
+      .select(col("id").as("__bench_id"), col("shingle"))
+    val distinctGrams = bg.select(col("shingle")).distinct()
+    val nGrams = math.max(distinctGrams.count(), 1L)
+    val bloom = distinctGrams.stat.bloomFilter("shingle", nGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    cg.filter(mightContain(col("shingle")))
+      .join(bg, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("__bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_shingles") >= minShared)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs: C(A⊆B) = |A∩B| / |A|. Catches
     * sub-document duplication Jaccard misses — a paragraph pasted into a
     * much larger document has high containment but low Jaccard (the size

@@ -112,4 +112,58 @@ object Sampling {
       .orderBy(col("es_rank").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** DOMAIN-MIXTURE ("temperature") sampling: draw a k-row corpus whose
+    * domain proportions follow `n_d^alpha` instead of the raw counts
+    * `n_d` — the standard rebalancing for multi-source training mixes
+    * (multilingual LM sampling à la XLM-R: alpha<1 upweights small domains,
+    * alpha=1 is proportional, alpha=0 is uniform-by-domain).
+    *
+    * Mechanics, all in one plan (no driver loop):
+    *  1. per-domain counts `n_d` (one small aggregate — |domains| rows);
+    *  2. quota `m_d = floor(k · n_d^alpha / Σ_e n_e^alpha)`, capped at
+    *     `n_d` (a small domain cannot over-fill its quota);
+    *  3. each domain keeps its `m_d` members with the SMALLEST md5 tickets
+    *     (ties broken by key) — a per-domain window rank, deterministic
+    *     and layout-independent like every sampler here.
+    *
+    * Scale shape: the quota table is |domains| rows (broadcast); the only
+    * data-sized work is the per-domain rank — ONE shuffle on the domain
+    * key. A skewed giant domain concentrates its rank in one task; at
+    * 100 TB pre-aggregate per (domain, salt-bucket) and take per-bucket
+    * quotas (the [[graft.operators.Skew]] two-phase pattern) — at that
+    * point an approximate per-bucket split of `m_d` is acceptable because
+    * m_d is itself statistical. floor() keeps total ≤ k (the usual
+    * largest-remainder top-up is omitted: deterministic, documented).
+    *
+    * Output: df's columns + (n_domain, quota, domain_rank).
+    */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      domainCol: String, alpha: Double, k: Long,
+      salt: String = "tmix"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+    // Σ n^α folded in DOMAIN order (sort_array + sequential aggregate),
+    // not sum(): IEEE addition is order-sensitive and this scalar decides
+    // floor() boundaries — the engine-portable fold the oracle replicates.
+    // |domains| is small by definition; the collect_list is bounded.
+    val z = counts
+      .agg(sort_array(collect_list(struct(
+        col(domainCol).cast("string").as("d"),
+        pow(col("n_domain").cast("double"), lit(alpha)).as("w")))).as("ws"))
+      .select(aggregate(transform(col("ws"), x => x("w")), lit(0.0d),
+        (a, v) => a + v).as("__z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .withColumn("quota", least(col("n_domain"),
+        floor(lit(k.toDouble) * pow(col("n_domain").cast("double"), lit(alpha))
+          / col("__z")).cast("long")))
+      .select(col(domainCol), col("n_domain"), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(domainCol))
+      .orderBy(ticket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= col("quota"))
+  }
 }

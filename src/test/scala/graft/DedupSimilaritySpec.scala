@@ -447,4 +447,47 @@ class DedupSimilaritySpec extends SparkSpec {
     info(f"LSH ANN recall@10 vs brute force: $recall%.2f")
     assert(recall >= 0.25)
   }
+
+  test("contaminationScanBloom ≡ contaminationScan (no false negatives; exact join removes bloom FPs)") {
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.contaminationScan(corpus, bench, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    val bloom = Dedup.contaminationScanBloom(corpus, bench, "doc_id", "text",
+      k = 5, fpp = 0.05) // coarse filter on purpose: FPs must still vanish
+      .orderBy("doc_id").collect()
+    assert(exact.nonEmpty, "fixture produced no contaminated docs")
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("semanticPairs = embeddingPairs restricted to shared clusters; skew cap drops loudly") {
+    import graft.operators.{Ivf, SemDedup}
+    val centroids = Ivf.fit(embs, "vec", k = 4, maxIter = 5)
+    val assign = SemDedup.assign(embs, "vec_id", "vec", centroids)
+    val semantic = SemDedup.semanticPairs(embs, "vec_id", "vec", assign,
+      threshold = 0.4)
+    // ground truth: ALL cosine pairs ≥ τ, then keep those sharing a cluster
+    val allPairs = Dedup.embeddingPairs(embs, "vec_id", "vec", threshold = 0.4)
+    val a = assign.select(col("id").as("id_a"), col("centroid_id").as("ca"))
+    val b = assign.select(col("id").as("id_b"), col("centroid_id").as("cb"))
+    val expected = allPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = semantic.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no within-cluster near-dups")
+    // cluster-size cap: capping below the largest cluster must drop its
+    // pairs and report the cluster
+    val sizes = assign.groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.max - 1
+    val over = SemDedup.oversizedClusters(assign, cap).collect()
+      .map(_.getLong(0)).toSet
+    assert(over == sizes.filter(_._2 > cap).keySet)
+    val capped = SemDedup.semanticPairs(embs, "vec_id", "vec", assign,
+      threshold = 0.4, maxClusterSize = Some(cap))
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(capped.intersect(over).isEmpty)
+  }
 }

@@ -177,4 +177,36 @@ class SamplingSpec extends SparkSpec {
     val tol = 5 * math.sqrt(5000 * 0.2 * 0.8)
     assert(math.abs(byLang("en") - 1000.0) <= tol, s"en=${byLang("en")}")
   }
+
+  test("temperatureMix: quotas follow n^alpha, fill exactly, deterministic under repartition") {
+    import spark.implicits._
+    // three domains with skewed sizes: 6000 / 3000 / 1000
+    val df = (0L until 10000L).map { i =>
+      (i, if (i < 6000) "web" else if (i < 9000) "books" else "code")
+    }.toDF("id", "domain")
+    val k = 500L
+    val got = Sampling.temperatureMix(df, "id", "domain", alpha = 0.5, k = k)
+    val byDomain = got.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // local recomputation of the quota arithmetic (same fold order: domain asc)
+    val n = Map("web" -> 6000.0, "books" -> 3000.0, "code" -> 1000.0)
+    val z = n.toSeq.sortBy(_._1).map { case (_, c) => math.pow(c, 0.5) }.sum
+    val expected = n.map { case (d, c) =>
+      d -> math.min(c.toLong, math.floor(k * math.pow(c, 0.5) / z).toLong)
+    }
+    assert(byDomain == expected, s"got $byDomain expected $expected")
+    // every domain fills its quota exactly (quota ≤ n_domain here)
+    assert(got.count() == expected.values.sum)
+    // alpha=0.5 rebalances: code's share rises vs its 10% population share
+    assert(byDomain("code").toDouble / k > 0.15)
+    // deterministic + layout-independent
+    val re = Sampling.temperatureMix(df.repartition(13), "id", "domain",
+      alpha = 0.5, k = k).select("id").collect().map(_.getLong(0)).toSet
+    assert(re == got.select("id").collect().map(_.getLong(0)).toSet)
+    // alpha=1 is proportional sampling (floor of exact shares)
+    val prop = Sampling.temperatureMix(df, "id", "domain", alpha = 1.0, k = k)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("web" -> 300L, "books" -> 150L, "code" -> 50L))
+  }
 }
