@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   *    the end (by then the interfering burst has usually passed); the
   *    reported time is the better of the two and the `reran` field names
   *    them so a reader knows which lines were contested.
+  *  - A DRAM-bandwidth canary ([[probeMs]]) brackets every timing:
+  *    out-of-VM interference (a neighboring guest saturating memory
+  *    bandwidth) shows in neither loadavg nor jiffy accounting — it
+  *    stretches this process's own cycles while it looks 100% busy. A
+  *    query whose canary exceeded [[ProbeRatio]]× the run's floor is
+  *    contested exactly like an ambient-CPU hit; per-query `canary_ms` +
+  *    `canary_floor_ms` land in the JSON so a reader can discard any
+  *    line timed in a bad window.
   *  - The JSON line is also written to a FILE (SPARK_GRAFT_BENCH_OUT, or
   *    BENCH_LAST.json in cwd) — log-tail capture truncated 21 of 79
   *    queries from BENCH_r04; the file artifact cannot be.
@@ -40,6 +48,43 @@ object Bench {
     * considered contested and re-run once at the end of the suite.
     */
   val AmbientCores = 2.0
+
+  /** A query is also contested when the bandwidth canary ([[probeMs]]) ran
+    * slower than this multiple of the run's observed floor while the query
+    * was being timed.
+    */
+  val ProbeRatio = 1.4
+
+  /** 64 MB of longs — larger than any LLC here, so streaming over it is
+    * DRAM-bound and its wall time tracks the memory bandwidth actually
+    * available to this VM at that moment.
+    */
+  private lazy val probeArr: Array[Long] = Array.tabulate(8 << 20)(_.toLong)
+  @volatile private var probeSink = 0L
+
+  /** The NOISY-NEIGHBOR canary: ms to stream-sum 64 MB, best of 3.
+    *
+    * Round-5 lesson: x43 timed 57 s on one run and 3.8 s on another with
+    * load1 < 2 at the gate AND per-query ambient_cores ≈ 0 — interference
+    * from OUTSIDE the VM (another guest saturating memory bandwidth) is
+    * invisible to loadavg and to jiffy accounting, because jiffies measure
+    * time scheduled, not work done: contention stretches cycles while this
+    * process appears 100% busy. A fixed DRAM-bound sweep measures the
+    * symptom directly — when the canary is slow, every timing taken in
+    * that window is untrustworthy, whatever /proc/stat says.
+    */
+  private def probeMs(): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime(); var s = 0L; var i = 0
+      while (i < probeArr.length) { s += probeArr(i); i += 1 }
+      probeSink = s
+      best = math.min(best, (System.nanoTime() - t0) / 1e6)
+      r += 1
+    }
+    best
+  }
 
   private def load1: Option[Double] =
     try Some(java.nio.file.Files
@@ -84,9 +129,13 @@ object Bench {
     attempts
   }
 
-  /** Run one query; returns (wall sec, ambient cores during the run). */
+  /** Run one query; returns (wall sec, ambient cores, canary ms) — the
+    * canary brackets the timing (worse of before/after), so interference
+    * at any point inside the window is caught.
+    */
   private def timeOne(spark: SparkSession, sfDir: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+    val p0 = probeMs()
     val c0 = cpuSample()
     val t0 = System.nanoTime()
     try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -98,7 +147,7 @@ object Bench {
       val hz = 100.0 // USER_HZ; Linux fixes this at 100 on all common arches
       math.max(0.0, ((b1 - b0) - (s1 - s0)) / hz / math.max(dt, 1e-3))
     }).getOrElse(-1.0)
-    (dt, ambient)
+    (dt, ambient, math.max(p0, probeMs()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,6 +159,10 @@ object Bench {
     // bench's own 32 threads (a 95 s burst alone pushes load1 to 3-6), so
     // only the pre-run number measures what ELSE the box was doing
     val loadStart = load1.getOrElse(-1.0)
+    // canary baseline before Spark's threads exist — one candidate for the
+    // floor (the floor is the min over the whole run: if the box was
+    // contended even now, some later quiet-window probe will beat this)
+    val probeBase = probeMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -128,35 +181,49 @@ object Bench {
     // numbers are steady-state, `queries_cold` keeps the first-run cost
     // visible (cold minus steady ≈ fixed per-plan compile, not data work).
     val firstPass = selected.map { case (name, fn) =>
-      val (cold, ambientCold) = timeOne(spark, sfDir, fn)
-      val (dt, ambient) = timeOne(spark, sfDir, fn)
-      if (math.max(ambient, ambientCold) > AmbientCores)
-        System.err.println(f"[bench] $name contested: ambient=$ambient%.1f cores")
-      (name, fn, math.min(dt, cold), math.max(ambient, ambientCold), cold)
+      val (cold, ambientCold, probeCold) = timeOne(spark, sfDir, fn)
+      val (dt, ambient, probeWarm) = timeOne(spark, sfDir, fn)
+      // keep the better run WITH its own trust stamps (the quieter window's
+      // canary belongs to the time we report)
+      val (steady, amb, prb) =
+        if (dt <= cold) (dt, ambient, probeWarm)
+        else (cold, ambientCold, probeCold)
+      (name, fn, steady, amb, cold, prb)
     }
-    // second chance for contested lines: wait for the interfering burst to
-    // pass (same gate as the start — ambient bursts here last minutes),
-    // then re-run; keep the better time (a re-run can itself be hit)
-    val contested = firstPass.filter(_._4 > AmbientCores)
+    // trust floor: best canary seen anywhere in the run (incl. pre-Spark)
+    val floor = (probeBase +: firstPass.map(_._6)).min
+    // second chance for contested lines — ambient CPU visible in jiffies OR
+    // a slow canary (out-of-VM interference jiffies can't see): wait for
+    // the burst to pass, re-run, keep the better time (a re-run can itself
+    // be hit)
+    def isContested(amb: Double, prb: Double): Boolean =
+      amb > AmbientCores || prb > ProbeRatio * floor
+    val contested = firstPass.filter(r => isContested(r._4, r._6))
+    contested.foreach { r =>
+      System.err.println(f"[bench] ${r._1} contested: ambient=${r._4}%.1f " +
+        f"cores, canary=${r._6}%.1f ms (floor $floor%.1f)")
+    }
     if (contested.nonEmpty) awaitQuietBox(threshold = 2.0, maxAttempts = 10,
       sleepSec = 30)
-    val reruns: Map[String, (Double, Double)] = contested.map {
-      case (name, fn, _, _, _) =>
+    val reruns: Map[String, (Double, Double, Double)] = contested.map {
+      case (name, fn, _, _, _, _) =>
         System.err.println(s"[bench] re-running contested $name")
         name -> timeOne(spark, sfDir, fn)
     }.toMap
-    val results = firstPass.map { case (name, _, dt, ambient, cold) =>
+    val results = firstPass.map { case (name, _, dt, ambient, cold, prb) =>
       reruns.get(name) match {
-        case Some((dt2, amb2)) if dt2 < dt => (name, dt2, amb2, cold)
-        case _ => (name, dt, ambient, cold)
+        case Some((dt2, amb2, prb2)) if dt2 < dt => (name, dt2, amb2, cold, prb2)
+        case _ => (name, dt, ambient, cold, prb)
       }
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, _, _, c) => s"\"" + k + "\":" + c }
+    val colds = results.map { case (k, _, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val ambients = results.map { case (k, _, a, _) =>
+    val ambients = results.map { case (k, _, a, _, _) =>
       s"\"" + k + "\":" + f"$a%.2f" }.mkString("{", ",", "}")
+    val probes = results.map { case (k, _, _, _, p) =>
+      s"\"" + k + "\":" + f"$p%.1f" }.mkString("{", ",", "}")
     val reranNames = contested.map(c => s"\"${c._1}\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // machine-state stamp: ambient load swings totals 2-3x on this box, so
@@ -173,7 +240,8 @@ object Bench {
     } catch { case _: Throwable => "" }
     val gate = s""","load1_start":$loadStart,"load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
     val ambientStamp =
-      s""","ambient_cores":$ambients,"ambient_threshold":$AmbientCores,"reran":$reranNames"""
+      s""","ambient_cores":$ambients,"ambient_threshold":$AmbientCores,"reran":$reranNames""" +
+        f""","canary_ms":$probes,"canary_floor_ms":$floor%.1f,"canary_ratio_threshold":$ProbeRatio"""
     val coldStamp = s""","queries_cold":$colds,"timing":"steady_state_best_of_2""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate$ambientStamp$coldStamp}"""
     println(line)
