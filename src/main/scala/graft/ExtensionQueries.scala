@@ -749,6 +749,66 @@ object ExtensionQueries {
         "doc_id", "text", k = 5)
         .orderBy(col("doc_id"))
     }),
+    // x57: content-defined chunking — boundaries where the md5 ticket of
+    // the trailing token window lands in 1/16 of hash space, so chunk
+    // edges survive insertions (the rsync/FastCDC property; ChunkingSpec
+    // pins shift-invariance). Fully SQL-expressible: DuckDB re-derives
+    // every boundary from the same md5.
+    "x57_cdc_chunk" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByContent(
+        table(s, dir, "documents"), "doc_id", "text",
+        window = 3, divisor = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // x60: repeated-span accounting (the token-level exact-substring
+    // duplication signal of "Deduplicating Training Data Makes LMs
+    // Better"): per document, how many of its 8-token spans occur ≥2
+    // times corpus-wide. ONE linear plan like x42: positional k-grams →
+    // per-(doc,gram) counts → corpus totals as a gram-window sum — no
+    // self-join, no second scan. At scale the gram key would be
+    // xxhash64'd to 8-byte shuffle keys (the x06 trick); the skew-heavy
+    // boilerplate gram concentrates one window partition → salt as in
+    // operators/Skew.
+    "x60_repeated_spans" -> ((s, dir) => {
+      val k = 8
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => array_join(slice(col("ts"), i, lit(k)), " "))).as("gram"))
+      val perDoc = grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      perDoc.withColumn("tot", sum(col("c")).over(wG))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_spans"),
+          sum(when(col("tot") >= 2, col("c")).otherwise(lit(0L))).as("n_repeated"))
+        .select(col("doc_id"), col("n_spans"), col("n_repeated"),
+          graft.functions.EngineMath.roundAway(
+            col("n_repeated") / col("n_spans"), 4).as("repeated_frac"))
+        .orderBy(col("doc_id"))
+    }),
+    // x61: STREAM-maintained count-min sketch — per-micro-batch sketches
+    // merged by element-wise sum (CMS merge is exact), scored with the
+    // same top-20 candidate read as x55 and gated by the SAME oracle:
+    // stream-merge ≡ batch build is the claim, and DuckDB's independent
+    // sketch rebuild is the judge.
+    "x61_stream_cms" -> ((s, dir) => {
+      val depth = 4; val width = 512
+      val skDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-cms-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid()).toString
+      val sk = graft.streaming.StreamOps.sketchStream(
+        s, s"$dir/documents.parquet", "text", depth, width, skDir)
+      table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(20)
+        .select(col("term"), col("n"),
+          graft.functions.CountMin.estimate(
+            typedlit(sk.toSeq), col("term"), depth, width).as("est"))
+        .orderBy(col("n").desc, col("term").asc)
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1022,6 +1082,27 @@ object ExtensionQueries {
       "FROM c JOIN b ON c.sh = b.sh GROUP BY 1 " +
       "HAVING count(DISTINCT c.sh) >= 1 ORDER BY 1"
 
+  /** Count-min oracle shared by x55 (batch-built sketch) and x61 (stream-
+    * merged sketch — merge is exact, so one oracle gates both): a fully
+    * independent CMS rebuild — every (row, bucket) cell recomputed by
+    * grouping the token stream on the SAME md5 bucket function, the
+    * estimate as the same min-over-rows — plus the same exact top-20.
+    */
+  private val cmsSql =
+    s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
+       |ex AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+       |top AS (SELECT term, n FROM ex ORDER BY n DESC, term LIMIT 20),
+       |cells AS (SELECT d.d,
+       |    ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 512 AS b,
+       |    count(*) AS c
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d GROUP BY 1, 2),
+       |est AS (SELECT top.term, top.n, min(c.c) AS est FROM top
+       |  JOIN cells c ON c.b =
+       |    ('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || top.term), 1, 8))::BIGINT % 512
+       |  GROUP BY 1, 2)
+       |SELECT term, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
+       |FROM est ORDER BY n DESC, term""".stripMargin.replace("\n", " ")
+
   /** Gaps-and-islands session CTE (30-min gap) shared by x21/x19. */
   private val sessionCte =
     "WITH e AS (SELECT user_id, ts, event_id, " +
@@ -1246,23 +1327,39 @@ object ExtensionQueries {
          |  FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.id < b.id)
          |SELECT centroid_id, id_a, id_b, round(cos, 4) AS cos FROM p
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
-    "x55_cms_heavy_hitters" ->
-      // a fully independent CMS: every (row, bucket) cell recomputed by
-      // grouping the token stream on the SAME md5 bucket function, the
-      // estimate as the same min-over-rows — plus the same exact top-20
-      (s"""WITH t AS (SELECT unnest($toks) AS term FROM documents),
-         |ex AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
-         |top AS (SELECT term, n FROM ex ORDER BY n DESC, term LIMIT 20),
-         |cells AS (SELECT d.d,
-         |    ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 512 AS b,
-         |    count(*) AS c
-         |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d GROUP BY 1, 2),
-         |est AS (SELECT top.term, top.n, min(c.c) AS est FROM top
-         |  JOIN cells c ON c.b =
-         |    ('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || top.term), 1, 8))::BIGINT % 512
-         |  GROUP BY 1, 2)
-         |SELECT term, CAST(n AS BIGINT) AS n, CAST(est AS BIGINT) AS est
-         |FROM est ORDER BY n DESC, term""".stripMargin.replace("\n", " ")),
+    "x55_cms_heavy_hitters" -> cmsSql,
+    // x61 reads the SAME estimates from the STREAM-merged sketch — CMS
+    // merge is exact, so the one-shot-build oracle is the gate
+    "x61_stream_cms" -> cmsSql,
+    "x57_cdc_chunk" ->
+      // every boundary re-derived from the same md5 window ticket; chunks
+      // re-assembled by lock-step unnest of the starts/ends lists
+      (s"""WITH m AS (SELECT doc_id, $toks AS s FROM documents WHERE len($toks) > 0),
+         |c AS (SELECT doc_id, s, [i for i in range(3, len(s))
+         |    if ('0x' || substr(md5(array_to_string(list_slice(s, i - 2, i), ' ')), 1, 8))::BIGINT % 16 = 0] AS cuts
+         |  FROM m),
+         |h AS (SELECT doc_id, s, list_prepend(1, [c + 1 for c in cuts]) AS starts,
+         |    list_append(cuts, len(s)) AS ends FROM c),
+         |e AS (SELECT doc_id, s, unnest(starts) AS st, unnest(ends) AS en,
+         |    generate_subscripts(starts, 1) AS ci FROM h)
+         |SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(en - st + 1 AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(s, st, en), ' ')) AS chunk_hash
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
+    "x60_repeated_spans" ->
+      // identical positional 8-gram derivation; corpus totals joined back
+      // (the relational twin of the engine's gram-window sum)
+      (s"""WITH m AS (SELECT doc_id, $toks AS s FROM documents WHERE len($toks) >= 8),
+         |g AS (SELECT doc_id, unnest([array_to_string(list_slice(s, i, i + 7), ' ')
+         |    for i in range(1, len(s) - 6)]) AS gram FROM m),
+         |pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |t AS (SELECT gram, CAST(sum(c) AS BIGINT) AS tot FROM pd GROUP BY 1),
+         |a AS (SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN t.tot >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS n_repeated
+         |  FROM pd JOIN t USING (gram) GROUP BY 1)
+         |SELECT doc_id, n_spans, n_repeated,
+         |  round(CAST(n_repeated AS DOUBLE) / n_spans, 4) AS repeated_frac
+         |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x58_temperature_mix" ->
       // same quota arithmetic (Σ n^α folded in source order — the one FP
       // sum — then floor per domain) and the same 16-bit md5 ticket rank

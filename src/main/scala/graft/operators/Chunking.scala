@@ -24,6 +24,57 @@ object Chunking {
     * zero-token documents yield none. Output: (idCol, chunk_idx,
     * chunk_text, n_tokens), deterministic.
     */
+  /** CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC family, token-level):
+    * cut after token i whenever a hash of the `window` tokens ending at i
+    * lands in 1/`divisor` of hash space. Boundaries depend only on LOCAL
+    * content, so insertions shift chunk boundaries only until the next
+    * surviving cut — the property that makes chunk-hash dedup robust to
+    * edits, where fixed-stride windows misalign the whole remainder
+    * (ChunkingSpec pins this shift-invariance).
+    *
+    * Expected chunk length ≈ `divisor` tokens (geometric). The hash is the
+    * same md5-prefix ticket the samplers use — engine-portable, so the
+    * DuckDB oracle re-derives every boundary. A cut at the very last token
+    * is excluded (it would create an empty chunk); documents shorter than
+    * `window`+1 tokens yield one whole-document chunk; zero-token documents
+    * yield none.
+    *
+    * Shape: per-row collection expressions + one `posexplode` — pipelined,
+    * shuffle-free, same 100 TB story as [[chunkDocs]]. The per-position
+    * window hash costs O(len · window) md5s of short strings; production
+    * at video-scale token counts would swap in a true O(len) rolling (gear)
+    * hash behind the same boundary predicate — the plan shape is unchanged.
+    *
+    * Output: (idCol, chunk_idx, n_tokens, chunk_hash), deterministic.
+    */
+  def chunkByContent(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    val sz = size(col("__ts"))
+    // cut positions (1-based, cut AFTER the position): hash the window
+    // ending at i; candidate i ranges over [window, len-1]
+    val ticket = (i: Column) =>
+      conv(substring(md5(array_join(
+        slice(col("__ts"), i - window + 1, lit(window)), " ")), 1, 8), 16, 10)
+        .cast("long") % divisor
+    val cuts = when(sz > window,
+      filter(sequence(lit(window), sz - 1), i => ticket(i) === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
+    val ends = concat(col("__cuts"), array(sz))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .filter(sz > 0)
+      .withColumn("__cuts", cuts)
+      .select(col(idCol),
+        posexplode(zip_with(starts, ends,
+          (s, e) => slice(col("__ts"), s, e - s + 1))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_hash"))
+  }
+
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")

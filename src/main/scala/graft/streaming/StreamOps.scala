@@ -263,6 +263,53 @@ object StreamOps {
     }
   }
 
+  /** STREAMING count-min sketch maintenance: each arriving micro-batch
+    * folds its tokens into its OWN depth×width sketch (the mergeable
+    * [[graft.functions.CountMin.Agg]] — map-side partials, only d×w long
+    * arrays move), appended batch_id-partitioned with dynamic overwrite —
+    * a replayed batch overwrites only itself, the same exactly-once guard
+    * the incremental cube uses. The corpus sketch is the element-wise SUM
+    * of the batch sketches: count-min merge is exact (not lossy-on-merge),
+    * so the stream-maintained sketch equals a one-shot batch build
+    * bit-for-bit (StreamingSpec pins ==; x61 gates the estimates against
+    * DuckDB's independently rebuilt sketch). Streaming state: NONE (no
+    * state store) — the sketch table IS the state, d×w longs per batch,
+    * and any time-window of batches can be merged after the fact.
+    */
+  def sketchStream(spark: SparkSession, docsDir: String, textCol: String,
+      depth: Int, width: Int, sketchDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      queryName: String = "cms_stream"): Array[Long] = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val sketchOf = graft.functions.CountMin.sketchUdaf(depth, width)
+    val q = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(explode(
+            graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+          .agg(sketchOf(col("term")).as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(sketchDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sketchDir)
+      .select(posexplode(col("sk")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
+      .orderBy(col("pos"))
+      .collect().map(_.getLong(1))
+  }
+
   /** Incremental cube maintenance — the Structured-Streaming replacement
     * for the reference's full drop/recreate rebuild (update_olap.sh:12-16,
     * assets_generator.py:570-573): instead of rebuilding every cube table

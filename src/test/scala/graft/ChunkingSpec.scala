@@ -104,4 +104,38 @@ class ChunkingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side not broadcast:\n$plan")
   }
+
+  test("content-defined chunks reconstruct the document and survive a prefix edit") {
+    val base = Tables.table(spark, sf(), "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    val chunks = Chunking.chunkByContent(base, "doc_id", "text",
+      window = 3, divisor = 8)
+    // partition property: token counts reconstruct exactly, no empty chunks
+    val tokTotals = base.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == tokTotals(id))
+      assert(rows.forall(_.getAs[Long]("n_tokens") > 0), s"empty chunk in doc $id")
+      val idxs = rows.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+      assert(idxs == (0L until rows.length).toSeq)
+    }
+    // SHIFT-INVARIANCE (the CDC point): prepending junk re-chunks only the
+    // region before the first surviving cut — every chunk of the original
+    // after its first cut reappears verbatim in the edited document
+    val one = base.filter(col("doc_id") === byDoc.keys.max).collect().head
+    val edited = docs(
+      (1L, one.getString(1)),
+      (2L, s"zz yy xx ww vv uu ${one.getString(1)}"))
+    val ch2 = Chunking.chunkByContent(edited, "doc_id", "text",
+      window = 3, divisor = 8).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.sortBy(_.getAs[Long]("chunk_idx")).map(_.getAs[String]("chunk_hash")).toSeq
+      }
+    val origTail = ch2(1L).drop(1)
+    assert(origTail.nonEmpty, "fixture doc produced a single chunk — widen it")
+    assert(ch2(2L).containsSlice(origTail),
+      s"prefix edit destroyed content-defined boundaries:\norig ${ch2(1L)}\nedit ${ch2(2L)}")
+  }
 }

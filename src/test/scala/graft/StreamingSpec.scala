@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("stream-merged count-min sketch == one-shot batch sketch, bit for bit") {
+    val docs = Tables.table(spark, sf(), "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-spec").toString
+    // several files + maxFilesPerTrigger=1 → real multi-batch merge path
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/docs")
+    val streamed = StreamOps.sketchStream(spark, s"$tmp/docs", "text",
+      depth = 4, width = 256, sketchDir = s"$tmp/sketches",
+      maxFilesPerTrigger = Some(1), queryName = "spec_cms")
+    val batch = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .agg(graft.functions.CountMin.sketchUdaf(4, 256)(col("term")).as("sk"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("sk")
+    assert(streamed.toSeq == batch.toSeq)
+    // and the stream really ran more than one batch
+    val nBatches = spark.read.parquet(s"$tmp/sketches")
+      .select("batch_id").distinct().count()
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
