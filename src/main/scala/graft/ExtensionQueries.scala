@@ -809,6 +809,51 @@ object ExtensionQueries {
             typedlit(sk.toSeq), col("term"), depth, width).as("est"))
         .orderBy(col("n").desc, col("term").asc)
     }),
+    // x62: cross-source duplication MATRIX — who duplicates whom: near-dup
+    // pairs from the banded MinHash scale path, joined to each side's
+    // source and aggregated per unordered source pair (least/greatest
+    // canonicalization). The contamination-audit view a multi-source
+    // corpus runs before setting mixture weights. Pairs staged; DuckDB
+    // re-derives the matrix from them + the documents table.
+    "x62_source_dup_matrix" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = graft.engine.CacheScope.persistTracked(
+        Dedup.minhashPairs(d, "doc_id", "text", k = 3, threshold = 0.8))
+      Stage.write(pairs.select(col("id_a"), col("id_b")), dir, "x62_pairs")
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    }),
+    // x63: quality-decile CURRICULUM map — documents ntile'd by the x03
+    // quality score (total order: score, then doc_id), per-decile count,
+    // score range, token mass. The gate shape uses an exact global ntile
+    // (one-task sort — fine at verify SF); at 100 TB the same assignment
+    // comes from approx-quantile boundaries (the x26 GK path) + a
+    // broadcast CASE, trading exact decile edges for no global sort.
+    "x63_quality_deciles" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val q = toks.select(col("doc_id"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"),
+        size(col("ts")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").asc, col("doc_id").asc)
+      q.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q")).as("q_lo"), max(col("q")).as("q_hi"),
+          sum(col("n_tokens")).as("tokens_total"))
+        .orderBy(col("decile"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1346,6 +1391,33 @@ object ExtensionQueries {
          |  CAST(en - st + 1 AS BIGINT) AS n_tokens,
          |  md5(array_to_string(list_slice(s, st, en), ' ')) AS chunk_hash
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
+    "x62_source_dup_matrix" ->
+      // matrix re-derived from the STAGED banded pairs + the documents
+      // table (the MinHash half is engine-specific; the join + canonical
+      // pair aggregation is relational)
+      (s"""WITH pr AS (SELECT id_a, id_b FROM ${Stage.sqlRef("x62_pairs")}),
+         |j AS (SELECT least(a.source, b.source) AS source_x,
+         |    greatest(a.source, b.source) AS source_y
+         |  FROM pr JOIN documents a ON a.doc_id = pr.id_a
+         |  JOIN documents b ON b.doc_id = pr.id_b)
+         |SELECT source_x, source_y, count(*) AS n_dup_pairs FROM j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+    "x63_quality_deciles" ->
+      // same quality derivation as x03, same (score, doc_id) ntile order —
+      // DuckDB's ntile uses the standard equal-buckets-first-remainder
+      // rule, identical to Spark's
+      (s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
+        s"c AS (SELECT doc_id, len(ts) AS n, CAST(${markers("en")} AS DOUBLE) AS mk, " +
+        raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
+        "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM m), " +
+        "g AS (SELECT doc_id, n, floor((least(mk / n * 4, 1.0) * 0.3 + " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - punct) * 0.2 + " +
+        "(CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
+        "* 10000 + 0.5) / 10000 AS q FROM c), " +
+        "d AS (SELECT doc_id, n, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM g) " +
+        "SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs, " +
+        "min(q) AS q_lo, max(q) AS q_hi, CAST(sum(n) AS BIGINT) AS tokens_total " +
+        "FROM d GROUP BY 1 ORDER BY 1"),
     "x60_repeated_spans" ->
       // identical positional 8-gram derivation; corpus totals joined back
       // (the relational twin of the engine's gram-window sum)
