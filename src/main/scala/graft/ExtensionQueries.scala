@@ -854,6 +854,34 @@ object ExtensionQueries {
           sum(col("n_tokens")).as("tokens_total"))
         .orderBy(col("decile"))
     }),
+    // x64: feature-hashing (hashing-trick) TF vectorizer — tokens hashed
+    // into a fixed 64-dim count vector, L2-normalized: the vocabulary-free
+    // text→vector bridge (Weinberger et al. 2009) that feeds embedding
+    // operators (x09-x13 ANN, x54 semantic dedup) without a fitted vocab.
+    // Scale shape: explode → per-(doc,bucket) count → per-doc dense
+    // rebuild — two hash aggregates, no vocabulary table, no fit; dim is
+    // a constant so row width is bounded. Bucket hash = the CountMin md5
+    // bucket (row 0), so DuckDB re-derives every vector exactly.
+    "x64_hashed_tf" -> ((s, dir) => {
+      val dim = 64
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val b = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .select(col("doc_id"),
+          graft.functions.CountMin.bucketCol(0, col("term"), dim).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val m = b.groupBy(col("doc_id"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c")))))
+          .as("m"))
+      val counts = transform(sequence(lit(0L), lit((dim - 1).toLong)),
+        i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+      m.select(col("doc_id"), counts.as("cs"))
+        .select(col("doc_id"),
+          transform(col("cs"), x => graft.functions.EngineMath.roundAway(
+            x / sqrt(call_function("graft_dot", col("cs"), col("cs"))), 6))
+            .as("vec"))
+        .orderBy(col("doc_id"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -873,20 +901,40 @@ object ExtensionQueries {
     // tails like x50's Zipf head so both broadcasts stay bounded.
     "x59_bigram_logprob" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      // bigram instances WITHOUT building bigram strings: zip each token
+      // with its successor and key the count tables on xxhash64 of the
+      // pair / the prefix token — 8-byte shuffle keys + broadcasts, zero
+      // concat allocations (the measured cost of the string-bigram shape:
+      // ~3.6M "a b" builds across the three passes). Tokens contain no
+      // whitespace, so (a, b) ↔ "a b" is bijective and the pair hash
+      // counts exactly what the oracle's string bigrams count; a
+      // count-merging collision needs two distinct pairs with equal
+      // xxhash64 — P ≈ |bigrams|²/2⁶⁴, negligible, and the string-keyed
+      // DuckDB oracle would catch one.
       def bgs = docs.select(col("doc_id"),
-        posexplode(TextFunctions.bigramsOf(TextFunctions.tokens(col("text"))))
-          .as(Seq("pos", "bg")))
+          TextFunctions.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 1) // sub-bigram docs have no rows anyway
+        .select(col("doc_id"), posexplode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as(Seq("pos", "p")))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(col("p.0"), col("p.1")).as("bh"),
+          xxhash64(col("p.0")).as("ph"))
       val vocabSize = docs
         .select(explode(TextFunctions.tokens(col("text"))).as("term"))
         .agg(countDistinct(col("term"))).collect().head.getLong(0)
-      val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
-      val cp = cb.groupBy(substring_index(col("bg"), " ", 1).as("a"))
-        .agg(sum(col("cab")).as("ca"))
+      // Broadcast only the c(ab) >= 2 head: under add-1 smoothing a
+      // singleton bigram scores ln(2/(ca+V)) — exactly what a MISSING
+      // bigram coalesced to count 1 scores — so the Zipf tail drops from
+      // the broadcast with zero result change; the oracle computes over
+      // full counts and pins the equivalence. (Prefix counts keep no
+      // floor.)
+      val cb = bgs.groupBy(col("bh")).agg(count(lit(1)).as("cab"))
+      val cp = bgs.groupBy(col("ph")).agg(count(lit(1)).as("ca"))
       bgs
-        .join(broadcast(cb), Seq("bg"))
-        .join(broadcast(cp),
-          substring_index(col("bg"), " ", 1) === col("a"))
-        .withColumn("lp", log((col("cab") + lit(1.0)) /
+        .join(broadcast(cb.filter(col("cab") >= 2)), Seq("bh"), "left")
+        .join(broadcast(cp), Seq("ph"))
+        .withColumn("lp", log((coalesce(col("cab"), lit(1L)) + lit(1.0)) /
           (col("ca") + lit(vocabSize)).cast("double")))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("lps"))
@@ -1391,6 +1439,17 @@ object ExtensionQueries {
          |  CAST(en - st + 1 AS BIGINT) AS n_tokens,
          |  md5(array_to_string(list_slice(s, st, en), ' ')) AS chunk_hash
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
+    "x64_hashed_tf" ->
+      // identical md5 bucket (CountMin row 0), dense rebuild by list
+      // comprehension, L2 norm via the same sequential dot product
+      (s"""WITH m AS (SELECT doc_id, $toks AS ts FROM documents WHERE len($toks) > 0),
+         |b AS (SELECT doc_id,
+         |    [('0x' || substr(md5('0:' || t), 1, 8))::BIGINT % 64 for t in ts] AS bs FROM m),
+         |c AS (SELECT doc_id,
+         |    [CAST(len(list_filter(bs, x -> x = i)) AS DOUBLE) for i in range(0, 64)] AS cs FROM b)
+         |SELECT doc_id,
+         |  [round(x / sqrt(list_dot_product(cs, cs)), 6) for x in cs] AS vec
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x62_source_dup_matrix" ->
       // matrix re-derived from the STAGED banded pairs + the documents
       // table (the MinHash half is engine-specific; the join + canonical
