@@ -180,9 +180,11 @@ object Bench {
     // actually serves. Both are reported; the headline `queries`/`value`
     // numbers are steady-state, `queries_cold` keeps the first-run cost
     // visible (cold minus steady ≈ fixed per-plan compile, not data work).
+    val allProbes = scala.collection.mutable.ArrayBuffer(probeBase)
     val firstPass = selected.map { case (name, fn) =>
       val (cold, ambientCold, probeCold) = timeOne(spark, sfDir, fn)
       val (dt, ambient, probeWarm) = timeOne(spark, sfDir, fn)
+      allProbes += probeCold; allProbes += probeWarm
       // keep the better run WITH its own trust stamps (the quieter window's
       // canary belongs to the time we report)
       val (steady, amb, prb) =
@@ -190,8 +192,10 @@ object Bench {
         else (cold, ambientCold, probeCold)
       (name, fn, steady, amb, cold, prb)
     }
-    // trust floor: best canary seen anywhere in the run (incl. pre-Spark)
-    val floor = (probeBase +: firstPass.map(_._6)).min
+    // trust floor: best canary seen ANYWHERE in the run — pre-Spark and
+    // both first-pass runs, not just the chosen ones (a floor built only
+    // from kept-run probes overestimates and under-detects contention)
+    val floor = allProbes.min
     // second chance for contested lines — ambient CPU visible in jiffies OR
     // a slow canary (out-of-VM interference jiffies can't see): wait for
     // the burst to pass, re-run, keep the better time (a re-run can itself
@@ -220,10 +224,14 @@ object Bench {
       .mkString("{", ",", "}")
     val colds = results.map { case (k, _, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
+    // Locale.ROOT formatting: the f-interpolator uses the default locale,
+    // and a comma-decimal locale would emit invalid JSON ("7,3")
+    def num(pattern: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     val ambients = results.map { case (k, _, a, _, _) =>
-      s"\"" + k + "\":" + f"$a%.2f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + num("%.2f", a) }.mkString("{", ",", "}")
     val probes = results.map { case (k, _, _, _, p) =>
-      s"\"" + k + "\":" + f"$p%.1f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + num("%.1f", p) }.mkString("{", ",", "}")
     val reranNames = contested.map(c => s"\"${c._1}\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // machine-state stamp: ambient load swings totals 2-3x on this box, so
@@ -241,7 +249,7 @@ object Bench {
     val gate = s""","load1_start":$loadStart,"load_gate_attempts":$gateAttempts,"load_gate_threshold":2.0"""
     val ambientStamp =
       s""","ambient_cores":$ambients,"ambient_threshold":$AmbientCores,"reran":$reranNames""" +
-        f""","canary_ms":$probes,"canary_floor_ms":$floor%.1f,"canary_ratio_threshold":$ProbeRatio"""
+        s""","canary_ms":$probes,"canary_floor_ms":${num("%.1f", floor)},"canary_ratio_threshold":$ProbeRatio"""
     val coldStamp = s""","queries_cold":$colds,"timing":"steady_state_best_of_2""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$load$up$gate$ambientStamp$coldStamp}"""
     println(line)

@@ -21,6 +21,21 @@ object ExtensionQueries {
     table(s, dir, "embeddings")
       .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
 
+  /** Sketch geometry + the shared x55/x61 candidate read: exact top-20
+    * terms scored against a collected sketch — ONE definition so the
+    * "same top-20 read, same oracle" coupling between the batch-built and
+    * stream-merged sketches cannot drift.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private def cmsTop20(terms: DataFrame, sk: Seq[Long]): DataFrame =
+    terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(20)
+      .select(col("term"), col("n"),
+        graft.functions.CountMin.estimate(
+          typedlit(sk), col("term"), CmsDepth, CmsWidth).as("est"))
+      .orderBy(col("n").desc, col("term").asc)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // x01: token counting — whitespace + BPE-ish regex pre-tokenizer
     "x01_token_count" -> ((s, dir) =>
@@ -721,19 +736,13 @@ object ExtensionQueries {
     // (row, md5 bucket); est = min over rows) — est must match cell-exactly,
     // and est >= n is the CMS overcount guarantee.
     "x55_cms_heavy_hitters" -> ((s, dir) => {
-      val depth = 4; val width = 512
       val toksT = graft.engine.CacheScope.persistTracked(
         table(s, dir, "documents")
           .select(explode(TextFunctions.tokens(col("text"))).as("term")))
       val sk = toksT
-        .agg(graft.functions.CountMin.sketchUdaf(depth, width)(col("term")).as("sk"))
+        .agg(graft.functions.CountMin.sketchUdaf(CmsDepth, CmsWidth)(col("term")).as("sk"))
         .collect().head.getAs[scala.collection.Seq[Long]]("sk")
-      toksT.groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(20)
-        .select(col("term"), col("n"),
-          graft.functions.CountMin.estimate(
-            typedlit(sk.toSeq), col("term"), depth, width).as("est"))
-        .orderBy(col("n").desc, col("term").asc)
+      cmsTop20(toksT, sk.toSeq)
     }),
     // x56: bloom-pruned decontamination — identical INPUTS and OUTPUT to
     // x40 (same oracle SQL): the corpus gram stream is pre-filtered by a
@@ -794,20 +803,13 @@ object ExtensionQueries {
     // stream-merge ≡ batch build is the claim, and DuckDB's independent
     // sketch rebuild is the judge.
     "x61_stream_cms" -> ((s, dir) => {
-      val depth = 4; val width = 512
       val skDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-cms-${Integer.toHexString(dir.hashCode)}-" +
           ProcessHandle.current().pid()).toString
       val sk = graft.streaming.StreamOps.sketchStream(
-        s, s"$dir/documents.parquet", "text", depth, width, skDir)
-      table(s, dir, "documents")
-        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(20)
-        .select(col("term"), col("n"),
-          graft.functions.CountMin.estimate(
-            typedlit(sk.toSeq), col("term"), depth, width).as("est"))
-        .orderBy(col("n").desc, col("term").asc)
+        s, s"$dir/documents.parquet", "text", CmsDepth, CmsWidth, skDir)
+      cmsTop20(table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term")), sk.toSeq)
     }),
     // x62: cross-source duplication MATRIX — who duplicates whom: near-dup
     // pairs from the banded MinHash scale path, joined to each side's
@@ -1159,6 +1161,23 @@ object ExtensionQueries {
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.8
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Quality-score derivation shared by the x03 and x63 oracles (one
+    * definition — a formula tweak edited in one place cannot leave the
+    * other oracle gating a stale definition): `qualityCtes` exposes CTE
+    * `c` with (doc_id, n, mk, punct, mtl); `qualityExprSql` is the
+    * 4-dp-rounded score over those columns, mirroring
+    * TextFunctions.qualityScoreOf term for term.
+    */
+  private val qualityCtes =
+    s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
+      s"c AS (SELECT doc_id, len(ts) AS n, CAST(${markers("en")} AS DOUBLE) AS mk, " +
+      raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
+      "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM m)"
+  private val qualityExprSql =
+    "floor((least(mk / n * 4, 1.0) * 0.3 + least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + " +
+      "(1.0 - punct) * 0.2 + (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
+      "* 10000 + 0.5) / 10000"
+
   /** Decontamination oracle shared by x40 (exact path) and x56 (bloom
     * path): 5-gram shingle sets (mirrors TextFunctions.shingles k=5),
     * split into corpus (doc_id % 50 != 0) vs benchmark; inner join on the
@@ -1274,15 +1293,10 @@ object ExtensionQueries {
         "WHEN es = greatest(en, de, fr, es) THEN 'es' ELSE 'und' END AS lang_guess, " +
         "count(*) AS n FROM s GROUP BY 1 ORDER BY 1"),
     "x03_quality" ->
-      (s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
-        s"c AS (SELECT doc_id, len(ts) AS n, CAST(${markers("en")} AS DOUBLE) AS mk, " +
-        raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
-        "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM m) " +
+      (s"$qualityCtes " +
         "SELECT doc_id, round(mk / n, 4) AS stop_ratio, round(punct, 4) AS punct_ratio, " +
-        "round(mtl, 4) AS mean_tok_len, " +
-        "floor((least(mk / n * 4, 1.0) * 0.3 + least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + " +
-        "(1.0 - punct) * 0.2 + (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
-        "* 10000 + 0.5) / 10000 AS quality FROM c ORDER BY doc_id"),
+        s"round(mtl, 4) AS mean_tok_len, $qualityExprSql AS quality " +
+        "FROM c ORDER BY doc_id"),
     "x04_fingerprint" ->
       (s"SELECT doc_id, md5(lower(array_to_string($toks, ' '))) AS fingerprint " +
         "FROM documents ORDER BY doc_id"),
@@ -1462,17 +1476,12 @@ object ExtensionQueries {
          |SELECT source_x, source_y, count(*) AS n_dup_pairs FROM j
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
     "x63_quality_deciles" ->
-      // same quality derivation as x03, same (score, doc_id) ntile order —
-      // DuckDB's ntile uses the standard equal-buckets-first-remainder
-      // rule, identical to Spark's
-      (s"WITH m AS (SELECT doc_id, text, $toks AS ts FROM documents), " +
-        s"c AS (SELECT doc_id, len(ts) AS n, CAST(${markers("en")} AS DOUBLE) AS mk, " +
-        raw"CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) AS punct, " +
-        "CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) / len(ts) AS mtl FROM m), " +
-        "g AS (SELECT doc_id, n, floor((least(mk / n * 4, 1.0) * 0.3 + " +
-        "least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - punct) * 0.2 + " +
-        "(CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
-        "* 10000 + 0.5) / 10000 AS q FROM c), " +
+      // same quality derivation as x03 (SHARED qualityCtes/qualityExprSql,
+      // so the two oracles cannot drift), same (score, doc_id) ntile
+      // order — DuckDB's ntile uses the standard equal-buckets-first-
+      // remainder rule, identical to Spark's
+      (s"$qualityCtes, " +
+        s"g AS (SELECT doc_id, n, $qualityExprSql AS q FROM c), " +
         "d AS (SELECT doc_id, n, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM g) " +
         "SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs, " +
         "min(q) AS q_lo, max(q) AS q_hi, CAST(sum(n) AS BIGINT) AS tokens_total " +

@@ -59,14 +59,30 @@ object CountMin {
         .cast("int"))
     }: _*)
 
-  /** The aggregator: fold string terms into a depth×width count matrix. */
+  /** The aggregator: fold string terms into a depth×width count matrix.
+    * The hot loop reuses one MessageDigest per task and derives the bucket
+    * arithmetically from the digest's first 4 bytes — the same value
+    * [[bucket]] parses out of the hex prefix (big-endian), without the
+    * per-call getInstance / per-byte format / parseLong round-trip
+    * (depth× per token; it dominated the sketch cost). The wide-sketch
+    * exactness test pins fast-path ≡ [[bucketCol]] ≡ [[bucket]].
+    */
   class Agg(depth: Int, width: Int)
       extends Aggregator[String, Array[Long], Array[Long]] {
+    @transient private lazy val md = MessageDigest.getInstance("MD5")
+    private def fastBucket(d: Int, term: String): Int = {
+      md.reset()
+      val digest = md.digest(s"$d:$term".getBytes(StandardCharsets.UTF_8))
+      // first 8 hex chars == first 4 bytes, big-endian, < 2³² (no sign)
+      val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      (v % width).toInt
+    }
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(b: Array[Long], term: String): Array[Long] = {
       if (term != null) {
         var d = 0
-        while (d < depth) { b(d * width + bucket(d, term, width)) += 1; d += 1 }
+        while (d < depth) { b(d * width + fastBucket(d, term)) += 1; d += 1 }
       }
       b
     }

@@ -167,8 +167,11 @@ object Dedup {
       idCol: String, textCol: String, k: Int, minShared: Long = 1,
       maxDocFreq: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
     val cg = shingleTable(corpus, idCol, textCol, k, maxDocFreq)
-    val bg = shingleTable(benchmark, idCol, textCol, k, None)
-      .select(col("id").as("__bench_id"), col("shingle"))
+    // persisted: the benchmark gram table feeds THREE actions (sizing
+    // count, bloom build, exact join) — the overlapPairs precedent
+    val bg = graft.engine.CacheScope.persistTracked(
+      shingleTable(benchmark, idCol, textCol, k, None)
+        .select(col("id").as("__bench_id"), col("shingle")))
     val distinctGrams = bg.select(col("shingle")).distinct()
     val nGrams = math.max(distinctGrams.count(), 1L)
     val bloom = distinctGrams.stat.bloomFilter("shingle", nGrams, fpp)

@@ -58,9 +58,13 @@ object SemDedup {
       maxClusterSize: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
     val assigned = capped(assignments, maxClusterSize)
-    val v = items.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // persisted: v (vector scan + norms + assignment join) feeds BOTH
+    // self-join sides — unpersisted it would be computed twice (the
+    // overlapPairs precedent; tracked in CacheScope, runner drains)
+    val v = graft.engine.CacheScope.persistTracked(
+      items.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(dot(col(vecCol), col(vecCol))).as("norm"))
-      .join(assigned, Seq("id"))
+      .join(assigned, Seq("id")))
     val a = v.select(col("centroid_id"), col("id").as("id_a"),
       col("vec").as("va"), col("norm").as("na"))
     val b = v.select(col("centroid_id"), col("id").as("id_b"),

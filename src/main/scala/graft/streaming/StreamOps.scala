@@ -280,6 +280,17 @@ object StreamOps {
       depth: Int, width: Int, sketchDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       queryName: String = "cms_stream"): Array[Long] = {
+    // clear leftovers from a previous run into the same dir: dynamic
+    // overwrite replaces only the batch_ids THIS run produces, so a prior
+    // run that emitted more micro-batches would leave stale partitions
+    // that the merge below would silently sum in
+    val root = new java.io.File(sketchDir)
+    if (root.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
     val dir = streamableDir(docsDir)
     val schema = spark.read.parquet(dir).schema
     val reader = spark.readStream.schema(schema)
