@@ -71,6 +71,26 @@ class PlanSpec extends SparkSpec {
     assert(audits("x41_pack").shuffles <= 2, audits("x41_pack").toString)
   }
 
+  test("round-5 corpus operators keep their scale shapes") {
+    // CDC chunking: pipelined posexplode — only the output-order exchange,
+    // and never a join
+    val c = audits("x57_cdc_chunk")
+    assert(c.shuffles <= 1 &&
+      c.broadcastJoins + c.sortMergeJoins + c.nestedLoopJoins == 0, c.toString)
+    // repeated spans: gram totals come from a window over the SAME frame —
+    // a sort-merge join here means the aggregate+self-join shape crept back
+    assert(audits("x60_repeated_spans").sortMergeJoins == 0,
+      audits("x60_repeated_spans").toString)
+    // hashed TF: two hash aggregates + ordered output, no joins
+    val h = audits("x64_hashed_tf")
+    assert(h.shuffles <= 3 && h.sortMergeJoins + h.nestedLoopJoins == 0,
+      h.toString)
+    // CMS candidates read the persisted token table, not parquet (the
+    // a17-style cache pin: a parquet scan means substitution broke)
+    assert(audits("x55_cms_heavy_hitters").scans == 0,
+      audits("x55_cms_heavy_hitters").toString)
+  }
+
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
     // a17's denominator is collected from the persisted rollup and embedded
     // as a literal; the returned cells frame must read the SAME cache — a
