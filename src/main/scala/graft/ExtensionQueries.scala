@@ -884,6 +884,32 @@ object ExtensionQueries {
             .as("vec"))
         .orderBy(col("doc_id"))
     }),
+    // x65: the round-5 CURATION CAPSTONE — the operators composed the way
+    // a real corpus release runs them: quality gate (x03 score ≥ 0.55) →
+    // exact dedup keep-min-id (x05) → benchmark decontamination drop
+    // (x40) → domain-mixture temperature sampling (x58, α=0.5, k=100).
+    // Every stage is deterministic, so the whole pipeline is one DuckDB
+    // oracle. Stage boundaries are separate scans by design — each stage
+    // output is a maintained artifact in a real pipeline.
+    "x65_curation_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("source"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      val scored = toks.select(col("doc_id"), col("source"), col("text"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
+        .filter(col("q") >= 0.55)
+      val deduped = Dedup.exactDeduplicate(scored, "doc_id", "text")
+      val corpus = deduped.filter(col("doc_id") % 50 =!= 0)
+      val flagged = Dedup.contaminationScan(corpus,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
+        .select(col("doc_id"))
+      val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+      graft.operators.Sampling.temperatureMix(
+        clean.select(col("doc_id"), col("source"), col("n_tokens"), col("q")),
+        "doc_id", "source", alpha = 0.5, k = 100)
+        .orderBy(col("doc_id"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1500,6 +1526,37 @@ object ExtensionQueries {
          |SELECT doc_id, n_spans, n_repeated,
          |  round(CAST(n_repeated AS DOUBLE) / n_spans, 4) AS repeated_frac
          |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x65_curation_pipeline" ->
+      // the composed pipeline re-derived stage for stage: shared quality
+      // CTEs, x05's fingerprint dedup, x40's shingle flag, x58's quota
+      // arithmetic — one oracle gates the composition end to end
+      (s"""$qualityCtes,
+         |s0 AS (SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_tokens, $qualityExprSql AS q FROM c),
+         |sc AS (SELECT s0.doc_id, d.source, d.text, s0.n_tokens, s0.q
+         |  FROM s0 JOIN documents d USING (doc_id) WHERE s0.q >= 0.55),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM sc
+         |  GROUP BY md5(lower(array_to_string($toks, ' ')))),
+         |corp AS (SELECT sc.* FROM sc JOIN dd USING (doc_id) WHERE sc.doc_id % 50 <> 0),
+         |tt AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)])) AS sh
+         |  FROM (SELECT doc_id, $toks AS s FROM documents)),
+         |flag AS (SELECT DISTINCT tt.doc_id FROM tt
+         |  JOIN (SELECT sh FROM tt WHERE doc_id % 50 = 0) b USING (sh)
+         |  WHERE tt.doc_id IN (SELECT doc_id FROM corp)),
+         |clean AS (SELECT * FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+         |cn AS (SELECT source, count(*) AS n_domain FROM clean GROUP BY 1),
+         |zl AS (SELECT list(pow(CAST(n_domain AS DOUBLE), 0.5) ORDER BY source) AS ws FROM cn),
+         |z AS (SELECT list_reduce(list_prepend(0.0, ws), (x, y) -> x + y) AS z FROM zl),
+         |qt AS (SELECT source, n_domain, least(n_domain,
+         |    CAST(floor(100.0 * pow(CAST(n_domain AS DOUBLE), 0.5) / (SELECT z FROM z)) AS BIGINT)) AS quota
+         |  FROM cn),
+         |r AS (SELECT doc_id, source, n_tokens, q, row_number() OVER (PARTITION BY source
+         |    ORDER BY substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS domain_rank
+         |  FROM clean)
+         |SELECT r.source, r.doc_id, r.n_tokens, r.q, qt.n_domain, qt.quota,
+         |  CAST(r.domain_rank AS BIGINT) AS domain_rank
+         |FROM r JOIN qt USING (source) WHERE domain_rank <= qt.quota
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x58_temperature_mix" ->
       // same quota arithmetic (Σ n^α folded in source order — the one FP
       // sum — then floor per domain) and the same 16-bit md5 ticket rank
