@@ -39,7 +39,10 @@ object Mp4 {
   private final class Reader(blob: Array[Byte]) {
     def len: Long = blob.length.toLong
     private def checked(off: Long, n: Int): Int = {
-      require(off >= 0 && off + n <= blob.length,
+      // off <= length - n (not off + n <= length): a hostile 64-bit offset
+      // near Long.MaxValue would overflow off + n to a negative that
+      // passes the naive comparison
+      require(off >= 0 && n >= 0 && off <= blob.length.toLong - n,
         s"malformed MP4: read of $n bytes at $off past ${blob.length}")
       off.toInt
     }
@@ -74,14 +77,17 @@ object Mp4 {
         case 0 => (off + 8, end) // to end of enclosing box
         case 1 =>
           val size64 = r.u64(off + 8)
-          require(size64 >= 16, s"malformed MP4: largesize $size64 in '$typ'")
+          // size64 <= end - off (not off + size64 <= end): a hostile
+          // largesize near Long.MaxValue overflows off + size64 negative
+          // and would pass the naive bound
+          require(size64 >= 16 && size64 <= end - off,
+            s"malformed MP4: largesize $size64 in '$typ' past enclosing $end")
           (off + 16, off + size64)
         case s =>
-          require(s >= 8, s"malformed MP4: box size $s in '$typ'")
+          require(s >= 8 && s <= end - off,
+            s"malformed MP4: box size $s in '$typ' past enclosing $end")
           (off + 8, off + s)
       }
-      require(boxEnd <= end,
-        s"malformed MP4: box '$typ' ends at $boxEnd past enclosing $end")
       f(typ, payload, boxEnd)
       off = boxEnd
     }
@@ -127,7 +133,10 @@ object Mp4 {
     // at fixed offsets (ISO 14496-12 §12.1.3 VisualSampleEntry)
     val (stsdS, stsdE) = findBox(r, stblS, stblE, "stsd")
       .getOrElse(throw new IllegalArgumentException("malformed MP4: no stsd"))
-    require(stsdE - stsdS >= 16, "malformed MP4: stsd too short")
+    // the fixed-offset VisualSampleEntry fields we read extend to
+    // entry + 36; a shorter stsd would silently read the bytes of
+    // whatever box follows
+    require(stsdE - stsdS >= 8 + 36, "malformed MP4: stsd too short")
     val entryOff = stsdS + 8 // version/flags + entry_count, then first entry
     val codec = r.fourcc(entryOff + 4)
     val width = r.u16(entryOff + 32)
@@ -144,6 +153,15 @@ object Mp4 {
     require(sampleCount >= 0 && sampleCount <= Int.MaxValue &&
       (uniformSize != 0 || stszS + 8 + sampleCount * 4 <= stszE),
       s"malformed MP4: stsz declares $sampleCount samples beyond the box")
+    // uniform-size path has no per-sample table to bound sampleCount, so a
+    // hostile count up to Int.MaxValue would drive a multi-GB offsets
+    // allocation before any offset is ever range-checked; the samples must
+    // at least FIT in the blob (sampleCount <= len first: it keeps the
+    // product under 2^63, so the second compare cannot overflow)
+    require(uniformSize == 0 ||
+      (sampleCount <= r.len && sampleCount * uniformSize <= r.len),
+      s"malformed MP4: $sampleCount samples of $uniformSize bytes exceed " +
+        s"the ${r.len}-byte input")
     val n = sampleCount.toInt
     def sampleSize(i: Int): Long = // 0-based
       if (uniformSize != 0) uniformSize else r.u32(stszS + 8 + i.toLong * 4)

@@ -106,7 +106,7 @@ object Pq {
     val d = dim / m
     Dedup.widen(queries)
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .crossJoin(codebooks)
+      .crossJoin(broadcast(codebooks))
       .select(col("query_id"), col("sub"), col("centroid_id"),
         subDist2(slice(col("qv"), col("sub") * d + 1, lit(d)).cast("array<double>"),
           col("cvec")).as("d2p"))

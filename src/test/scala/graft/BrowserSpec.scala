@@ -175,6 +175,28 @@ class BrowserSpec extends SparkSpec {
     assert(math.abs(total - 100.0) < 1e-9)
   }
 
+  test("share-of-total past ShareCollectCap: persisted-rollup fallback, identical cells, cache released") {
+    import graft.engine.CacheScope
+    val q = CubeQuery(drilldown = Seq("l_returnflag", "l_linestatus"))
+    val viaCollect = li.aggregateWithShare(q, "price_sum", "pct").collect()
+    assert(viaCollect.length > 1, "need a multi-cell drilldown to exercise the cap")
+    // cap of 1 forces the distributed branch (probe sees cap+2 rows)
+    CacheScope.drain()
+    val before = CacheScope.trackedCount
+    val viaFallback = li.aggregateWithShare(q, "price_sum", "pct", collectCap = 1)
+    val fallbackRows = viaFallback.collect()
+    // the fallback registered its persisted rollup for the owner's drain
+    assert(CacheScope.trackedCount == before + 1,
+      "fallback must track its persisted rollup with CacheScope")
+    // identical result, row for row, through either branch
+    assert(fallbackRows.map(_.toSeq).toSeq == viaCollect.map(_.toSeq).toSeq)
+    // shares still sum to 100 through the fallback
+    assert(math.abs(fallbackRows.map(_.getAs[Double]("pct")).sum - 100.0) < 1e-9)
+    // and the terminal-action owner's drain releases the cache
+    CacheScope.drain()
+    assert(CacheScope.trackedCount == before)
+  }
+
   test("keyset continuation is strictly-after, lexicographic on the composite factKey") {
     import graft.query.{CubeQuery, Page}
     val rows = li.facts(CubeQuery(after = Some("5,2"), page = Some(Page(0, 20))))

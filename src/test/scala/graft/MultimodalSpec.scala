@@ -239,6 +239,86 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4.parse(bad))
   }
 
+  test("MP4 walker survives hostile size fields (IllegalArgumentException, never OOM/array errors)") {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, new Array[Byte](4) ++ payload)
+    val avc1 = box("avc1", new Array[Byte](8 + 16) ++ be16(320) ++ be16(240) ++
+      new Array[Byte](50))
+    val stsd = full("stsd", be32(1) ++ avc1)
+    val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(5) ++ be32(1))
+    val stco = full("stco", be32(1) ++ be32(16))
+    val hdlr = full("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12))
+    def mp4Of(stbl: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+        box("mdat", new Array[Byte](64)) ++
+        box("moov", box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+    def expectMalformed(blob: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](Mp4.parse(blob))
+      assert(e.getMessage.contains("malformed MP4"), s"$what: ${e.getMessage}")
+    }
+
+    // uniform-size stsz with a hostile sample count: the offsets table
+    // would be Int.MaxValue longs (17 GB) if the count were trusted
+    val hugeUniform = full("stsz", be32(1) ++ be32(Int.MaxValue))
+    expectMalformed(mp4Of(box("stbl", stsd ++ hugeUniform ++ stsc ++ stco)),
+      "huge uniform stsz")
+    // uniform samples that cannot fit in the input
+    val tooBigUniform = full("stsz", be32(1 << 20) ++ be32(1 << 12))
+    expectMalformed(mp4Of(box("stbl", stsd ++ tooBigUniform ++ stsc ++ stco)),
+      "oversized uniform samples")
+    // 64-bit largesize near Long.MaxValue: off + size64 overflows negative
+    // and would slip past a naive boxEnd <= end bound
+    val overflowBox = be32(1) ++ "stbl".getBytes("US-ASCII") ++
+      be64(Long.MaxValue - 4)
+    expectMalformed(mp4Of(overflowBox), "largesize overflow")
+    // stsd shorter than the VisualSampleEntry fields the parser reads
+    val shortStsd = full("stsd", be32(1))
+    val okStsz = full("stsz", be32(0) ++ be32(1) ++ be32(8))
+    expectMalformed(mp4Of(box("stbl", shortStsd ++ okStsz ++ stsc ++ stco)),
+      "short stsd")
+    // stsc run table declaring more runs than the box holds
+    val badStsc = full("stsc", be32(1 << 28))
+    expectMalformed(mp4Of(box("stbl", stsd ++ okStsz ++ badStsc ++ stco)),
+      "stsc overflow")
+    // co64 offset with the top bit set: a negative offset must be rejected
+    // at the read bound, not wrap into the array
+    val co64 = full("co64", be32(1) ++ be64(Long.MinValue + 7))
+    val t = Mp4.parse(mp4Of(box("stbl", stsd ++ okStsz ++ stsc ++ co64)))
+    intercept[IllegalArgumentException](Mp4.keyframeBytes(new Array[Byte](64),
+      t.keyframes.head))
+
+    // deterministic mutation fuzz: flip bytes of a VALID file one at a
+    // time and in seeded random 4-byte bursts — any outcome is fine
+    // except a non-IllegalArgument error (OOM, NegativeArraySize,
+    // ArrayIndexOutOfBounds) escaping the walker
+    val okStss = full("stss", be32(1) ++ be32(1))
+    val valid = mp4Of(box("stbl", stsd ++ okStsz ++ stsc ++ stco ++ okStss))
+    def fuzzOne(blob: Array[Byte], what: String): Unit =
+      try { Mp4.parse(blob); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"$what escaped as ${e.getClass.getName}: $e")
+      }
+    for (i <- valid.indices; b <- Seq(0x00, 0xff, 0x80, 0x7f)) {
+      val m = valid.clone(); m(i) = b.toByte
+      fuzzOne(m, s"byte $i := 0x${b.toHexString}")
+    }
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 2000) {
+      val m = valid.clone()
+      for (_ <- 0 until 4)
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      fuzzOne(m, s"random trial $trial")
+    }
+  }
+
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val nVideos = media.filter(_.format == "webm").count()

@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
       audits("x55_cms_heavy_hitters").toString)
   }
 
+  test("PQ ADC plans broadcast the codebook/sub-distance tables (never shuffle them)") {
+    // the qparts cross join is explicitly broadcast (Pq.qpartsOf) so the
+    // plan cannot regress to a shuffled cartesian or sort-merge if AQE's
+    // size estimate drifts; the only joins in the PQ family are broadcasts
+    // of O(m·ksub·queries)-row sides against the partition-parallel codes
+    for (q <- Seq("x51_knn_pq", "x52_knn_ivfpq")) {
+      val a = audits(q)
+      assert(a.cartesian == 0 && a.sortMergeJoins == 0,
+        s"$q lost its broadcast-only join shape: $a")
+      assert(a.broadcastJoins + a.nestedLoopJoins > 0,
+        s"$q: expected broadcast joins in the ADC path: $a")
+    }
+  }
+
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
     // a17's denominator is collected from the persisted rollup and embedded
     // as a literal; the returned cells frame must read the SAME cache — a
