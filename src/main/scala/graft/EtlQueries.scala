@@ -15,8 +15,11 @@ import graft.etl.CubeBuilder
   *
   * Not represented directly: B1/B2 (sources — every query reads parquet/CSV),
   * B3/B4/B17 (sinks — EtlSpec + CubeBuilder.writeCubes), B11 (year-gate
-  * predicate ≡ a07/a08 range cuts), B21/B22 (network scrape + caches, out of
-  * engine by design).
+  * predicate ≡ a07/a08 range cuts). B21/B22's network-fetch half stays out of
+  * engine by design; their PARSING and CACHE-MERGE halves are gated here
+  * (b21/b22) over page text synthesized from the shared tables, running the
+  * same SpringerConnector/CacheStore expressions the connector jobs run
+  * (fixture-file behavior locked by SpringerConnectorSpec).
   */
 object EtlQueries {
 
@@ -175,6 +178,44 @@ object EtlQueries {
           graft.functions.SpringerJournalId.directJournalId(col("doi")))
         .groupBy(col("journal_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("journal_id"))),
+    // B21: scrape-count parsing — the connector's count regex (comma
+    // thousands separators stripped) + OA/total pivot over search-result
+    // pages synthesized from the documents table
+    // (springer_compact_coverage.py:341-374; file-fixture behavior in
+    // SpringerConnectorSpec). extractCount IS the production expression.
+    "b21_scrape_parse" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST((doc_id DIV 2) % 25 AS STRING)").as("journal_id"),
+          expr("CAST(2015 + ((doc_id DIV 2) DIV 25) % 3 AS STRING)").as("year"),
+          when(col("doc_id") % 2 === 0, "total").otherwise("oa").as("kind"),
+          (col("doc_id") * 37 % 9000 + 1500).as("cnt"))
+        .withColumn("html", concat(
+          lit("<html><h1 id=\"number-of-search-results-and-search-terms\">\n  <strong>"),
+          format_number(col("cnt"), 0), lit("</strong></h1></html>")))
+        .select(col("journal_id"), col("year"), col("kind"),
+          graft.etl.SpringerConnector.extractCount(col("html")).as("cnt"))
+        .groupBy(col("journal_id"), col("year"))
+        .agg(
+          max(when(col("kind") === "total", col("cnt"))).as("num_journal_total_articles"),
+          max(when(col("kind") === "oa", col("cnt"))).as("num_journal_oa_articles"))
+        .orderBy(col("journal_id"), col("year"))),
+    // B22: cache upsert merge — update-wins by key, untouched rows survive
+    // (springer_compact_coverage.py:131-132,205 dict overwrite; the
+    // checkpoint/swap half is file I/O, locked by SpringerConnectorSpec).
+    // CacheStore.merge IS the production dataflow.
+    "b22_cache_upsert" -> ((s, dir) => {
+      val part = table(s, dir, "part")
+      val existing = part.select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("price"),
+        lit("existing").as("src"))
+      val updates = part.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 2).cast("double").as("price"),
+          lit("update").as("src"))
+      graft.etl.CacheStore.merge(existing, updates, Seq("p_partkey"))
+        .orderBy(col("p_partkey"))
+    }),
     // B23: validation anti-join — rows whose key misses the lookup
     // (assets_generator.py:487-492); clean data ⇒ empty result
     "b23_anti_join" -> ((s, dir) =>
@@ -247,6 +288,30 @@ object EtlQueries {
         "THEN regexp_replace(doi[10:14], '^0+', '') END AS journal_id, count(*) AS n " +
         "FROM (SELECT concat('10.1007/s', lpad(CAST(doc_id % 500 AS VARCHAR), 5, '0'), '/x') AS doi " +
         "FROM documents) GROUP BY 1 ORDER BY 1"),
+    "b21_scrape_parse" ->
+      ("WITH src AS (SELECT CAST((doc_id // 2) % 25 AS VARCHAR) AS journal_id, " +
+        "CAST(2015 + ((doc_id // 2) // 25) % 3 AS VARCHAR) AS year, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'total' ELSE 'oa' END AS kind, " +
+        "doc_id * 37 % 9000 + 1500 AS cnt FROM documents), " +
+        "pg AS (SELECT journal_id, year, kind, " +
+        "'<html><h1 id=\"number-of-search-results-and-search-terms\">' || chr(10) || " +
+        "'  <strong>' || format('{:,}', cnt) || '</strong></h1></html>' AS html FROM src), " +
+        "ex AS (SELECT journal_id, year, kind, " +
+        "CAST(replace(regexp_extract(html, " +
+        "'<h1 id=\"number-of-search-results-and-search-terms\">\\s*<strong>([0-9,]+)</strong>', " +
+        "1, 'is'), ',', '') AS BIGINT) AS cnt FROM pg) " +
+        "SELECT journal_id, year, " +
+        "max(CASE WHEN kind = 'total' THEN cnt END) AS num_journal_total_articles, " +
+        "max(CASE WHEN kind = 'oa' THEN cnt END) AS num_journal_oa_articles " +
+        "FROM ex GROUP BY 1, 2 ORDER BY 1, 2"),
+    "b22_cache_upsert" ->
+      ("WITH existing AS (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price, " +
+        "'existing' AS src FROM part), " +
+        "updates AS (SELECT p_partkey, CAST(p_retailprice * 2 AS DOUBLE) AS price, " +
+        "'update' AS src FROM part WHERE p_partkey % 10 = 0) " +
+        "SELECT * FROM (SELECT e.* FROM existing e WHERE NOT EXISTS " +
+        "(SELECT 1 FROM updates u WHERE u.p_partkey = e.p_partkey) " +
+        "UNION ALL SELECT * FROM updates) ORDER BY p_partkey"),
     "b23_anti_join" ->
       ("SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS " +
         "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) ORDER BY o_orderkey"),
