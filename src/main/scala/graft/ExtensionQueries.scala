@@ -936,6 +936,19 @@ object ExtensionQueries {
         "doc_id", "source", alpha = 0.5, k = 100)
         .orderBy(col("doc_id"))
     }),
+    // x66: LINE-level global dedup + document reassembly (CCNet paragraph
+    // dedup / C4 line dedup): fixed 12-token lines, a line hash seen in
+    // >1 distinct documents is boilerplate and drops from EVERY document,
+    // survivors reassemble in order. Bounded-shuffle shape (two hash
+    // aggregates + an anti-join against the small boilerplate set) — the
+    // sub-document pass document-level dedup (x05) cannot perform.
+    // Output hashes the rebuilt text so rows stay narrow.
+    "x66_line_dedup" -> ((s, dir) =>
+      Dedup.lineDeduplicate(table(s, dir, "documents"), "doc_id", "text",
+        lineTokens = 12, maxDocFreq = 1)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1586,6 +1599,25 @@ object ExtensionQueries {
          |  CAST(r.domain_rank AS BIGINT) AS domain_rank
          |FROM r JOIN qt USING (source) WHERE domain_rank <= qt.quota
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x66_line_dedup" ->
+      // same 12-token line windows, md5 line hashes, >1-distinct-doc
+      // boilerplate rule, and ordered reassembly (string_agg ORDER BY ↔
+      // sort_array(collect_list)); fully-boilerplate docs keep their row
+      // with n_kept 0 and the hash of the empty string
+      (s"""WITH m AS (SELECT doc_id, $toks AS ts FROM documents WHERE len($toks) > 0),
+         |l AS (SELECT doc_id, unnest(range(CAST(ceil(len(ts) / 12.0) AS BIGINT))) AS line_idx, ts FROM m),
+         |t AS (SELECT doc_id, line_idx,
+         |    array_to_string(list_slice(ts, line_idx * 12 + 1, line_idx * 12 + 12), ' ') AS line_txt
+         |  FROM l),
+         |h AS (SELECT doc_id, line_idx, line_txt, md5(line_txt) AS lh FROM t),
+         |b AS (SELECT lh FROM h GROUP BY lh HAVING count(DISTINCT doc_id) > 1),
+         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    md5(string_agg(line_txt, ' ' ORDER BY line_idx)) AS clean_hash
+         |  FROM h WHERE lh NOT IN (SELECT lh FROM b) GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM h GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_lines, coalesce(k.n_kept, 0) AS n_kept,
+         |  coalesce(k.clean_hash, md5('')) AS clean_hash
+         |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x58_temperature_mix" ->
       // same quota arithmetic (Σ n^α folded in source order — the one FP
       // sum — then floor per domain) and the same 16-bit md5 ticket rank

@@ -56,6 +56,62 @@ object Dedup {
         row_number().over(Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
       .filter(col("__rn") === 1).drop("__rn", "fingerprint")
 
+  /** LINE-level global dedup with document reassembly — the sub-document
+    * boilerplate pass (CCNet's paragraph dedup, C4's line dedup: navbars,
+    * cookie banners, license footers repeat across pages while the
+    * documents themselves are unique, so document-level dedup never sees
+    * them). A "line" here is a fixed `lineTokens` token window (real
+    * corpora split on newlines; the synthetic corpus has none — the
+    * operator takes the split as given either way); a line whose hash
+    * occurs in more than `maxDocFreq` DISTINCT documents is boilerplate
+    * and is dropped from every document, and each document is rebuilt
+    * from its surviving lines in original order.
+    *
+    * Output: (id, n_lines, n_kept, clean_text) — one row per non-empty
+    * input document, including documents reduced to nothing (n_kept = 0,
+    * clean_text ''): a pipeline records those, it doesn't lose them.
+    *
+    * Scale shape: explode → two hash aggregates (line doc-frequency, then
+    * per-doc reassembly) + one anti-join against the (small) boilerplate
+    * hash set — the same bounded-shuffle shape as exact dedup, O(total
+    * lines), no pairwise anything. The per-doc collect_list is bounded by
+    * document length, not corpus size. At 100 TB the boilerplate set
+    * (df > cap) is tiny by construction — broadcastable — while the line
+    * table never needs to exist materialized beyond its two aggregations.
+    */
+  def lineDeduplicate(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 12, maxDocFreq: Long = 1): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    val toks = widen(df)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    // persisted: feeds the doc-frequency aggregate, the anti-join stream
+    // side, and the per-doc line count (3 consumers)
+    val lines = graft.engine.CacheScope.persistTracked(
+      toks.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("ts")) / lit(lineTokens.toDouble)).cast("int") - 1),
+          i => slice(col("ts"), i * lineTokens + 1, lit(lineTokens))))
+          .as(Seq("line_idx", "lt")))
+        .select(col("id"), col("line_idx"),
+          concat_ws(" ", col("lt")).as("line_txt"))
+        .withColumn("lh", md5(col("line_txt"))))
+    val boiler = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") > maxDocFreq).select(col("lh"))
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("line_idx"), col("line_txt")))),
+          x => x("line_txt"))).as("clean_text"))
+    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- n-gram Jaccard (exact all-pairs — the oracle path) ---------------
 
   /** (id, shingle) long table; distinct per doc. `maxDocFreq` drops

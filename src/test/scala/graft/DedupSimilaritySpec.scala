@@ -23,6 +23,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(deduped.filter($"doc_id" >= 100000).count() == 0) // keepers are the originals
   }
 
+  test("line dedup: boilerplate drops from EVERY doc, order preserved, emptied docs keep their row") {
+    import spark.implicits._
+    // lineTokens=3: "x x x" is a full line shared by three docs → boilerplate
+    val docs = Seq(
+      (1L, "x x x a b c"),
+      (2L, "x x x d e f"),
+      (3L, "x x x"),          // nothing but boilerplate
+      (4L, "p q r x x x s t u")). // boilerplate mid-document
+      toDF("doc_id", "text")
+    val out = Dedup.lineDeduplicate(docs, "doc_id", "text",
+        lineTokens = 3, maxDocFreq = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((2L, 1L, "a b c")))
+    assert(out(2L) == ((2L, 1L, "d e f")))
+    // the all-boilerplate doc is RECORDED as emptied, not lost
+    assert(out(3L) == ((1L, 0L, "")))
+    // middle line removed, surrounding order intact
+    assert(out(4L) == ((3L, 2L, "p q r s t u")))
+    // a higher tolerance keeps the shared line everywhere ("x x x" sits
+    // in all 4 docs)
+    val lax = Dedup.lineDeduplicate(docs, "doc_id", "text",
+        lineTokens = 3, maxDocFreq = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_kept")).toMap
+    assert(lax == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+  }
+
   test("minhash LSH candidates cover all true high-jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
       .select("id_a", "id_b")
