@@ -466,6 +466,35 @@ object ExtensionQueries {
         where = col("doc_id") % 2 === 1)
         .orderBy(col("id_new"), col("id_corpus"))
     }),
+    // x67: STREAMING ANN index maintenance — embeddings stream in,
+    // each micro-batch IVF-assigns + PQ-encodes against the fitted
+    // (Fitted-cached) models and appends batch_id-partitioned index rows
+    // (exactly-once dynamic overwrite). Assignment/encoding are per-item
+    // pure functions of (vector, model), so the stream-built index must
+    // equal the batch build ROW FOR ROW: the staged batch index IS the
+    // oracle.
+    "x67_stream_index" -> ((s, dir) => {
+      val centroids = ivfCentroids(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val e = embeddingsD(s, dir)
+      Stage.write(
+        graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
+          .join(graft.operators.Pq.encode(e, "vec_id", "vec", cb,
+            dim = 64, m = 4), Seq("id")),
+        dir, "x67_batch_index")
+      val idxDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-streamindex-${Integer.toHexString(dir.hashCode)}-" +
+          ProcessHandle.current().pid()).toString
+      graft.streaming.StreamOps.indexMaintenanceStream(s,
+        s"$dir/embeddings.parquet", "vec_id", "vec", centroids, cb,
+        dim = 64, m = 4, indexDir = idxDir,
+        prep = b => b.withColumn("vec",
+          transform(col("embedding"), x => x.cast("double"))),
+        maxFilesPerTrigger = Some(1))
+        .select(col("id").as("vec_id"), col("centroid_id"), col("sub"),
+          col("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
     // x08: SimHash near-dup pairs. The (id, simhash) signature table (the
     // engine-specific xxhash64 majority-vote half) is STAGED to parquet;
     // the pigeonhole banding + hamming verification run over the staged
@@ -1599,6 +1628,12 @@ object ExtensionQueries {
          |  CAST(r.domain_rank AS BIGINT) AS domain_rank
          |FROM r JOIN qt USING (source) WHERE domain_rank <= qt.quota
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x67_stream_index" ->
+      // the stream-maintained index must equal the staged one-shot batch
+      // build exactly (same models, same items, pure per-item functions)
+      (s"""SELECT id AS vec_id, centroid_id, sub, code
+         |FROM ${Stage.sqlRef("x67_batch_index")}
+         |ORDER BY vec_id, sub""".stripMargin.replace("\n", " ")),
     "x66_line_dedup" ->
       // same 12-token line windows, md5 line hashes, >1-distinct-doc
       // boilerplate rule, and ordered reassembly (string_agg ORDER BY ↔

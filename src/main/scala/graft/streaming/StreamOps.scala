@@ -263,6 +263,60 @@ object StreamOps {
     }
   }
 
+  /** STREAMING ANN index maintenance: each arriving micro-batch of
+    * embedding rows is coarse-assigned against the FITTED centroids
+    * ([[graft.operators.Ivf.assign]]) and PQ-encoded against the FITTED
+    * codebooks ([[graft.operators.Pq.encode]]) — the "index the crawl's
+    * embeddings as they land" shape that keeps an IVF×PQ serving index
+    * (x52) fresh without rebuilding it. The fitted artifacts are static
+    * broadcasts (models fit at index-build time, exactly what
+    * [[graft.operators.Fitted]] caches), so each batch is O(batch) work
+    * with NO streaming state; exactly-once comes from the batch_id-
+    * partitioned dynamic-overwrite append, the same replay guard the
+    * incremental cube and incremental dedup use. Because assignment and
+    * encoding are per-item pure functions of (vector, model), the
+    * stream-maintained index equals a one-shot batch build row-for-row —
+    * that equality is the spec/oracle contract.
+    *
+    * `prep` adapts raw arriving rows to the (idCol, vecCol) the models
+    * expect (e.g. float→double vector cast) — it runs INSIDE each batch
+    * so the stream source stays schema-stable.
+    */
+  def indexMaintenanceStream(spark: SparkSession, itemsDir: String,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      codebooks: DataFrame, dim: Int, m: Int, indexDir: String,
+      prep: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None,
+      queryName: String = "index_maint"): DataFrame = {
+    val dir = streamableDir(itemsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = prep(batch)
+        val assign = graft.operators.Ivf.assign(e, idCol, vecCol, centroids)
+        val codes = graft.operators.Pq.encode(e, idCol, vecCol, codebooks,
+          dim, m)
+        assign.join(codes, Seq("id"))
+          .select(col("id"), col("centroid_id"), col("sub"), col("code"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+        graft.engine.CacheScope.drain()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(indexDir).drop("batch_id")
+  }
+
   /** STREAMING count-min sketch maintenance: each arriving micro-batch
     * folds its tokens into its OWN depth×width sketch (the mergeable
     * [[graft.functions.CountMin.Agg]] — map-side partials, only d×w long

@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("stream-maintained ANN index across MULTIPLE micro-batches == one-shot batch build") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val e = Tables.table(spark, sf(), "embeddings")
+      .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
+    val centroids = graft.operators.Ivf.fit(e, "vec", k = 4, maxIter = 3)
+    val cb = graft.operators.Pq.fit(e, "vec", dim = 64, m = 4, ksub = 8,
+      maxIter = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-spec").toString
+    e.drop("vec").repartition(3).write.mode("overwrite").parquet(s"$tmp/items")
+    val streamed = StreamOps.indexMaintenanceStream(spark, s"$tmp/items",
+      "vec_id", "vec", centroids, cb, dim = 64, m = 4,
+      indexDir = s"$tmp/index",
+      prep = b => b.withColumn("vec",
+        transform(col("embedding"), x => x.cast("double"))),
+      maxFilesPerTrigger = Some(1), queryName = "spec_index_maint")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    val batch = graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
+      .join(graft.operators.Pq.encode(e, "vec_id", "vec", cb,
+        dim = 64, m = 4), Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("sub")) ->
+        ((r.getAs[Long]("centroid_id"), r.getAs[Long]("code")))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    val nBatches = spark.read.parquet(s"$tmp/index")
+      .select("batch_id").distinct().count()
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    graft.engine.CacheScope.drain()
+  }
+
   test("stream-merged count-min sketch == one-shot batch sketch, bit for bit") {
     val docs = Tables.table(spark, sf(), "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft-cms-spec").toString
