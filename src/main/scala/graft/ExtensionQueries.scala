@@ -930,10 +930,14 @@ object ExtensionQueries {
       val counts = transform(sequence(lit(0L), lit((dim - 1).toLong)),
         i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
       m.select(col("doc_id"), counts.as("cs"))
+        // hoist the norm OUT of the per-element lambda: inside it the dot
+        // product would re-evaluate per dimension (64 x 64 multiplies per
+        // doc instead of 64 — measured as the query's hot spot)
+        .select(col("doc_id"), col("cs"),
+          sqrt(call_function("graft_dot", col("cs"), col("cs"))).as("nrm"))
         .select(col("doc_id"),
           transform(col("cs"), x => graft.functions.EngineMath.roundAway(
-            x / sqrt(call_function("graft_dot", col("cs"), col("cs"))), 6))
-            .as("vec"))
+            x / col("nrm"), 6)).as("vec"))
         .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim_idx", "weight")))
         .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"),
           col("weight"))
@@ -977,6 +981,20 @@ object ExtensionQueries {
         lineTokens = 12, maxDocFreq = 1)
         .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
           md5(col("clean_text")).as("clean_hash"))
+        .orderBy(col("doc_id"))),
+    // x68: DSIR importance weighting (hashed-feature domain selection):
+    // every document scored by Σ_b c_doc(b)·[ln p̂_target(b) − ln p̂_raw(b)]
+    // over 64 md5 unigram buckets (x64's bucket hash), target = src0,
+    // add-1 smoothing over the full bucket spine; deterministic top-200
+    // by weight is the engine-portable resample step. Per-doc fold runs
+    // in bucket order (x50 contract) so the score is bit-identical in
+    // DuckDB and the selection boundary cannot flip.
+    "x68_dsir_weights" -> ((s, dir) =>
+      graft.operators.Sampling.dsirWeights(table(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("source") === "src0", dim = 64)
+        .orderBy(col("weight").desc, col("id").asc).limit(200)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("weight"), 4).as("weight"))
         .orderBy(col("doc_id"))),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
@@ -1653,6 +1671,26 @@ object ExtensionQueries {
          |SELECT n.doc_id, n.n_lines, coalesce(k.n_kept, 0) AS n_kept,
          |  coalesce(k.clean_hash, md5('')) AS clean_hash
          |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x68_dsir_weights" ->
+      // identical md5 buckets, full-spine add-1 smoothing, bucket-ordered
+      // per-doc fold, same top-200 boundary
+      (s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
+         |bk AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT % 64 AS b FROM tk),
+         |sp AS (SELECT unnest(range(64)) AS b),
+         |ct AS (SELECT b, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY 1),
+         |cr AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+         |lr AS (SELECT sp.b,
+         |    ln((coalesce(ct.c, 0) + 1) / ((SELECT sum(c) FROM ct) + 64)) -
+         |    ln((coalesce(cr.c, 0) + 1) / ((SELECT sum(c) FROM cr) + 64)) AS ratio
+         |  FROM sp LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)),
+         |dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, list_reduce(list_prepend(0.0,
+         |      list(CAST(c AS DOUBLE) * ratio ORDER BY b)), (x, y) -> x + y) AS w
+         |  FROM dc JOIN lr USING (b) GROUP BY doc_id),
+         |sel AS (SELECT doc_id, w FROM ws ORDER BY w DESC, doc_id LIMIT 200)
+         |SELECT doc_id, round(w, 4) AS weight FROM sel
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x58_temperature_mix" ->
       // same quota arithmetic (Σ n^α folded in source order — the one FP
       // sum — then floor per domain) and the same 16-bit md5 ticket rank

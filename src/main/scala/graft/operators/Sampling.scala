@@ -166,4 +166,62 @@ object Sampling {
       .withColumn("domain_rank", row_number().over(w).cast("long"))
       .filter(col("domain_rank") <= col("quota"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much its HASHED unigram profile looks like a small
+    * TARGET domain rather than the raw corpus —
+    * weight(doc) = Σ_buckets c_doc(b) · [ln p̂_target(b) − ln p̂_raw(b)]
+    * with add-1-smoothed bucket distributions over `dim` md5 buckets (the
+    * same CountMin row-0 bucket x64's hashed-TF uses, so the oracle
+    * re-derives every bucket). Docs in the target side are scored too
+    * (they rank high by construction — callers exclude them when
+    * selecting pre-training data).
+    *
+    * Scale shape: one token explode feeding three hash aggregates
+    * (target-bucket counts, raw-bucket counts, per-(doc,bucket) counts);
+    * the bucket tables are `dim` rows — broadcast — and the per-doc score
+    * folds in BUCKET order (sort_array + sequential aggregate, the x50
+    * contract) so the IEEE sum is engine-portable. No shuffle beyond the
+    * aggregations; hashing needs no vocabulary, which is the point of
+    * DSIR's hashed features at corpus scale.
+    *
+    * The deterministic engine-portable variant of DSIR's final step is
+    * top-k by weight (the paper adds Gumbel noise for a soft resample;
+    * seeded noise is not portable across engines, and the ranking is the
+    * operator under test).
+    */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column,
+      dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = graft.engine.CacheScope.persistTracked(
+      df.select(col(idCol).as("id"), isTarget.as("__t"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+        .select(col("id"), col("__t"),
+          graft.functions.CountMin.bucketCol(0, col("term"), dim).as("b")))
+    // full bucket spine: an unseen bucket still carries its add-1 smoothed
+    // mass log(1/(N+dim)) — folding it to 0 would be a different (wrong)
+    // distribution, not smoothing
+    val spine = df.sparkSession.range(dim).select(col("id").as("b"))
+    def dist(side: org.apache.spark.sql.DataFrame, name: String) = {
+      val c = side.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val n = c.agg(sum(col("c"))).collect().head.getLong(0)
+      spine.join(c, Seq("b"), "left")
+        .select(col("b"),
+          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            lit((n + dim).toDouble)).as(name))
+    }
+    val lr = dist(toks.filter(col("__t")), "lp_t")
+      .join(dist(toks, "lp_r"), Seq("b"))
+      .select(col("b"), (col("lp_t") - col("lp_r")).as("ratio"))
+    toks.groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c"), col("ratio"))))
+        .as("bs"))
+      .select(col("id"),
+        aggregate(transform(col("bs"), x => x("c").cast("double") * x("ratio")),
+          lit(0.0d), (a, v) => a + v).as("weight"))
+  }
 }

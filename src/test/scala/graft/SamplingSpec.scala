@@ -178,6 +178,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("en") - 1000.0) <= tol, s"en=${byLang("en")}")
   }
 
+  test("DSIR weights: target-vocabulary docs score above corpus-vocabulary docs, invariant to layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target speaks {alpha beta gamma}, the bulk corpus speaks {delta
+    // epsilon zeta}; two probe docs speak purely one dialect each
+    val target = (1L to 10L).map(i => (i, "t", "alpha beta gamma alpha beta"))
+    val bulk = (11L to 60L).map(i => (i, "r", "delta epsilon zeta delta epsilon"))
+    val probes = Seq((100L, "r", "alpha beta gamma"), (101L, "r", "delta epsilon zeta"))
+    val docs = (target ++ bulk ++ probes).toDF("doc_id", "grp", "text")
+    val w = graft.operators.Sampling.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("grp") === "t")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("weight")).toMap
+    // the target-dialect probe must outrank the corpus-dialect probe, with
+    // the signs a log-ratio implies
+    assert(w(100L) > 0, s"target-like probe got ${w(100L)}")
+    assert(w(101L) < 0, s"corpus-like probe got ${w(101L)}")
+    assert(w(100L) > w(101L))
+    // layout invariance: the bucket-ordered fold gives the same DOUBLE
+    // regardless of partitioning (the oracle-parity property)
+    val w2 = graft.operators.Sampling.dsirWeights(docs.repartition(7),
+        "doc_id", "text", isTarget = col("grp") === "t")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("weight")).toMap
+    assert(w == w2)
+    graft.engine.CacheScope.drain()
+  }
+
   test("temperatureMix: quotas follow n^alpha, fill exactly, deterministic under repartition") {
     import spark.implicits._
     // three domains with skewed sizes: 6000 / 3000 / 1000
