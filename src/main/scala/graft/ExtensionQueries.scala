@@ -607,6 +607,21 @@ object ExtensionQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("n_bytes"))
         .orderBy(col("media_id"))),
+    // x69: IMAGE near-dup pairs via perceptual dHash — the 60-bit
+    // luminance-gradient signature feeds the SAME hamming-banded pair
+    // engine the text SimHash uses (one banding engine, two modalities).
+    // The oracle re-derives the ENTIRE pipeline independently: byte-grid
+    // downsample, gradient bits, hash fold, and all-pairs hamming — no
+    // staging (the hash is pure integer arithmetic, unlike xxhash).
+    "x69_image_dhash" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.toMedia(
+        graft.multimodal.Multimodal.mediaTable(table(s, dir, "documents")))
+      val dh = graft.engine.CacheScope.persistTracked(
+        graft.multimodal.Multimodal.dhashTable(media))
+      Dedup.simhashPairsOf(dh, maxDist = 14)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // x20: tumbling-window streaming aggregate (actual readStream +
     // AvailableNow + memory sink); oracle = the batch-equivalent SQL
     "x20_stream_tumbling" -> ((s, dir) =>
@@ -1671,6 +1686,26 @@ object ExtensionQueries {
          |SELECT n.doc_id, n.n_lines, coalesce(k.n_kept, 0) AS n_kept,
          |  coalesce(k.clean_hash, md5('')) AS clean_hash
          |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "x69_image_dhash" ->
+      // full independent re-derivation: same (i*len)//66 byte sampling
+      // (the blob is the text's UTF-8 bytes — ASCII, so ord(char) IS the
+      // byte), same row-major MSB-first bit fold, exact hamming verify
+      // over all pairs (the banding is an engine optimization; the pair
+      // SET is the contract)
+      (s"""WITH m AS (SELECT doc_id AS id, text FROM documents WHERE len(text) > 0),
+         |px AS (SELECT id,
+         |    [ord(substr(text, CAST((i * len(text)) // 66 AS INT) + 1, 1)) for i in range(66)] AS p
+         |  FROM m),
+         |bits AS (SELECT id, flatten(
+         |    [[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
+         |      for c in range(10)] for r in range(6)]) AS bs FROM px),
+         |h AS (SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+         |    (a, b) -> a * 2 + b) AS sh FROM bits),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |  FROM h a JOIN h b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
     "x68_dsir_weights" ->
       // identical md5 buckets, full-spine add-1 smoothing, bucket-ordered
       // per-doc fold, same top-200 boundary

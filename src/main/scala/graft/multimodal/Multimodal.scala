@@ -400,6 +400,49 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) over a media blob — the standard
+    * image near-duplicate signature (Krawetz's dHash: downsample to a
+    * (gridW × gridH) luminance grid, emit one bit per horizontal
+    * neighbour comparison). The grid samples the blob's bytes directly —
+    * with a real decoder the same grid samples decoded luminance; the
+    * dataflow and the 60-bit signature contract are identical, which is
+    * the seam [[MediaCodec]] already established for decode.
+    *
+    * 60 bits ((gridW−1)·gridH = 10·6 by default) — deliberately the same
+    * width as [[graft.operators.Dedup.simhashTable]]'s text signature, so
+    * the hamming-banded pair search ([[graft.operators.Dedup
+    * .simhashPairsOf]]: pigeonhole chunking, bucket join, exact hamming
+    * verify) is REUSED unchanged: one signature table per modality, one
+    * banding engine. Output columns (id, sh) are that contract.
+    *
+    * Per-row O(grid) work, no shuffle — at 100 TB this pipelines with the
+    * scan like every per-row signature.
+    */
+  def dhashTable(media: Dataset[MediaRow], gridW: Int = 11,
+      gridH: Int = 6): DataFrame = {
+    require((gridW - 1) * gridH <= 60,
+      s"dHash needs (gridW-1)*gridH <= 60 bits, got ${(gridW - 1) * gridH}")
+    import media.sparkSession.implicits._
+    val n = gridW * gridH
+    media.filter(_.blob.nonEmpty).map { r =>
+      val len = r.blob.length
+      // nearest-lower byte sampling: cell i reads byte (i*len) / n — the
+      // integer-arithmetic downsample an oracle can replicate exactly
+      val px = Array.tabulate(n)(i => r.blob(((i.toLong * len) / n).toInt) & 0xff)
+      var h = 0L
+      var row = 0
+      while (row < gridH) {
+        var c = 0
+        while (c < gridW - 1) {
+          h = (h << 1) | (if (px(row * gridW + c) > px(row * gridW + c + 1)) 1L else 0L)
+          c += 1
+        }
+        row += 1
+      }
+      (r.media_id, h)
+    }.toDF("id", "sh")
+  }
+
   /** "Resize": metadata-level transform (the pixel op is the stub's job);
     * keeps aspect ratio within a bounding box.
     */

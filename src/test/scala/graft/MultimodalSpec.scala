@@ -319,6 +319,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image dHash: identical blobs at distance 0, a one-cell edit stays near, banding finds both") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.MediaRow
+    val base = Array.tabulate[Byte](660)(i => (i % 251).toByte)
+    // cell i samples byte (i*660)/66 = i*10 — edit a SAMPLED byte so the
+    // luminance grid actually changes (one cell → at most 2 gradient bits)
+    val tweaked = base.clone(); tweaked(30) = ((base(30) & 0xff) - 100).toByte
+    val media = Seq(MediaRow(1L, "png", base), MediaRow(2L, "png", base.clone()),
+      MediaRow(3L, "png", tweaked)).toDS()
+    val dh = graft.multimodal.Multimodal.dhashTable(media)
+    val hashes = dh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 2)
+    // the TEXT SimHash banding engine consumes the image signatures as-is
+    val pairs = graft.operators.Dedup.simhashPairsOf(dh, maxDist = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    graft.engine.CacheScope.drain()
+  }
+
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val nVideos = media.filter(_.format == "webm").count()
