@@ -146,8 +146,16 @@ object Multimodal {
     */
   object WavCodec extends MediaCodec {
     private def open(blob: Array[Byte]) =
-      javax.sound.sampled.AudioSystem.getAudioInputStream(
+      // malformed audio is a data error (the MediaCodec contract), not a
+      // checked-exception escape
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(blob))
+      catch {
+        case e @ (_: javax.sound.sampled.UnsupportedAudioFileException |
+            _: java.io.IOException) =>
+          throw new IllegalArgumentException(
+            s"malformed audio: ${e.getMessage}", e)
+      }
 
     def decode(format: String, blob: Array[Byte]): (Int, Int, Int) = {
       val in = open(blob)
@@ -173,8 +181,21 @@ object Multimodal {
         val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         require(signed || enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
           s"unsupported encoding: $enc (PCM only)")
-        val raw = in.readAllBytes()
-        val nFrames = raw.length / f.getFrameSize
+        // NOT readAllBytes: AudioInputStream.read returns 0 (not -1) when
+        // the requested length is below one frame, and readAllBytes spins
+        // forever on 0-returns — a hostile header with a huge frame size
+        // (mutated channel count) is an infinite loop. Bound the payload
+        // by the CONTAINER size, frame-aligned, and stop on r <= 0.
+        val fs = f.getFrameSize
+        require(fs >= 1 && fs <= blob.length,
+          s"malformed audio: frame size $fs for a ${blob.length}-byte input")
+        val cap = blob.length - (blob.length % fs)
+        val raw0 = new Array[Byte](cap)
+        var off = 0
+        var r = 0
+        while (off < cap && { r = in.read(raw0, off, cap - off); r > 0 }) off += r
+        val raw = if (off == cap) raw0 else java.util.Arrays.copyOf(raw0, off)
+        val nFrames = raw.length / fs
         val out = new Array[Float](nFrames)
         val full = (1L << (f.getSampleSizeInBits - 1)).toFloat
         var i = 0
@@ -253,8 +274,12 @@ object Multimodal {
       var width = 0; var height = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       // chunks: [fourcc][le32 size][payload, padded to even]; LIST chunks
-      // nest — their payload starts with a list-type fourcc
-      def walk(end: Int): Unit = while (bb.position() + 8 <= end) {
+      // nest — their payload starts with a list-type fourcc. Nesting depth
+      // is bounded: a hostile blob of nothing but nested LISTs would
+      // otherwise recurse once per 12 bytes and overflow the stack on a
+      // megabyte input (real AVI nests 3-4 deep)
+      def walk(end: Int, depth: Int): Unit = while (bb.position() + 8 <= end) {
+        require(depth <= 64, "malformed RIFF: LIST nesting deeper than 64")
         val id = fourcc()
         val size = bb.getInt
         // size fields come from untrusted bytes: a negative or
@@ -266,7 +291,7 @@ object Multimodal {
         if (id == "LIST" || id == "RIFF") {
           require(size >= 4, s"malformed RIFF: LIST chunk of $size bytes has no type")
           fourcc() // list type (hdrl / movi / strl…) — recurse through all
-          walk(math.min(next, end))
+          walk(math.min(next, end), depth + 1)
         } else if (id == "avih") {
           require(size >= 40,
             s"malformed AVI: avih chunk of $size bytes (need >= 40 for dwWidth/dwHeight)")
@@ -279,7 +304,7 @@ object Multimodal {
         }
         bb.position(math.min(next, end))
       }
-      walk(blob.length)
+      walk(blob.length, 0)
       require(frames.nonEmpty, "AVI contains no frame chunks")
       (width, height, frames.toSeq)
     }
@@ -296,8 +321,14 @@ object Multimodal {
       while (d < dims) {
         // evenly-spaced frame per band (repeats frames when n < dims)
         val idx = d * frames.size / dims
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(frames(idx)))
+        // a corrupt JPEG payload makes ImageIO THROW (IIOException on a
+        // truncated stream), not just return null — both are data errors
+        val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(idx)))
+          catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"frame $idx is not a decodable image: ${e.getMessage}", e)
+          }
         require(img != null, s"frame $idx is not a decodable image")
         var sum = 0.0
         var y = 0

@@ -319,6 +319,75 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI/WAV codecs survive byte mutations and a LIST-nesting bomb (IAE or success, never stack/array errors)") {
+    import graft.multimodal.Multimodal
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ padded
+    }
+    def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih", new Array[Byte](32) ++ le32(8) ++ le32(8) ++
+      new Array[Byte](16))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00dc", jpegFrame(8, 8, 40)) ++ chunk("00dc", jpegFrame(8, 8, 200)))
+    val aviBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val aviBlob = "RIFF".getBytes("US-ASCII") ++ le32(aviBody.length) ++ aviBody
+    // sanity: the unmutated fixtures are valid
+    assert(Multimodal.AviMjpegCodec.decode("avi", aviBlob) == ((8, 8, 2)))
+
+    val wavBlob = {
+      val pcm = Array.tabulate[Byte](400)(i => (math.sin(i / 7.0) * 100).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.WavCodec.decode("wav", wavBlob)._3 == 1)
+
+    def fuzz(parse: Array[Byte] => Any, valid: Array[Byte], what: String): Unit = {
+      val rnd = new scala.util.Random(20260813L)
+      for (trial <- 0 until 1500) {
+        val m = valid.clone()
+        for (_ <- 0 until 4) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { parse(m); () } catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$what trial $trial escaped as ${e.getClass.getName}: $e")
+        }
+      }
+    }
+    fuzz(b => Multimodal.AviMjpegCodec.decode("avi", b), aviBlob, "avi decode")
+    fuzz(b => Multimodal.AviMjpegCodec.features(b), aviBlob, "avi features")
+    fuzz(b => Multimodal.WavCodec.decode("wav", b), wavBlob, "wav decode")
+    fuzz(b => Multimodal.WavCodec.features(b), wavBlob, "wav features")
+
+    // 200 nested LISTs (each with its mandatory list-type fourcc): must
+    // hit the depth bound as malformed media, not unwind the JVM stack
+    var bomb: Array[Byte] = chunk("LIST", "movi".getBytes("US-ASCII"))
+    for (_ <- 0 until 200)
+      bomb = chunk("LIST", "nest".getBytes("US-ASCII") ++ bomb)
+    val bombAvi = "RIFF".getBytes("US-ASCII") ++
+      le32(4 + bomb.length) ++ "AVI ".getBytes("US-ASCII") ++ bomb
+    val e = intercept[IllegalArgumentException](
+      Multimodal.AviMjpegCodec.decode("avi", bombAvi))
+    assert(e.getMessage.contains("nesting"))
+  }
+
   test("image dHash: identical blobs at distance 0, a one-cell edit stays near, banding finds both") {
     import spark.implicits._
     import graft.multimodal.Multimodal.MediaRow
