@@ -1011,6 +1011,27 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"),
           graft.functions.EngineMath.roundAway(col("weight"), 4).as("weight"))
         .orderBy(col("doc_id"))),
+    // x70: MODEL-based quality filter — logistic regression fit on the
+    // engine's own quality features (target = src0 vs the corpus), every
+    // doc scored by the linear logit (monotone to sigmoid; exp() is not
+    // bit-portable, a left-associated w·x chain is). Features re-derive
+    // independently in DuckDB (the x03 CTEs); only the fitted weights
+    // stage (the x13 staged-model contract). Top-100 by logit.
+    "x70_quality_model" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Fitted.getOrFit(s,
+        graft.operators.Fitted.key(dir, "qlr",
+          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+        graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+          isTarget = col("source") === "src0")
+      }
+      Stage.write(model, dir, "x70_weights")
+      graft.operators.QualityFilter.logits(docs, "doc_id", "text", model)
+        .orderBy(col("logit").desc, col("id").asc).limit(100)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("logit"), 6).as("logit"))
+        .orderBy(col("doc_id"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1706,6 +1727,18 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x70_quality_model" ->
+      // features from the SHARED quality CTEs (cannot drift from x03),
+      // weights from the staged model, same left-associated logit chain,
+      // same top-100 boundary
+      (s"$qualityCtes, " +
+        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x70_weights")}), " +
+        "z AS (SELECT doc_id, intercept + weights[1] * f0 + weights[2] * f1 + " +
+        "weights[3] * f2 + weights[4] * f3 AS logit FROM f CROSS JOIN w), " +
+        "sel AS (SELECT doc_id, logit FROM z ORDER BY logit DESC, doc_id LIMIT 100) " +
+        "SELECT doc_id, round(logit, 6) AS logit FROM sel ORDER BY doc_id"),
     "x68_dsir_weights" ->
       // identical md5 buckets, full-spine add-1 smoothing, bucket-ordered
       // per-doc fold, same top-200 boundary

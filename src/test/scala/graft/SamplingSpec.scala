@@ -204,6 +204,31 @@ class SamplingSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("quality classifier: separates prose from punctuation soup; scoring is a pure function of the model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target: prose-like docs (stopword-rich, clean); corpus: symbol soup
+    val prose = (1L to 20L).map(i =>
+      (i, "t", "the quick brown fox and the lazy dog are of a mind to rest"))
+    val soup = (21L to 60L).map(i =>
+      (i, "r", "@@## $$%% ^^&& **(( ))__ ++== [[]] {{}} ;;:: <<>> ??//"))
+    val probes = Seq(
+      (100L, "r", "this is a clean sentence with the usual words of prose"),
+      (101L, "r", "%%%% #### @@@@ !!!! ???? &&&& ****"))
+    val docs = (prose ++ soup ++ probes).toDF("doc_id", "grp", "text")
+    val model = graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+      isTarget = col("grp") === "t")
+    val z = graft.operators.QualityFilter.logits(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("logit")).toMap
+    assert(z(100L) > z(101L),
+      s"prose probe ${z(100L)} should outrank soup probe ${z(101L)}")
+    // scoring is stateless given the model: identical under repartition
+    val z2 = graft.operators.QualityFilter.logits(docs.repartition(5),
+      "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("logit")).toMap
+    assert(z == z2)
+  }
+
   test("temperatureMix: quotas follow n^alpha, fill exactly, deterministic under repartition") {
     import spark.implicits._
     // three domains with skewed sizes: 6000 / 3000 / 1000
