@@ -1032,6 +1032,41 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(col("logit"), 6).as("logit"))
         .orderBy(col("doc_id"))
     }),
+    // x71: the ROUND-6 CURATION COMPOSITION — the new operators chained
+    // the way a corpus release uses them: model-based quality gate (x70
+    // logit, top 400) → line-level boilerplate dedup with reassembly
+    // (x66) → DSIR importance selection (x68) computed over the CLEANED
+    // text (dedup feeds selection — the stages genuinely compose, the
+    // downstream distributions shift with the upstream edits). One DuckDB
+    // oracle re-derives all three stages; only the LR weights stage.
+    "x71_curation_v2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Fitted.getOrFit(s,
+        graft.operators.Fitted.key(dir, "qlr",
+          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+        graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+          isTarget = col("source") === "src0")
+      }
+      Stage.write(model, dir, "x71_weights")
+      val gated = graft.operators.QualityFilter
+        .logits(docs, "doc_id", "text", model)
+        .orderBy(col("logit").desc, col("id").asc).limit(400)
+        .select(col("id").as("doc_id"))
+      val survivors = docs.join(gated, Seq("doc_id"))
+      val cleaned = Dedup.lineDeduplicate(survivors, "doc_id", "text",
+          lineTokens = 12, maxDocFreq = 1)
+        .filter(col("n_kept") >= 1)
+        .select(col("id").as("doc_id"), col("n_kept"), col("clean_text"))
+      val withSrc = cleaned.join(docs.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      graft.operators.Sampling.dsirWeights(withSrc, "doc_id", "clean_text",
+          isTarget = col("source") === "src0")
+        .orderBy(col("weight").desc, col("id").asc).limit(150)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("weight"), 4).as("weight"))
+        .join(cleaned.select(col("doc_id"), col("n_kept")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1727,6 +1762,41 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x71_curation_v2" ->
+      // the three stages re-derived in one WITH chain: x70's gate from
+      // the shared quality CTEs + staged weights, x66's line dedup over
+      // the gated survivors, x68's DSIR over the REASSEMBLED clean text
+      (s"$qualityCtes, " +
+        "qf AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"qw AS (SELECT weights, intercept FROM ${Stage.sqlRef("x71_weights")}), " +
+        "gate AS (SELECT doc_id FROM (SELECT qf.doc_id, intercept + weights[1] * f0 + " +
+        "weights[2] * f1 + weights[3] * f2 + weights[4] * f3 AS logit " +
+        "FROM qf CROSS JOIN qw) ORDER BY logit DESC, doc_id LIMIT 400), " +
+        "sv AS (SELECT m.doc_id, m.ts FROM m JOIN gate USING (doc_id) WHERE len(m.ts) > 0), " +
+        "ll AS (SELECT doc_id, unnest(range(CAST(ceil(len(ts) / 12.0) AS BIGINT))) AS li, ts FROM sv), " +
+        "lt AS (SELECT doc_id, li, array_to_string(list_slice(ts, li * 12 + 1, li * 12 + 12), ' ') AS ltx FROM ll), " +
+        "lh AS (SELECT doc_id, li, ltx, md5(ltx) AS h FROM lt), " +
+        "bo AS (SELECT h FROM lh GROUP BY h HAVING count(DISTINCT doc_id) > 1), " +
+        "kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(ltx, ' ' ORDER BY li) AS clean FROM lh " +
+        "WHERE h NOT IN (SELECT h FROM bo) GROUP BY doc_id), " +
+        raw"tk2 AS (SELECT kp.doc_id, d.source, unnest(list_filter(string_split_regex(trim(clean), '\s+'), t -> len(t) > 0)) AS term " +
+        "FROM kp JOIN documents d USING (doc_id)), " +
+        "bk2 AS (SELECT doc_id, source, ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT % 64 AS b FROM tk2), " +
+        "sp2 AS (SELECT unnest(range(64)) AS b), " +
+        "ct2 AS (SELECT b, count(*) AS c FROM bk2 WHERE source = 'src0' GROUP BY 1), " +
+        "cr2 AS (SELECT b, count(*) AS c FROM bk2 GROUP BY 1), " +
+        "lr2 AS (SELECT sp2.b, ln((coalesce(ct2.c, 0) + 1) / ((SELECT sum(c) FROM ct2) + 64)) - " +
+        "ln((coalesce(cr2.c, 0) + 1) / ((SELECT sum(c) FROM cr2) + 64)) AS ratio " +
+        "FROM sp2 LEFT JOIN ct2 USING (b) LEFT JOIN cr2 USING (b)), " +
+        "dc2 AS (SELECT doc_id, b, count(*) AS c FROM bk2 GROUP BY 1, 2), " +
+        "ws2 AS (SELECT doc_id, list_reduce(list_prepend(0.0, " +
+        "list(CAST(c AS DOUBLE) * ratio ORDER BY b)), (x, y) -> x + y) AS w " +
+        "FROM dc2 JOIN lr2 USING (b) GROUP BY doc_id), " +
+        "sel AS (SELECT doc_id, w FROM ws2 ORDER BY w DESC, doc_id LIMIT 150) " +
+        "SELECT sel.doc_id, round(sel.w, 4) AS weight, kp.n_kept " +
+        "FROM sel JOIN kp USING (doc_id) ORDER BY sel.doc_id"),
     "x70_quality_model" ->
       // features from the SHARED quality CTEs (cannot drift from x03),
       // weights from the staged model, same left-associated logit chain,
