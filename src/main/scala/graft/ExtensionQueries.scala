@@ -1067,6 +1067,31 @@ object ExtensionQueries {
         .join(cleaned.select(col("doc_id"), col("n_kept")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    // x72: corpus SNAPSHOT DIFF — the refresh-audit pass a pipeline runs
+    // before accepting a new crawl drop: partition content by the x04/x05
+    // exact fingerprint, classify every distinct content as added /
+    // removed / kept between the old (even ids) and new (odd ids)
+    // snapshots, with doc counts per side. Full-outer join of two
+    // fingerprint aggregates — two hash shuffles on a 16-byte key,
+    // corpus-size-proof.
+    "x72_snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      def side(parity: Int, name: String) =
+        docs.filter(col("doc_id") % 2 === parity)
+          .select(TextFunctions.fingerprint(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(count(lit(1)).as(name))
+      side(0, "n_old").join(side(1, "n_new"), Seq("fp"), "full_outer")
+        .select(
+          when(col("n_old").isNull, "added")
+            .when(col("n_new").isNull, "removed")
+            .otherwise("kept").as("status"),
+          col("n_old"), col("n_new"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_contents"),
+          sum(coalesce(col("n_old"), lit(0L))).as("n_docs_old"),
+          sum(coalesce(col("n_new"), lit(0L))).as("n_docs_new"))
+        .orderBy(col("status"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1762,6 +1787,20 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x72_snapshot_diff" ->
+      // same md5-of-normalized-text fingerprint (x04/x05's), same
+      // full-outer classification
+      (s"""WITH fpt AS (SELECT doc_id, md5(lower(array_to_string($toks, ' '))) AS fp FROM documents),
+         |o AS (SELECT fp, count(*) AS n_old FROM fpt WHERE doc_id % 2 = 0 GROUP BY 1),
+         |n AS (SELECT fp, count(*) AS n_new FROM fpt WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT CASE WHEN o.n_old IS NULL THEN 'added'
+         |    WHEN n.n_new IS NULL THEN 'removed' ELSE 'kept' END AS status,
+         |    o.n_old, n.n_new
+         |  FROM o FULL OUTER JOIN n USING (fp))
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_contents,
+         |  CAST(sum(coalesce(n_old, 0)) AS BIGINT) AS n_docs_old,
+         |  CAST(sum(coalesce(n_new, 0)) AS BIGINT) AS n_docs_new
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     "x71_curation_v2" ->
       // the three stages re-derived in one WITH chain: x70's gate from
       // the shared quality CTEs + staged weights, x66's line dedup over
