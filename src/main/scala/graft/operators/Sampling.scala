@@ -200,21 +200,25 @@ object Sampling {
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
         .select(col("id"), col("__t"),
           graft.functions.CountMin.bucketCol(0, col("term"), dim).as("b")))
+    // BOTH bucket distributions from ONE aggregate over the token table
+    // (conditional count for the target side) — half the shuffles and one
+    // scalar collect instead of two
+    val counts = graft.engine.CacheScope.persistTracked(
+      toks.groupBy(col("b")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr")))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr")).head()
+    val (nt, nr) = (tot.getAs[Long]("nt"), tot.getAs[Long]("nr"))
     // full bucket spine: an unseen bucket still carries its add-1 smoothed
     // mass log(1/(N+dim)) — folding it to 0 would be a different (wrong)
     // distribution, not smoothing
     val spine = df.sparkSession.range(dim).select(col("id").as("b"))
-    def dist(side: org.apache.spark.sql.DataFrame, name: String) = {
-      val c = side.groupBy(col("b")).agg(count(lit(1)).as("c"))
-      val n = c.agg(sum(col("c"))).collect().head.getLong(0)
-      spine.join(c, Seq("b"), "left")
-        .select(col("b"),
-          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-            lit((n + dim).toDouble)).as(name))
-    }
-    val lr = dist(toks.filter(col("__t")), "lp_t")
-      .join(dist(toks, "lp_r"), Seq("b"))
-      .select(col("b"), (col("lp_t") - col("lp_r")).as("ratio"))
+    val lr = spine.join(counts, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            lit((nt + dim).toDouble)) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
+            lit((nr + dim).toDouble))).as("ratio"))
     toks.groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
       .join(broadcast(lr), Seq("b"))
       .groupBy(col("id"))
