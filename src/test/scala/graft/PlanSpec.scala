@@ -105,6 +105,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 corpus operators keep their scale shapes") {
+    // line dedup: the boilerplate set joins broadcast (it is tiny by
+    // construction), never a sort-merge of the line table against itself
+    val l = audits("x66_line_dedup")
+    assert(l.sortMergeJoins == 0 && l.cartesian == 0, l.toString)
+    // DSIR: dim-row bucket tables broadcast into the per-(doc,bucket)
+    // join; a sort-merge here means the broadcast hint regressed
+    val d = audits("x68_dsir_weights")
+    assert(d.sortMergeJoins == 0 && d.cartesian == 0, d.toString)
+    // dHash pairs ride the simhash banding engine: equi-join on bucket
+    // keys, never a cartesian
+    assert(audits("x69_image_dhash").cartesian == 0,
+      audits("x69_image_dhash").toString)
+    // quality-model scoring is a single projection: the collected weights
+    // are foldable literals, so NO join appears in the plan at all
+    val q = audits("x70_quality_model")
+    assert(q.broadcastJoins + q.sortMergeJoins + q.nestedLoopJoins == 0,
+      s"x70 scoring must be join-free: $q")
+  }
+
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
     // a17's denominator is collected from the persisted rollup and embedded
     // as a literal; the returned cells frame must read the SAME cache — a
