@@ -62,6 +62,8 @@ class BandingRecallSpec extends SparkSpec {
     val path = Paths.get("COVERAGE.md")
     val begin = "<!-- banding-recall:begin -->"
     val end = "<!-- banding-recall:end -->"
+    // generated rows stay OUT of stripMargin (it would eat their leading
+    // table pipe)
     val table =
       s"""$begin
          |Measured by BandingRecallSpec (exact x06 ground truth, x07 banded
@@ -69,9 +71,9 @@ class BandingRecallSpec extends SparkSpec {
          |distinct band-join pairs BEFORE exact verification.
          |
          || sf | docs | true pairs | banded found | recall | candidates | % of n(n-1)/2 |
-         ||---|---|---|---|---|---|---|
-         |${rows.map(r => f"| ${r.sfName} | ${r.nDocs} | ${r.truth} | ${r.found} | ${r.recall}%.3f | ${r.candidates} | ${r.candidates / r.allPairs * 100}%.4f%% |").mkString("\n")}
-         |$end""".stripMargin
+         ||---|---|---|---|---|---|---|""".stripMargin + "\n" +
+        rows.map(r => f"| ${r.sfName} | ${r.nDocs} | ${r.truth} | ${r.found} | ${r.recall}%.3f | ${r.candidates} | ${r.candidates / r.allPairs * 100}%.4f%% |")
+          .mkString("\n") + s"\n$end"
     val current = new String(Files.readAllBytes(path), "UTF-8")
     val updated =
       if (current.contains(begin))
