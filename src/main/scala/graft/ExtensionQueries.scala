@@ -541,10 +541,12 @@ object ExtensionQueries {
     // against the same embeddings (recall vs brute force additionally
     // locked by DedupSimilaritySpec)
     // x51: product-quantization ANN (the memory-bounded billion-vector
-    // path): per-subspace codebooks + integer codes staged; ADC top-k
-    // scored from the broadcast query↔centroid sub-distance table. All
-    // float folds are sequential in a defined order (dims, then subs) so
-    // DuckDB's re-derivation compares bit-exactly.
+    // path): per-subspace codebooks + integer codes staged; ADC recalls a
+    // top-C candidate pool from the broadcast query↔centroid sub-distance
+    // table, then the final k are picked by EXACT re-rank on the original
+    // vectors (IVFADC+R — compressed-domain ranks alone recall ~0.06 on
+    // near-random embeddings). All float folds are sequential in a
+    // defined order (dims, then subs) so DuckDB re-derives bit-exactly.
     "x51_knn_pq" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -553,15 +555,16 @@ object ExtensionQueries {
         graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
       Stage.write(cb, dir, "x51_codebooks")
       Stage.write(codes, dir, "x51_codes")
-      graft.operators.Pq.topK(codes, cb, q, "vec_id", "vec",
-        k = 10, dim = 64, m = 4)
-        .withColumn("ad2", graft.functions.EngineMath.roundAway(col("ad2"), 6))
+      graft.operators.Pq.topKRerank(codes, cb, e, "vec_id", "vec",
+        q, "vec_id", "vec", k = 10, dim = 64, m = 4)
+        .withColumn("d2", graft.functions.EngineMath.roundAway(col("d2"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
-    // x52: the COMPOSED two-level ANN (IVF coarse pruning × PQ fine
-    // scoring) — candidates are each query's probed buckets, scored by
-    // ADC over integer codes. All three engine-specific tables staged;
-    // DuckDB re-derives the candidate-restricted ranking bit-exactly.
+    // x52: the COMPOSED three-level ANN (IVF coarse pruning × PQ ADC
+    // fine scoring × exact re-rank of the ADC top-C) — candidates are
+    // each query's probed buckets, scored by ADC over integer codes,
+    // finalists re-scored on original vectors. All three engine-specific
+    // tables staged; DuckDB re-derives the restricted ranking bit-exactly.
     "x52_knn_ivfpq" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -578,9 +581,9 @@ object ExtensionQueries {
       Stage.write(cand, dir, "x52_cand")
       Stage.write(cb, dir, "x52_codebooks")
       Stage.write(codes, dir, "x52_codes")
-      graft.operators.Pq.topKWithin(cand, codes, cb, q, "vec_id", "vec",
-        k = 10, dim = 64, m = 4)
-        .withColumn("ad2", graft.functions.EngineMath.roundAway(col("ad2"), 6))
+      graft.operators.Pq.topKWithinRerank(cand, codes, cb, e, "vec_id",
+        "vec", q, "vec_id", "vec", k = 10, dim = 64, m = 4)
+        .withColumn("d2", graft.functions.EngineMath.roundAway(col("d2"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
     "x13_knn_ivf" -> ((s, dir) => {
@@ -2079,7 +2082,9 @@ object ExtensionQueries {
     "x51_knn_pq" ->
       // ADC re-derived from the staged codebooks + codes: per-query
       // sub-distance table from the raw embeddings, lookups summed in
-      // SUB ORDER (list_reduce ≡ the engine's sequential fold)
+      // SUB ORDER (list_reduce ≡ the engine's sequential fold); the ADC
+      // top-C (C = 30·k) pool is then re-ranked by EXACT squared
+      // distance folded in DIMENSION order — the engine's rerank stage
       (s"""WITH cb AS (SELECT sub, centroid_id, cvec FROM ${Stage.sqlRef("x51_codebooks")}),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id < 5),
@@ -2096,14 +2101,24 @@ object ExtensionQueries {
          |s AS (SELECT query_id, id,
          |  list_reduce(list_prepend(0.0, ps), (x, y) -> x + y) AS ad2 FROM ag),
          |r AS (SELECT query_id, id AS item_id, ad2, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s)
+         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s),
+         |ex AS (SELECT r.query_id, r.item_id,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2
+         |  FROM r JOIN q ON q.query_id = r.query_id
+         |  JOIN embeddings e ON e.vec_id = r.item_id
+         |  WHERE r.rank <= 300),
+         |rr AS (SELECT query_id, item_id, d2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2, item_id) AS rank FROM ex)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,
-         |  round(ad2, 6) AS ad2
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |  round(d2, 6) AS d2
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
         .replace("\n", " ")),
     "x52_knn_ivfpq" ->
       // x51's ADC derivation, restricted to the staged per-query
-      // candidate sets before ranking
+      // candidate sets before ranking, then the same exact re-rank of
+      // the ADC top-C pool on the original vectors
       (s"""WITH cb AS (SELECT sub, centroid_id, cvec FROM ${Stage.sqlRef("x52_codebooks")}),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id < 5),
@@ -2123,10 +2138,19 @@ object ExtensionQueries {
          |s AS (SELECT query_id, id,
          |  list_reduce(list_prepend(0.0, ps), (x, y) -> x + y) AS ad2 FROM ag),
          |r AS (SELECT query_id, id AS item_id, ad2, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s)
+         |    PARTITION BY query_id ORDER BY ad2, id) AS rank FROM s),
+         |ex AS (SELECT r.query_id, r.item_id,
+         |  list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2
+         |  FROM r JOIN q ON q.query_id = r.query_id
+         |  JOIN embeddings e ON e.vec_id = r.item_id
+         |  WHERE r.rank <= 300),
+         |rr AS (SELECT query_id, item_id, d2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2, item_id) AS rank FROM ex)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,
-         |  round(ad2, 6) AS ad2
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |  round(d2, 6) AS d2
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
         .replace("\n", " ")),
     "x13_knn_ivf" -> knnSql(
       s"SELECT id AS item_id, centroid_id FROM ${graft.Stage.sqlRef("x13_item_assign")}",

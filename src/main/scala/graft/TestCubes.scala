@@ -17,15 +17,40 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong — set in every session
-    * builder here). Truncate nanos→micros with integer division (a double
-    * division would lose precision: epoch-nanos ≈ 1.7e18 > 2^53) to match
-    * what DuckDB yields for the same file.
+  /** Schema-adaptive `ts` normalizer for the events table. The driver's
+    * testdata has shipped `events.ts` under two physical encodings:
+    * TIMESTAMP(NANOS), which Spark reads as a raw long (under
+    * spark.sql.legacy.parquet.nanosAsLong — set in every session builder
+    * here) and must be truncated nanos→micros with integer division (a
+    * double division would lose precision: epoch-nanos ≈ 1.7e18 > 2^53);
+    * and standard TIMESTAMP(micros), which Spark reads as TimestampType
+    * directly. Branch on the observed schema instead of hard-wiring one.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // All engine sessions pin spark.sql.session.timeZone=UTC, so this
+        // cast is wall-clock preserving and matches DuckDB's naive read.
+        // TimestampType is required downstream (watermarks, unix_micros).
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** `ts` as an epoch-micros long column, whichever physical encoding the
+    * parquet file uses (see [[normalizeEventTs]]).
+    */
+  def eventTsMicros(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(spark, dir, "events"))
 }
 
 object TestCubes {

@@ -88,10 +88,15 @@ object CubeBuilder {
   // ---- readers ----------------------------------------------------------
 
   /** Raw (all-string) CSV read with the given column set — header-keyed like
-    * the reference's csv.DictReader (assets_generator.py:325).
+    * the reference's csv.DictReader (assets_generator.py:325). `encoding`
+    * mirrors the reference's UTF8RecoderReader shim (util.py:10-38), which
+    * recodes arbitrarily-encoded input to UTF-8 before parsing: Spark's
+    * CSV source does the same decode natively given the charset name.
     */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      encoding: String = "UTF-8"): DataFrame =
     spark.read.option("header", true)
+      .option("encoding", encoding)
       .schema(StructType(schema.map(f => StructField(f.name, StringType, f.nullable))))
       .csv(path)
 

@@ -156,4 +156,56 @@ object Pq {
       .select(pairs("query_id"), col("id"), pairs("sub"), col("d2p"))
     rankPairs(scored, k)
   }
+
+  /** Exact re-rank of an ADC candidate ranking (the IVFADC+R refinement,
+    * Jégou et al. TPAMI 2011 §V-D): compressed-domain distances order
+    * candidates only as well as the reconstruction error allows, so the
+    * shippable shape is ADC top-C (C = candMult·k, default 30·k — sized so the pool covers the true top-k even at the weak ADC-rank correlation near-random embeddings give) followed by exact
+    * re-scoring of just those C candidates per query against the ORIGINAL
+    * vectors. Extra cost is O(|Q|·C·dim) — independent of corpus size —
+    * and the (query, candidate, query-vector) table broadcasts into the
+    * item-vector scan, so the corpus side still never shuffles. `d2` is
+    * the exact sequential-fold squared distance (dimension order, the
+    * same IEEE adds DuckDB's list_reduce performs).
+    */
+  def rerank(adcTopC: DataFrame, items: DataFrame, itemId: String,
+      itemVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int): DataFrame = {
+    val qv = Dedup.widen(queries).select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qv"))
+    val candQ = adcTopC.select(col("query_id"), col("item_id"))
+      .join(qv, Seq("query_id"))
+    val iv = Dedup.widen(items).select(col(itemId).as("item_id"),
+      col(itemVec).cast("array<double>").as("iv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("item_id").asc)
+    iv.join(broadcast(candQ), Seq("item_id"))
+      .withColumn("d2", subDist2(col("qv"), col("iv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("d2"))
+  }
+
+  /** [[topK]] + [[rerank]]: ADC recalls the candidate pool, exact
+    * distances pick the final k.
+    */
+  def topKRerank(codes: DataFrame, codebooks: DataFrame,
+      items: DataFrame, itemId: String, itemVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int, m: Int, candMult: Int = 30): DataFrame =
+    rerank(topK(codes, codebooks, queries, queryId, queryVec,
+        k * candMult, dim, m),
+      items, itemId, itemVec, queries, queryId, queryVec, k)
+
+  /** [[topKWithin]] + [[rerank]] — the full coarse(IVF) × fine(ADC) ×
+    * exact(re-rank) pipeline.
+    */
+  def topKWithinRerank(cand: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, items: DataFrame, itemId: String,
+      itemVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, dim: Int, m: Int,
+      candMult: Int = 30): DataFrame =
+    rerank(topKWithin(cand, codes, codebooks, queries, queryId, queryVec,
+        k * candMult, dim, m),
+      items, itemId, itemVec, queries, queryId, queryVec, k)
 }

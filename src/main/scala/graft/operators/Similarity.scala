@@ -134,7 +134,7 @@ object Similarity {
     * the bucket join + ranking after it is plain relational algebra).
     */
   def lshItemBuckets(items: DataFrame, itemId: String, itemVec: String,
-      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
     Dedup.widen(items).select(col(itemId).as("id"),
       explode(tableSigs(col(itemVec), numPlanes, dims, numTables)).as("ts"))
@@ -145,7 +145,7 @@ object Similarity {
     * plus all Hamming-distance-1 flips (multi-probe).
     */
   def lshProbeBuckets(queries: DataFrame, queryId: String, queryVec: String,
-      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     queries.select(col(queryId).as("id"),
       explode(tableSigs(col(queryVec), numPlanes, dims, numTables)).as("ts"))
@@ -156,7 +156,7 @@ object Similarity {
 
   def lshTopK(items: DataFrame, itemId: String, itemVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
-      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 4): DataFrame = {
+      numPlanes: Int = 8, dims: Int = 64, numTables: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(items.sparkSession)
     def sigs(vec: Column): Column = tableSigs(vec, numPlanes, dims, numTables)
     val it = Dedup.widen(items).select(col(itemId).as("item_id"), col(itemVec).as("ivec"),

@@ -59,8 +59,8 @@ object StreamOps {
       interval: String, queryName: String = "tumbling"): DataFrame = {
     val dir = streamableDir(eventsDir)
     val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "1 hour")
     val q = tumblingAggBatch(stream, interval)
       .writeStream.format("memory").queryName(queryName)
@@ -130,9 +130,10 @@ object StreamOps {
     import spark.implicits._
     val dir = streamableDir(eventsDir)
     val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val stream = raw
       .select(col("user_id").cast("long").as("user_id"),
-        expr("ts div 1000").as("ts_us"), // nanos → micros
+        graft.Tables.eventTsMicros(raw).as("ts_us"), // → epoch micros
         col("event_id").cast("long").as("event_id"))
       .as[(Long, Long, Long)]
     val gapUs = gapMinutes * 60000000L
@@ -410,12 +411,7 @@ object StreamOps {
       // bounded batches: exercise several foreachBatch merges, not one
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-    // testdata ships TIMESTAMP(NANOS) read as long (see Tables.events);
-    // an already-converted source passes through
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val stream = graft.Tables.normalizeEventTs(raw)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeCubeBatch(batch, batchId, cubeDir)

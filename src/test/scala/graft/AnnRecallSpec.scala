@@ -50,11 +50,17 @@ class AnnRecallSpec extends SparkSpec {
       Row(sfName, "IVF nProbe=3/8 (x13)", recallOf(
         Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           centroids, nProbe = 3))),
-      Row(sfName, "PQ m=4 ksub=16 (x51)", recallOf(
+      Row(sfName, "PQ ADC-only m=4 ksub=16", recallOf(
         Pq.topK(codes, cb, q, "vec_id", "vec", k = 10, dim = 64, m = 4))),
-      Row(sfName, "IVF×PQ (x52)", recallOf(
+      Row(sfName, "PQ + exact re-rank (x51)", recallOf(
+        Pq.topKRerank(codes, cb, e, "vec_id", "vec", q, "vec_id", "vec",
+          k = 10, dim = 64, m = 4))),
+      Row(sfName, "IVF×PQ ADC-only", recallOf(
         Pq.topKWithin(cand, codes, cb, q, "vec_id", "vec",
-          k = 10, dim = 64, m = 4))))
+          k = 10, dim = 64, m = 4))),
+      Row(sfName, "IVF×PQ + exact re-rank (x52)", recallOf(
+        Pq.topKWithinRerank(cand, codes, cb, e, "vec_id", "vec",
+          q, "vec_id", "vec", k = 10, dim = 64, m = 4))))
     graft.engine.CacheScope.drain()
     rows
   }
@@ -69,7 +75,14 @@ class AnnRecallSpec extends SparkSpec {
     // >10x — the artifact's value is the RECORDED numbers, the floors
     // only catch a mechanism breaking
     rows.foreach { r =>
-      val floor = if (r.method.contains("PQ")) 0.05
+      // re-ranked paths are the shipping x51/x52 contract (bar 0.5);
+      // ADC-only rows record the compressed-domain floor for the memory
+      // trade; x52's re-rank is additionally capped by IVF's candidate
+      // recall (nProbe=3/8), so it shares IVF's bar rather than x51's
+      val floor =
+        if (r.method.contains("x51")) 0.5
+        else if (r.method.contains("x52")) 0.4
+        else if (r.method.contains("ADC-only")) 0.05
         else if (r.method.contains("LSH")) 0.25 else 0.4
       assert(r.recall >= floor,
         f"${r.sfName} ${r.method}: recall ${r.recall}%.2f below floor $floor")

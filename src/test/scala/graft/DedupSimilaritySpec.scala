@@ -467,7 +467,7 @@ class DedupSimilaritySpec extends SparkSpec {
       val cosines = sorted.map(_.getAs[Double]("cos")).toSeq
       assert(cosines == cosines.sorted.reverse)
     }
-    // recall@10 against brute force: 4 tables × 8 planes with 1-bit
+    // recall@10 against brute force: 8 tables × 8 planes with 1-bit
     // multi-probe on random 64-d data (miss only if missed in EVERY table)
     val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
     val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet

@@ -207,4 +207,29 @@ class EtlSpec extends SparkSpec {
   test("validation: unknown institutions surface (B23) — none in clean fixture") {
     assert(outputs.unknownInstitutions.count() == 0)
   }
+
+  test("readCsv decodes non-UTF-8 input given its charset (util.py:10-38 parity)") {
+    // the reference's UTF8RecoderReader recodes arbitrary encodings to
+    // UTF-8 before csv parsing; readCsv's encoding option is the same
+    // shim — a latin-1 file with bytes invalid in UTF-8 must round-trip
+    val dir = Files.createTempDirectory("graft-latin1")
+    val csv = "institution,title\nMünchen U,Café: résumé\n"
+    Files.write(dir.resolve("latin1.csv"),
+      csv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("institution",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("title",
+        org.apache.spark.sql.types.StringType)))
+    val read = CubeBuilder.readCsv(spark, dir.resolve("latin1.csv").toString,
+      schema, encoding = "ISO-8859-1").collect()
+    assert(read.length == 1)
+    assert(read.head.getAs[String]("institution") == "München U")
+    assert(read.head.getAs[String]("title") == "Café: résumé")
+    // and the default UTF-8 path garbles the same bytes (proving the
+    // option is load-bearing, not a no-op)
+    val bad = CubeBuilder.readCsv(spark, dir.resolve("latin1.csv").toString,
+      schema).collect()
+    assert(bad.head.getAs[String]("institution") != "München U")
+  }
 }

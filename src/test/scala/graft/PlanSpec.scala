@@ -8,17 +8,39 @@ class PlanSpec extends SparkSpec {
 
   private val skip = PlanAudit.skip
 
-  private lazy val audits: Map[String, PlanAudit.Audit] =
+  /** Per-query audit, failure-capturing: a query that fails to even build
+    * (analysis error, bad testdata) must fail only the pins that inspect
+    * it — not every pin in the file via a lazy-val init crash.
+    */
+  private lazy val tried: Map[String, Either[Throwable, PlanAudit.Audit]] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1))
       .map { case (name, fn) =>
-        val a = PlanAudit.audit(name, fn(spark, sf()))
-        graft.engine.CacheScope.drain()
+        val a = scala.util.Try {
+          val r = PlanAudit.audit(name, fn(spark, sf()))
+          graft.engine.CacheScope.drain()
+          r
+        }.toEither
+        if (a.isLeft) graft.engine.CacheScope.drain()
         name -> a
       }.toMap
 
+  private def audits(name: String): PlanAudit.Audit =
+    tried(name).fold(
+      e => fail(s"$name failed to build: ${e.getMessage.linesIterator.next()}"),
+      identity)
+
+  private def built: Iterable[PlanAudit.Audit] =
+    tried.values.collect { case Right(a) => a }
+
+  test("every batch query builds a physical plan") {
+    val broken = tried.collect { case (n, Left(e)) =>
+      s"$n: ${e.getMessage.linesIterator.next()}" }
+    assert(broken.isEmpty, s"queries failing to build:\n${broken.mkString("\n")}")
+  }
+
   test("no query plans a shuffled cartesian product") {
-    val offenders = audits.values.filter(_.cartesian > 0).map(_.name)
+    val offenders = built.filter(_.cartesian > 0).map(_.name)
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
@@ -145,7 +167,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every non-trivial query runs inside whole-stage codegen") {
-    val uncodegened = audits.values
+    val uncodegened = built
       .filter(a => a.codegenSpans == 0 && a.shuffles > 0).map(_.name)
     assert(uncodegened.isEmpty,
       s"queries with shuffles but no codegen span: $uncodegened")

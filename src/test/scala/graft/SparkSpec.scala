@@ -13,7 +13,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: task retries on, so failure-injection
+      // specs (ChaosSpec) can exercise recovery paths; a genuinely broken
+      // task still fails the job after 4 attempts
+      .master("local[4,4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
