@@ -15,10 +15,18 @@ import graft.model.CubeModel
   */
 final class CubeRegistry {
   private val cubes = TrieMap.empty[String, (CubeModel, DataFrame)]
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Monotonic registration generation: bumps on every register/unregister,
+    * so response caches keyed on it self-invalidate across the
+    * rebuild-redeploy reload cycle without coordination.
+    */
+  def generation: Long = gen.get()
 
   def register(model: CubeModel, df: DataFrame, cache: Boolean = false): Unit = {
     val d = if (cache) df.cache() else df
     cubes.put(model.name, (model, d))
+    gen.incrementAndGet(): Unit
   }
 
   /** Drop every registration and unpersist whatever was cached — the
@@ -30,6 +38,7 @@ final class CubeRegistry {
   def unregisterAll(): Unit = {
     cubes.values.foreach { case (_, df) => df.unpersist(blocking = false) }
     cubes.clear()
+    gen.incrementAndGet(): Unit
   }
 
   def names: Seq[String] = cubes.keys.toSeq.sorted

@@ -46,16 +46,58 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
 
+  // ---- response cache ---------------------------------------------------
+
+  /** LRU response cache for successful GETs. Every endpoint is a pure
+    * function of (request URI, registry contents), so a 200 response can
+    * be replayed byte-identically until the registry changes — entries
+    * are stamped with [[CubeRegistry.generation]] and a reload
+    * (register/unregisterAll bumps it) makes them unreachable without any
+    * coordinated flush. The serving win is the point at scale: the repeat
+    * aggregate page costs a map lookup instead of a Spark job. Access-
+    * ordered LinkedHashMap, capped — ~500-cell JSON bodies are ≤100 KB,
+    * so the cache is bounded at tens of MB of heap.
+    */
+  private val ResponseCacheCap = 512
+  private val respCache =
+    new java.util.LinkedHashMap[String, (Long, String, String)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, String, String)]): Boolean =
+        size() > ResponseCacheCap
+    }
+
+  private def cached(key: String): Option[(String, String)] =
+    respCache.synchronized {
+      Option(respCache.get(key)).collect {
+        case (g, body, ct) if g == registry.generation => (body, ct)
+      }
+    }
+
+  private def cachePut(key: String, gen: Long, body: String, ct: String): Unit =
+    respCache.synchronized {
+      // stamp with the generation read BEFORE the body was computed: a
+      // reload that lands mid-computation leaves the entry already stale
+      respCache.put(key, (gen, body, ct)): Unit
+    }
+
   // ---- routing ----------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      val key = ex.getRequestURI.toString
+      cached(key) match {
+        case Some((body, ct)) => respond(ex, 200, body, ct); return
+        case None =>
+      }
+      val genAtStart = registry.generation
       val path = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
       val params = queryParams(ex)
       // facts supports the cubes `format=csv` alternative rendering
       if (path.length == 3 && path(0) == "cube" && path(2) == "facts" &&
           params.get("format").contains("csv")) {
-        respond(ex, 200, factsCsv(path(1), params), "text/csv; charset=utf-8")
+        val csv = factsCsv(path(1), params)
+        cachePut(key, genAtStart, csv, "text/csv; charset=utf-8")
+        respond(ex, 200, csv, "text/csv; charset=utf-8")
         return
       }
       val body = path match {
@@ -70,6 +112,7 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
         case Seq("cube", c, "members", dim) => membersJson(c, dim, params)
         case _ => throw new NoSuchElementException(s"no such endpoint: ${ex.getRequestURI.getPath}")
       }
+      cachePut(key, genAtStart, body, "application/json; charset=utf-8")
       respond(ex, 200, body)
     } catch {
       case e: NoSuchElementException => respond(ex, 404, errJson(e))

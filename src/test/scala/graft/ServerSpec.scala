@@ -311,4 +311,28 @@ class ServerSpec extends SparkSpec {
     assert(get("/cube/lineitem/aggregate?page=1")._1 == 400) // missing pagesize
     assert(get("/cube/lineitem/members/not_a_dim")._1 == 400)
   }
+
+  test("response cache: repeat URL replays byte-identically; reload invalidates") {
+    val path = "/cube/lineitem/aggregate?drilldown=l_returnflag"
+    val first = get(path)
+    assert(first._1 == 200)
+    // second hit serves from the response cache — must be byte-identical
+    assert(get(path) == first)
+    // a re-register (the reload cycle) bumps the registry generation; a
+    // stale cached response must NOT survive it — re-registering the cube
+    // over a filtered frame must change what the same URL returns
+    try {
+      server.registry.register(TestCubes.lineitemModel,
+        TestCubes.lineitemDf(spark, sf()).filter("l_returnflag = 'R'"))
+      val afterReload = get(path)
+      assert(afterReload._1 == 200)
+      assert(afterReload._2 != first._2,
+        "cached response served across a registry reload")
+    } finally {
+      // restore the full cube for any test ordered after this one
+      server.registry.register(TestCubes.lineitemModel,
+        TestCubes.lineitemDf(spark, sf()))
+    }
+    assert(get(path) == first) // restored cube → original response again
+  }
 }

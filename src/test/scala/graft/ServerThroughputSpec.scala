@@ -12,9 +12,13 @@ import graft.server.GraftServer
   * slicer.ini:9), published into COVERAGE.md next to the recall tables.
   * ServerSpec proves a concurrent storm is CORRECT; this records how fast
   * the served path actually is, so regressions in the per-request
-  * plan-build + collect cost are visible round over round. The floor only
-  * catches the mechanism collapsing (single-digit reqs/sec would mean a
-  * full re-scan per request crept in).
+  * plan-build + collect cost are visible round over round.
+  *
+  * Two rows: UNCACHED (every request a distinct URL — the Spark compute
+  * path) and CACHED (repeat URL — the response-cache replay path a
+  * dashboard's polling traffic takes). The floors only catch a mechanism
+  * collapsing (uncached single-digit would mean a full re-scan crept in;
+  * cached must be orders faster than compute).
   */
 class ServerThroughputSpec extends SparkSpec {
 
@@ -34,52 +38,69 @@ class ServerThroughputSpec extends SparkSpec {
     client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
   }
 
-  test("gated throughput at 500-cell aggregate pages; COVERAGE.md block refreshed") {
+  private final case class Meas(rps: Double, p50: Double, p95: Double, p99: Double)
+
+  /** Fire the i-th URL from `paths` round-robin at fixed concurrency;
+    * returns reqs/sec + latency percentiles (ms).
+    */
+  private def storm(paths: IndexedSeq[String], total: Int,
+      concurrency: Int): Meas = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    // l_orderkey drilldown at sf0.001 has ~1.4k groups; pagesize 500 is
-    // the reference record limit — a full slicer-sized page per request
-    val path = "/cube/lineitem/aggregate?drilldown=l_orderkey&page=0&pagesize=500"
-    assert(get(path) == 200)
-    (1 to 3).foreach(_ => get(path)) // warmup: codegen + plan cache
-    val concurrency = 4
-    val perThread = 15
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
     val lats = Await.result(Future.traverse(1 to concurrency) { _ =>
       Future {
-        (1 to perThread).map { _ =>
-          val s = System.nanoTime()
-          assert(get(path) == 200)
-          (System.nanoTime() - s) / 1e3 // µs
-        }
+        Iterator.continually(idx.getAndIncrement()).takeWhile(_ < total)
+          .map { i =>
+            val s = System.nanoTime()
+            assert(get(paths(i % paths.size)) == 200)
+            (System.nanoTime() - s) / 1e6 // ms
+          }.toVector
       }
-    }, 5.minutes).flatten.sorted
+    }, 10.minutes).flatten.sorted
     val wallSec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val n = lats.size
-    val rps = n / wallSec
-    def pct(p: Double): Double = lats((p * (n - 1)).round.toInt) / 1e3 // ms
-    info(f"$n reqs, concurrency $concurrency: $rps%.1f req/s, " +
-      f"p50 ${pct(0.50)}%.0f ms, p95 ${pct(0.95)}%.0f ms")
-    assert(rps > 1.0, f"served path collapsed: $rps%.2f req/s")
+    def pct(p: Double): Double = lats((p * (lats.size - 1)).round.toInt)
+    Meas(lats.size / wallSec, pct(0.50), pct(0.95), pct(0.99))
+  }
+
+  test("gated throughput at 500-cell aggregate pages; COVERAGE.md block refreshed") {
+    // l_orderkey drilldown at sf0.001 has ~1.4k groups; pagesize ~500 is
+    // the reference record limit — a full slicer-sized page per request.
+    // Distinct pagesizes make distinct URLs: every request misses the
+    // response cache and pays the Spark job.
+    def page(ps: Int) =
+      s"/cube/lineitem/aggregate?drilldown=l_orderkey&page=0&pagesize=$ps"
+    (1 to 3).foreach(i => get(page(400 + i))) // warmup: codegen + plan cache
+    val uncachedPaths = (441 to 500).map(page)
+    val uncached = storm(uncachedPaths, total = 60, concurrency = 4)
+    get(page(500)) // prime the cache for the repeat-URL row
+    val cachedM = storm(Vector(page(500)), total = 200, concurrency = 4)
+    info(f"uncached: ${uncached.rps}%.1f req/s, p50 ${uncached.p50}%.0f ms, " +
+      f"p95 ${uncached.p95}%.0f ms")
+    info(f"cached:   ${cachedM.rps}%.1f req/s, p50 ${cachedM.p50}%.2f ms, " +
+      f"p95 ${cachedM.p95}%.2f ms")
+    assert(uncached.rps > 1.0, f"compute path collapsed: ${uncached.rps}%.2f req/s")
+    assert(cachedM.rps > 50.0, f"cache path not serving: ${cachedM.rps}%.2f req/s")
 
     val begin = "<!-- server-throughput:begin -->"
     val end = "<!-- server-throughput:end -->"
     val block =
       s"""$begin
-         |Measured by ServerThroughputSpec on the live HTTP facade:
-         |${n} aggregate requests (drilldown=l_orderkey, pagesize=500 — the
-         |reference record limit, slicer.ini:9) at concurrency $concurrency
-         |over the sf0.001 lineitem cube, after 3 warmup requests.
+         |Measured by ServerThroughputSpec on the live HTTP facade over the
+         |sf0.001 lineitem cube, concurrency 4, after 3 warmup requests:
+         |"uncached" = 60 distinct 500-cell aggregate pages (every request
+         |pays the Spark job — the reference record limit, slicer.ini:9);
+         |"cached" = 200 repeats of one URL (the generation-stamped
+         |response-cache replay path).
          |
-         || metric | value |
-         ||---|---|""".stripMargin + "\n" +
-        f"| requests/sec | $rps%.1f |%n" +
-        f"| p50 latency | ${pct(0.50)}%.0f ms |%n" +
-        f"| p95 latency | ${pct(0.95)}%.0f ms |%n" +
-        f"| p99 latency | ${pct(0.99)}%.0f ms |%n" +
+         || path | requests/sec | p50 | p95 | p99 |
+         ||---|---|---|---|---|""".stripMargin + "\n" +
+        f"| uncached (compute) | ${uncached.rps}%.1f | ${uncached.p50}%.0f ms | ${uncached.p95}%.0f ms | ${uncached.p99}%.0f ms |%n" +
+        f"| cached (replay) | ${cachedM.rps}%.0f | ${cachedM.p50}%.2f ms | ${cachedM.p95}%.2f ms | ${cachedM.p99}%.2f ms |%n" +
         end
     val p = Paths.get("COVERAGE.md")
     val current = new String(Files.readAllBytes(p), "UTF-8")
