@@ -1095,6 +1095,11 @@ object ExtensionQueries {
           sum(coalesce(col("n_new"), lit(0L))).as("n_docs_new"))
         .orderBy(col("status"))
     }),
+    // x73: INTRA-document repetition signals (the Gopher repetition
+    // rules — see operators/Repetition for the semantics + scale shape)
+    "x73_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.signals(
+        table(s, dir, "documents"), "doc_id", "text")),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1804,6 +1809,35 @@ object ExtensionQueries {
          |  CAST(sum(coalesce(n_old, 0)) AS BIGINT) AS n_docs_old,
          |  CAST(sum(coalesce(n_new, 0)) AS BIGINT) AS n_docs_new
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    "x73_repetition" ->
+      // same whitespace tokens; k-grams re-derived positionally via
+      // lead() windows (NULL tail rows drop); count arithmetic is
+      // integer-exact on both engines so the fractions divide identically
+      (s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  generate_subscripts(ts, 1) AS i FROM t),
+         |bi AS (SELECT doc_id, tok || ' ' || lead(tok) OVER w AS g
+         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |bic AS (SELECT doc_id, g, count(*) AS c FROM bi
+         |  WHERE g IS NOT NULL GROUP BY 1, 2),
+         |b AS (SELECT doc_id, max(c) AS topc, sum(c) AS nbi
+         |  FROM bic GROUP BY 1),
+         |tri AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w ||
+         |    ' ' || lead(tok, 2) OVER w AS g
+         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |tric AS (SELECT doc_id, g, count(*) AS c FROM tri
+         |  WHERE g IS NOT NULL GROUP BY 1, 2),
+         |tr AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(c) AS DOUBLE) AS dup3 FROM tric GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(coalesce(2.0 * b.topc / (b.nbi + 1), 0.0), 6) AS top2gram_frac,
+         |  round(coalesce(tr.dup3, 0.0), 6) AS dup3gram_frac,
+         |  (coalesce(2.0 * b.topc / (b.nbi + 1), 0.0) <= 0.20 AND
+         |    coalesce(tr.dup3, 0.0) <= 0.30) AS keep
+         |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
+         |LEFT JOIN tr ON tr.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
     "x71_curation_v2" ->
       // the three stages re-derived in one WITH chain: x70's gate from
       // the shared quality CTEs + staged weights, x66's line dedup over

@@ -55,10 +55,16 @@ object TextFunctions {
     * which dedups): the input to repetition statistics, where how often a
     * bigram repeats is the signal. Empty below 2 tokens.
     */
-  def bigramsOf(ts: Column): Column =
-    when(size(ts) >= 2,
-      transform(sequence(lit(1), size(ts) - 1),
-        i => concat_ws(" ", slice(ts, i, lit(2)))))
+  def bigramsOf(ts: Column): Column = ngramListOf(ts, 2)
+
+  /** Consecutive token k-grams WITH multiplicity and position order (the
+    * repetition-statistics input; [[shingles]] dedups instead). Empty
+    * below k tokens.
+    */
+  def ngramListOf(ts: Column, k: Int): Column =
+    when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
   /** Per-language stopword marker sets for the n-gram language heuristic. */

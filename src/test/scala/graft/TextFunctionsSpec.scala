@@ -83,4 +83,26 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(a - e) <= 0.05,
         s"approx p$p=$a vs exact $e — beyond tolerance")
   }
+
+  test("repetition signals (x73): hand-computed fractions; short docs keep") {
+    import spark.implicits._
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top 'a b' ×3 of
+    // 5 grams, n=6 tokens → top2 = 2·3/6 = 1.0; trigrams = [aba, bab,
+    // aba, bab] → all positions duplicated → dup3 = 1.0 → filtered.
+    // "w x y z w q": bigrams all distinct → top2 = 2/6 ≈ 0.333 > 0.2 is
+    // false? 2·1/6 = 0.333 — above the 0.20 gate → keep=false even
+    // though nothing repeats: short docs saturate the top-1 fraction,
+    // exactly why Gopher gates apply to long documents; the engine
+    // reports the raw signal and leaves length-conditioning to callers.
+    // "a" (1 token): no grams → fractions 0, keep.
+    val df = Seq((1L, "a b a b a b"), (2L, "w x y z w q"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Repetition.signals(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(out(1L) == ((1.0, 1.0, false)))
+    assert(math.abs(out(2L)._1 - 0.333333) < 1e-6)
+    assert(out(2L)._2 == 0.0 && !out(2L)._3)
+    assert(out(3L) == ((0.0, 0.0, true)))
+  }
 }
