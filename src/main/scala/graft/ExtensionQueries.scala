@@ -1100,6 +1100,12 @@ object ExtensionQueries {
     "x73_repetition" -> ((s, dir) =>
       graft.operators.Repetition.signals(
         table(s, dir, "documents"), "doc_id", "text")),
+    // x74: cross-document EXACT SUBSTRING dedup (Lee et al. 2022 — see
+    // operators/SubstringDedup for semantics + scale shape): duplicated
+    // 8-gram spans island-merged per doc, cut out, survivors reassembled
+    "x74_substring_dedup" -> ((s, dir) =>
+      graft.operators.SubstringDedup.dedup(
+        table(s, dir, "documents"), "doc_id", "text")),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1838,6 +1844,48 @@ object ExtensionQueries {
          |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
          |LEFT JOIN tr ON tr.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
+    "x74_substring_dedup" ->
+      // same tokens; duplicated 8-gram positions re-derived via
+      // list_slice, the island merge via the identical running-max
+      // window, survivors re-assembled positionally with a range
+      // anti-join (the engine uses an equivalent per-doc HOF filter)
+      (s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(1, greatest(len(ts) - 6, 1))) AS i, ts
+         |  FROM t),
+         |gs AS (SELECT doc_id, i,
+         |  array_to_string(list_slice(ts, i, i + 7), ' ') AS g FROM gr),
+         |dup AS (SELECT g FROM gs GROUP BY g
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+         |  CAST(i + 7 AS BIGINT) AS e FROM gs JOIN dup USING (g)),
+         |isl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER
+         |    (PARTITION BY doc_id ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |  THEN 1 ELSE 0 END AS brk FROM pos),
+         |isl2 AS (SELECT doc_id, s, e, sum(brk) OVER
+         |    (PARTITION BY doc_id ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl),
+         |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2
+         |  GROUP BY doc_id, island),
+         |spn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM sp GROUP BY 1),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  generate_subscripts(ts, 1) AS i FROM t),
+         |keep AS (SELECT tok.doc_id, tok.i, tok.tok FROM tok
+         |  LEFT JOIN sp ON sp.doc_id = tok.doc_id
+         |    AND tok.i BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL),
+         |fp AS (SELECT doc_id,
+         |  md5(array_to_string(array_agg(tok ORDER BY i), ' ')) AS clean_fp
+         |  FROM keep GROUP BY 1)
+         |SELECT t2.doc_id, CAST(len(t2.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(spn.n_spans, 0) AS n_spans,
+         |  coalesce(spn.n_removed, 0) AS n_removed,
+         |  coalesce(fp.clean_fp, md5('')) AS clean_fp
+         |FROM t t2 LEFT JOIN spn ON spn.doc_id = t2.doc_id
+         |LEFT JOIN fp ON fp.doc_id = t2.doc_id
+         |ORDER BY t2.doc_id""".stripMargin.replace("\n", " ")),
     "x71_curation_v2" ->
       // the three stages re-derived in one WITH chain: x70's gate from
       // the shared quality CTEs + staged weights, x66's line dedup over

@@ -476,6 +476,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.25)
   }
 
+  test("substring dedup (x74): shared 8-gram spans cut from BOTH docs, islands merge, reassembly exact") {
+    import spark.implicits._
+    // docs 1/2 share a 9-token run (two overlapping duplicated 8-grams →
+    // ONE merged island of 9 tokens); doc 3 is clean
+    val shared = (1 to 9).map(i => s"dup$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "no duplicated content here at all just unique words")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup.dedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: 13 tokens, the 9 shared removed as one island
+    assert(out(1L)._1 == 13 && out(1L)._2 == 1 && out(1L)._3 == 9)
+    assert(out(2L)._1 == 13 && out(2L)._2 == 1 && out(2L)._3 == 9)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0)
+    // reassembly: md5 of the survivors in original order
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out(1L)._4 == fp("alpha beta gamma delta"))
+    assert(out(2L)._4 == fp("one two three four"))
+    graft.engine.CacheScope.drain()
+  }
+
   test("contaminationScanBloom ≡ contaminationScan (no false negatives; exact join removes bloom FPs)") {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val bench = docs.filter(col("doc_id") % 50 === 0)
