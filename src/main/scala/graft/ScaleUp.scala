@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
   *  - events keep their timestamps (densification, the realistic growth
   *    mode for a fixed observation window).
   *
-  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10]. The artifact consumer
-  * is `Bench` with SPARK_GRAFT_SF_DIR=<dstDir>.
+  * Two replica modes:
+  *  - `neardup` (default): suffix-perturbed text / one-component-nudged
+  *    embeddings — replicas REMAIN near-duplicates of their original, so
+  *    duplicate density grows with the factor (a worst-case stress for
+  *    the pair-producing dedup operators: true pair count grows
+  *    quadratically in the factor);
+  *  - `distinct`: rep>0 text is deterministically token-shuffled (same
+  *    vocabulary/length stats, no shared n-grams) and rep>0 embeddings
+  *    are fresh hash-derived vectors — duplicate density stays CONSTANT,
+  *    the realistic growth mode, so operator cost growth is attributable
+  *    to data volume alone.
+  *
+  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [neardup|distinct].
+  * The artifact consumer is `Bench` with SPARK_GRAFT_SF_DIR=<dstDir>.
   */
 object ScaleUp {
 
@@ -34,6 +46,7 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val distinct = args.length > 3 && args(3) == "distinct"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,19 +72,40 @@ object ScaleUp {
     write(rep(read("events"))
       .withColumn("event_id", col("event_id") * factor + col("rep"))
       .drop("rep"), "events")
+    // distinct mode: every token gets a replica-id suffix — the token
+    // MULTISET changes (vocabulary scales with the factor, as a real
+    // bigger crawl's does), so replicas share nothing with their
+    // original under ANY fingerprint, including order-invariant
+    // bag-of-words ones (simhash): a token SHUFFLE preserves the
+    // multiset and therefore the exact simhash — measured: x08 stayed
+    // 38× on a shuffled corpus because replicas still formed signature
+    // cliques. Token counts, lengths, and per-doc structure carry over.
+    val shuffledText = concat_ws(" ",
+      transform(
+        filter(split(col("text"), "\\s+"), t => length(t) > 0),
+        t => concat(t, lit("r"), col("rep"))))
     write(rep(read("documents"))
       .withColumn("doc_id", col("doc_id") * factor + col("rep"))
       .withColumn("text",
         when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" zrep"), col("rep"))))
+          .otherwise(if (distinct) shuffledText
+            else concat(col("text"), lit(" zrep"), col("rep"))))
       .withColumn("n_chars", length(col("text")))
       .drop("rep"), "documents")
+    // distinct mode: rep>0 embeddings are fresh hash-derived vectors in
+    // [-1, 1) — same distribution family as the synthetic corpus, zero
+    // similarity to the original
+    def hashComponent(i: org.apache.spark.sql.Column) =
+      ((xxhash64(col("vec_id"), col("rep"), i) % 100000L).cast("double")
+        / 50000.0).cast("float")
     write(rep(read("embeddings"))
       .withColumn("vec_id", col("vec_id") * factor + col("rep"))
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
-          when(i === 0, x + col("rep").cast("float") * lit(0.001f))
-            .otherwise(x)))
+          when(col("rep") === 0, x)
+            .otherwise(if (distinct) hashComponent(i)
+              else when(i === 0, x + col("rep").cast("float") * lit(0.001f))
+                .otherwise(x))))
       .drop("rep"), "embeddings")
 
     println(s"scaled $src -> $dst x$factor")
