@@ -531,7 +531,20 @@ object Dedup {
     * [[simhashPairs]]'s scale note) — the result set is identical either
     * way (both schemes are complete; the hamming filter is exact).
     */
-  def simhashPairsOf(sh: DataFrame, maxDist: Int): DataFrame = {
+  /** `maxBucket` (opt-in): drop every banding bucket holding more than
+    * this many signatures BEFORE the self-join. At permissive distances
+    * (maxDist 14 → ~8 effective band bits) correlated signatures make
+    * some buckets scale with the corpus — candidate volume then grows as
+    * a constant fraction of ALL pairs (measured 26.9× on 10× constant-
+    * density data, BASELINE.md round 8). The cap bounds any bucket's
+    * contribution to maxBucket² candidates, restoring linear growth; a
+    * pair is LOST only if every band it agrees on is oversized — i.e.
+    * boilerplate-shaped content, the same trade the MinHash path's
+    * maxDocFreq makes. Leave at MaxValue where the exact pair set is the
+    * contract (the oracle-gated x08/x69 queries do).
+    */
+  def simhashPairsOf(sh: DataFrame, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // the two-chunk scheme needs maxDist+2 chunks within the 60 bits
     require(maxDist >= 0 && (maxDist <= 5 || maxDist + 2 <= 60),
       s"maxDist must be in [0, 58], got $maxDist")
@@ -560,10 +573,19 @@ object Dedup {
     // widen: the signature frame may arrive narrow (a small staged parquet
     // is ONE partition) and the explode + bucket self-join below must not
     // serialize on one core (see `widen`'s scaladoc)
-    val chunked = widen(sh).select(col("id"), col("sh"),
+    val chunkedRaw = widen(sh).select(col("id"), col("sh"),
       explode(array(keys: _*)).as("ck"))
       .select(col("id"), col("sh"),
         col("ck.chunk"), col("ck.v1"), col("ck.v2"))
+    // the window shuffles by the same key the self-join below uses, so
+    // the cap costs one exchange that the join re-uses
+    val chunked =
+      if (maxBucket == Int.MaxValue) chunkedRaw
+      else {
+        val w = Window.partitionBy(col("chunk"), col("v1"), col("v2"))
+        chunkedRaw.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     // A pair within the bound shares MANY buckets, so the bucket join
     // emits it several times; distinct() dedups. (Measured alternative:
     // deciding the pair's canonical agreeing bucket inline from

@@ -476,6 +476,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.25)
   }
 
+  test("simhash banding maxBucket cap: boilerplate cliques dropped, distinct near-dups survive") {
+    import spark.implicits._
+    // 100 byte-identical docs (a boilerplate clique: every bucket they
+    // occupy holds ≥100 signatures) + one true near-dup pair of unique
+    // content (its buckets hold 2)
+    val boiler = (0 until 100).map(i =>
+      (i.toLong, "the same boilerplate footer text repeated verbatim across pages"))
+    val pair = Seq(
+      (1000L, "entirely unique alpha bravo charlie delta echo foxtrot golf"),
+      (1001L, "entirely unique alpha bravo charlie delta echo foxtrot hotel"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val sh = graft.engine.CacheScope.persistTracked(
+      Dedup.simhashTable(df, "doc_id", "text"))
+    val uncapped = Dedup.simhashPairsOf(sh, maxDist = 10).collect()
+    val capped = Dedup.simhashPairsOf(sh, maxDist = 10, maxBucket = 10)
+      .collect()
+    def hasPair(rows: Array[org.apache.spark.sql.Row]) = rows.exists(r =>
+      r.getLong(0) == 1000L && r.getLong(1) == 1001L)
+    // uncapped finds the clique's ~100·99/2 pairs AND the near-dup pair
+    assert(uncapped.length >= 100 * 99 / 2)
+    assert(hasPair(uncapped))
+    // capped: every clique bucket exceeds 10 → clique pairs gone; the
+    // near-dup pair's buckets hold 2 ≤ 10 → it survives
+    assert(hasPair(capped))
+    assert(capped.count(r => r.getLong(0) < 100L) == 0,
+      "boilerplate-clique pairs leaked past the bucket cap")
+    graft.engine.CacheScope.drain()
+  }
+
   test("substring dedup (x74): shared 8-gram spans cut from BOTH docs, islands merge, reassembly exact") {
     import spark.implicits._
     // docs 1/2 share a 9-token run (two overlapping duplicated 8-grams →
