@@ -147,6 +147,18 @@ class PlanSpec extends SparkSpec {
       s"x70 scoring must be join-free: $q")
   }
 
+  test("round-8 corpus operators keep their scale shapes") {
+    // repetition (x73): explode + two keyed aggregates + two left joins —
+    // never a cartesian, and the per-doc metrics must not sort-merge the
+    // token table against itself
+    val r = audits("x73_repetition")
+    assert(r.cartesian == 0 && r.nestedLoopJoins == 0, r.toString)
+    // substring dedup (x74): gram-keyed equi-joins only; a cartesian or
+    // BNLJ means the span/coverage logic regressed to all-pairs
+    val sd = audits("x74_substring_dedup")
+    assert(sd.cartesian == 0 && sd.nestedLoopJoins == 0, sd.toString)
+  }
+
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
     // a17's denominator is collected from the persisted rollup and embedded
     // as a literal; the returned cells frame must read the SAME cache — a
