@@ -532,6 +532,51 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("property: substring dedup invariants on random corpora (seeded)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // small vocab forces real cross-doc 8-gram collisions
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.choose(8, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.choose(6, 12).flatMap(k => Gen.listOfN(k, docGen))
+    val cases = Iterator.iterate(org.scalacheck.rng.Seed(7L))(_.next)
+      .map(s => corpusGen.apply(Gen.Parameters.default, s))
+      .collect { case Some(c) => c }.take(5).toSeq
+    for ((texts, ci) <- cases.zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.SubstringDedup.dedup(df, "doc_id", "text")
+        .collect()
+      assert(out.length == texts.size, s"case $ci lost documents")
+      // invariants per doc: removal bounded by length; spans imply
+      // removal ≥ k and vice versa; zero spans ⇒ fingerprint of the
+      // intact token stream
+      def fp(s: String) = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      out.foreach { r =>
+        val (n, spans, removed, cfp) = (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))
+        assert(removed <= n, s"case $ci: removed $removed > n $n")
+        assert((spans == 0) == (removed == 0), s"case $ci: spans/removed disagree")
+        if (spans > 0) assert(removed >= 8, s"case $ci: span shorter than a gram")
+        if (spans == 0) {
+          val toks = texts(r.getLong(0).toInt).trim.split("\\s+")
+            .filter(_.nonEmpty).mkString(" ")
+          assert(cfp == fp(toks), s"case $ci: untouched doc fingerprint drifted")
+        }
+      }
+      // symmetry: a duplicated gram is duplicated in ≥2 docs, so the
+      // total removal count can never be confined to a single doc
+      val affected = out.count(_.getLong(2) > 0)
+      assert(affected != 1, s"case $ci: exactly one doc affected — dup not symmetric")
+      graft.engine.CacheScope.drain()
+    }
+  }
+
   test("contaminationScanBloom ≡ contaminationScan (no false negatives; exact join removes bloom FPs)") {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val bench = docs.filter(col("doc_id") % 50 === 0)
