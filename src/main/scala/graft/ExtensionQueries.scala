@@ -1106,6 +1106,18 @@ object ExtensionQueries {
     "x74_substring_dedup" -> ((s, dir) =>
       graft.operators.SubstringDedup.dedup(
         table(s, dir, "documents"), "doc_id", "text")),
+    // x75: first-touch funnel over the event stream (see
+    // operators/EventAnalytics) — min-timestamp chains make the stage
+    // counts deterministic and exactly re-derivable in SQL
+    "x75_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+    // x76: day-granular cohort retention (first-activity cohorts ×
+    // day offsets 0..7)
+    "x76_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retention(Tables.events(s, dir),
+        "user_id", "ts", maxOffset = 7)),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1886,6 +1898,36 @@ object ExtensionQueries {
          |FROM t t2 LEFT JOIN spn ON spn.doc_id = t2.doc_id
          |LEFT JOIN fp ON fp.doc_id = t2.doc_id
          |ORDER BY t2.doc_id""".stripMargin.replace("\n", " ")),
+    "x75_funnel" ->
+      // identical min-timestamp chain: stage i joins stage i-1's
+      // first-completion times and keeps strictly-later events
+      ("""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+         |  WHERE e.event_type = 'click' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+         |  WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+         |    CAST(count(*) AS BIGINT) FROM s1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+         |    CAST(count(*) AS BIGINT) FROM s2)
+         |ORDER BY stage_idx""".stripMargin.replace("\n", " ")),
+    "x76_retention" ->
+      // (user, day) distinct BEFORE the cohort join, then day offsets
+      ("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+         |  FROM events),
+         |cohort AS (SELECT user_id, min(d) AS c FROM days GROUP BY 1)
+         |SELECT c AS cohort_day,
+         |  CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM days JOIN cohort USING (user_id)
+         |WHERE date_diff('day', c, d) <= 7
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
     "x71_curation_v2" ->
       // the three stages re-derived in one WITH chain: x70's gate from
       // the shared quality CTEs + staged weights, x66's line dedup over

@@ -84,4 +84,31 @@ class AsOfSpec extends SparkSpec {
         col("p.ts").as("p_ts"), col("p.value").as("p_value"))
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
+
+  test("funnel (x75): strictly-after ordering gates each stage; retention (x76) buckets by first day") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1 completes the funnel in order; u2 clicked BEFORE viewing (click
+    // must not count — no click after the first view, so u2 stalls at
+    // view); u3 views only; u4 purchases without ever viewing (not in
+    // the funnel at all)
+    val ev = Seq(
+      (1L, "view", ts(1, 1)), (1L, "click", ts(1, 2)), (1L, "purchase", ts(2, 3)),
+      (2L, "click", ts(1, 1)), (2L, "view", ts(1, 2)),
+      (3L, "view", ts(3, 1)),
+      (4L, "purchase", ts(1, 1))
+    ).toDF("user_id", "event_type", "ts")
+    val f = graft.operators.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+    // retention: u1 active day1+day2 (offset 0,1); u2 day1; u3 day3
+    // (its own cohort); u4 day1
+    val r = graft.operators.EventAnalytics.retention(ev, "user_id", "ts")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> 3L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-03", 0L) -> 1L))
+    graft.engine.CacheScope.drain()
+  }
 }
