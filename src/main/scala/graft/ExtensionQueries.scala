@@ -1118,6 +1118,11 @@ object ExtensionQueries {
     "x76_retention" -> ((s, dir) =>
       graft.operators.EventAnalytics.retention(Tables.events(s, dir),
         "user_id", "ts", maxOffset = 7)),
+    // x77: the x75 funnel as an ACTUAL streaming query (AvailableNow
+    // drain, O(1)/user state) — oracle: the batch-equivalent SQL
+    "x77_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamOps.funnelStreaming(s, s"$dir/events.parquet",
+        Seq("view", "click", "purchase"))),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1898,25 +1903,12 @@ object ExtensionQueries {
          |FROM t t2 LEFT JOIN spn ON spn.doc_id = t2.doc_id
          |LEFT JOIN fp ON fp.doc_id = t2.doc_id
          |ORDER BY t2.doc_id""".stripMargin.replace("\n", " ")),
-    "x75_funnel" ->
-      // identical min-timestamp chain: stage i joins stage i-1's
-      // first-completion times and keeps strictly-later events
-      ("""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
-         |  WHERE event_type = 'view' GROUP BY 1),
-         |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-         |  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
-         |  WHERE e.event_type = 'click' GROUP BY 1),
-         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-         |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
-         |  WHERE e.event_type = 'purchase' GROUP BY 1)
-         |SELECT * FROM (
-         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
-         |    CAST(count(*) AS BIGINT) AS n_users FROM s0
-         |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
-         |    CAST(count(*) AS BIGINT) FROM s1
-         |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
-         |    CAST(count(*) AS BIGINT) FROM s2)
-         |ORDER BY stage_idx""".stripMargin.replace("\n", " ")),
+    // identical min-timestamp chain: stage i joins stage i-1's
+    // first-completion times and keeps strictly-later events. The
+    // STREAMING funnel (x77) shares this oracle — its sorted stateful
+    // scan advances along exactly the same chain
+    "x75_funnel" -> funnelSql,
+    "x77_stream_funnel" -> funnelSql,
     "x76_retention" ->
       // (user, day) distinct BEFORE the cohort join, then day offsets
       ("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
@@ -2469,6 +2461,24 @@ object ExtensionQueries {
     * (1-indexed; see the x26 query comment) — selected here by row_number
     * over the same per-doc quality values the x16 oracle derives.
     */
+  private def funnelSql: String =
+    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+      |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+      |    CAST(count(*) AS BIGINT) FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+      |    CAST(count(*) AS BIGINT) FROM s2)
+      |ORDER BY stage_idx""".stripMargin.replace("\n", " ")
+
   private def x26Sql: String =
     s"$langCte, c AS (SELECT lang, len(ts) AS n, " +
       s"CAST(${markers("en")} AS DOUBLE) AS mk, " +

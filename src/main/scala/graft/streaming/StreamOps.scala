@@ -176,6 +176,68 @@ object StreamOps {
         col("n_events"))
   }
 
+  /** Per-user funnel progress: next stage index + the previous stage's
+    * first-completion time in epoch micros (O(1) per user, like
+    * [[SessState]]).
+    */
+  final case class FunnelState(idx: Int, lastTs: Long)
+  final case class FunnelOut(user_id: Long, completed: Long)
+
+  /** Streaming first-touch funnel — the batch
+    * [[graft.operators.EventAnalytics.funnel]] as per-user
+    * flatMapGroupsWithState: a single sorted scan advances the stage
+    * pointer exactly along the batch path's min-timestamp chain (the
+    * first stage-i event strictly after stage i−1's first completion IS
+    * the chain minimum in (ts, event_id) order), so with an ordered
+    * arrival the final counts match the batch funnel exactly. State is
+    * O(1) per user; each micro-batch emits the user's furthest stage,
+    * and stage progress is MONOTONE, so the final per-user stage is a
+    * max over the appended updates — no Complete-mode state growth.
+    * Cross-batch caveat (same as [[sessionizeStreaming]]): batches are
+    * assumed time-ordered per user; a stage event arriving in an earlier
+    * batch than its predecessor stage's completion is not revisited.
+    */
+  def funnelStreaming(spark: SparkSession, eventsDir: String,
+      stages: Seq[String], queryName: String = "funnel"): DataFrame = {
+    import spark.implicits._
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val stream = raw
+      .select(col("user_id").cast("long").as("user_id"),
+        graft.Tables.eventTsMicros(raw).as("ts_us"),
+        col("event_type"),
+        col("event_id").cast("long").as("event_id"))
+      .as[(Long, Long, String, Long)]
+    val stageArr = stages.toArray
+    val out = stream.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, String, Long)],
+       state: GroupState[FunnelState]) => {
+        val events = rows.map(r => (r._2, r._4, r._3)).toArray
+          .sortBy(e => (e._1, e._2))
+        var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+        for ((tsUs, _, et) <- events if st.idx < stageArr.length)
+          if (et == stageArr(st.idx) && (st.idx == 0 || tsUs > st.lastTs))
+            st = FunnelState(st.idx + 1, tsUs)
+        state.update(st)
+        Iterator.single(FunnelOut(user, st.idx.toLong))
+      })
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val per = spark.table(queryName)
+      .groupBy(col("user_id")).agg(max(col("completed")).as("completed"))
+    stages.zipWithIndex.map { case (st, i) =>
+      per.filter(col("completed") >= (i + 1).toLong)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+  }
+
   /** Streaming exact deduplication: the x05 dedup-group aggregate as a
     * stateful streaming query — per content fingerprint, the smallest id
     * seen so far and the duplicate count, maintained incrementally as

@@ -41,6 +41,19 @@ class StreamingSpec extends SparkSpec {
         s"(batch=${batch.count()}, closed=${expected.count()}, streamed=${streamed.count()})")
   }
 
+  test("streaming funnel == batch funnel (AvailableNow drain)") {
+    val stages = Seq("view", "click", "purchase")
+    val batch = graft.operators.EventAnalytics
+      .funnel(events, "user_id", "event_type", "ts", stages)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = StreamOps.funnelStreaming(spark, eventsDir, stages,
+      queryName = "funnel_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"stream/batch funnel mismatch: $streamed vs $batch")
+    graft.engine.CacheScope.drain()
+  }
+
   test("incremental cube maintenance == full batch rebuild, partition-wise") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
     // split events into several files so AvailableNow+maxFilesPerTrigger=1
