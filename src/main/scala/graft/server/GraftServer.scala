@@ -74,7 +74,8 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
     }
 
   private def cachePut(key: String, gen: Long, body: String, ct: String): Unit =
-    respCache.synchronized {
+    // gen < 0 = the nocache hatch: don't populate either
+    if (gen >= 0) respCache.synchronized {
       // stamp with the generation read BEFORE the body was computed: a
       // reload that lands mid-computation leaves the entry already stale
       respCache.put(key, (gen, body, ct)): Unit
@@ -85,13 +86,16 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   private def handle(ex: HttpExchange): Unit =
     try {
       val key = ex.getRequestURI.toString
-      cached(key) match {
+      val params = queryParams(ex)
+      // nocache=1: bypass AND don't populate — the debugging/benchmark
+      // hatch for measuring the compute path on a warm server
+      val noCache = params.get("nocache").contains("1")
+      if (!noCache) cached(key) match {
         case Some((body, ct)) => respond(ex, 200, body, ct); return
         case None =>
       }
-      val genAtStart = registry.generation
+      val genAtStart = if (noCache) -1L else registry.generation
       val path = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
-      val params = queryParams(ex)
       // facts supports the cubes `format=csv` alternative rendering
       if (path.length == 3 && path(0) == "cube" && path(2) == "facts" &&
           params.get("format").contains("csv")) {

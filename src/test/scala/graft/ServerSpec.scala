@@ -334,5 +334,7 @@ class ServerSpec extends SparkSpec {
         TestCubes.lineitemDf(spark, sf()))
     }
     assert(get(path) == first) // restored cube → original response again
+    // nocache=1 bypasses the cache but still serves the same content
+    assert(get(path + "&nocache=1")._2 == first._2)
   }
 }
