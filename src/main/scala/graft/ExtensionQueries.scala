@@ -1123,6 +1123,13 @@ object ExtensionQueries {
     "x77_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamOps.funnelStreaming(s, s"$dir/events.parquet",
         Seq("view", "click", "purchase"))),
+    // x78: the conversion-window funnel — stage i within 12h of stage
+    // i-1's first completion (first-touch chain, so a missed window is
+    // a stall, the standard product-analytics semantics)
+    "x78_funnel_windowed" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinMinutes = Some(720))),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1909,6 +1916,7 @@ object ExtensionQueries {
     // scan advances along exactly the same chain
     "x75_funnel" -> funnelSql,
     "x77_stream_funnel" -> funnelSql,
+    "x78_funnel_windowed" -> funnelSqlWithin(Some(720)),
     "x76_retention" ->
       // (user, day) distinct BEFORE the cohort join, then day offsets
       ("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
@@ -2461,14 +2469,22 @@ object ExtensionQueries {
     * (1-indexed; see the x26 query comment) — selected here by row_number
     * over the same per-doc quality values the x16 oracle derives.
     */
-  private def funnelSql: String =
-    """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+  private def funnelSql: String = funnelSqlWithin(None)
+
+  /** The funnel chain SQL, optionally with a per-stage conversion window
+    * (stage i within `minutes` of stage i−1's first completion — interval
+    * arithmetic is exact micros on both engines).
+    */
+  private def funnelSqlWithin(minutes: Option[Int]): String = {
+    def win(prev: String) =
+      minutes.fold("")(m => s" AND e.ts <= $prev.t + INTERVAL $m MINUTE")
+    s"""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
       |  WHERE event_type = 'view' GROUP BY 1),
       |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-      |  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+      |  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t${win("s0")}
       |  WHERE e.event_type = 'click' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t${win("s1")}
       |  WHERE e.event_type = 'purchase' GROUP BY 1)
       |SELECT * FROM (
       |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
@@ -2478,6 +2494,7 @@ object ExtensionQueries {
       |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
       |    CAST(count(*) AS BIGINT) FROM s2)
       |ORDER BY stage_idx""".stripMargin.replace("\n", " ")
+  }
 
   private def x26Sql: String =
     s"$langCte, c AS (SELECT lang, len(ts) AS n, " +

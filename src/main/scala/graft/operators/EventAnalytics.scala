@@ -26,10 +26,15 @@ object EventAnalytics {
   /** One row per stage: (stage_idx, stage, n_users). Each stage's
     * per-user first-completion frame is persist-tracked because stage
     * i+1's join re-reads it — without the barrier the whole prefix chain
-    * would recompute per stage count.
+    * would recompute per stage count. `withinMinutes` (opt-in) is the
+    * CONVERSION-WINDOW variant: stage i must land within that many
+    * minutes of stage i−1's first completion (the chain still follows
+    * first-touch minima, so a window missed at the first opportunity is
+    * missed — the standard product-analytics semantics).
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String],
+      withinMinutes: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     var cur: DataFrame = null
     val frames = stages.zipWithIndex.map { case (st, i) =>
@@ -38,11 +43,15 @@ object EventAnalytics {
         if (i == 0)
           evs.groupBy(col(userCol).as("user_id"))
             .agg(min(col(tsCol)).as("t"))
-        else
-          evs.select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+        else {
+          val gated = evs
+            .select(col(userCol).as("user_id"), col(tsCol).as("ts"))
             .join(cur, Seq("user_id"))
             .filter(col("ts") > col("t"))
-            .groupBy(col("user_id")).agg(min(col("ts")).as("t")))
+          val windowed = withinMinutes.fold(gated)(w => gated.filter(
+            unix_micros(col("ts")) - unix_micros(col("t")) <= w * 60000000L))
+          windowed.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        })
       cur.agg(count(lit(1)).as("n_users"))
         .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
           col("n_users"))

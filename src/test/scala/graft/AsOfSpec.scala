@@ -102,6 +102,13 @@ class AsOfSpec extends SparkSpec {
       .funnel(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(f == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+    // conversion window: u1's purchase is ~25h after its click — a 12h
+    // window drops it while the click (1h after view) survives
+    val fw = graft.operators.EventAnalytics
+      .funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinMinutes = Some(720))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fw == Map("view" -> 3L, "click" -> 1L, "purchase" -> 0L))
     // retention: u1 active day1+day2 (offset 0,1); u2 day1; u3 day3
     // (its own cohort); u4 day1
     val r = graft.operators.EventAnalytics.retention(ev, "user_id", "ts")
