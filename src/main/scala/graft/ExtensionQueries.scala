@@ -625,6 +625,25 @@ object ExtensionQueries {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // x79: the x69 STRUCTURAL SCALE FIX — same image near-dup search at
+    // the same absolute bound (hamming ≤ 14) over a 120-bit two-long
+    // dHash (11×12 grid). Twice the signature bits at the same bound
+    // doubles every pigeonhole band's key entropy (~15 key bits vs
+    // ~7.5), so bucket occupancy — and with it candidate volume, which
+    // the 60-bit scheme measured as a constant fraction of ALL pairs —
+    // shrinks by ~2^7.5. Oracle re-derives the whole pipeline: 132-cell
+    // byte grid, per-row gradient bits, two 60-bit folds, all-pairs
+    // summed hamming (the banding is an engine optimization; the pair
+    // SET is the contract).
+    "x79_image_dhash_wide" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.toMedia(
+        graft.multimodal.Multimodal.mediaTable(table(s, dir, "documents")))
+      val dh = graft.engine.CacheScope.persistTracked(
+        graft.multimodal.Multimodal.dhashTableWide(media))
+      Dedup.simhashPairsOfWide(dh, maxDist = 14)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // x20: tumbling-window streaming aggregate (actual readStream +
     // AvailableNow + memory sink); oracle = the batch-equivalent SQL
     "x20_stream_tumbling" -> ((s, dir) =>
@@ -1130,6 +1149,15 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.funnel(Tables.events(s, dir),
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), withinMinutes = Some(720))),
+    // x80: multi-touch attribution — last-touch and linear credit of
+    // purchase value to preceding view/click touches within 72 h.
+    // Fractional credits round half-away to 6 digits and accumulate as
+    // DECIMAL(18,6) on BOTH engines, so the sums are order-independent
+    // and hash-exact (the cube money-sum trick).
+    "x80_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "value", "event_id",
+        Seq("view", "click"), "purchase", lookbackHours = 72)),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1825,6 +1853,29 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x79_image_dhash_wide" ->
+      // the 120-bit variant: 132-cell byte grid (same (i*len)//132
+      // nearest-lower sampling), 10 gradient bits per row x 12 rows,
+      // rows 0-5 fold MSB-first into hi, rows 6-11 into lo; exact
+      // summed hamming over all pairs
+      (s"""WITH m AS (SELECT doc_id AS id, text FROM documents WHERE len(text) > 0),
+         |px AS (SELECT id,
+         |    [ord(substr(text, CAST((i * len(text)) // 132 AS INT) + 1, 1)) for i in range(132)] AS p
+         |  FROM m),
+         |bits AS (SELECT id,
+         |    flatten([[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
+         |      for c in range(10)] for r in range(6)]) AS bhi,
+         |    flatten([[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
+         |      for c in range(10)] for r in range(6, 12)]) AS blo FROM px),
+         |h AS (SELECT id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), bhi), (a, b) -> a * 2 + b) AS shi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), blo), (a, b) -> a * 2 + b) AS slo
+         |  FROM bits),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.shi, b.shi)) + bit_count(xor(a.slo, b.slo)) AS BIGINT) AS hamming
+         |  FROM h a JOIN h b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
     "x72_snapshot_diff" ->
       // same md5-of-normalized-text fingerprint (x04/x05's), same
       // full-outer classification
@@ -1917,6 +1968,39 @@ object ExtensionQueries {
     "x75_funnel" -> funnelSql,
     "x77_stream_funnel" -> funnelSql,
     "x78_funnel_windowed" -> funnelSqlWithin(Some(720)),
+    "x80_attribution" ->
+      // same candidate join (strict t_ts < c_ts, 72 h lookback on epoch
+      // micros), same per-credit round-to-6 DECIMAL(18,6) accumulation —
+      // decimal sums are order-independent, so both engines agree exactly
+      ("""WITH t AS (SELECT user_id, ts AS t_ts, event_id AS t_id,
+         |    event_type AS channel FROM events
+         |  WHERE event_type IN ('view', 'click')),
+         |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |cand AS (SELECT c.c_id, c.value, t.channel, t.t_ts, t.t_id
+         |  FROM c JOIN t USING (user_id)
+         |  WHERE t.t_ts < c.c_ts
+         |    AND epoch_us(t.t_ts) >= epoch_us(c.c_ts) - 72 * 3600000000),
+         |lt AS (SELECT *, row_number() OVER (PARTITION BY c_id
+         |    ORDER BY t_ts DESC, t_id DESC) AS rn FROM cand),
+         |last_t AS (SELECT channel,
+         |    sum(CAST(round(1.0, 6) AS DECIMAL(18,6))) AS nc,
+         |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS v
+         |  FROM lt WHERE rn = 1 GROUP BY channel),
+         |ln AS (SELECT channel, value,
+         |    count(*) OVER (PARTITION BY c_id) AS n FROM cand),
+         |lin AS (SELECT channel,
+         |    sum(CAST(round(1.0 / n, 6) AS DECIMAL(18,6))) AS nc,
+         |    sum(CAST(round(value / n, 6) AS DECIMAL(18,6))) AS v
+         |  FROM ln GROUP BY channel)
+         |SELECT model, channel, n_conv, value_sum FROM (
+         |  SELECT 'last_touch' AS model, channel,
+         |    round(CAST(nc AS DOUBLE), 4) AS n_conv,
+         |    round(CAST(v AS DOUBLE), 2) AS value_sum FROM last_t
+         |  UNION ALL
+         |  SELECT 'linear', channel, round(CAST(nc AS DOUBLE), 4),
+         |    round(CAST(v AS DOUBLE), 2) FROM lin)
+         |ORDER BY model, channel""".stripMargin.replace("\n", " ")),
     "x76_retention" ->
       // (user, day) distinct BEFORE the cohort join, then day offsets
       ("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

@@ -474,6 +474,49 @@ object Multimodal {
     }.toDF("id", "sh")
   }
 
+  /** Wide (120-bit, two-long) dHash over an 11×12 luminance grid — the
+    * production-scale signature for PERMISSIVE distance bounds. Same
+    * construction as [[dhashTable]] (nearest-lower byte downsample, one
+    * bit per horizontal neighbour comparison, MSB-first row-major fold),
+    * but 12 grid rows instead of 6: rows 0-5 fold into `sh_hi`, rows
+    * 6-11 into `sh_lo`, 60 bits each. Why: the 60-bit signature at
+    * maxDist 14 leaves the pigeonhole bands ~7.5 effective key bits, and
+    * the byte-sampled dHash bits are correlated enough that candidate
+    * volume becomes a constant fraction of ALL pairs — quadratic at any
+    * duplicate density (measured 26.9× on 10× constant-density data,
+    * BASELINE.md round 8). Doubling signature width at the same absolute
+    * bound doubles every band's key entropy; the pair search is
+    * [[graft.operators.Dedup.simhashPairsOfWide]].
+    *
+    * Per-row O(grid) work, no shuffle — pipelines with the scan.
+    */
+  def dhashTableWide(media: Dataset[MediaRow], gridW: Int = 11,
+      gridH: Int = 12): DataFrame = {
+    val rowBits = gridW - 1
+    require(rowBits * gridH > 60 && rowBits * gridH <= 120,
+      s"wide dHash needs 60 < (gridW-1)*gridH <= 120 bits, got ${rowBits * gridH}")
+    // rows land in sh_hi until it holds 60 bits, then in sh_lo
+    val hiRows = 60 / rowBits
+    import media.sparkSession.implicits._
+    val n = gridW * gridH
+    media.filter(_.blob.nonEmpty).map { r =>
+      val len = r.blob.length
+      val px = Array.tabulate(n)(i => r.blob(((i.toLong * len) / n).toInt) & 0xff)
+      var hi = 0L; var lo = 0L
+      var row = 0
+      while (row < gridH) {
+        var c = 0
+        while (c < rowBits) {
+          val bit = if (px(row * gridW + c) > px(row * gridW + c + 1)) 1L else 0L
+          if (row < hiRows) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+          c += 1
+        }
+        row += 1
+      }
+      (r.media_id, hi, lo)
+    }.toDF("id", "sh_hi", "sh_lo")
+  }
+
   /** "Resize": metadata-level transform (the pixel op is the stub's job);
     * keeps aspect ratio within a bounding box.
     */

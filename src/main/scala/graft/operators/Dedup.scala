@@ -570,13 +570,88 @@ object Dedup {
       val v2 = if (parts.size > 1) vs(1) else lit(0L).as("v2")
       struct(lit(id).as("chunk") +: vs.head +: v2 +: Nil: _*)
     }
+    bandedSelfJoin(sh, keys, Seq("sh"),
+      hammingDistance(col("a.sh"), col("b.sh")), maxDist, maxBucket)
+  }
+
+  /** Banding over a TWO-WORD (120-bit) signature frame (id, sh_hi, sh_lo),
+    * each word carrying 60 signature bits — the production path for
+    * PERMISSIVE distance bounds. At maxDist 14 the 60-bit scheme's chunk
+    * pairs carry only ~7.5 key bits, and when signature bits are
+    * correlated (measured on the dHash of byte-sampled media: candidate
+    * volume a constant fraction of ALL pairs, 26.9× growth on 10×
+    * constant-density data — BASELINE.md round 8) the buckets scale with
+    * the corpus. Keeping the SAME absolute bound over twice the bits
+    * doubles every chunk's width: 16 chunks of 7-8 bits, chunk-pair keys
+    * ~15 bits vs ~7.5 — expected bucket occupancy shrinks by ~2^7.5, and
+    * candidate volume returns to near-linear. The completeness argument
+    * is word-width-independent: maxDist+2 chunks partition all 120 bits,
+    * a pair within the bound has ≥2 clean chunks, hence ≥1 clean chunk
+    * PAIR; chunks never cross the word boundary (each word splits
+    * independently), so key extraction stays one shift+mask per part.
+    */
+  /** The two-word chunk layout: n chunks distributed across the words —
+    * hi gets ceil(n/2) chunks of its 60 bits, lo the rest of its own 60;
+    * chunk ids are unique across words. (chunk id, word column, bit
+    * offset, value mask) rows; for n == 1 the single chunk covers hi
+    * only — still complete (≤ maxDist dirty bits dirty ≤ maxDist of the
+    * covered chunks; with maxDist+1 covered chunks ≥1 stays clean).
+    * Public for the same reason as [[simhashChunkSpec]]: specs measuring
+    * bucket occupancy must use the EXACT layout the join uses.
+    */
+  def wideWordSpec(n: Int): Seq[(Int, String, Int, Long)] = {
+    val nHi = (n + 1) / 2; val nLo = n - nHi
+    val hi = chunkSpecOf(nHi).map { case (c, o, m) => (c, "sh_hi", o, m) }
+    val lo = if (nLo == 0) Nil
+      else chunkSpecOf(nLo).map { case (c, o, m) => (nHi + c, "sh_lo", o, m) }
+    hi ++ lo
+  }
+
+  def simhashPairsOfWide(sh: DataFrame, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && (maxDist <= 5 || maxDist + 2 <= 120),
+      s"maxDist must be in [0, 118], got $maxDist")
+    val keySpecs: Seq[(Int, Seq[(String, Int, Long)])] =
+      if (maxDist <= 5)
+        wideWordSpec(maxDist + 1).map { case (c, w, off, mask) =>
+          (c, Seq((w, off, mask)))
+        }
+      else {
+        val spec = wideWordSpec(maxDist + 2)
+        for {
+          (c1, w1, o1, m1) <- spec
+          (c2, w2, o2, m2) <- spec if c2 > c1
+        } yield (c1 * 128 + c2, Seq((w1, o1, m1), (w2, o2, m2)))
+      }
+    val keys: Seq[Column] = keySpecs.map { case (id, parts) =>
+      val vs = parts.zipWithIndex.map { case ((w, off, mask), i) =>
+        shiftright(col(w), off).bitwiseAND(mask).as(s"v${i + 1}")
+      }
+      val v2 = if (parts.size > 1) vs(1) else lit(0L).as("v2")
+      struct(lit(id).as("chunk") +: vs.head +: v2 +: Nil: _*)
+    }
+    bandedSelfJoin(sh, keys, Seq("sh_hi", "sh_lo"),
+      (hammingDistance(col("a.sh_hi"), col("b.sh_hi")) +
+        hammingDistance(col("a.sh_lo"), col("b.sh_lo"))).cast("int"),
+      maxDist, maxBucket)
+  }
+
+  /** The shared banding tail: explode each signature row to its bucket
+    * keys, optionally cap bucket sizes, self-join on the bucket key,
+    * verify with the exact distance. `dist` references the join sides as
+    * `a`/`b`; `sigCols` are carried through the explode so `dist` can
+    * read them.
+    */
+  private def bandedSelfJoin(sh: DataFrame, keys: Seq[Column],
+      sigCols: Seq[String], dist: Column, maxDist: Int,
+      maxBucket: Int): DataFrame = {
     // widen: the signature frame may arrive narrow (a small staged parquet
     // is ONE partition) and the explode + bucket self-join below must not
     // serialize on one core (see `widen`'s scaladoc)
-    val chunkedRaw = widen(sh).select(col("id"), col("sh"),
-      explode(array(keys: _*)).as("ck"))
-      .select(col("id"), col("sh"),
-        col("ck.chunk"), col("ck.v1"), col("ck.v2"))
+    val chunkedRaw = widen(sh).select(col("id") +: sigCols.map(col) :+
+        explode(array(keys: _*)).as("ck"): _*)
+      .select(col("id") +: sigCols.map(col) :+
+        col("ck.chunk") :+ col("ck.v1") :+ col("ck.v2"): _*)
     // the window shuffles by the same key the self-join below uses, so
     // the cap costs one exchange that the join re-uses
     val chunked =
@@ -597,7 +672,7 @@ object Dedup {
           col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+        dist.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence analytics over the event stream — the two classic
@@ -57,6 +57,69 @@ object EventAnalytics {
           col("n_users"))
     }
     frames.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+  }
+
+  /** Multi-touch attribution: credit each conversion's value to the touch
+    * events (e.g. view/click) that preceded it within a lookback window —
+    * the third classic of the product-analytics triad (funnel, retention,
+    * attribution). Two models in one frame:
+    *
+    *  - `last_touch`: the whole conversion goes to the latest preceding
+    *    touch (ties broken by event id — deterministic);
+    *  - `linear`: value and conversion count split evenly across ALL
+    *    touches in the window (fractional credit).
+    *
+    * Output: (model, channel, n_conv, value_sum) — n_conv is DOUBLE
+    * because linear credit is fractional.
+    *
+    * Determinism across engines: per-credit amounts are rounded
+    * half-away to 6 digits and accumulated as DECIMAL(18,6) — decimal
+    * sums are order-independent, so Spark and the SQL oracle agree to
+    * the last digit no matter the partitioning (the same trick as the
+    * cube money sums, SparkEntry.exactSumSql).
+    *
+    * Scale shape: one equi-join on user_id (conversions × touches, both
+    * pre-filtered by type before the shuffle), bounded fan-out (touches
+    * within the lookback window per conversion), then per-conversion
+    * windows partitioned by conversion id — never by user or globally —
+    * and one final small aggregate on channel. The candidate frame is
+    * persist-tracked because both models read it.
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String, idCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackHours: Int = 72): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user_id"), col(tsCol).as("t_ts"),
+        col(idCol).as("t_id"), col(typeCol).as("channel"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(tsCol).as("c_ts"),
+        col(idCol).as("c_id"), col(valueCol).as("value"))
+    val cand = graft.engine.CacheScope.persistTracked(
+      convs.join(touches, Seq("user_id"))
+        .filter(col("t_ts") < col("c_ts") &&
+          unix_micros(col("t_ts")) >=
+            unix_micros(col("c_ts")) - lookbackHours * 3600000000L))
+    // order-independent accumulation: round each credit half-away to 6
+    // digits, sum as DECIMAL(18,6)
+    def dec(c: Column): Column =
+      graft.functions.EngineMath.roundAway(c, 6).cast("decimal(18,6)")
+    def out(model: String, nConv: Column, valueSum: Column): DataFrame => DataFrame =
+      _.groupBy(col("channel"))
+        .agg(sum(nConv).as("nc"), sum(valueSum).as("v"))
+        .select(lit(model).as("model"), col("channel"),
+          graft.functions.EngineMath.roundAway(col("nc").cast("double"), 4).as("n_conv"),
+          graft.functions.EngineMath.roundAway(col("v").cast("double"), 2).as("value_sum"))
+    val wLast = Window.partitionBy(col("c_id"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    val lastTouch = out("last_touch", dec(lit(1.0)), dec(col("value")))(
+      cand.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1))
+    val wN = Window.partitionBy(col("c_id"))
+    val linear = out("linear", dec(lit(1.0) / col("n")), dec(col("value") / col("n")))(
+      cand.withColumn("n", count(lit(1)).over(wN)))
+    lastTouch.unionByName(linear).orderBy(col("model"), col("channel"))
   }
 
   /** (cohort_day, day_offset, n_users) for offsets 0..maxOffset, ordered.

@@ -118,4 +118,36 @@ class AsOfSpec extends SparkSpec {
       ("2024-01-03", 0L) -> 1L))
     graft.engine.CacheScope.drain()
   }
+
+  test("attribution (x80): last-touch picks the latest preceding touch, linear splits fractionally, lookback gates") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1: view(1h) → click(2h) → purchase(3h, 10.0): last touch = click,
+    //     linear = 5.0 view + 5.0 click, 0.5 conv each.
+    // u2: click only AFTER the purchase — no credit at all.
+    // u3: view 100h before purchase (outside the 72h lookback) — no credit.
+    // u4: two views then purchase(12.0): last touch = the LATER view
+    //     (t_id tiebreak not needed, ts differ); linear = 6.0 + 6.0 both
+    //     to view channel → 12.0, 1.0 conv.
+    val ev = Seq(
+      (100L, 1L, "view", ts(1, 1), 0.0), (101L, 1L, "click", ts(1, 2), 0.0),
+      (102L, 1L, "purchase", ts(1, 3), 10.0),
+      (103L, 2L, "purchase", ts(1, 5), 7.0), (104L, 2L, "click", ts(1, 6), 0.0),
+      (105L, 3L, "view", ts(1, 1), 0.0), (106L, 3L, "purchase", ts(5, 9), 9.0),
+      (107L, 4L, "view", ts(2, 1), 0.0), (108L, 4L, "view", ts(2, 2), 0.0),
+      (109L, 4L, "purchase", ts(2, 4), 12.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val a = graft.operators.EventAnalytics.attribution(ev,
+        "user_id", "event_type", "ts", "value", "event_id",
+        Seq("view", "click"), "purchase", lookbackHours = 72)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> ((x.getDouble(2), x.getDouble(3))))
+      .toMap
+    assert(a == Map(
+      ("last_touch", "click") -> ((1.0, 10.0)),
+      ("last_touch", "view") -> ((1.0, 12.0)),
+      ("linear", "click") -> ((0.5, 5.0)),
+      ("linear", "view") -> ((1.5, 17.0))))
+    graft.engine.CacheScope.drain()
+  }
 }

@@ -410,6 +410,64 @@ class MultimodalSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("wide dHash: planted near-dups found; banding == brute force; candidate volume collapses vs 60-bit") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.MediaRow
+    import graft.operators.Dedup
+    val base = Array.tabulate[Byte](1320)(i => (i % 251).toByte)
+    // wide grid cell i samples byte (i*1320)/132 = i*10 — edit a SAMPLED
+    // byte so the 132-cell grid changes (one cell → at most 2 gradient bits)
+    val tweaked = base.clone(); tweaked(30) = ((base(30) & 0xff) - 100).toByte
+    val planted = Seq(MediaRow(1L, "png", base), MediaRow(2L, "png", base.clone()),
+      MediaRow(3L, "png", tweaked)).toDS()
+    val dh = Multimodal.dhashTableWide(planted)
+    val sigs = dh.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashPairsOfWide(dh, maxDist = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+
+    // banding == brute force over the real corpus signatures: the pair
+    // SET is the contract (the x79 oracle locks it again at sf0.01)
+    val wt = Multimodal.dhashTableWide(media)
+    val banded = Dedup.simhashPairsOfWide(wt, maxDist = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = wt.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ahi, alo) <- corpus; (b, bhi, blo) <- corpus if a < b
+      if java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo) <= 14
+    } yield (a, b)).toSet
+    assert(banded == brute,
+      s"banding missed ${(brute -- banded).size}, invented ${(banded -- brute).size}")
+
+    // the STRUCTURAL claim (BASELINE.md round 8): same corpus, same
+    // absolute bound — Σ C(bucket, 2) over the exact chunk-pair layouts
+    // the joins use must collapse when the signature doubles (measured
+    // 80× at sf0.1; the pin is a conservative 10×). chunkSpecOf(16) ==
+    // simhashChunkSpec(15): the maxDist-14 two-chunk scheme's 16 chunks.
+    def pairVolume(perDoc: Seq[Seq[(Int, Long)]]): Long = {
+      val buckets = scala.collection.mutable.Map.empty[(Int, Int, Long, Long), Long]
+      for (vals <- perDoc; i <- vals.indices; j <- i + 1 until vals.size) {
+        val k = (vals(i)._1, vals(j)._1, vals(i)._2, vals(j)._2)
+        buckets(k) = buckets.getOrElse(k, 0L) + 1
+      }
+      buckets.valuesIterator.map(n => n * (n - 1) / 2).sum
+    }
+    val nspec = Dedup.simhashChunkSpec(15)
+    val narrowVol = pairVolume(Multimodal.dhashTable(media).collect().toSeq
+      .map(r => nspec.map { case (c, off, m) => (c, (r.getLong(1) >>> off) & m) }))
+    val wspec = Dedup.wideWordSpec(16)
+    val wideVol = pairVolume(corpus.toSeq.map { case (_, hi, lo) =>
+      wspec.map { case (c, w, off, m) =>
+        (c, ((if (w == "sh_hi") hi else lo) >>> off) & m) }
+    })
+    assert(wideVol * 10 < narrowVol,
+      s"wide banding candidate volume $wideVol vs narrow $narrowVol — structural gain lost")
+    graft.engine.CacheScope.drain()
+  }
+
   test("frame sampling fans out only video rows, pipelined (no shuffle)") {
     val frames = Multimodal.sampleFrames(media, stride = 4)
     val nVideos = media.filter(_.format == "webm").count()

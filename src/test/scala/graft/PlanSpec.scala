@@ -157,6 +157,10 @@ class PlanSpec extends SparkSpec {
     // BNLJ means the span/coverage logic regressed to all-pairs
     val sd = audits("x74_substring_dedup")
     assert(sd.cartesian == 0 && sd.nestedLoopJoins == 0, sd.toString)
+    // wide dHash (x79): same banding engine over a two-word signature —
+    // equi-join on bucket keys, never a cartesian
+    val wd = audits("x79_image_dhash_wide")
+    assert(wd.cartesian == 0 && wd.nestedLoopJoins == 0, wd.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
