@@ -1158,6 +1158,42 @@ object ExtensionQueries {
       graft.operators.EventAnalytics.attribution(Tables.events(s, dir),
         "user_id", "event_type", "ts", "value", "event_id",
         Seq("view", "click"), "purchase", lookbackHours = 72)),
+    // x81: APPROXIMATE distinct via mergeable HLL sketches (Datasketches,
+    // built into Spark) — the 100 TB distinct-count path: per-group
+    // sketches build map-side, union associatively across partitions /
+    // batches / days without re-scanning, estimate at read time. The
+    // engine-specific estimates are STAGED; the oracle re-derives the
+    // exact counts and the accuracy gate in SQL, so the green row proves
+    // "every estimate within 5% of truth AND the merged union consistent
+    // with per-type sketches" — not merely that the query ran.
+    "x81_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perType = graft.engine.CacheScope.persistTracked(
+        ev.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      val est = perType
+        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("n_est"))
+        .unionByName(perType
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("ALL").as("event_type"),
+            hll_sketch_estimate(col("sk")).as("n_est")))
+      Stage.write(est, dir, "x81_estimates")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .unionByName(ev.select(lit("ALL").as("event_type"), col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("n_exact")))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+    // x82: top-k session paths — sessionize (the x21 gap rule), ordered
+    // event-type concat per session, path frequency, deterministic top-k
+    "x82_session_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.sessionPaths(Tables.events(s, dir),
+        gapMinutes = 30, k = 20)),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1968,6 +2004,41 @@ object ExtensionQueries {
     "x75_funnel" -> funnelSql,
     "x77_stream_funnel" -> funnelSql,
     "x78_funnel_windowed" -> funnelSqlWithin(Some(720)),
+    "x81_hll_distinct" ->
+      // exact distincts re-derived in SQL; the staged engine estimates
+      // are joined in and gated by the 5% accuracy predicate — identical
+      // arithmetic on both sides
+      (s"""WITH est AS (SELECT event_type, n_est FROM ${Stage.sqlRef("x81_estimates")}),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |    FROM events GROUP BY event_type
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT user_id) FROM events)
+         |SELECT est.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(est.n_est AS BIGINT) AS n_est,
+         |  abs(est.n_est - ex.n_exact) <= ex.n_exact * 0.05 AS within_5pct
+         |FROM est JOIN ex ON est.event_type = ex.event_type
+         |ORDER BY est.event_type""".stripMargin.replace("\n", " ")),
+    "x82_session_paths" ->
+      // same gap rule as x21 (epoch-micros, (ts, event_id) total order);
+      // string_agg ORDER BY ts, event_id == the engine's sorted-struct
+      // concat; top-k page deterministic via (n DESC, path)
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e),
+         |g AS (SELECT user_id, ts, event_id, event_type,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM f),
+         |p AS (SELECT user_id, session_seq,
+         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |  FROM g GROUP BY user_id, session_seq)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin.replace("\n", " ")),
     "x80_attribution" ->
       // same candidate join (strict t_ts < c_ts, 72 h lookback on epoch
       // micros), same per-credit round-to-6 DECIMAL(18,6) accumulation —

@@ -122,6 +122,44 @@ object EventAnalytics {
     lastTouch.unionByName(linear).orderBy(col("model"), col("channel"))
   }
 
+  /** Top-k session paths: sessionize with the SAME gap rule as
+    * `StreamOps.sessionizeBatch` (micros-exact, (ts, event_id) total
+    * order), concatenate each session's event types in order, count
+    * identical paths, keep the k most frequent (ties broken by path —
+    * deterministic page). The per-session ordered concat is
+    * `array_sort(collect_list(struct(ts, event_id, type)))` — structs
+    * sort lexicographically by field order, so the path is exactly the
+    * session's event order regardless of partitioning.
+    *
+    * Scale shape: a window keyed on user_id, a (user, session) group, a
+    * path group, then TakeOrdered for the top-k (per-partition heaps +
+    * a k-row driver merge — never a global sort materialization). All
+    * shuffles are keyed; nothing quadratic, no unbounded state.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** (cohort_day, day_offset, n_users) for offsets 0..maxOffset, ordered.
     * `n_users` counts a user once per active day (the (user, day)
     * distinct happens before the cohort join).

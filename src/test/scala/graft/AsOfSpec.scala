@@ -150,4 +150,23 @@ class AsOfSpec extends SparkSpec {
       ("linear", "view") -> ((1.5, 17.0))))
     graft.engine.CacheScope.drain()
   }
+
+  test("session paths (x82): gap splits sessions, order is (ts, event_id), top-k ties break by path") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // u1 session 1: view>click; 40-min gap → session 2: purchase.
+    // u2 one session: view>click (same-minute events ordered by event_id).
+    // u3 one session: click alone.
+    val ev = Seq(
+      (1L, 1L, "view", ts(1, 9, 0)), (2L, 1L, "click", ts(1, 9, 10)),
+      (3L, 1L, "purchase", ts(1, 9, 55)),
+      (4L, 2L, "view", ts(1, 12, 0)), (5L, 2L, "click", ts(1, 12, 0)),
+      (6L, 3L, "click", ts(2, 8, 0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val p = graft.operators.EventAnalytics.sessionPaths(ev, gapMinutes = 30, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // view>click twice; the two singleton paths tie at 1 → path order
+    assert(p.toSeq == Seq("view>click" -> 2L, "click" -> 1L, "purchase" -> 1L))
+  }
 }

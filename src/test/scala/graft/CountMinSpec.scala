@@ -71,4 +71,25 @@ class CountMinSpec extends SparkSpec {
     assert(one.toSeq == many.toSeq)
     assert(one.sum == toks.count() * 4) // every token lands once per row
   }
+
+  test("HLL (x81): partial-sketch union == direct sketch; estimate within 5% of exact") {
+    import spark.implicits._
+    // 10k distinct keys, each appearing 1-3 times — distinct is what the
+    // sketch must see through the duplication
+    val ids = (0 until 10000).flatMap(i => Seq.fill(1 + i % 3)(i.toLong))
+    val df = ids.toDF("user_id")
+    val direct = df.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"))).as("e")).collect().head.getLong(0)
+    // MERGEABILITY — the 100 TB property: per-partition sketches union
+    // associatively to the same registers as a single-pass build (HLL
+    // merge is register-wise max), so estimate equality is EXACT
+    val merged = df.withColumn("p", col("user_id") % 13)
+      .groupBy(col("p")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect().head.getLong(0)
+    assert(merged == direct,
+      s"union-of-partials $merged != direct $direct — sketch merge broke")
+    assert(math.abs(direct - 10000L) <= 500L,
+      s"estimate $direct off true 10000 by >5%")
+  }
 }
