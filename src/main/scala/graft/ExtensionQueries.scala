@@ -1194,6 +1194,12 @@ object ExtensionQueries {
     "x82_session_paths" -> ((s, dir) =>
       graft.operators.EventAnalytics.sessionPaths(Tables.events(s, dir),
         gapMinutes = 30, k = 20)),
+    // x83: event-rate anomaly detection — hourly (type, bucket) counts
+    // vs a trailing-24h baseline, |z| > 3 flags; integer window sums make
+    // the float z-test hash-exact across engines
+    "x83_rate_anomaly" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rateAnomalies(Tables.events(s, dir),
+        trailing = 24, z = 3.0)),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -2004,6 +2010,26 @@ object ExtensionQueries {
     "x75_funnel" -> funnelSql,
     "x77_stream_funnel" -> funnelSql,
     "x78_funnel_windowed" -> funnelSqlWithin(Some(720)),
+    "x83_rate_anomaly" ->
+      // identical bucket counts, identical trailing frame, identical
+      // float expression tree (integer Σn/Σn² first, doubles last)
+      ("""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, bucket, n,
+         |    CAST(count(n) OVER w AS BIGINT) AS cnt,
+         |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+         |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+         |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |t AS (SELECT event_type, bucket, n,
+         |    CAST(s1 AS DOUBLE) / cnt AS mean,
+         |    sqrt(greatest((cnt * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+         |      / (cnt * (cnt - 1.0)), 0.0)) AS sd
+         |  FROM s WHERE cnt >= 24)
+         |SELECT event_type, bucket, n, round(mean, 4) AS mean,
+         |  round(sd, 4) AS sd
+         |FROM t WHERE sd > 0 AND abs(n - mean) > 3.0 * sd
+         |ORDER BY event_type, bucket""".stripMargin.replace("\n", " ")),
     "x81_hll_distinct" ->
       // exact distincts re-derived in SQL; the staged engine estimates
       // are joined in and gated by the 5% accuracy predicate — identical

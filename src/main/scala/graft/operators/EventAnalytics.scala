@@ -160,6 +160,46 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Event-rate anomaly detection: bucket events per (type, hour), flag
+    * buckets whose count deviates more than `z` sample standard
+    * deviations from the TRAILING `trailing`-bucket baseline (frame
+    * excludes the current bucket — no self-leakage; buckets with an
+    * incomplete baseline are skipped). The monitoring primitive for a
+    * 100 TB ingest: per-partition counts combine map-side, the window is
+    * keyed by type and bounded by the frame, so state is O(types ×
+    * trailing) regardless of volume.
+    *
+    * Determinism across engines: mean/variance come from INTEGER window
+    * sums (Σn, Σn², count — exact in any order), and the final float
+    * expressions mirror the oracle operand-for-operand, so the flagged
+    * set is hash-exact, not approximately equal.
+    */
+  def rateAnomalies(events: DataFrame, trailing: Int = 24,
+      z: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = events.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    val stats = buckets
+      .withColumn("cnt", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+    val mean = col("s1").cast("double") / col("cnt")
+    val varS = (col("cnt") * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1")) /
+      (col("cnt") * (col("cnt") - lit(1.0)))
+    stats.filter(col("cnt") >= trailing)
+      .withColumn("mean", mean)
+      .withColumn("sd", sqrt(greatest(varS, lit(0.0))))
+      .filter(col("sd") > 0 && abs(col("n") - col("mean")) > lit(z) * col("sd"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        graft.functions.EngineMath.roundAway(col("mean"), 4).as("mean"),
+        graft.functions.EngineMath.roundAway(col("sd"), 4).as("sd"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** (cohort_day, day_offset, n_users) for offsets 0..maxOffset, ordered.
     * `n_users` counts a user once per active day (the (user, day)
     * distinct happens before the cohort join).

@@ -169,4 +169,23 @@ class AsOfSpec extends SparkSpec {
     // view>click twice; the two singleton paths tie at 1 → path order
     assert(p.toSeq == Seq("view>click" -> 2L, "click" -> 1L, "purchase" -> 1L))
   }
+
+  test("rate anomalies (x83): planted spike flagged, incomplete baselines skipped, no self-leakage") {
+    import spark.implicits._
+    // 30 hourly buckets alternating 10/11 events (nonzero baseline
+    // variance), hour 27 spiking to 100
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+    val rows = for {
+      h <- 0 until 30
+      n = if (h == 27) 100 else 10 + h % 2
+      i <- 0 until n
+    } yield (h.toLong * 1000 + i, 1L, "view",
+      Timestamp.from(base.plusSeconds(h * 3600L + i)))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val a = graft.operators.EventAnalytics.rateAnomalies(ev, trailing = 24, z = 3.0)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    // ONLY hour 27 flags: hours 0-23 lack a full baseline; hour 28-29's
+    // baselines CONTAIN the spike, inflating sd past their own deviation
+    assert(a.toSeq == Seq(("view", "2024-01-02 03:00:00.0", 100L)))
+  }
 }
