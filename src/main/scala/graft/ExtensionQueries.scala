@@ -1200,6 +1200,75 @@ object ExtensionQueries {
     "x83_rate_anomaly" -> ((s, dir) =>
       graft.operators.EventAnalytics.rateAnomalies(Tables.events(s, dir),
         trailing = 24, z = 3.0)),
+    // x84: stream-STREAM interval join (click attribution as two live
+    // streams) — both sides watermarked, the join condition time-bounded,
+    // so buffered state evicts at the watermark horizon; the AvailableNow
+    // drain equals the batch interval join the oracle re-derives
+    "x84_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamOps.intervalJoinStreaming(s,
+        s"$dir/events.parquet",
+        leftType = "view", rightType = "click", withinMinutes = 30)),
+    // x85: BPE merge candidates — adjacent char-pair counts over the
+    // word histogram, weighted by word frequency (see operators/Bpe for
+    // the two-level 100 TB shape); the full driver-coordinated merge
+    // LOOP is spec-gated (BpeSpec)
+    "x85_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Bpe.pairCounts(table(s, dir, "documents"), "text",
+        k = 50)),
+    // x86: PageRank over the undirected supplier↔part co-purchase graph
+    // (node ids disambiguated by parity) — tick-quantized contributions
+    // make every iteration bit-exact across engines (operators/Graph)
+    "x86_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        table(s, dir, "lineitem").select(
+          (col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", iters = 5, damping = 0.85)),
+    // x87: triangle counting over the part co-purchase graph (parts
+    // sharing an order) — degree-ordered compact-forward wedge join, the
+    // √m-bounded shape (operators/Graph.triangleStats)
+    "x87_triangles" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      graft.operators.Graph.triangleStats(
+        po.as("a").join(po.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")),
+        "u", "v")
+    }),
+    // x88: ranker evaluation — tie-averaged Mann-Whitney AUC of the x70
+    // quality model against its training target. Grouped-by-score rank
+    // arithmetic stays integer (2×midrank) until one final division, so
+    // the AUC double is bit-exact across engines; the window runs over
+    // |distinct scores| grouped rows, not |docs|.
+    "x88_model_auc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Fitted.getOrFit(s,
+        graft.operators.Fitted.key(dir, "qlr",
+          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+        graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+          isTarget = col("source") === "src0")
+      }
+      Stage.write(model, dir, "x88_weights")
+      val scored = graft.operators.QualityFilter
+        .logits(docs, "doc_id", "text", model)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+      val byScore = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .withColumn("cb", coalesce(sum(col("n")).over(byScore), lit(0L)))
+        .agg(sum(col("np") * (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
+          sum(col("np")).as("p"), sum(col("n")).as("tot"))
+        .select(col("p").as("n_pos"), (col("tot") - col("p")).as("n_neg"),
+          ((col("s2") - col("p") * (col("p") + lit(1))).cast("double") /
+            (lit(2) * col("p") * (col("tot") - col("p"))).cast("double"))
+            .as("auc"))
+    }),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -2030,6 +2099,89 @@ object ExtensionQueries {
          |  round(sd, 4) AS sd
          |FROM t WHERE sd > 0 AND abs(n - mean) > 3.0 * sd
          |ORDER BY event_type, bucket""".stripMargin.replace("\n", " ")),
+    // same equi + time-range condition as the streaming join; inner join,
+    // so the generous test watermark drops nothing and batch == stream
+    "x84_stream_interval_join" ->
+      ("SELECT v.user_id, v.event_id AS left_id, c.event_id AS right_id, " +
+        "v.ts AS left_ts, c.ts AS right_ts FROM events v JOIN events c " +
+        "ON v.user_id = c.user_id AND c.ts >= v.ts " +
+        "AND c.ts <= v.ts + INTERVAL 30 MINUTE " +
+        "WHERE v.event_type = 'view' AND c.event_type = 'click' " +
+        "ORDER BY v.user_id, left_id, right_id"),
+    // identical word histogram (split keeps empties, both sides filter
+    // them), identical per-word pair explode, exact integer counts
+    "x85_bpe_pairs" ->
+      ("WITH words AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w " +
+        "FROM documents), " +
+        "wc AS (SELECT w, count(*) AS n FROM words WHERE length(w) > 0 GROUP BY w), " +
+        "pos AS (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i " +
+        "FROM wc WHERE length(w) >= 2) " +
+        "SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, " +
+        "CAST(sum(n) AS BIGINT) AS n_occ " +
+        "FROM pos GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 50"),
+    // every PageRank round unrolled as a CTE with the engine's exact
+    // arithmetic: integer 1e-12-tick contributions (order-independent
+    // BIGINT sums), then teleport/damping/re-quantize in the same IEEE
+    // operand order — ranks are bit-exact, no tolerance
+    "x86_pagerank" -> {
+      val head =
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src, " +
+          "l_partkey * 2 + 1 AS dst FROM lineitem), " +
+          "und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+          "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src), " +
+          "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
+          "r0 AS MATERIALIZED (SELECT src AS node, " +
+          "floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12 + 0.5) / 1e12 AS rank " +
+          "FROM deg CROSS JOIN nn)"
+      def iter(k: Int) =
+        s"r$k AS MATERIALIZED (SELECT u.dst AS node, " +
+          "floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + " +
+          "CAST(0.85 AS DOUBLE) * (CAST(sum(CAST(floor(r.rank / d.deg * 1e12 + 0.5) " +
+          "AS BIGINT)) AS DOUBLE) / 1e12)) * 1e12 + 0.5) / 1e12 AS rank " +
+          s"FROM und u JOIN r${k - 1} r ON u.src = r.node " +
+          "JOIN deg d ON d.src = u.src CROSS JOIN nn " +
+          "GROUP BY u.dst, nn.n)"
+      head + ", " + (1 to 5).map(iter).mkString(", ") +
+        " SELECT node, rank FROM r5 ORDER BY node"
+    },
+    // same canonical edge set, same (degree, id) orientation, same
+    // apex-wedge + closure-join counting — exact integers throughout
+    "x87_triangles" ->
+      ("WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "und AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM po a " +
+        "JOIN po b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "deg AS MATERIALIZED (SELECT x, count(*) AS d FROM " +
+        "(SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x), " +
+        "de AS MATERIALIZED (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+        "THEN u ELSE v END AS src, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+        "THEN v ELSE u END AS dst " +
+        "FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v), " +
+        "wc AS (SELECT CAST(sum(od * (od - 1)) / 2 AS BIGINT) AS n_wedges " +
+        "FROM (SELECT src, count(*) AS od FROM de GROUP BY src)), " +
+        "tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM de e1 " +
+        "JOIN de e2 ON e1.src = e2.src AND e1.dst < e2.dst " +
+        "JOIN und ON und.u = e1.dst AND und.v = e2.dst), " +
+        "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und) " +
+        "SELECT n_edges, n_wedges, n_triangles FROM ne CROSS JOIN wc CROSS JOIN tri"),
+    // features + left-associated logit chain shared with x70's oracle;
+    // grouped tie-averaged rank arithmetic in exact integers (2×midrank),
+    // one final double division — identical operand order on both sides
+    "x88_model_auc" ->
+      (s"$qualityCtes, " +
+        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x88_weights")}), " +
+        "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
+        "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
+        "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+        "FROM z JOIN documents d USING (doc_id)), " +
+        "g AS (SELECT score, count(*) AS n, sum(pos) AS np FROM lab GROUP BY score), " +
+        "o AS (SELECT score, n, np, coalesce(sum(n) OVER (ORDER BY score " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g), " +
+        "s AS (SELECT sum(np * (2 * cb + n + 1)) AS s2, sum(np) AS p, sum(n) AS tot FROM o) " +
+        "SELECT CAST(p AS BIGINT) AS n_pos, CAST(tot - p AS BIGINT) AS n_neg, " +
+        "CAST(s2 - p * (p + 1) AS DOUBLE) / CAST(2 * p * (tot - p) AS DOUBLE) AS auc FROM s"),
     "x81_hll_distinct" ->
       // exact distincts re-derived in SQL; the staged engine estimates
       // are joined in and gated by the 5% accuracy predicate — identical

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.EngineMath
+
+/** Iterative graph analytics over DataFrames — PageRank as the archetype
+  * (same iterate-with-bounded-driver-state family as [[Dedup]]'s
+  * large-star/small-star connected components and [[Ivf]]'s k-means).
+  *
+  * Per iteration: one shuffle join (static adjacency ⋈ current ranks on the
+  * node key) and one hash-aggregate (contributions by destination). The
+  * adjacency+degree frame is the big static side — persisted once, never
+  * recomputed; at cluster scale it would be bucketed by `src` so the
+  * per-iteration join co-locates without re-shuffling the 100 TB side, and
+  * only the small rank frame moves. Ranks are re-persisted per round and
+  * the previous round dropped, so lineage never grows past one iteration
+  * (the GraphX/Pregel execution shape, expressed in DataFrames).
+  *
+  * Determinism across engines (the oracle re-derives every round in SQL):
+  * per-edge contributions quantize to integer 1e-12 ticks
+  * (`floor(rank/deg * 1e12 + 0.5)` — a BIGINT), so the per-destination sum
+  * is exact integer arithmetic, order-independent under any partitioning.
+  * The float ops around it (teleport, damping, re-quantize) apply in the
+  * same IEEE operand order on both engines, making ranks bit-exact — no
+  * tolerance needed in the gate.
+  */
+object Graph {
+
+  /** Triangle statistics — (n_edges, n_wedges, n_triangles) over the
+    * undirected simple graph spanned by `edges` (canonicalized to u < v,
+    * self-loops dropped, deduped here).
+    *
+    * Degree-ordered orientation (compact-forward): every edge points from
+    * its lower-(degree, id) endpoint to the higher one, and wedges are
+    * enumerated only at each edge pair's common SOURCE — the low-degree
+    * apex. Oriented out-degrees are O(√m)-bounded on any graph, so the
+    * wedge join cannot blow up at hub nodes the way the naive per-vertex
+    * d² enumeration does; the closure check is one more equi-join against
+    * the canonical edge set. All shuffles key on node ids; wedge counts
+    * come from the out-degree histogram (Σ d·(d−1)/2), not from
+    * materializing wedges.
+    */
+  def triangleStats(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val und = graft.engine.CacheScope.persistTracked(
+      edges.select(least(col(uCol), col(vCol)).as("u"),
+          greatest(col(uCol), col(vCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val dE = graft.engine.CacheScope.persistTracked(und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst")))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = dE.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .agg(expr("CAST(sum(od * (od - 1)) / 2 AS BIGINT)").as("n_wedges"))
+    val nTri = dE.as("e1")
+      .join(dE.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+      .join(und, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
+
+  /** `iters` rounds of PageRank over the UNDIRECTED graph spanned by
+    * `edges` (symmetrized + deduped here, so no dangling nodes and no
+    * rank-mass leak). Returns (node, rank), rank quantized to 12 decimals.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = und.join(deg, "src").persist()
+    // |nodes| = |deg| — a count over the small aggregated frame, not a
+    // distinct over the edge list
+    val n = deg.count()
+    val nD = n.toDouble
+    // identical IEEE sequence to the oracle's r0 / teleport expressions
+    val r0 = math.floor(1.0 / nD * 1e12 + 0.5) / 1e12
+    val tele = (1.0 - damping) / nD
+    try {
+      var ranks = deg.select(col("src").as("node"), lit(r0).as("rank")).persist()
+      ranks.count()
+      for (_ <- 1 to iters) {
+        val next = adj.join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            EngineMath.roundAway(
+              lit(tele) + lit(damping) * (col("s").cast("double") / lit(1e12)),
+              12).as("rank"))
+          .persist()
+        next.count()
+        ranks.unpersist()
+        ranks = next
+      }
+      // final round stays persisted until the runner's CacheScope drain
+      graft.engine.CacheScope.track(ranks)
+      ranks.orderBy(col("node"))
+    } finally adj.unpersist()
+  }
+}

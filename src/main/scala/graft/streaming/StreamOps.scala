@@ -238,6 +238,52 @@ object StreamOps {
     }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
   }
 
+  /** Stream-STREAM interval join (the x19 batch range join as two live
+    * streams): every `leftType` event joined to the same user's `rightType`
+    * events that land within `withinMinutes` after it. Both sides carry an
+    * event-time watermark and the join condition carries the time bound, so
+    * Spark derives a state-retention horizon per side — buffered left rows
+    * are evicted once the right watermark passes `left_ts + within`, and
+    * vice versa. State is O(events inside the watermark window), not
+    * O(stream).
+    *
+    * At 100 TB/day this is the canonical click-attribution join: both
+    * streams shuffle-partition on user_id (the equi half of the
+    * condition), each partition keeps a time-bounded buffer, and the
+    * watermark turns the unbounded join into a sliding co-group. The
+    * test watermark is generous (nothing dropped on the finite corpus) so
+    * the result equals the batch interval join, which is what the DuckDB
+    * oracle re-derives.
+    */
+  def intervalJoinStreaming(spark: SparkSession, eventsDir: String,
+      leftType: String, rightType: String, withinMinutes: Int,
+      queryName: String = "ivjoin"): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    def side(tp: String, pfx: String) = {
+      val raw = spark.readStream.schema(schema).parquet(dir)
+      graft.Tables.normalizeEventTs(raw)
+        .filter(col("event_type") === tp)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "30 days")
+    }
+    val joined = side(leftType, "v").join(side(rightType, "c"),
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+    val q = joined.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("v_user").as("user_id"), col("v_id").as("left_id"),
+        col("c_id").as("right_id"), col("v_ts").as("left_ts"),
+        col("c_ts").as("right_ts"))
+      .orderBy(col("user_id"), col("left_id"), col("right_id"))
+  }
+
   /** Streaming exact deduplication: the x05 dedup-group aggregate as a
     * stateful streaming query — per content fingerprint, the smallest id
     * seen so far and the duplicate count, maintained incrementally as

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pagerank on a path graph matches a local fixed-point computation") {
+    // 1 - 2 - 3: symmetrized degrees (1,2,1); replicate the operator's
+    // exact quantized arithmetic locally
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val n = 3.0
+    val tele = (1.0 - 0.85) / n
+    def q(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    var r = Map(1L -> q(1.0 / n), 2L -> q(1.0 / n), 3L -> q(1.0 / n))
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0)
+    val in = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    for (_ <- 1 to 5)
+      r = r.keys.map { v =>
+        val s = in(v).map(u => math.floor(r(u) / deg(u) * 1e12 + 0.5).toLong).sum
+        v -> q(tele + 0.85 * (s / 1e12))
+      }.toMap
+    assert(got == r, s"got $got expected $r")
+    // ends have identical rank by symmetry; center dominates
+    assert(got(1L) == got(3L) && got(2L) > got(1L))
+  }
+
+  test("triangleStats counts a hand-checked fixture") {
+    // triangle 1-2-3 plus pendant 4 off node 3; edges fed unordered +
+    // duplicated to exercise canonicalization
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (4L, 3L), (1L, 2L))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(edges, "u", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 1L, 1L)), s"(edges, wedges, triangles) = $r")
+  }
+
+  test("compact-forward triangle count equals the naive a<b<c enumeration") {
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val und = po.as("a").join(po.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct().persist()
+    val oriented = Graph.triangleStats(und, "u", "v")
+      .select("n_triangles").as[Long].head()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .count()
+    und.unpersist()
+    assert(oriented == naive && oriented > 0,
+      s"compact-forward $oriented vs naive $naive")
+  }
+
+  test("pagerank mass stays ~1 and every node keeps a rank row") {
+    val edges = Tables.table(spark, sf(), "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 3)
+    val nNodes = edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().count()
+    assert(ranks.count() == nNodes)
+    val mass = ranks.agg(sum(col("rank"))).head().getDouble(0)
+    // quantization drift is bounded by n * 1e-12 per round
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+  }
+}

@@ -85,6 +85,24 @@ class StreamingSpec extends SparkSpec {
       "replayed batchId changed the cube — merge is not idempotent")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val streamed = StreamOps.intervalJoinStreaming(spark, eventsDir,
+      leftType = "view", rightType = "click", withinMinutes = 30,
+      queryName = "ivjoin_spec")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("left_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("right_id"),
+        col("ts").as("right_ts"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "left_id", "right_id", "left_ts", "right_ts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup == batch dedup groups") {
     val docs = Tables.table(spark, sf(), "documents")
     val streamed = StreamOps.dedupStreaming(spark,
