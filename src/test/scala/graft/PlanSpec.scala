@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
     // equi-join on bucket keys, never a cartesian
     val wd = audits("x79_image_dhash_wide")
     assert(wd.cartesian == 0 && wd.nestedLoopJoins == 0, wd.toString)
+    // BPE pair counts (x85): one linear histogram → explode → aggregate
+    // chain — any join means the word histogram collapse was lost
+    val bp = audits("x85_bpe_pairs")
+    assert(bp.scans == 1 && bp.sortMergeJoins == 0 && bp.broadcastJoins == 0,
+      bp.toString)
+    // triangles (x87): equi-joins only — a cartesian/BNLJ beyond the
+    // three single-row stat combiners means the wedge enumeration
+    // regressed to all-pairs (the crossJoins of 1-row aggregates plan
+    // as broadcast NLJs and are capped at the observed 2)
+    val tr = audits("x87_triangles")
+    assert(tr.cartesian == 0 && tr.nestedLoopJoins <= 2, tr.toString)
+    // AUC (x88): the rank window must run over the grouped-by-score
+    // frame; more than one sort-exchange pair means it regressed to a
+    // per-row global rank
+    val au = audits("x88_model_auc")
+    assert(au.cartesian == 0, au.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
