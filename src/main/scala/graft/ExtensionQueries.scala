@@ -1269,6 +1269,60 @@ object ExtensionQueries {
             (lit(2) * col("p") * (col("tot") - col("p"))).cast("double"))
             .as("auc"))
     }),
+    // x89: PMI collocations — pointwise mutual information over adjacent
+    // token pairs, the corpus-statistics collocation detector (distinct
+    // from x59's conditional bigram LM). Integer counts feed one
+    // fixed-order double chain (cab·T·T)/((B·ca)·cb) into ln, so the
+    // scores are bit-exact; the cab >= 5 floor prunes the Zipf tail
+    // BEFORE the unigram joins.
+    "x89_pmi_collocations" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts")))
+      val uni = toks.select(explode(col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val cb = toks.filter(size(col("ts")) > 1)
+        .select(explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val tot = toks.agg(
+        sum(size(col("ts"))).cast("double").as("tt"),
+        sum(greatest(size(col("ts")) - 1, lit(0))).cast("double").as("bb"))
+      cb.withColumn("a", substring_index(col("bg"), " ", 1))
+        .withColumn("b", substring_index(col("bg"), " ", -1))
+        .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("cb2")), "b")
+        .crossJoin(tot)
+        .select(col("bg").as("pair"), col("cab").as("n_occ"),
+          graft.functions.EngineMath.roundAway(
+            log(col("cab").cast("double") * col("tt") * col("tt") /
+              ((col("bb") * col("ca")) * col("cb2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("pair")).limit(50)
+    }),
+    // x90: data profiling — per-column row/null/distinct counts in ONE
+    // pass (a single multi-distinct aggregate; Catalyst plans the Expand,
+    // map-side partials bound the shuffle). The 100 TB variant swaps
+    // count_distinct for approx_count_distinct / HLL (x81) — exact here
+    // because the oracle is exact.
+    "x90_profile" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val aggList = count(lit(1)).as("n_rows") +: profileCols.flatMap(c =>
+        Seq(count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c")))
+      val stackExpr = s"stack(${profileCols.length}, " + profileCols.map(c =>
+        s"'$c', n_rows, n_rows - c_$c, d_$c").mkString(", ") +
+        ") AS (column_name, n_rows, n_nulls, n_distinct)"
+      li.agg(aggList.head, aggList.tail: _*)
+        .select(expr(stackExpr))
+        .orderBy(col("column_name"))
+    }),
+    // x91: sorted-neighborhood dedup (window w=5 over a lang-blocked
+    // prefix sort — see operators/Snm for the O(n·w) scale shape)
+    "x91_snm_pairs" -> ((s, dir) =>
+      graft.operators.Snm.pairs(table(s, dir, "documents"),
+        "doc_id", "text", blockCol = "lang", w = 5, prefixLen = 24,
+        threshold = 0.5)),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1533,6 +1587,13 @@ object ExtensionQueries {
   /** replicate Dedup.cosine exactly: sequential dot products in double. */
   private val cosSql =
     "list_dot_product(iv, qv) / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv)))"
+  /** Column inventory for the x90 profiling op — one source of truth for
+    * the Spark stack() and the oracle's UNION ALL branches.
+    */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   private val jaccardCte =
     // tokenize with `toks` (whitespace regex, empties dropped) — the same
     // tokenizer as the Spark side; a plain single-space split would diverge
@@ -2182,6 +2243,47 @@ object ExtensionQueries {
         "s AS (SELECT sum(np * (2 * cb + n + 1)) AS s2, sum(np) AS p, sum(n) AS tot FROM o) " +
         "SELECT CAST(p AS BIGINT) AS n_pos, CAST(tot - p AS BIGINT) AS n_neg, " +
         "CAST(s2 - p * (p + 1) AS DOUBLE) / CAST(2 * p * (tot - p) AS DOUBLE) AS auc FROM s"),
+    // identical tokenizer, identical bigram explode, identical fixed-order
+    // (cab·T·T)/((B·ca)·cb) float chain into ln — scores bit-exact
+    "x89_pmi_collocations" ->
+      (s"""WITH m AS (SELECT $toks AS s FROM documents),
+         |bl AS (SELECT [s[i] || ' ' || s[i+1] for i in range(1, len(s))] AS bgs FROM m WHERE len(s) > 1),
+         |cb AS (SELECT bg, count(*) AS cab FROM (SELECT unnest(bgs) AS bg FROM bl)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(s) AS t FROM m) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len(s)) AS DOUBLE) AS tt,
+         |    CAST(sum(greatest(len(s) - 1, 0)) AS DOUBLE) AS bb FROM m),
+         |sc AS (SELECT cb.bg AS pair, CAST(cb.cab AS BIGINT) AS n_occ,
+         |    round(ln(CAST(cb.cab AS DOUBLE) * tot.tt * tot.tt /
+         |      ((tot.bb * ua.c) * ub.c)), 6) AS pmi
+         |  FROM cb JOIN uc ua ON ua.t = split_part(cb.bg, ' ', 1)
+         |  JOIN uc ub ON ub.t = split_part(cb.bg, ' ', 2) CROSS JOIN tot)
+         |SELECT pair, n_occ, pmi FROM sc
+         |ORDER BY pmi DESC, pair LIMIT 50""".stripMargin.replace("\n", " ")),
+    "x90_profile" ->
+      (profileCols.map(c =>
+        s"SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem")
+        .mkString(" UNION ALL ") + " ORDER BY column_name"),
+    // identical blocking key (alnum prefix of the lowercased text),
+    // identical lang-blocked (key, id) ranking, identical w=5 offsets,
+    // identical set-Jaccard verify
+    "x91_snm_pairs" ->
+      (s"""WITH k AS (SELECT doc_id, lang,
+         |    list_distinct($toks) AS ts,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, ts, row_number() OVER
+         |    (PARTITION BY lang ORDER BY bk, doc_id) AS rnk FROM k),
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.ts, b.ts))) AS j
+         |  FROM r a JOIN r b ON a.lang = b.lang
+         |    AND b.rnk - a.rnk BETWEEN 1 AND 5)
+         |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+         |  round(j, 4) AS jaccard FROM p WHERE j >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
     "x81_hll_distinct" ->
       // exact distincts re-derived in SQL; the staged engine estimates
       // are joined in and gated by the 5% accuracy predicate — identical

@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
     // per-row global rank
     val au = audits("x88_model_auc")
     assert(au.cartesian == 0, au.toString)
+    // PMI (x89): bigram/unigram equi-joins + single-row totals — never
+    // a cartesian over the vocabulary
+    val pm = audits("x89_pmi_collocations")
+    assert(pm.cartesian == 0, pm.toString)
+    // profiling (x90): ONE scan feeds the multi-distinct aggregate — a
+    // second scan means the per-column stats regressed to per-column jobs
+    val pf = audits("x90_profile")
+    assert(pf.scans == 1 && pf.cartesian == 0 && pf.nestedLoopJoins == 0,
+      pf.toString)
+    // SNM (x91): the window-offset probe is an EQUI-join on (block,
+    // rank+k) — a nested loop means it regressed to a rank-inequality
+    // range join over every block
+    val sn = audits("x91_snm_pairs")
+    assert(sn.cartesian == 0 && sn.nestedLoopJoins == 0, sn.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
