@@ -1323,6 +1323,14 @@ object ExtensionQueries {
       graft.operators.Snm.pairs(table(s, dir, "documents"),
         "doc_id", "text", blockCol = "lang", w = 5, prefixLen = 24,
         threshold = 0.5)),
+    // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
+    // as x06's quadratic join, sub-quadratic candidates, zero recall
+    // loss by the prefix theorem; shares x06's all-pairs oracle, which
+    // is precisely the losslessness gate
+    "x92_ppjoin_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
     // x58: domain-mixture temperature sampling — per-source quotas
     // ∝ n^0.5 (alpha<1 upweights small sources), members chosen by
     // md5-ticket rank within each source. Quota arithmetic and the
@@ -1752,6 +1760,7 @@ object ExtensionQueries {
         "GROUP BY 1 ORDER BY 1"),
     "x06_jaccard_pairs" -> jaccardCte,
     "x07_minhash_pairs" -> jaccardCte, // LSH must find the same pairs (see above)
+    "x92_ppjoin_pairs" -> jaccardCte,  // prefix filter is LOSSLESS — same truth
     "x14_dedup_groups" ->
       (s"""WITH RECURSIVE pr AS ($jaccardCte),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr

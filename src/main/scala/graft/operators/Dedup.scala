@@ -173,6 +173,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
 
+  /** Prefix-filtered EXACT Jaccard pairs (Bayardo et al. 2007 AllPairs /
+    * PPJoin family) — the deterministic sub-quadratic path between the
+    * all-pairs truth ([[jaccardPairs]]) and the probabilistic MinHash
+    * banding ([[minhashPairs]]): candidates come only from pairs whose
+    * PREFIXES intersect, and the prefix theorem makes that LOSSLESS.
+    *
+    * Under a global total order on shingles (rarest-first: (doc-freq,
+    * hash)), a set s keeps only its first |s| − ⌈t·|s|⌉ + 1 shingles as
+    * its prefix; any pair with Jaccard ≥ t must share a prefix shingle,
+    * so the self-join runs over the prefix table — a vanishing fraction
+    * of the shingle table for high t (t=0.8 keeps ~20% of each set, and
+    * candidate volume scales with PREFIX-shingle collisions, not all
+    * collisions). The float ⌈t·|s|⌉ errs only upward (0.8 rounds up in
+    * binary), which lengthens prefixes — still lossless. Verification
+    * is the exact overlap count restricted to candidate pairs.
+    *
+    * Scale: rarest-first ordering puts the fewest-collision shingles in
+    * prefixes (the AllPairs heuristic), `maxDocFreq` still caps true
+    * boilerplate, and every join is an equi-join on 8-byte hashes.
+    *
+    * When it wins, measured honestly: the prefix filter pays for a
+    * partitioned sort of the shingle table (rank-within-doc) plus a
+    * verify pass, and saves on CANDIDATE volume. On corpora where
+    * collisions ≈ true-pair overlap (this synthetic corpus: no natural
+    * boilerplate, x06's self-join output IS the verify work) it is
+    * ~2× slower than the direct join (sf0.1: 2.9 s vs 1.5 s; 10×
+    * near-dup: 89 s vs 15 s — dense replica cliques inflate candidates
+    * and verify identically for both). Its regime is heavy-tailed
+    * shingle frequencies — web-scale boilerplate shared by millions of
+    * NON-duplicate pages, where the direct join's collision volume is
+    * orders beyond its output and `maxDocFreq` cannot cap it without
+    * losing recall; the prefix sort itself amortizes at index-build
+    * time. Kept as the deterministic-LOSSLESS sub-quadratic path beside
+    * the probabilistic banding ([[minhashPairs]]).
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = graft.engine.CacheScope.persistTracked(
+      shingleTable(df, idCol, textCol, k, maxDocFreq)
+        .select(col("id"), xxhash64(col("shingle")).as("shash")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+    val prefix = graft.engine.CacheScope.persistTracked(
+      sh.join(freq, "shash")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("shash"))))
+        .join(sizes, "id")
+        .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select(col("id"), col("shash")))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("shash")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shash")), Seq("id_b", "shash"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EngineMath.roundAway(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Benchmark DECONTAMINATION scan: corpus documents sharing at least
     * `minShared` k-gram shingles with ANY benchmark document — the
     * test-set-overlap check a training pipeline runs before releasing a

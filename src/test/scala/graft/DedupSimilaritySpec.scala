@@ -51,6 +51,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lax == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
   }
 
+  test("prefix-filtered jaccard (ppjoin) ≡ the all-pairs truth, with real pruning") {
+    // losslessness: identical pairs AND identical scores at t=0.8
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    val pp = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    assert(pp.exceptAll(truth).isEmpty && truth.exceptAll(pp).isEmpty,
+      "prefix filter changed the result set")
+    // pruning: prefix tables keep only |s| - ceil(0.8|s|) + 1 shingles, so
+    // prefix-shingle rows must be a small fraction of all shingle rows
+    val all = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("s"))
+      .count()
+    val prefixLen = docs.select(
+      sum(size(graft.functions.TextFunctions.shingles(col("text"), 3)) -
+        ceil(lit(0.8) * size(graft.functions.TextFunctions.shingles(col("text"), 3))) + 1))
+      .head().getLong(0)
+    assert(prefixLen * 3 < all,
+      s"prefix rows $prefixLen not a small fraction of $all shingle rows")
+  }
+
   test("minhash LSH candidates cover all true high-jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
       .select("id_a", "id_b")

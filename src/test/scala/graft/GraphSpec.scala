@@ -3,6 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Graph
 
+object GraphSpec {
+  val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class GraphSpec extends SparkSpec {
 
   import spark.implicits._
@@ -55,6 +59,30 @@ class GraphSpec extends SparkSpec {
     und.unpersist()
     assert(oriented == naive && oriented > 0,
       s"compact-forward $oriented vs naive $naive")
+  }
+
+  test("pagerank is bit-exact under injected task failures (executor churn)") {
+    // the determinism claim behind the oracle: integer-tick contribution
+    // sums are order-independent, so a re-computed partition (what a lost
+    // executor's retry does) must reproduce the identical ranks. Inject
+    // first-attempt failures at the edge source and compare bit-for-bit
+    // against the undisturbed run.
+    import org.apache.spark.TaskContext
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val clean = Graph.pageRank(base, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    GraphSpec.fails.set(0)
+    val chaotic = base.as[(Long, Long)].mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          GraphSpec.fails.getAndIncrement() < 3)
+        throw new RuntimeException("chaos: simulated lost executor task")
+      it
+    }.toDF("src", "dst")
+    val got = Graph.pageRank(chaotic, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == clean, s"ranks diverged after chaos: $got vs $clean")
   }
 
   test("pagerank mass stays ~1 and every node keeps a rank row") {
