@@ -1323,6 +1323,66 @@ object ExtensionQueries {
       graft.operators.Snm.pairs(table(s, dir, "documents"),
         "doc_id", "text", blockCol = "lang", w = 5, prefixLen = 24,
         threshold = 0.5)),
+    // x93: stream-STATIC broadcast enrichment (B5's dimension join as a
+    // live stream) — the dim never streams and never builds state; the
+    // oracle is the batch join+aggregate the Complete-mode drain equals
+    "x93_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamOps.enrichedCountStreaming(s,
+        s"$dir/events.parquet",
+        dim = table(s, dir, "customer"), dimKey = "c_custkey",
+        dimAttr = "c_mktsegment")),
+    // x94: per-group winsorization — clip n_chars to each lang's
+    // [p05, p95] (Spark `percentile` ≡ DuckDB `quantile_cont`, the x16
+    // equivalence). One aggregate for the bounds, one broadcast join to
+    // apply; no per-row windows.
+    "x94_winsorize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bounds = docs.groupBy(col("lang")).agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.join(broadcast(bounds), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.functions.EngineMath.roundAway(
+            least(greatest(col("n_chars").cast("double"), col("lo")),
+              col("hi")), 4).as("clipped"))
+        .orderBy(col("doc_id"))
+    }),
+    // x95: leave-one-out target encoding — per event, the mean `value`
+    // of its event_type EXCLUDING itself ((Σ−own)/(n−1)), the
+    // leakage-free categorical encoder. Values quantize to integer
+    // micros first (the pagerank tick trick), so the per-type sums are
+    // order-independent and the encoder is bit-exact across engines.
+    "x95_target_encode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1e6) + lit(0.5)).as("vm"))
+      val agg = ev.groupBy(col("event_type"))
+        .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      ev.join(broadcast(agg), "event_type")
+        .filter(col("n") > 1)
+        .select(col("event_id"), col("event_type"),
+          graft.functions.EngineMath.roundAway(
+            (col("s") - col("vm")).cast("double") / lit(1e6) /
+              (col("n") - 1).cast("double"), 6).as("loo_mean"))
+        .orderBy(col("event_id"))
+    }),
+    // x96: per-document token entropy — −Σ (c/n)·ln(c/n) over the doc's
+    // token distribution, folded in token-sorted order (the x59 ordered
+    // fold: both engines add the same IEEE terms in the same sequence)
+    "x96_token_entropy" -> ((s, dir) => {
+      val tc = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sort_array(collect_list(struct(col("t"), col("c")))).as("cs"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(cs, 0.0d, (acc, x) -> " +
+              "acc - (CAST(x.c AS DOUBLE) / n) * ln(CAST(x.c AS DOUBLE) / n))"),
+            6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
     // as x06's quadratic join, sub-quadratic candidates, zero recall
     // loss by the prefix theorem; shares x06's all-pairs oracle, which
@@ -1761,6 +1821,40 @@ object ExtensionQueries {
     "x06_jaccard_pairs" -> jaccardCte,
     "x07_minhash_pairs" -> jaccardCte, // LSH must find the same pairs (see above)
     "x92_ppjoin_pairs" -> jaccardCte,  // prefix filter is LOSSLESS — same truth
+    // batch join+aggregate the Complete-mode streaming drain equals
+    "x93_stream_enrich" ->
+      ("SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // quantile_cont ≡ Spark percentile (the x16 equivalence); identical
+    // clip expression and rounding
+    "x94_winsorize" ->
+      ("WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, " +
+        "quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY lang) " +
+        "SELECT d.doc_id, d.lang, d.n_chars, " +
+        "round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 4) AS clipped " +
+        "FROM documents d JOIN b USING (lang) ORDER BY d.doc_id"),
+    // identical micro-quantization, integer sums, fixed-order division
+    "x95_target_encode" ->
+      ("WITH ev AS (SELECT event_id, event_type, " +
+        "CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events), " +
+        "a AS (SELECT event_type, CAST(sum(vm) AS BIGINT) AS s, " +
+        "CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1) " +
+        "SELECT ev.event_id, ev.event_type, " +
+        "round(CAST(a.s - ev.vm AS DOUBLE) / 1e6 / CAST(a.n - 1 AS DOUBLE), 6) AS loo_mean " +
+        "FROM ev JOIN a USING (event_type) WHERE a.n > 1 ORDER BY ev.event_id"),
+    // identical token counts; the entropy terms fold in token-sorted
+    // order on both engines (the x59 ordered-fold device)
+    "x96_token_entropy" ->
+      (s"""WITH tc AS (SELECT doc_id, t, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents) GROUP BY 1, 2),
+         |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, list(c ORDER BY t) AS cs
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(list_reduce(list_prepend(0.0,
+         |    [-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) for c in cs]),
+         |    (x, y) -> x + y), 6) AS entropy
+         |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x14_dedup_groups" ->
       (s"""WITH RECURSIVE pr AS ($jaccardCte),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr

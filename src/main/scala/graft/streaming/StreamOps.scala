@@ -284,6 +284,35 @@ object StreamOps {
       .orderBy(col("user_id"), col("left_id"), col("right_id"))
   }
 
+  /** Stream-STATIC enrichment join + aggregate: the streaming analogue of
+    * the B5 broadcast dimension join — each micro-batch joins the live
+    * event stream against a STATIC dimension frame (no state store for
+    * the join: Spark broadcasts the dim per batch exactly as batch plans
+    * do) and feeds a stateful aggregate. The dimension is the thing that
+    * does NOT stream; at 100 TB/day the events shuffle only for the
+    * aggregate, keyed on the (dim-attr, type) group key.
+    */
+  def enrichedCountStreaming(spark: SparkSession, eventsDir: String,
+      dim: DataFrame, dimKey: String, dimAttr: String,
+      queryName: String = "enriched"): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
+    val out = stream
+      .join(broadcast(dim.select(col(dimKey).as("__k"), col(dimAttr))),
+        col("user_id") === col("__k"))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .orderBy(col(dimAttr), col("event_type"))
+  }
+
   /** Streaming exact deduplication: the x05 dedup-group aggregate as a
     * stateful streaming query — per content fingerprint, the smallest id
     * seen so far and the duplicate count, maintained incrementally as

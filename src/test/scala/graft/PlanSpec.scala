@@ -191,6 +191,16 @@ class PlanSpec extends SparkSpec {
     // range join over every block
     val sn = audits("x91_snm_pairs")
     assert(sn.cartesian == 0 && sn.nestedLoopJoins == 0, sn.toString)
+    // winsorize (x94) / target-encode (x95): the per-group stats frame
+    // must broadcast back onto the row side, never sort-merge it
+    for (q <- Seq("x94_winsorize", "x95_target_encode")) {
+      val a = audits(q)
+      assert(a.sortMergeJoins == 0 && a.broadcastJoins >= 1, a.toString)
+    }
+    // entropy (x96): one linear explode→aggregate chain, no joins
+    val en = audits("x96_token_entropy")
+    assert(en.scans == 1 && en.broadcastJoins == 0 && en.sortMergeJoins == 0,
+      en.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {

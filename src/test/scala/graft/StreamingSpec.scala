@@ -103,6 +103,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment == batch broadcast join + aggregate") {
+    val dim = Tables.table(spark, sf(), "customer")
+    val streamed = StreamOps.enrichedCountStreaming(spark, eventsDir,
+      dim, "c_custkey", "c_mktsegment", queryName = "enrich_spec")
+    val batch = events
+      .join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup == batch dedup groups") {
     val docs = Tables.table(spark, sf(), "documents")
     val streamed = StreamOps.dedupStreaming(spark,
