@@ -1383,6 +1383,15 @@ object ExtensionQueries {
             6).as("entropy"))
         .orderBy(col("doc_id"))
     }),
+    // x97: deterministic random walks (DeepWalk corpus generation) over
+    // the supplier↔part graph — hash-drawn hops, reproducible on any
+    // engine/partitioning/retry (operators/Graph.randomWalks)
+    "x97_random_walks" -> ((s, dir) =>
+      graft.operators.Graph.randomWalks(
+        table(s, dir, "lineitem").select(
+          (col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", steps = 4)),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
     // as x06's quadratic join, sub-quadratic candidates, zero recall
     // loss by the prefix theorem; shares x06's all-pairs oracle, which
@@ -1821,6 +1830,29 @@ object ExtensionQueries {
     "x06_jaccard_pairs" -> jaccardCte,
     "x07_minhash_pairs" -> jaccardCte, // LSH must find the same pairs (see above)
     "x92_ppjoin_pairs" -> jaccardCte,  // prefix filter is LOSSLESS — same truth
+    // every hop unrolled: same rank-ordered adjacency, same md5 draw
+    // ('0x'||substr(md5('rw:'||id||':'||step),1,8) % deg + 1) — paths
+    // string-identical
+    "x97_random_walks" -> {
+      val head =
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src, " +
+          "l_partkey * 2 + 1 AS dst FROM lineitem), " +
+          "und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+          "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM und GROUP BY src), " +
+          "adj AS MATERIALIZED (SELECT src, dst, row_number() OVER " +
+          "(PARTITION BY src ORDER BY dst) AS r FROM und), " +
+          "w0 AS (SELECT src AS walk_id, src AS cur, " +
+          "CAST(src AS VARCHAR) AS path FROM deg)"
+      def hop(i: Int) =
+        s"w$i AS (SELECT w.walk_id, a.dst AS cur, " +
+          "w.path || '>' || CAST(a.dst AS VARCHAR) AS path " +
+          s"FROM w${i - 1} w JOIN deg ON deg.src = w.cur " +
+          "JOIN adj a ON a.src = w.cur AND a.r = " +
+          s"('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR) || ':$i'), 1, 8))::BIGINT " +
+          "% deg.d + 1)"
+      head + ", " + (1 to 4).map(hop).mkString(", ") +
+        " SELECT walk_id, cur AS end_node, path FROM w4 ORDER BY walk_id"
+    },
     // batch join+aggregate the Complete-mode streaming drain equals
     "x93_stream_enrich" ->
       ("SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n " +

@@ -28,6 +28,52 @@ import graft.functions.EngineMath
   */
 object Graph {
 
+  /** Deterministic random walks (DeepWalk/node2vec input generation):
+    * one `steps`-hop walk per start node over the undirected graph, the
+    * next hop chosen by an md5 draw over the current node's rank-ordered
+    * neighbors. The "randomness" is a hash of (walk_id, step) — identical
+    * on every engine, every partitioning, and every retry, which is what
+    * makes walk corpora reproducible (and oracle-checkable) instead of
+    * RNG-dependent.
+    *
+    * Scale shape: the ranked adjacency (neighbor rank per src via a
+    * src-partitioned window) and the degree table persist once; each hop
+    * is one equi-join of the O(|walks|) frontier against them on
+    * (node, rank) — the Pregel frontier shape again, lineage cut per hop
+    * by the join against the static persisted side. Walk count scales
+    * embarrassingly (walks never interact).
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, salt: String = "rw"): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = graft.engine.CacheScope.persistTracked(
+      und.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    val adj = graft.engine.CacheScope.persistTracked(
+      und.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst")))))
+    var cur = deg.select(col("src").as("walk_id"), col("src").as("cur"),
+      col("src").cast("string").as("path"))
+    for (i <- 1 to steps) {
+      val pick = conv(substring(md5(concat(lit(s"$salt:"),
+        col("walk_id").cast("string"), lit(s":$i"))), 1, 8), 16, 10)
+        .cast("long") % col("d") + 1
+      // composite EQUI-join on (node, rank == pick): the frontier never
+      // fans out over a node's full neighbor list
+      cur = cur
+        .join(deg.select(col("src").as("cur"), col("d")), "cur")
+        .withColumn("pick", pick)
+        .join(adj.select(col("src").as("a_cur"), col("dst"), col("r")),
+          col("cur") === col("a_cur") && col("r") === col("pick"))
+        .select(col("walk_id"), col("dst").as("cur"),
+          concat(col("path"), lit(">"), col("dst").cast("string")).as("path"))
+    }
+    cur.select(col("walk_id"), col("cur").as("end_node"), col("path"))
+      .orderBy(col("walk_id"))
+  }
+
   /** Triangle statistics — (n_edges, n_wedges, n_triangles) over the
     * undirected simple graph spanned by `edges` (canonicalized to u < v,
     * self-loops dropped, deduped here).

@@ -85,6 +85,28 @@ class GraphSpec extends SparkSpec {
     assert(got == clean, s"ranks diverged after chaos: $got vs $clean")
   }
 
+  test("random walks take only real edges and are reproducible") {
+    val edges = Tables.table(spark, sf(), "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+    val walks = Graph.randomWalks(edges, "src", "dst", steps = 3)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst"), col("src"))).distinct()
+    // every consecutive (a, b) in every path must be an und edge
+    val hopPairs = walks
+      .select(col("walk_id"), split(col("path"), ">").as("p"))
+      .select(col("walk_id"), expr(
+        "explode(transform(sequence(1, size(p) - 1), " +
+          "i -> struct(CAST(element_at(p, i) AS BIGINT) AS a, " +
+          "CAST(element_at(p, i + 1) AS BIGINT) AS b)))").as("h"))
+      .select(col("h.a").as("src"), col("h.b").as("dst"))
+    assert(hopPairs.join(und, Seq("src", "dst"), "left_anti").count() == 0,
+      "walk used a non-edge")
+    // hash-draw determinism: a second invocation is string-identical
+    val again = Graph.randomWalks(edges, "src", "dst", steps = 3)
+    assert(walks.exceptAll(again).isEmpty && again.exceptAll(walks).isEmpty)
+  }
+
   test("pagerank mass stays ~1 and every node keeps a rank row") {
     val edges = Tables.table(spark, sf(), "lineitem")
       .select((col("l_suppkey") * 2).as("src"),
