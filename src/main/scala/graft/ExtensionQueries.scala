@@ -58,6 +58,38 @@ object ExtensionQueries {
           typedlit(sk), col("term"), CmsDepth, CmsWidth).as("est"))
       .orderBy(col("n").desc, col("term").asc)
 
+  /** x99's fixed subword vocabulary, longest-first (then lexicographic).
+    * Greedy longest-match encoding falls out of ordered regex alternation:
+    * both java.util.regex and DuckDB's RE2 use leftmost-FIRST alternation,
+    * so listing longer units before their prefixes makes the first
+    * matching alternative the longest vocabulary unit at each position,
+    * and the single-letter fallback guarantees every letter is consumed
+    * by exactly one piece. One shared constant builds BOTH engines'
+    * patterns — the ordering is the semantics, so it cannot drift.
+    */
+  private val SubwordVocab = Seq(
+    "ation", "tion", "ing", "ent", "ous", "ers", "est", "the", "and",
+    "ter", "er", "in", "on", "an", "re", "at", "or", "es", "en", "ed",
+    "to", "it", "is", "of")
+  private val SubwordPattern =
+    SubwordVocab.mkString("(?:", "|", "|[a-z])")
+
+  /** The x99 projection, factored so the spec can run it on a hand-built
+    * frame: greedy subword piece count, multi-char piece count, and letter
+    * coverage (every letter is consumed by exactly one piece).
+    */
+  private[graft] def vocabEncode(docs: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(
+      lower(col("text")), lit(SubwordPattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(filter(pieces, p => length(p) > lit(1)))
+        .cast("long").as("n_multi"),
+      length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("long").as("n_alpha"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // x01: token counting — whitespace + BPE-ish regex pre-tokenizer
     "x01_token_count" -> ((s, dir) =>
@@ -1392,6 +1424,25 @@ object ExtensionQueries {
           (col("l_suppkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst")),
         "src", "dst", steps = 4)),
+    // x98: epoch shuffle + fixed-size sharding — the corpus's deterministic
+    // training permutation (operators/Shards: bucketed prefix-sum global
+    // rank, no global sort). The oracle IS the naive global row_number over
+    // the same ticket order, which is exactly the losslessness gate for
+    // the two-level rank.
+    "x98_epoch_shards" -> ((s, dir) =>
+      graft.operators.Shards.epochShards(
+        table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "ep1", shardSize = 100)
+        .select(col("doc_id"), col("epoch_rank"), col("shard"), col("pos"))
+        .orderBy(col("epoch_rank"))),
+    // x99: greedy subword ENCODING with a fixed vocabulary (the apply half
+    // of tokenization; x85 is the training half) — per-doc piece count,
+    // multi-char piece count, and letter coverage. Linear scan per doc,
+    // no shuffle, codegen'd regex; the vocabulary rides in the plan as a
+    // literal pattern (at scale: a learned vocab compiles to the same
+    // alternation, broadcast-free)
+    "x99_vocab_encode" -> ((s, dir) =>
+      vocabEncode(table(s, dir, "documents")).orderBy(col("doc_id"))),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
     // as x06's quadratic join, sub-quadratic candidates, zero recall
     // loss by the prefix theorem; shares x06's all-pairs oracle, which
@@ -1853,6 +1904,25 @@ object ExtensionQueries {
       head + ", " + (1 to 4).map(hop).mkString(", ") +
         " SELECT walk_id, cur AS end_node, path FROM w4 ORDER BY walk_id"
     },
+    // the naive global rank over the same md5-ticket order — the exact
+    // truth the bucketed two-level rank must reproduce; `div`/`%` are
+    // integer on both engines (DuckDB `//`)
+    "x98_epoch_shards" ->
+      ("WITH r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+        "md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) " +
+        "AS epoch_rank FROM documents) " +
+        "SELECT doc_id, epoch_rank, epoch_rank // 100 AS shard, " +
+        "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
+    // same ordered-alternation pattern string (built from the one shared
+    // vocab constant), same leftmost-first semantics in RE2
+    "x99_vocab_encode" ->
+      (s"SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(lower(text), '$SubwordPattern')) " +
+        "AS BIGINT) AS n_pieces, " +
+        s"CAST(len(list_filter(regexp_extract_all(lower(text), " +
+        s"'$SubwordPattern'), p -> strlen(p) > 1)) AS BIGINT) AS n_multi, " +
+        "CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g')) " +
+        "AS BIGINT) AS n_alpha FROM documents ORDER BY doc_id"),
     // batch join+aggregate the Complete-mode streaming drain equals
     "x93_stream_enrich" ->
       ("SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n " +

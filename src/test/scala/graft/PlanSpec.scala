@@ -201,6 +201,17 @@ class PlanSpec extends SparkSpec {
     val en = audits("x96_token_entropy")
     assert(en.scans == 1 && en.broadcastJoins == 0 && en.sortMergeJoins == 0,
       en.toString)
+    // epoch shards (x98): the 256-row offset frame must broadcast back
+    // onto the row side — a sort-merge there means the global rank
+    // regressed to shuffling row-scale data against the offsets
+    val ep = audits("x98_epoch_shards")
+    assert(ep.broadcastJoins >= 1 && ep.sortMergeJoins == 0 &&
+      ep.cartesian == 0, ep.toString)
+    // vocab encode (x99): one scan, zero joins/shuffles before the
+    // output sort — the vocabulary rides in the plan as a literal
+    val ve = audits("x99_vocab_encode")
+    assert(ve.scans == 1 && ve.broadcastJoins == 0 && ve.sortMergeJoins == 0,
+      ve.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {

@@ -1,0 +1,73 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Shards
+
+/** Epoch shuffle/sharding invariants: the bucketed two-level rank must be
+  * byte-identical to the naive global sort, shards must be exactly full
+  * (last one ragged), and the permutation must be layout-independent and
+  * seed-sensitive.
+  */
+class ShardsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private lazy val ids = {
+    import spark.implicits._
+    (0L until 5000L).toDF("id")
+  }
+
+  test("two-level rank equals the naive global ticket sort") {
+    val got = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
+      .select(col("id"), col("epoch_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 5000L).sortBy(i => (md5hex(s"t1:$i"), i))
+      .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    assert(got == want, "bucketed rank diverged from the global sort")
+  }
+
+  test("shards are exactly shardSize (last ragged); pos covers 0..n-1") {
+    val rows = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"),
+        min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val last = rows.map(_._1).max
+    rows.foreach { case (shard, n, lo, hi) =>
+      val expected = if (shard == last) 5000L % 64 else 64L
+      assert(n == expected, s"shard $shard has $n rows, want $expected")
+      assert(lo == 0L && hi == n - 1, s"shard $shard pos range [$lo,$hi]")
+    }
+    assert(rows.length == (5000 + 63) / 64)
+  }
+
+  test("layout-independent; bucket width does not change the permutation; seeds differ") {
+    def ranks(df: org.apache.spark.sql.DataFrame, seed: String, hex: Int) =
+      Shards.epochShards(df, "id", seed, shardSize = 64, bucketHexChars = hex)
+        .select(col("id"), col("epoch_rank")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ranks(ids, "t1", 2)
+    assert(ranks(ids.repartition(17), "t1", 2) == base,
+      "permutation changed under repartitioning")
+    assert(ranks(ids, "t1", 3) == base,
+      "bucket width is supposed to be invisible")
+    assert(ranks(ids, "t2", 2) != base, "seeds must give distinct epochs")
+  }
+
+  test("no global single-partition exchange in the plan") {
+    val plan = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
+      .queryExecution.executedPlan.toString
+    // the only allowed SinglePartition exchange is the one feeding the
+    // 256-row bucket-offset window, which sits UNDER a broadcast; the
+    // row-scale side must never gather to one partition
+    val gathers = "Exchange SinglePartition".r.findAllIn(plan).length
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(bcasts >= 1, s"offsets should broadcast:\n$plan")
+    assert(gathers <= 1, s"row-scale data gathered to one partition:\n$plan")
+  }
+}

@@ -105,4 +105,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2L)._2 == 0.0 && !out(2L)._3)
     assert(out(3L) == ((0.0, 0.0, true)))
   }
+
+  test("vocab encode (x99): ordered alternation = greedy longest-listed match") {
+    import spark.implicits._
+    // hand-segmented with the x99 vocabulary:
+    // "the rationing of interesting reports" →
+    //   the | r·ation·ing | of | in·ter·est·ing | re·p·or·t·s  = 14 pieces,
+    //   10 multi-char, 32 letters
+    val df = Seq((1L, "The Rationing of INTERESTING reports!"))
+      .toDF("doc_id", "text")
+    val r = ExtensionQueries.vocabEncode(df).collect().head
+    assert(r.getLong(1) == 14L, s"n_pieces ${r.getLong(1)}")
+    assert(r.getLong(2) == 10L, s"n_multi ${r.getLong(2)}")
+    assert(r.getLong(3) == 32L, s"n_alpha ${r.getLong(3)}")
+  }
 }
