@@ -67,7 +67,7 @@ object ExtensionQueries {
     * by exactly one piece. One shared constant builds BOTH engines'
     * patterns — the ordering is the semantics, so it cannot drift.
     */
-  private val SubwordVocab = Seq(
+  private[graft] val SubwordVocab = Seq(
     "ation", "tion", "ing", "ent", "ous", "ers", "est", "the", "and",
     "ter", "er", "in", "on", "an", "re", "at", "or", "es", "en", "ed",
     "to", "it", "is", "of")

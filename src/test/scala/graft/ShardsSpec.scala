@@ -59,6 +59,31 @@ class ShardsSpec extends SparkSpec {
     assert(ranks(ids, "t2", 2) != base, "seeds must give distinct epochs")
   }
 
+  test("property: equals the local sort at random sizes/seeds/shard sizes (seeded)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val caseGen = for {
+      n <- Gen.oneOf(0, 1, 5, 63, 64, 65, 200)
+      size <- Gen.oneOf(1, 7, 64)
+      seed <- Gen.oneOf("pa", "pb", "pc")
+    } yield (n, size, seed)
+    val cases = Iterator.iterate(org.scalacheck.rng.Seed(23L))(_.next)
+      .map(s => caseGen.apply(Gen.Parameters.default, s))
+      .collect { case Some(c) => c }.take(12).toSeq.distinct
+    for (((n, size, seed), ci) <- cases.zipWithIndex) {
+      val df = (0L until n.toLong).toDF("id")
+      val got = Shards.epochShards(df, "id", seed, size)
+        .select(col("id"), col("epoch_rank"), col("shard"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._2)
+      val want = (0L until n.toLong).sortBy(i => (md5hex(s"$seed:$i"), i))
+        .zipWithIndex.map { case (id, r) =>
+          (id, r.toLong, r.toLong / size, r.toLong % size) }
+      assert(got.toSeq == want.toSeq,
+        s"case $ci (n=$n size=$size seed=$seed) diverged")
+    }
+  }
+
   test("no global single-partition exchange in the plan") {
     val plan = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
       .queryExecution.executedPlan.toString

@@ -119,4 +119,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getLong(2) == 10L, s"n_multi ${r.getLong(2)}")
     assert(r.getLong(3) == 32L, s"n_alpha ${r.getLong(3)}")
   }
+
+  test("property: vocab encode == local greedy longest-listed scan (seeded)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // the regex-semantics cross-check: an independent imperative scan with
+    // the SAME vocab order must agree with the engine's ordered-alternation
+    // match on arbitrary ASCII text (mixed case, punctuation, digits)
+    def local(text: String): (Long, Long, Long) = {
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+      var i = 0; var pieces = 0L; var multi = 0L; var alpha = 0L
+      while (i < t.length) {
+        if (t(i) >= 'a' && t(i) <= 'z') {
+          ExtensionQueries.SubwordVocab.find(v => t.startsWith(v, i)) match {
+            case Some(v) =>
+              pieces += 1; if (v.length > 1) multi += 1
+              alpha += v.length; i += v.length
+            case None => pieces += 1; alpha += 1; i += 1
+          }
+        } else i += 1
+      }
+      (pieces, multi, alpha)
+    }
+    val tokenGen = Gen.oneOf(
+      Gen.oneOf(ExtensionQueries.SubwordVocab),
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      Gen.oneOf(" ", ", ", "! ", "42 ", "-", "  "))
+    val textGen = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString)
+    val texts = Iterator.iterate(org.scalacheck.rng.Seed(11L))(_.next)
+      .map(s => textGen.apply(Gen.Parameters.default, s))
+      .collect { case Some(t) => t }.take(40).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = ExtensionQueries.vocabEncode(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == local(t), s"doc $i diverged: '${t.take(60)}'")
+    }
+  }
 }
