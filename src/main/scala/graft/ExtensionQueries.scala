@@ -1443,6 +1443,29 @@ object ExtensionQueries {
     // alternation, broadcast-free)
     "x99_vocab_encode" -> ((s, dir) =>
       vocabEncode(table(s, dir, "documents")).orderBy(col("doc_id"))),
+    // x100: curriculum-ordered shard assembly — x98's epoch permutation
+    // under a quality-band priority (highest band first, ticket-shuffled
+    // within each band): the curriculum-learning data layout. The band is
+    // PER-ROW (fixed quality thresholds, not a rank/ntile), so the only
+    // non-linear stage is still the bounded bands×buckets offset frame.
+    // Band arithmetic goes through the 4-decimal integer quantization
+    // (floor(q·10⁴+0.5) is exact on both engines; a float q·10 floor
+    // would flip at band boundaries).
+    "x100_curriculum_shards" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val banded = toks.select(col("doc_id"),
+          TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
+        .withColumn("__qi", floor(col("q") * 10000 + lit(0.5)).cast("long"))
+        .withColumn("band", least(lit(9L), expr("__qi div 1000")))
+        .select(col("doc_id"), col("band"))
+      graft.operators.Shards.curriculumShards(banded, "doc_id",
+        col("band"), descending = true, seed = "cu1", shardSize = 100)
+        .select(col("doc_id"), col("band"), col("epoch_rank"),
+          col("shard"), col("pos"))
+        .orderBy(col("epoch_rank"))
+    }),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
     // as x06's quadratic join, sub-quadratic candidates, zero recall
     // loss by the prefix theorem; shares x06's all-pairs oracle, which
@@ -1912,6 +1935,17 @@ object ExtensionQueries {
         "md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) " +
         "AS epoch_rank FROM documents) " +
         "SELECT doc_id, epoch_rank, epoch_rank // 100 AS shard, " +
+        "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
+    // same quality expression (the x03 CTEs), same integer band
+    // quantization, then the naive global rank over (band DESC, ticket)
+    "x100_curriculum_shards" ->
+      (s"$qualityCtes, q AS (SELECT doc_id, $qualityExprSql AS q FROM c), " +
+        "b AS (SELECT doc_id, least(9, CAST(floor(q * 10000 + 0.5) AS BIGINT) " +
+        "// 1000) AS band FROM q), " +
+        "r AS (SELECT doc_id, band, CAST(row_number() OVER (ORDER BY band DESC, " +
+        "md5('cu1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) " +
+        "AS epoch_rank FROM b) " +
+        "SELECT doc_id, band, epoch_rank, epoch_rank // 100 AS shard, " +
         "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
     // same ordered-alternation pattern string (built from the one shared
     // vocab constant), same leftmost-first semantics in RE2

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,51 +11,76 @@ import org.apache.spark.sql.functions._
   * last shard ragged). The permutation is the md5-ticket order of
   * `seed:key` — reruns, engines, partitionings, and retries all produce the
   * identical epoch; a different seed is a fresh independent shuffle.
+  * [[curriculumShards]] is the priority-ordered variant: rows order by a
+  * bounded-cardinality priority band FIRST (curriculum learning's
+  * easy-to-hard schedule), with the ticket shuffling within each band.
   *
   * Scale shape: a global rank is NOT a global sort. Rows are range-bucketed
   * by their ticket's leading hex digits (16^`bucketHexChars` buckets — the
   * ticket is uniform, so buckets are balanced by construction, no sampling
   * pass needed); per-bucket counts (a tiny aggregate) turn into exclusive
   * prefix offsets with a window over that 256/4096-row frame (bounded by
-  * the bucket count, never by the data); offsets broadcast back and each
-  * bucket ranks locally. One shuffle on the bucket key, one broadcast —
-  * no single-partition stage touches row-scale data. Raise `bucketHexChars`
+  * the bucket count — times the band count for the curriculum variant —
+  * never by the data); offsets broadcast back and each bucket ranks
+  * locally. One shuffle on the bucket key, one broadcast — no
+  * single-partition stage touches row-scale data. Raise `bucketHexChars`
   * with corpus size (3 hex = 4096 buckets ≈ 25M rows/bucket at 100B rows).
   */
 object Shards {
 
   def epochShards(df: DataFrame, keyCol: String, seed: String,
-      shardSize: Int, bucketHexChars: Int = 2): DataFrame = {
+      shardSize: Int, bucketHexChars: Int = 2): DataFrame =
+    ranked(df, keyCol, seed, shardSize, bucketHexChars, priority = Nil)
+
+  /** Priority-banded epoch shards: global order is (priority band, ticket)
+    * — descending band when `descending` (highest-quality first), the
+    * deterministic shuffle within each band. `priority` must have BOUNDED
+    * cardinality (quality deciles, difficulty bands — tens, not millions):
+    * the offset frame is bands × buckets rows.
+    */
+  def curriculumShards(df: DataFrame, keyCol: String, priority: Column,
+      descending: Boolean, seed: String, shardSize: Int,
+      bucketHexChars: Int = 2): DataFrame =
+    ranked(df, keyCol, seed, shardSize, bucketHexChars,
+      priority = Seq(priority -> descending))
+
+  private def ranked(df: DataFrame, keyCol: String, seed: String,
+      shardSize: Int, bucketHexChars: Int,
+      priority: Seq[(Column, Boolean)]): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     require(bucketHexChars >= 1 && bucketHexChars <= 8,
       s"bucketHexChars must be in [1,8], got $bucketHexChars")
-    val ticketed = df
-      .withColumn("__ticket",
-        md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
-      .withColumn("__bucket",
-        conv(substring(col("__ticket"), 1, bucketHexChars), 16, 10)
-          .cast("long"))
-    // Exclusive prefix offsets over the bucket-count frame. The unpartitioned
-    // window is bounded by 16^bucketHexChars rows (bucket COUNTS, not rows),
-    // so it is a scalar-scale stage at any corpus size.
+    val pNames = priority.indices.map(i => s"__p$i")
+    val ticketed = priority.zip(pNames).foldLeft(
+      df.withColumn("__ticket",
+          md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
+        .withColumn("__bucket",
+          conv(substring(col("__ticket"), 1, bucketHexChars), 16, 10)
+            .cast("long"))) { case (d, ((c, _), n)) => d.withColumn(n, c) }
+    val keyCols = pNames.map(col) :+ col("__bucket")
+    // Exclusive prefix offsets over the (band ×) bucket-count frame. The
+    // unpartitioned window is bounded by bands × 16^bucketHexChars rows
+    // (COUNTS, not rows), so it is a scalar-scale stage at any corpus size.
+    val orderCols = priority.zip(pNames).map { case ((_, desc), n) =>
+      if (desc) col(n).desc else col(n).asc } :+ col("__bucket").asc
     val offsets = ticketed
-      .groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(
-          sum(col("__n")).over(Window.orderBy(col("__bucket"))
+          sum(col("__n")).over(Window.orderBy(orderCols: _*)
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__bucket"), col("__offset"))
-    // Bucket = ticket prefix, so (bucket asc, ticket asc) IS the global
-    // ticket order; md5 collisions (the only possible ties) break by key.
-    val perBucket = Window.partitionBy(col("__bucket"))
+      .select(keyCols :+ col("__offset"): _*)
+    // Bucket = ticket prefix, so within a band (bucket asc, ticket asc) IS
+    // the ticket order; md5 collisions (the only possible ties) break by key.
+    val perBucket = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ticket"), col(keyCol))
     ticketed
-      .join(broadcast(offsets), "__bucket")
+      .join(broadcast(offsets), pNames :+ "__bucket")
       .withColumn("epoch_rank",
         col("__offset") + row_number().over(perBucket) - lit(1))
       .withColumn("shard", expr(s"epoch_rank div $shardSize"))
       .withColumn("pos", col("epoch_rank") % lit(shardSize.toLong))
-      .drop("__ticket", "__bucket", "__offset")
+      .drop(pNames ++ Seq("__ticket", "__bucket", "__offset"): _*)
   }
 }

@@ -212,6 +212,11 @@ class PlanSpec extends SparkSpec {
     val ve = audits("x99_vocab_encode")
     assert(ve.scans == 1 && ve.broadcastJoins == 0 && ve.sortMergeJoins == 0,
       ve.toString)
+    // curriculum shards (x100): same broadcast-offsets shape as x98 —
+    // the band×bucket frame must never sort-merge against the rows
+    val cu = audits("x100_curriculum_shards")
+    assert(cu.broadcastJoins >= 1 && cu.sortMergeJoins == 0 &&
+      cu.cartesian == 0, cu.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {

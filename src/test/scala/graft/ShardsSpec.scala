@@ -84,6 +84,20 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: bands order first (desc), ticket shuffles within each band") {
+    import spark.implicits._
+    val df = ids.withColumn("band", col("id") % 3)
+    val got = Shards.curriculumShards(df, "id", col("band"),
+        descending = true, seed = "c1", shardSize = 64)
+      .select(col("id"), col("band"), col("epoch_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0L until 5000L)
+      .sortBy(i => (-(i % 3), md5hex(s"c1:$i"), i))
+      .zipWithIndex.map { case (id, r) => (id, id % 3, r.toLong) }
+    assert(got.sortBy(_._3).toSeq == want.toSeq,
+      "curriculum rank diverged from the local (band desc, ticket) sort")
+  }
+
   test("no global single-partition exchange in the plan") {
     val plan = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
       .queryExecution.executedPlan.toString
