@@ -1466,6 +1466,36 @@ object ExtensionQueries {
           col("shard"), col("pos"))
         .orderBy(col("epoch_rank"))
     }),
+    // x101: time-decayed user-activity features — per-user exponentially
+    // decayed event count and value mass (half-life-style recency
+    // weighting, the standard activity/engagement feature). Weights are
+    // 6-decimal-quantized (exp last-ulp insurance) and the per-user sums
+    // fold in (ts, event_id) order — the x96 ordered-fold device, so both
+    // engines add the same IEEE terms in the same sequence. Scale note:
+    // the fold is verify-SF exactness machinery; the weighted sums are
+    // plain distributable aggregates (Σ v·w, Σ w) at production scale,
+    // since the decay weight is a per-row expression off a broadcast tmax.
+    "x101_decayed_activity" -> ((s, dir) => {
+      val t = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      val tmax = t.agg(max(col("us")).as("__tmax"))
+      t.crossJoin(broadcast(tmax))
+        .withColumn("wt",
+          floor(exp(-((col("__tmax") - col("us")) / lit(86400e6)) / lit(7.0))
+            * 1e6 + lit(0.5)) / 1e6)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(
+            col("us"), col("event_id"), col("value"), col("wt")))).as("xs"))
+        .select(col("user_id"), col("n_events"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(xs, 0.0d, (a, x) -> a + x.wt)"), 6)
+            .as("decayed_n"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(xs, 0.0d, (a, x) -> a + x.value * x.wt)"), 6)
+            .as("decayed_value"))
+        .orderBy(col("user_id"))
+    }),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
     // as x06's quadratic join, sub-quadratic candidates, zero recall
     // loss by the prefix theorem; shares x06's all-pairs oracle, which
@@ -1947,6 +1977,24 @@ object ExtensionQueries {
         "AS epoch_rank FROM b) " +
         "SELECT doc_id, band, epoch_rank, epoch_rank // 100 AS shard, " +
         "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
+    // same epoch-micros arithmetic (unix_micros ≡ epoch_us under the UTC
+    // session), same 6-decimal weight quantization, same (ts, event_id)
+    // ordered fold
+    "x101_decayed_activity" ->
+      ("WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS us " +
+        "FROM events), m AS (SELECT max(us) AS tmax FROM t), " +
+        "w AS (SELECT user_id, event_id, value, us, " +
+        "floor(exp(-((tmax - us) / 86400000000.0) / 7.0) * 1e6 + 0.5) / 1e6 " +
+        "AS wt FROM t, m), " +
+        "g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "list(struct_pack(v := value, wt := wt) ORDER BY us, event_id) AS xs " +
+        "FROM w GROUP BY user_id) " +
+        "SELECT user_id, n_events, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(xs, x -> x.wt)), " +
+        "(a, b) -> a + b), 6) AS decayed_n, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(xs, x -> x.v * x.wt)), " +
+        "(a, b) -> a + b), 6) AS decayed_value " +
+        "FROM g ORDER BY user_id"),
     // same ordered-alternation pattern string (built from the one shared
     // vocab constant), same leftmost-first semantics in RE2
     "x99_vocab_encode" ->

@@ -217,6 +217,12 @@ class PlanSpec extends SparkSpec {
     val cu = audits("x100_curriculum_shards")
     assert(cu.broadcastJoins >= 1 && cu.sortMergeJoins == 0 &&
       cu.cartesian == 0, cu.toString)
+    // decayed activity (x101): the single-row tmax combiner plans as a
+    // broadcast NLJ (capped at 1); the event rows themselves must never
+    // sort-merge or cartesian
+    val da = audits("x101_decayed_activity")
+    assert(da.cartesian == 0 && da.nestedLoopJoins <= 1 &&
+      da.sortMergeJoins == 0, da.toString)
   }
 
   test("share-of-total serves cells from the cached rollup (no second cube scan)") {
