@@ -71,6 +71,16 @@ object ExtensionQueries {
     "ation", "tion", "ing", "ent", "ous", "ers", "est", "the", "and",
     "ter", "er", "in", "on", "an", "re", "at", "or", "es", "en", "ed",
     "to", "it", "is", "of")
+  // the raw mkString below is spliced into BOTH the Spark regex and the
+  // single-quoted DuckDB oracle SQL — enforce the two invariants the
+  // splice silently depends on, so a future vocab edit cannot break the
+  // greedy-longest-match semantics or the SQL string
+  require(SubwordVocab.forall(_.matches("[a-z]+")),
+    "SubwordVocab units must be plain lowercase-letter literals (no regex " +
+      "metachars or quotes — the pattern is spliced into quoted oracle SQL)")
+  require(SubwordVocab.sliding(2).forall(p => p(0).length >= p(1).length),
+    "SubwordVocab must be sorted by descending length: leftmost-FIRST " +
+      "alternation only yields greedy longest-match when longer units precede")
   private val SubwordPattern =
     SubwordVocab.mkString("(?:", "|", "|[a-z])")
 
@@ -642,18 +652,24 @@ object ExtensionQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("n_bytes"))
         .orderBy(col("media_id"))),
-    // x69: IMAGE near-dup pairs via perceptual dHash — the 60-bit
-    // luminance-gradient signature feeds the SAME hamming-banded pair
-    // engine the text SimHash uses (one banding engine, two modalities).
-    // The oracle re-derives the ENTIRE pipeline independently: byte-grid
-    // downsample, gradient bits, hash fold, and all-pairs hamming — no
-    // staging (the hash is pure integer arithmetic, unlike xxhash).
+    // x69: IMAGE near-dup pairs — the PRODUCTION default. Routes through
+    // Multimodal.imageNearDupPairs, i.e. the wide 120-bit dHash + wide
+    // hamming banding: round 8 measured the old 60-bit default quadratic
+    // at any duplicate density (candidates a constant fraction of ALL
+    // pairs), so round 9 made the scale-safe signature the default
+    // surface. The 60-bit path survives only as the documented
+    // counter-example (MultimodalSpec pins the candidate-volume gap).
+    // The oracle re-derives the ENTIRE wide pipeline independently:
+    // 132-cell byte-grid downsample, per-row gradient bits, two 60-bit
+    // folds, all-pairs summed hamming — the banding is an engine
+    // optimization; the pair SET is the contract. (x79 keeps the
+    // explicitly-named wide path as the structural A/B measurement pin
+    // from BASELINE.md §10×; x69 is the default-surface routing of the
+    // same contract.)
     "x69_image_dhash" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.toMedia(
         graft.multimodal.Multimodal.mediaTable(table(s, dir, "documents")))
-      val dh = graft.engine.CacheScope.persistTracked(
-        graft.multimodal.Multimodal.dhashTable(media))
-      Dedup.simhashPairsOf(dh, maxDist = 14)
+      graft.multimodal.Multimodal.imageNearDupPairs(media, maxDist = 14)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1468,32 +1484,34 @@ object ExtensionQueries {
     }),
     // x101: time-decayed user-activity features — per-user exponentially
     // decayed event count and value mass (half-life-style recency
-    // weighting, the standard activity/engagement feature). Weights are
-    // 6-decimal-quantized (exp last-ulp insurance) and the per-user sums
-    // fold in (ts, event_id) order — the x96 ordered-fold device, so both
-    // engines add the same IEEE terms in the same sequence. Scale note:
-    // the fold is verify-SF exactness machinery; the weighted sums are
-    // plain distributable aggregates (Σ v·w, Σ w) at production scale,
-    // since the decay weight is a per-row expression off a broadcast tmax.
+    // weighting, the standard activity/engagement feature). PRODUCTION
+    // SHAPE (round 9, retiring the r8 per-user collect_list ordered
+    // fold): both weight AND value are micro-quantized to integers
+    // (floor(·1e6 + 0.5) — exp last-ulp insurance), so the per-user sums
+    // Σ wm and Σ vm·wm are plain distributable INTEGER aggregates —
+    // partial-aggregated map-side, order-free exact (x95's device; the
+    // product sum rides DECIMAL(38,0) so a 100 TB user can't overflow a
+    // long). The only non-row-local input is the broadcast single-row
+    // tmax. Both engines then convert the identical exact integer to
+    // double and divide — same IEEE result, no ordered fold needed.
     "x101_decayed_activity" -> ((s, dir) => {
-      val t = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      val t = Tables.events(s, dir).select(col("user_id"),
         col("value"), unix_micros(col("ts")).as("us"))
       val tmax = t.agg(max(col("us")).as("__tmax"))
       t.crossJoin(broadcast(tmax))
-        .withColumn("wt",
+        .withColumn("wm",
           floor(exp(-((col("__tmax") - col("us")) / lit(86400e6)) / lit(7.0))
-            * 1e6 + lit(0.5)) / 1e6)
+            * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          sort_array(collect_list(struct(
-            col("us"), col("event_id"), col("value"), col("wt")))).as("xs"))
+          sum(col("wm")).as("__swm"),
+          sum((col("vm") * col("wm")).cast("decimal(38,0)")).as("__svw"))
         .select(col("user_id"), col("n_events"),
           graft.functions.EngineMath.roundAway(
-            expr("aggregate(xs, 0.0d, (a, x) -> a + x.wt)"), 6)
-            .as("decayed_n"),
+            col("__swm").cast("double") / 1e6, 6).as("decayed_n"),
           graft.functions.EngineMath.roundAway(
-            expr("aggregate(xs, 0.0d, (a, x) -> a + x.value * x.wt)"), 6)
-            .as("decayed_value"))
+            col("__svw").cast("double") / 1e12, 6).as("decayed_value"))
         .orderBy(col("user_id"))
     }),
     // x92: prefix-filtered EXACT Jaccard (AllPairs/PPJoin) — same truth
@@ -1978,23 +1996,19 @@ object ExtensionQueries {
         "SELECT doc_id, band, epoch_rank, epoch_rank // 100 AS shard, " +
         "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
     // same epoch-micros arithmetic (unix_micros ≡ epoch_us under the UTC
-    // session), same 6-decimal weight quantization, same (ts, event_id)
-    // ordered fold
+    // session), same micro-quantization of weight AND value; the sums are
+    // integer-exact on both engines (DuckDB BIGINT sums ride HUGEINT), so
+    // the double conversion + division round identically — no ordered fold
     "x101_decayed_activity" ->
-      ("WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS us " +
+      ("WITH t AS (SELECT user_id, value, epoch_us(ts) AS us " +
         "FROM events), m AS (SELECT max(us) AS tmax FROM t), " +
-        "w AS (SELECT user_id, event_id, value, us, " +
-        "floor(exp(-((tmax - us) / 86400000000.0) / 7.0) * 1e6 + 0.5) / 1e6 " +
-        "AS wt FROM t, m), " +
-        "g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
-        "list(struct_pack(v := value, wt := wt) ORDER BY us, event_id) AS xs " +
-        "FROM w GROUP BY user_id) " +
-        "SELECT user_id, n_events, " +
-        "round(list_reduce(list_prepend(0.0, list_transform(xs, x -> x.wt)), " +
-        "(a, b) -> a + b), 6) AS decayed_n, " +
-        "round(list_reduce(list_prepend(0.0, list_transform(xs, x -> x.v * x.wt)), " +
-        "(a, b) -> a + b), 6) AS decayed_value " +
-        "FROM g ORDER BY user_id"),
+        "w AS (SELECT user_id, " +
+        "CAST(floor(exp(-((tmax - us) / 86400000000.0) / 7.0) * 1e6 + 0.5) AS BIGINT) AS wm, " +
+        "CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM t, m) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(CAST(sum(wm) AS DOUBLE) / 1e6, 6) AS decayed_n, " +
+        "round(CAST(sum(vm * wm) AS DOUBLE) / 1e12, 6) AS decayed_value " +
+        "FROM w GROUP BY user_id ORDER BY user_id"),
     // same ordered-alternation pattern string (built from the one shared
     // vocab constant), same leftmost-first semantics in RE2
     "x99_vocab_encode" ->
@@ -2293,22 +2307,28 @@ object ExtensionQueries {
          |  coalesce(k.clean_hash, md5('')) AS clean_hash
          |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     "x69_image_dhash" ->
-      // full independent re-derivation: same (i*len)//66 byte sampling
-      // (the blob is the text's UTF-8 bytes — ASCII, so ord(char) IS the
-      // byte), same row-major MSB-first bit fold, exact hamming verify
-      // over all pairs (the banding is an engine optimization; the pair
-      // SET is the contract)
+      // full independent re-derivation of the PRODUCTION (wide 120-bit)
+      // pipeline: 132-cell (i*len)//132 nearest-lower byte sampling (the
+      // blob is the text's UTF-8 bytes — ASCII, so ord(char) IS the
+      // byte), 10 gradient bits per row × 12 rows, rows 0-5 folded
+      // MSB-first into hi / rows 6-11 into lo, exact summed hamming over
+      // all pairs (the banding is an engine optimization; the pair SET
+      // is the contract)
       (s"""WITH m AS (SELECT doc_id AS id, text FROM documents WHERE len(text) > 0),
          |px AS (SELECT id,
-         |    [ord(substr(text, CAST((i * len(text)) // 66 AS INT) + 1, 1)) for i in range(66)] AS p
+         |    [ord(substr(text, CAST((i * len(text)) // 132 AS INT) + 1, 1)) for i in range(132)] AS p
          |  FROM m),
-         |bits AS (SELECT id, flatten(
-         |    [[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
-         |      for c in range(10)] for r in range(6)]) AS bs FROM px),
-         |h AS (SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
-         |    (a, b) -> a * 2 + b) AS sh FROM bits),
+         |bits AS (SELECT id,
+         |    flatten([[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
+         |      for c in range(10)] for r in range(6)]) AS bhi,
+         |    flatten([[CASE WHEN p[r * 11 + c + 1] > p[r * 11 + c + 2] THEN 1 ELSE 0 END
+         |      for c in range(10)] for r in range(6, 12)]) AS blo FROM px),
+         |h AS (SELECT id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), bhi), (a, b) -> a * 2 + b) AS shi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), blo), (a, b) -> a * 2 + b) AS slo
+         |  FROM bits),
          |pr AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |    CAST(bit_count(xor(a.shi, b.shi)) + bit_count(xor(a.slo, b.slo)) AS BIGINT) AS hamming
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),

@@ -448,6 +448,13 @@ object Multimodal {
     *
     * Per-row O(grid) work, no shuffle — at 100 TB this pipelines with the
     * scan like every per-row signature.
+    *
+    * ⚠ DOCUMENTED COUNTER-EXAMPLE, not the production default: at
+    * maxDist 14 the 60-bit bands carry only ~7.5 effective key bits and
+    * the measured candidate volume is a constant fraction of ALL pairs —
+    * quadratic at any duplicate density (BASELINE.md §10×, round 8). Use
+    * [[imageNearDupPairs]] (wide 120-bit signature) for real workloads;
+    * this path is kept so MultimodalSpec can pin the volume gap.
     */
   def dhashTable(media: Dataset[MediaRow], gridW: Int = 11,
       gridH: Int = 6): DataFrame = {
@@ -516,6 +523,27 @@ object Multimodal {
       (r.media_id, hi, lo)
     }.toDF("id", "sh_hi", "sh_lo")
   }
+
+  /** PRODUCTION image near-dup pair search — THE default entry point.
+    * Routes through the wide 120-bit signature ([[dhashTableWide]] +
+    * [[graft.operators.Dedup.simhashPairsOfWide]]): the round-8
+    * constant-density 10× measurement showed the 60-bit path's candidate
+    * volume is a constant fraction of ALL pairs (quadratic at any
+    * duplicate density — 20.9× runtime on 10× data), while the wide
+    * banding holds candidates to ~1.6% of pairs (5.3× on 10×,
+    * BASELINE.md §10×). The narrow [[dhashTable]] /
+    * `simhashPairsOf` combination remains ONLY as the documented
+    * counter-example (MultimodalSpec pins the volume gap).
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b, summed two-long
+    * hamming ≤ maxDist. Exact for the 120-bit signature — the banding is
+    * a candidate generator; every candidate is hamming-verified.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 14,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    graft.operators.Dedup.simhashPairsOfWide(
+      graft.engine.CacheScope.persistTracked(dhashTableWide(media)),
+      maxDist, maxBucket)
 
   /** "Resize": metadata-level transform (the pixel op is the stub's job);
     * keeps aspect ratio within a bounding box.

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * last shard ragged). The permutation is the md5-ticket order of
   * `seed:key` — reruns, engines, partitionings, and retries all produce the
   * identical epoch; a different seed is a fresh independent shuffle.
+  * REQUIRES `keyCol` to be unique (a doc/sample id): duplicate keys get
+  * identical tickets AND identical tie-break keys, so the relative order of
+  * the duplicate-key rows — whose other columns may differ — would be
+  * partition-order-dependent, breaking the determinism contract (an
+  * oracle's `ORDER BY md5(...), key` carries the same latent assumption).
   * [[curriculumShards]] is the priority-ordered variant: rows order by a
   * bounded-cardinality priority band FIRST (curriculum learning's
   * easy-to-hard schedule), with the ticket shuffling within each band.

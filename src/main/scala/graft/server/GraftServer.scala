@@ -85,6 +85,19 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      // CORS parity with the reference server (olap_server.py:7-8 applies
+      // flask-cors globally): every response — success, error, and the
+      // OPTIONS preflight — carries Access-Control-Allow-Origin, so a
+      // browser-hosted frontend (the YAML configs' treemap consumer) can
+      // call the API cross-origin. Set here once: all exits below
+      // (respond / the catch arms) share this exchange.
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+      if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) {
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods", "GET, OPTIONS")
+        ex.getResponseHeaders.set("Access-Control-Allow-Headers", "Content-Type")
+        ex.sendResponseHeaders(204, -1)
+        return
+      }
       val key = ex.getRequestURI.toString
       val params = queryParams(ex)
       // nocache=1: bypass AND don't populate — the debugging/benchmark

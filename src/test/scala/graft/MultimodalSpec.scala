@@ -465,6 +465,13 @@ class MultimodalSpec extends SparkSpec {
     })
     assert(wideVol * 10 < narrowVol,
       s"wide banding candidate volume $wideVol vs narrow $narrowVol — structural gain lost")
+
+    // the PRODUCTION entry point routes through the wide path: identical
+    // pair set (round 9 made this the default surface; the 60-bit path
+    // is the documented counter-example above)
+    val prod = Multimodal.imageNearDupPairs(planted, maxDist = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(prod == pairs, s"imageNearDupPairs diverged from the wide path: $prod vs $pairs")
     graft.engine.CacheScope.drain()
   }
 

@@ -35,6 +35,29 @@ class ServerSpec extends SparkSpec {
     assert(body.contains("\"lineitem\"") && body.contains("\"orders\""))
   }
 
+  test("CORS parity (olap_server.py:7-8): ACAO on success, error, and preflight") {
+    def headersOf(path: String, method: String = "GET"): (Int, java.net.http.HttpHeaders) = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:${server.boundPort}$path"))
+      val req = (if (method == "OPTIONS")
+        b.method("OPTIONS", HttpRequest.BodyPublishers.noBody()) else b.GET()).build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (res.statusCode(), res.headers())
+    }
+    val (okCode, okHdrs) = headersOf("/cubes")
+    assert(okCode == 200)
+    assert(okHdrs.firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    // error responses carry the header too — a browser must be able to
+    // READ the 404 body, not just successful responses
+    val (errCode, errHdrs) = headersOf("/cube/no_such_cube/model")
+    assert(errCode == 404)
+    assert(errHdrs.firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    val (preCode, preHdrs) = headersOf("/cube/lineitem/aggregate", "OPTIONS")
+    assert(preCode == 204)
+    assert(preHdrs.firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    assert(preHdrs.firstValue("Access-Control-Allow-Methods").orElse("").contains("GET"))
+  }
+
   test("GET /cube/<c>/model returns dims + aggregates (HOWTO q9)") {
     val (code, body) = get("/cube/lineitem/model")
     assert(code == 200)
