@@ -692,6 +692,38 @@ object ExtensionQueries {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // x102: MP4 sample-table walker, oracle-gated end to end. Per document
+    // a structurally-real ISO-BMFF container is SYNTHESIZED from pure
+    // integer arithmetic over (doc_id, text) (Mp4.synthesize: real stsd/
+    // stsz/stsc/stco/stss boxes, 2-chunk layout, every-3rd-sample stss),
+    // then PARSED back by the independent walker (Mp4.parse) and the
+    // keyframe payloads pulled through the stsz×stsc×stco offset math
+    // (Mp4.keyframeBytes). The oracle re-derives every output column —
+    // dims, sample count, keyframe count/bytes, and the keyframe payload
+    // BYTE SUM (mdat byte j = text byte j % len, so ord() over text
+    // reconstructs the payload without touching a BLOB) — from the same
+    // arithmetic. Generation and parsing are independent code paths; the
+    // hash breaks if either drifts. Per-row map, no shuffle — pipelines
+    // with the scan at any scale.
+    "x102_mp4_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mp4
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (docId, text) =>
+          val blob = Mp4.synthesize(docId, text.getBytes("UTF-8"))
+          val t = Mp4.parse(blob)
+          val kfs = t.keyframes
+          val kfByteSum = kfs.iterator.flatMap(k =>
+            Mp4.keyframeBytes(blob, k).iterator).map(b => (b & 0xff).toLong).sum
+          (docId, t.codec, t.width, t.height, t.sampleCount.toLong,
+            kfs.length.toLong, kfs.map(_.size.toLong).sum, kfByteSum)
+        }
+        .toDF("media_id", "codec", "width", "height", "n_samples",
+          "n_keyframes", "kf_bytes_total", "kf_byte_sum")
+        .orderBy(col("media_id"))
+    }),
     // x20: tumbling-window streaming aggregate (actual readStream +
     // AvailableNow + memory sink); oracle = the batch-equivalent SQL
     "x20_stream_tumbling" -> ((s, dir) =>
@@ -2355,6 +2387,30 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 14
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    "x102_mp4_keyframes" ->
+      // independent re-derivation of the synthesized container's sample
+      // geometry: n = 1 + len%7 samples of size 8 + (doc_id+i)%9, mdat
+      // byte j = text byte j%len (ASCII ⇒ ord(char) IS the byte), stss
+      // marks every 3rd sample — so keyframe count/bytes/payload-sum are
+      // pure arithmetic over (doc_id, text), no BLOB parsing needed
+      (s"""WITH m AS (SELECT doc_id, text, strlen(text) AS len FROM documents WHERE strlen(text) > 0),
+         |s AS (SELECT doc_id, text, len, unnest(range(1, 2 + (len % 7))) AS i FROM m),
+         |sz AS (SELECT doc_id, text, len, i, 8 + ((doc_id + i) % 9) AS sz FROM s),
+         |st AS (SELECT *, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM sz),
+         |kf AS (SELECT doc_id, sz,
+         |    list_sum([ord(substr(text, CAST((strt + j) % len AS INT) + 1, 1)) for j in range(sz)]) AS bsum
+         |  FROM st WHERE (i - 1) % 3 = 0),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_keyframes,
+         |    CAST(sum(sz) AS BIGINT) AS kf_bytes_total,
+         |    CAST(sum(bsum) AS BIGINT) AS kf_byte_sum FROM kf GROUP BY 1)
+         |SELECT m.doc_id AS media_id, 'avc1' AS codec,
+         |  CAST(16 * (1 + m.doc_id % 4) AS INT) AS width,
+         |  CAST(16 * (1 + m.doc_id % 3) AS INT) AS height,
+         |  CAST(1 + m.len % 7 AS BIGINT) AS n_samples,
+         |  agg.n_keyframes, agg.kf_bytes_total, agg.kf_byte_sum
+         |FROM m JOIN agg ON agg.doc_id = m.doc_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
     "x72_snapshot_diff" ->
       // same md5-of-normalized-text fingerprint (x04/x05's), same
       // full-outer classification

@@ -239,4 +239,75 @@ object Mp4 {
       (kf.sample, keyframeBytes(blob, kf))
     }
   }
+
+  // ---- deterministic synthesis (the x102 oracle gate) -------------------
+
+  /** Build a structurally-real synthetic MP4 whose every parameter is
+    * integer arithmetic over (docId, payload length) — so a SQL oracle can
+    * predict the walker's output without parsing a byte:
+    *
+    *  - n_samples  = 1 + len % 7                       (1..7)
+    *  - width      = 16·(1 + docId % 4), height = 16·(1 + docId % 3)
+    *  - size(i)    = 8 + (docId + i) % 9, i 1-based    (8..16)
+    *  - chunks     : samples 1..⌈n/2⌉ in chunk 1, the rest in chunk 2
+    *                 (exercises real stsc run + stco offset math)
+    *  - keyframes  : samples 1, 4, 7, … (every 3rd) in `stss`
+    *  - mdat byte j (0-based, across samples in order) = payload[j % len]
+    *
+    * The boxes are the full ISO-BMFF shape [[parse]] walks: ftyp, mdat,
+    * moov/trak/mdia(hdlr 'vide')/minf/stbl(stsd avc1 + stsz + stsc +
+    * stco + stss). Generation and parsing are independent code paths over
+    * the byte layout — the x102 gate breaks if EITHER drifts.
+    */
+  def synthesize(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    require(payload.nonEmpty, "synthesize needs a non-empty payload")
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, new Array[Byte](4) ++ body) // version 0, flags 0
+
+    val len = payload.length
+    val n = 1 + (len % 7)
+    val width = 16 * (1 + (docId % 4)).toInt
+    val height = 16 * (1 + (docId % 3)).toInt
+    val sizes = (1 to n).map(i => (8 + ((docId + i) % 9)).toInt)
+    val mdatBody = new Array[Byte](sizes.sum)
+    var j = 0
+    while (j < mdatBody.length) { mdatBody(j) = payload(j % len); j += 1 }
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mdat = box("mdat", mdatBody)
+    val mdatStart = ftyp.length + 8
+    val c1 = (n + 1) / 2 // samples in chunk 1 (ceil)
+    val chunk2Start = mdatStart + sizes.take(c1).sum
+    // VisualSampleEntry: 8-byte entry header + 8 SampleEntry reserved +
+    // 16 pre_defined, u16 width/height, then the remaining entry fields
+    // (ISO 14496-12 §12.1.3)
+    val avc1 = box("avc1",
+      new Array[Byte](8 + 16) ++ be16(width) ++ be16(height) ++
+        new Array[Byte](50))
+    val stsd = full("stsd", be32(1) ++ avc1)
+    val stsz = full("stsz",
+      be32(0) ++ be32(n) ++ sizes.flatMap(be32).toArray)
+    val stsc = full("stsc",
+      if (n > c1)
+        be32(2) ++ (be32(1) ++ be32(c1) ++ be32(1)) ++
+          (be32(2) ++ be32(n - c1) ++ be32(1))
+      else be32(1) ++ (be32(1) ++ be32(c1) ++ be32(1)))
+    val stco = full("stco",
+      if (n > c1) be32(2) ++ be32(mdatStart) ++ be32(chunk2Start)
+      else be32(1) ++ be32(mdatStart))
+    val kfSamples = (1 to n by 3).toSeq
+    val stss = full("stss",
+      be32(kfSamples.length) ++ kfSamples.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+    val hdlr = full("hdlr",
+      be32(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12))
+    ftyp ++ mdat ++ box("moov",
+      box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+  }
 }

@@ -180,6 +180,28 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.AviMjpegCodec.decode("avi", shortAvih))
   }
 
+  test("MP4 synthesize→parse round-trip: geometry and payload content match the arithmetic") {
+    // len 10 → n = 1 + 10%7 = 4 samples, keyframes 1 and 4; docId 5 →
+    // width 16·(1+5%4)=32, height 16·(1+5%3)=48; sizes 8+(5+i)%9 for
+    // i=1..4 → 14,15,16,8
+    val payload = "abcdefghij".getBytes("US-ASCII")
+    val blob = Mp4.synthesize(5L, payload)
+    val t = Mp4.parse(blob)
+    assert(t.codec == "avc1" && t.width == 32 && t.height == 48)
+    assert(t.sampleCount == 4 && t.keyframes.map(_.sample) == Seq(1, 4))
+    assert(t.keyframes.map(_.size) == Seq(14, 8))
+    // mdat byte j = payload[j % len]: keyframe 1 covers bytes 0..13,
+    // keyframe 4 covers bytes 45..52 (starts after sizes 14+15+16)
+    val kf1 = Mp4.keyframeBytes(blob, t.keyframes(0))
+    assert(kf1.toSeq == (0 until 14).map(j => payload(j % 10)))
+    val kf4 = Mp4.keyframeBytes(blob, t.keyframes(1))
+    assert(kf4.toSeq == (45 until 53).map(j => payload(j % 10)))
+    // single-sample edge: len 7 → n = 1 + 7%7 = 1 → one chunk, one stsc
+    // run, keyframe 1 only
+    val one = Mp4.parse(Mp4.synthesize(2L, "0123456".getBytes("US-ASCII")))
+    assert(one.sampleCount == 1 && one.keyframes.map(_.sample) == Seq(1))
+  }
+
   test("MP4 sample tables: keyframe extraction pulls exactly the stss-marked payloads") {
     import spark.implicits._
     def be32(v: Int): Array[Byte] = Array(
