@@ -570,11 +570,17 @@ object ExtensionQueries {
     "x11_knn_lsh" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
+      // index-build-time policy: small corpora probe radius 2 (sparse
+      // buckets), large keep 1 — the count is an index-side one-off, and
+      // the staged probe buckets carry the choice so the oracle's bucket
+      // join is radius-agnostic
+      val radius = Similarity.adaptiveProbeRadius(e.count())
       Stage.write(Similarity.lshItemBuckets(e, "vec_id", "vec"),
         dir, "x11_item_buckets")
-      Stage.write(Similarity.lshProbeBuckets(q, "vec_id", "vec"),
-        dir, "x11_probe_buckets")
-      Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10)
+      Stage.write(Similarity.lshProbeBuckets(q, "vec_id", "vec",
+        probeRadius = radius), dir, "x11_probe_buckets")
+      Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
+        probeRadius = radius)
         .orderBy(col("query_id"), col("rank"))
     }),
     // x13: IVF ANN. The item→centroid assignments and the nProbe bucket

@@ -46,7 +46,8 @@ class AnnRecallSpec extends SparkSpec {
       (topkSet(approx) & brute).size.toDouble / brute.size
     val rows = Seq(
       Row(sfName, "hyperplane LSH (x11)", recallOf(
-        Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10))),
+        Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
+          probeRadius = Similarity.adaptiveProbeRadius(e.count())))),
       Row(sfName, "IVF nProbe=3/8 (x13)", recallOf(
         Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           centroids, nProbe = 3))),
