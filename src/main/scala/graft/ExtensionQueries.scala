@@ -1520,6 +1520,54 @@ object ExtensionQueries {
           col("shard"), col("pos"))
         .orderBy(col("epoch_rank"))
     }),
+    // x103: source-balanced interleave — the domain-interleaving training
+    // order (position 0 of every source, then position 1, …; ticket-
+    // shuffled within source). Per-source rank via the x98 bucket-prefix-
+    // sum device; the GLOBAL position is closed-form from the tiny
+    // per-source size table (pos = Σ min(r, n_s') + same-rank smaller-
+    // source count) — no global sort anywhere. The oracle is the naive
+    // double row_number, which is exactly the losslessness gate for both
+    // the two-level rank AND the closed form.
+    "x103_source_interleave" -> ((s, dir) =>
+      graft.operators.Shards.interleaveBySource(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", seed = "il1")
+        .select(col("doc_id"), col("source"), col("src_rank"), col("pos"))
+        .orderBy(col("pos"))),
+    // x104: deterministic span-corruption masks — the T5/UL2-style
+    // "mask ~13% of tokens in ~3-token spans" augmentation, made
+    // retry/engine-deterministic: position j starts a span iff
+    // md5('sc:<doc>:<j>') < '0c' (lexicographic hex threshold ≈ 4.7%,
+    // the x27 md5-threshold device), spans run 3 tokens and MERGE by
+    // construction (masked(j) = start at j, j-1, or j-2 — a pure
+    // per-position predicate, no fold). Output: span/mask accounting +
+    // the corrupted-text fingerprint (spans collapsed to one '<x>'
+    // sentinel each). Everything is row-local HOFs over the token array —
+    // zero shuffles, pipelines with the scan at any corpus size.
+    "x104_span_corruption" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        // 0-based positions; the filter-guard keeps n=0 docs empty
+        // (sequence(0,-1) would DESCEND in Spark)
+        .withColumn("sq", expr(
+          "filter(sequence(0, greatest(size(ts) - 1, 0)), j -> j < size(ts))"))
+        .withColumn("st", expr("transform(sq, j -> " +
+          "md5(concat('sc:', cast(doc_id as string), ':', cast(j as string))) < '0c')"))
+        .withColumn("mk", expr("transform(sq, j -> " +
+          "st[j] OR (j >= 1 AND st[j-1]) OR (j >= 2 AND st[j-2]))"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_tokens"),
+          expr("size(filter(sq, j -> mk[j] AND NOT (j >= 1 AND mk[j-1])))")
+            .cast("long").as("n_spans"),
+          expr("size(filter(mk, x -> x))").cast("long").as("n_masked"),
+          when(size(col("ts")) > 0, graft.functions.EngineMath.roundAway(
+            expr("cast(size(filter(mk, x -> x)) as double) / size(ts)"), 6))
+            .otherwise(lit(0.0)).as("masked_frac"),
+          expr("md5(array_join(filter(transform(sq, j -> " +
+            "case when not mk[j] then ts[j] " +
+            "when j >= 1 and mk[j-1] then cast(null as string) " +
+            "else '<x>' end), x -> x is not null), ' '))").as("corrupted_fp"))
+        .orderBy(col("doc_id"))),
     // x101: time-decayed user-activity features — per-user exponentially
     // decayed event count and value mass (half-life-style recency
     // weighting, the standard activity/engagement feature). PRODUCTION
@@ -2033,6 +2081,38 @@ object ExtensionQueries {
         "AS epoch_rank FROM b) " +
         "SELECT doc_id, band, epoch_rank, epoch_rank // 100 AS shard, " +
         "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
+    // same md5-threshold span starts, same 3-token merge-by-predicate,
+    // same sentinel collapse — re-derived with 1-based list indexing
+    "x104_span_corruption" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |b AS (SELECT doc_id, ts, len(ts) AS n,
+         |    [md5('sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) < '0c'
+         |      for j in range(len(ts))] AS st FROM t),
+         |m AS (SELECT doc_id, ts, n,
+         |    [st[j+1] OR (j >= 1 AND st[j]) OR (j >= 2 AND st[j-1])
+         |      for j in range(n)] AS mk FROM b)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(len([1 for j in range(n) IF mk[j+1] AND NOT (j >= 1 AND mk[j])]) AS BIGINT) AS n_spans,
+         |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+         |  CASE WHEN n > 0 THEN round(CAST(len(list_filter(mk, x -> x)) AS DOUBLE) / n, 6)
+         |    ELSE 0.0 END AS masked_frac,
+         |  md5(array_to_string(list_filter(
+         |    [CASE WHEN NOT mk[j+1] THEN ts[j+1]
+         |      WHEN j >= 1 AND mk[j] THEN NULL ELSE '<x>' END for j in range(n)],
+         |    x -> x IS NOT NULL), ' ')) AS corrupted_fp
+         |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // same md5 ticket, same within-source shuffle; the naive global
+    // row_number over (src_rank, source) is the gate for the engine's
+    // closed-form position
+    "x103_source_interleave" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "md5('il1:' || CAST(doc_id AS VARCHAR)) AS tk FROM documents), " +
+        "r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY tk, doc_id) - 1 AS src_rank " +
+        "FROM t) " +
+        "SELECT doc_id, source, src_rank, " +
+        "row_number() OVER (ORDER BY src_rank, source) - 1 AS pos " +
+        "FROM r ORDER BY pos"),
     // same epoch-micros arithmetic (unix_micros ≡ epoch_us under the UTC
     // session), same micro-quantization of weight AND value; the sums are
     // integer-exact on both engines (DuckDB BIGINT sums ride HUGEINT), so

@@ -49,6 +49,74 @@ object Shards {
     ranked(df, keyCol, seed, shardSize, bucketHexChars,
       priority = Seq(priority -> descending))
 
+  /** Source-balanced interleave — the "domain interleaving" training-order
+    * layout: rows are md5-ticket-shuffled WITHIN each source, then sources
+    * are round-robin woven (position 0 of every source, then position 1,
+    * …) so a sequential reader sees a balanced domain mixture from the
+    * first shard onward, with ragged sources simply dropping out of the
+    * rotation when exhausted. Output: (row, source, src_rank, pos) where
+    * `pos` is the global interleave position (row_number over
+    * (src_rank, source) − 1).
+    *
+    * Scale shape: NO global sort and NO per-source single-partition
+    * window. The per-source rank uses the same bounded bucket-prefix-sum
+    * device as [[epochShards]] (offsets frame = sources × 16^bucketHexChars
+    * COUNT rows); the global position is then CLOSED-FORM from the tiny
+    * per-source size table: pos(r, s) = Σ_{s'} min(r, n_{s'}) +
+    * |{s' < s : n_{s'} > r}| — the number of (r', s') pairs
+    * lexicographically before (r, s). Sizes are collected driver-side
+    * (bounded: source is a low-cardinality domain label, tens not
+    * millions — same bound [[curriculumShards]] places on bands) and
+    * inlined as literals, so the position is a per-row expression: one
+    * shuffle (bucket key) + one broadcast, total.
+    *
+    * Same keyCol-uniqueness requirement as [[epochShards]].
+    */
+  def interleaveBySource(df: DataFrame, keyCol: String, sourceCol: String,
+      seed: String, bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      s"bucketHexChars must be in [1,8], got $bucketHexChars")
+    val ticketed = df.withColumn("__ticket",
+        md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
+      .withColumn("__bucket",
+        conv(substring(col("__ticket"), 1, bucketHexChars), 16, 10)
+          .cast("long"))
+    // per-(source, bucket) counts → exclusive prefix offsets WITHIN each
+    // source (window over the bounded counts frame, partitioned by source
+    // — sources × buckets rows, never data-scale)
+    val offsets = ticketed
+      .groupBy(col(sourceCol), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__n")).over(Window.partitionBy(col(sourceCol))
+            .orderBy(col("__bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(sourceCol), col("__bucket"), col("__offset"))
+    // the tiny per-source size table, driver-collected like a broadcast
+    // dim (bounded cardinality is the operator's contract)
+    val sizes: Seq[(String, Long)] = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(sizes.nonEmpty, "interleaveBySource: empty input")
+    val perBucket = Window.partitionBy(col(sourceCol), col("__bucket"))
+      .orderBy(col("__ticket"), col(keyCol))
+    val r = col("src_rank")
+    // pos = Σ_{s'} min(r, n_{s'})  +  |{s' < s : n_{s'} > r}|
+    val pos = sizes.map { case (_, n) => least(r, lit(n)) }
+      .reduce(_ + _) +
+      sizes.map { case (s, n) =>
+        when(lit(s) < col(sourceCol) && lit(n) > r, 1L).otherwise(0L)
+      }.reduce(_ + _)
+    ticketed
+      .join(broadcast(offsets), Seq(sourceCol, "__bucket"))
+      .withColumn("src_rank",
+        col("__offset") + row_number().over(perBucket) - lit(1))
+      .withColumn("pos", pos)
+      .drop("__ticket", "__bucket", "__offset")
+  }
+
   private def ranked(df: DataFrame, keyCol: String, seed: String,
       shardSize: Int, bucketHexChars: Int,
       priority: Seq[(Column, Boolean)]): DataFrame = {

@@ -98,6 +98,32 @@ class ShardsSpec extends SparkSpec {
       "curriculum rank diverged from the local (band desc, ticket) sort")
   }
 
+  test("source interleave: ragged sources drop out of the rotation; closed form == naive") {
+    import spark.implicits._
+    // deliberately ragged: sizes 7, 3, 5 — source b exhausts after round 3,
+    // c after round 5, the tail is pure a
+    val df = ((0L until 7L).map(i => (i, "a")) ++
+      (100L until 103L).map(i => (i, "b")) ++
+      (200L until 205L).map(i => (i, "c"))).toDF("id", "src")
+    val got = Shards.interleaveBySource(df, "id", "src", seed = "ix")
+      .select(col("id"), col("src"), col("src_rank"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive truth: rank within source by (md5 ticket, id), then global
+    // row_number over (src_rank, source)
+    val naive = got.map { case (id, s, _, _) => (id, s) }
+      .groupBy(_._2).toSeq.flatMap { case (s, rows) =>
+        rows.map(_._1).sortBy(i => (md5hex(s"ix:$i"), i)).zipWithIndex
+          .map { case (id, r) => (id, s, r.toLong) }
+      }.sortBy { case (_, s, r) => (r, s) }
+      .zipWithIndex.map { case ((id, s, r), p) => (id, s, r, p.toLong) }
+    assert(got.sortBy(_._4).toSeq == naive,
+      s"interleave diverged:\n${got.sortBy(_._4).mkString("\n")}\nvs\n${naive.mkString("\n")}")
+    // the balance property itself: the first 3 rounds contain every source
+    val bySrcFirst9 = got.sortBy(_._4).take(9).map(_._2)
+    assert(Seq("a", "b", "c").forall(s => bySrcFirst9.count(_ == s) == 3),
+      s"first 3 rounds not balanced: $bySrcFirst9")
+  }
+
   test("no global single-partition exchange in the plan") {
     val plan = Shards.epochShards(ids, "id", seed = "t1", shardSize = 64)
       .queryExecution.executedPlan.toString
