@@ -1534,6 +1534,57 @@ object ExtensionQueries {
         "doc_id", "source", seed = "il1")
         .select(col("doc_id"), col("source"), col("src_rank"), col("pos"))
         .orderBy(col("pos"))),
+    // x105: trailing time-INTERVAL window features — per event, the
+    // count and value mass of the same user's events in the trailing
+    // hour (event-time RANGE frame, not a row frame: peers at the same
+    // timestamp are in-frame on both engines by the SQL-standard RANGE
+    // rule). The frame is time-bounded so per-row state is bounded at
+    // any history length; values ride the x95 micro-quantization so the
+    // in-frame sum is integer-exact. One shuffle (user_id), sorted
+    // within partition — the canonical sliding-feature shape.
+    "x105_trailing_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L) // trailing hour, micros
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          graft.functions.EngineMath.roundAway(
+            (sum(col("vm")).over(w)).cast("double") / 1e6, 6).as("v_1h"))
+        .orderBy(col("event_id"))
+    }),
+    // x106: deterministic negative sampling — the contrastive-training
+    // "draw K random negatives per anchor" step, retry/engine-stable:
+    // slot i's draw is md5('neg:<doc>:<i>') → 48-bit int → mod (N−1),
+    // shifted past the anchor itself (exact uniform-excluding-self, no
+    // rejection loop). Negatives join back to the corpus for the
+    // hard-negative accounting signal (same_source). REQUIRES dense ids
+    // 0..N−1 (the corpus contract here); at 100 TB the dense rank comes
+    // from the epoch-shard permutation (x98) — the modulo device is
+    // unchanged. Independent draws may repeat across slots by design
+    // (with-replacement sampling). One explode + one equi-join on neg_id.
+    "x106_negative_sampling" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("source"))
+      val n = docs.count()
+      val drawn = docs
+        .select(col("doc_id"), col("source").as("pos_source"),
+          explode(expr("sequence(0, 3)")).as("slot"))
+        .withColumn("h", conv(substring(md5(concat(lit("neg:"),
+          col("doc_id").cast("string"), lit(":"),
+          col("slot").cast("string"))), 1, 12), 16, 10).cast("long"))
+        .withColumn("cand", col("h") % lit(n - 1))
+        .withColumn("neg_id", when(col("cand") >= col("doc_id"),
+          col("cand") + 1).otherwise(col("cand")))
+      drawn.join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_id"))
+        .select(col("doc_id"), col("slot").cast("long").as("slot"),
+          col("neg_id"), col("neg_source"),
+          (col("neg_source") === col("pos_source")).as("same_source"))
+        .orderBy(col("doc_id"), col("slot"))
+    }),
     // x104: deterministic span-corruption masks — the T5/UL2-style
     // "mask ~13% of tokens in ~3-token spans" augmentation, made
     // retry/engine-deterministic: position j starts a span iff
@@ -2081,6 +2132,33 @@ object ExtensionQueries {
         "AS epoch_rank FROM b) " +
         "SELECT doc_id, band, epoch_rank, epoch_rank // 100 AS shard, " +
         "epoch_rank % 100 AS pos FROM r ORDER BY epoch_rank"),
+    // same 48-bit md5 arithmetic ('0x…'::BIGINT ≡ Spark conv(hex,16,10)),
+    // same mod-(N−1)-shift exclusion, same join-back
+    "x106_negative_sampling" ->
+      ("WITH d AS (SELECT doc_id, source FROM documents), " +
+        "nn AS (SELECT count(*) AS n FROM d), " +
+        "s AS (SELECT doc_id, source AS pos_source, " +
+        "CAST(unnest(range(4)) AS BIGINT) AS slot FROM d), " +
+        "h AS (SELECT doc_id, pos_source, slot, " +
+        "('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(slot AS VARCHAR)), 1, 12))::BIGINT AS hv FROM s), " +
+        "x AS (SELECT doc_id, pos_source, slot, " +
+        "CASE WHEN hv % (nn.n - 1) >= doc_id THEN hv % (nn.n - 1) + 1 " +
+        "ELSE hv % (nn.n - 1) END AS neg_id FROM h, nn) " +
+        "SELECT x.doc_id, x.slot, x.neg_id, d.source AS neg_source, " +
+        "(d.source = x.pos_source) AS same_source " +
+        "FROM x JOIN d ON d.doc_id = x.neg_id ORDER BY x.doc_id, x.slot"),
+    // same RANGE frame (SQL-standard peer semantics), same micro-
+    // quantized integer sum
+    "x105_trailing_window" ->
+      ("WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, " +
+        "CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events) " +
+        "SELECT event_id, user_id, us, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
+        "round(CAST(sum(vm) OVER w AS DOUBLE) / 1e6, 6) AS v_1h " +
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     // same md5-threshold span starts, same 3-token merge-by-predicate,
     // same sentinel collapse — re-derived with 1-based list indexing
     "x104_span_corruption" ->
