@@ -1903,7 +1903,373 @@ object ExtensionQueries {
           sum(TextFunctions.tokenCount(col("t")).cast("long")).as("n_tokens"))
         .orderBy(col("lang"), col("split"))
     }),
+    // x107: length-bucketed dynamic batching with padding-waste
+    // accounting — the dataloader's bucketed-batching layout. Capacity
+    // bucket cap = 64·⌈n_tok/64⌉ is PURE INTEGER arithmetic (a
+    // power-of-two bucket via log2 would ride a float and flip at exact
+    // powers across engines); rows md5-ticket-shuffled within their
+    // bucket, cut into fixed batches of 8, each batch padded to its own
+    // max length. Per-batch waste = rows·max − Σ n_tok quantifies what
+    // bucketing saves vs naive batching. The within-bucket rank is a
+    // window over a bounded key set (#buckets ≤ max_len/64); at 100 TB
+    // the x98 bucket-prefix-sum rank replaces the per-bucket sort.
+    "x107_length_batching" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cap"))
+        .orderBy(md5(concat(lit("lb1:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("cap", expr("64 * ((n_tok + 63) div 64)"))
+        .withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("batch", expr("(__rk - 1) div 8"))
+        .groupBy(col("cap"), col("batch"))
+        .agg(count(lit(1)).as("n_rows"), max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("__sum"))
+        .select(col("cap"), col("batch"), col("n_rows"), col("max_tok"),
+          (col("n_rows") * col("max_tok") - col("__sum")).as("pad_waste"))
+        .orderBy(col("cap"), col("batch"))
+    }),
+    // x108: per-source token-budget curation — the standard "spend a
+    // fixed token budget on the best documents of each source" selection.
+    // Docs ranked by the x100 integer-quantized quality score (desc),
+    // md5-ticket tie-shuffled, then an inclusive running token sum keeps
+    // rows while cum ≤ budget. One window per source (bounded partition
+    // count); the cumsum is the x98-style prefix device at scale.
+    "x108_token_budget" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("doc_id"),
+        col("source"), col("text"), TextFunctions.tokens(col("text")).as("ts"))
+      val scored = toks
+        .select(col("doc_id"), col("source"),
+          size(col("ts")).cast("long").as("n_tok"),
+          TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
+        .filter(col("n_tok") > 0)
+        .withColumn("__qi", floor(col("q") * 10000 + lit(0.5)).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("__qi").desc,
+          md5(concat(lit("tb1:"), col("doc_id").cast("string"))), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 2000L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("source"), col("cum_tok"))
+    }),
+    // x109: multi-epoch mixture expansion — repeat small sources to hit a
+    // per-source token budget (the "epochs over under-represented
+    // domains" recipe): full epochs = budget div Σtok (integer), plus a
+    // fractional epoch of the ticket-first docs whose running token sum
+    // fits the remainder. Expansion is a generator explode (no shuffle);
+    // the only aggregates are the per-source token totals (broadcast).
+    "x109_epoch_mixture" -> ((s, dir) => {
+      val budget = 10000L
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val tot = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tot_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("em1:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.join(broadcast(tot), "source")
+        .withColumn("__fe", expr(s"$budget div tot_tok"))
+        .withColumn("__rem", expr(s"$budget % tot_tok"))
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .withColumn("n_reps",
+          (col("__fe") + when(col("__cum") <= col("__rem"), 1L).otherwise(0L))
+            .cast("long"))
+        .filter(col("n_reps") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_reps") - 1)).as("rep"))
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+    // x110: robust outlier gate — per-event-type median/MAD z-score
+    // (|v − med| > 3·1.4826·mad), the rank-based outlier detector that
+    // survives the heavy tails a mean/stddev gate dies on. Exact medians
+    // via percentile (≡ DuckDB quantile_cont, the x16/x94 equivalence);
+    // both med and mad tables are per-type singletons, broadcast back.
+    // At 100 TB the same shape runs on approx_percentile (x17's sketch).
+    "x110_robust_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          graft.functions.EngineMath.roundAway(max(col("med")), 6).as("med"),
+          graft.functions.EngineMath.roundAway(max(col("mad")), 6).as("mad"))
+        .orderBy(col("event_type"))
+    }),
+    // x111: first-order Markov transition matrix over per-user event
+    // streams — P(next | cur) from lead() pairs (ts, event_id ordering is
+    // unique, so the lag is deterministic). Transition counts shuffle on
+    // (cur, next); the per-cur normalizer is a window over the bounded
+    // event-type alphabet. The x80 path analysis mines top-k sequences;
+    // this is the generative-model view of the same stream.
+    "x111_markov_transitions" -> ((s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wCur = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cur_type"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", graft.functions.EngineMath.roundAway(
+          col("n").cast("double") / sum(col("n")).over(wCur), 6))
+        .orderBy(col("cur_type"), col("next_type"))
+    }),
+    // x112: matryoshka truncation recall probe — brute-force top-10 over
+    // the full vectors vs the first-16-dims prefix, per-query overlap.
+    // The operational question behind dimension-truncated indexes (use a
+    // 4× cheaper prefix scan, what recall is left?); both rankings are
+    // the x10 broadcast-queries shape, so the probe costs two scans and
+    // zero extra shuffles. The left join keeps zero-overlap queries.
+    "x112_matryoshka_recall" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "vec", q, "vec_id", "vec", k = 10)
+        .select(col("query_id"), col("item_id"))
+      val et = e.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
+      val trunc = Similarity.bruteForceTopK(
+        et, "vec_id", "vec", et.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10)
+        .select(col("query_id"), col("item_id"))
+      val inter = full.join(trunc, Seq("query_id", "item_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+      q.select(col("vec_id").as("query_id"))
+        .join(inter, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          graft.functions.EngineMath.roundAway(
+            coalesce(col("overlap"), lit(0L)).cast("double") / lit(10.0), 4)
+            .as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+    // x113: cross-source quantile normalization — map each source's
+    // n_chars distribution onto the GLOBAL distribution (rank r of m in
+    // the source → global order statistic at ⌈r·N/m⌉), the batch-effect
+    // alignment preprocessing step. ALL arithmetic is integer (ranks,
+    // ceil-div); the global rank is NOT a global sort: value-range
+    // buckets (n_chars div 64 — bounded by max doc length) rank locally,
+    // then a bucket-count prefix sum (window over #buckets rows,
+    // broadcast back) offsets them — the x98 two-level device keyed by
+    // value instead of ticket. The rank→value lookup is a plain equi-join.
+    "x113_quantile_normalize" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val wBkt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__bkt")).orderBy(col("n_chars"), col("doc_id"))
+      val bucketed = d.withColumn("__bkt", expr("n_chars div 64"))
+        .withColumn("__lr", row_number().over(wBkt).cast("long"))
+      // offsets: rows in all strictly-smaller buckets (tiny frame:
+      // one row per bucket)
+      val wOff = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__bkt"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy(col("__bkt"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+        .select(col("__bkt"), col("__off"))
+      val ranked = bucketed.join(broadcast(offsets), "__bkt")
+        .withColumn("g", col("__off") + col("__lr"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("g"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val m = ranked.groupBy(col("source")).agg(count(lit(1)).as("m"))
+      val total = d.agg(count(lit(1)).as("__N"))
+      val target = ranked
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+        .join(broadcast(m), "source")
+        .crossJoin(broadcast(total))
+        .withColumn("gstar", expr("(r * __N + m - 1) div m"))
+      target.join(ranked.select(col("g").as("gstar"),
+          col("n_chars").as("norm_chars")), "gstar")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // x114: corpus datacard — the per-source datasheet row every corpus
+    // release ships: doc/token counts, language breadth, exact-dup rate
+    // (x04's md5 fingerprint), quantized mean quality, median tokens.
+    // One scan + one groupBy; the count_distincts swap to HLL (x81) at
+    // 100 TB, medians to approx_percentile (x26) — documented swaps, not
+    // silent ones.
+    "x114_datacard" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("doc_id"),
+        col("source"), col("lang"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      toks.filter(size(col("ts")) > 0)
+        .select(col("source"), col("lang"),
+          size(col("ts")).cast("long").as("n_tok"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          floor(TextFunctions.qualityScoreOf(col("ts"), col("text")) * 10000
+            + lit(0.5)).cast("long").as("qi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("qi")).as("__sq"),
+          expr("percentile(n_tok, 0.5)").as("p50_tok"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          graft.functions.EngineMath.roundAway(
+            lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          graft.functions.EngineMath.roundAway(
+            col("__sq").cast("double") / 10000.0 / col("n_docs"), 6)
+            .as("mean_quality"),
+          graft.functions.EngineMath.roundAway(col("p50_tok"), 4).as("p50_tok"))
+        .orderBy(col("source"))
+    }),
+    // x115: rank-biased overlap (p=0.9, depth 10) between the full-dim
+    // and 16-dim-prefix brute rankings — the order-aware companion to
+    // x112's set overlap (RBO weights agreement at the top, which is
+    // what an index that feeds a re-ranker actually needs). The per-depth
+    // overlap explodes a 10-row literal per query (bounded fan-out); the
+    // Σ p^d·|A∩B|/d fold runs in depth order on both engines.
+    "x115_rbo" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "vec", q, "vec_id", "vec", k = 10)
+        .select(col("query_id"), col("item_id"), col("rank").as("ra"))
+      val et = e.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
+      val trunc = Similarity.bruteForceTopK(
+        et, "vec_id", "vec", et.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10)
+        .select(col("query_id"), col("item_id"), col("rank").as("rb"))
+      val joined = full.join(trunc, Seq("query_id", "item_id"))
+        .select(col("query_id"), greatest(col("ra"), col("rb")).as("dmin"))
+      val depths = joined
+        .select(col("query_id"),
+          explode(sequence(lit(1L), lit(10L))).as("d"), col("dmin"))
+        .filter(col("dmin") <= col("d"))
+        .groupBy(col("query_id"), col("d")).agg(count(lit(1)).as("ov"))
+      val rboPerQ = depths
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("d"), col("ov")))).as("cs"))
+        .select(col("query_id"), graft.functions.EngineMath.roundAway(
+          expr("aggregate(cs, 0.0d, (acc, x) -> acc + " +
+            s"(${rboWeightCase("x.d")}) * CAST(x.ov AS DOUBLE)) * (1.0 - 0.9) / 0.9"),
+          6).as("rbo"))
+      q.select(col("vec_id").as("query_id"))
+        .join(rboPerQ, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+        .orderBy(col("query_id"))
+    }),
+    // x117: co-purchase item-item similarity (basket analysis) — parts
+    // that ship in the same order, cosine over co-occurrence counts
+    // c_ab/√(c_a·c_b). The pair producer is an ORDER-KEYED equi-join
+    // (both sides shuffle once on l_orderkey, per-key fan-out bounded by
+    // order size ≤~13 — never an all-pairs over parts); the per-item
+    // marginals broadcast back. √ is IEEE-exact, so the cosine divides
+    // identically in both engines. c_ab ≥ 3 floors the Zipf tail the way
+    // x89's PMI floor does.
+    "x117_copurchase_sim" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "ok")
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      pairs
+        .join(broadcast(marg.select(col("pk").as("part_a"), col("c").as("c_a"))),
+          "part_a")
+        .join(broadcast(marg.select(col("pk").as("part_b"), col("c").as("c_b"))),
+          "part_b")
+        .select(col("part_a"), col("part_b"), col("c_ab"),
+          graft.functions.EngineMath.roundAway(
+            col("c_ab").cast("double") /
+              sqrt((col("c_a") * col("c_b")).cast("double")), 6).as("sim"))
+        .orderBy(col("part_a"), col("part_b"))
+    }),
+    // x118: Z-order (Morton) layout keys + per-block pruning stats — the
+    // multi-column data-skipping layout: 16-bit interleave of
+    // (l_partkey, l_suppkey) via PURE integer div/mod arithmetic (the
+    // same 32 terms evaluate in DuckDB with // — no engine-specific bit
+    // intrinsics), blocks of z div 4096, per-block min/max of both keys.
+    // Tight per-block spans on BOTH columns is exactly the file-level
+    // min-max pruning a 100 TB scan does; ZorderSpec quantifies the span
+    // shrink vs the single-column sort layout.
+    "x118_zorder_blocks" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .withColumn("z", expr(zorderExpr("pk", "sk", "div")))
+        .withColumn("block", expr("z div 4096"))
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .orderBy(col("block"))),
+    // x116: blocklist policy gate — broadcast term blocklist, per-doc hit
+    // count (duplicates count — a hit-RATE gate, not a membership test)
+    // and a >10% token-share block decision. The list rides the plan as
+    // an array literal (a learned list broadcasts the same way); linear
+    // scan, no shuffle.
+    "x116_blocklist_gate" -> ((s, dir) => {
+      val terms = BlocklistTerms.map(lit(_))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+          size(filter(col("ts"),
+            t => array_contains(array(terms: _*), t))).cast("long")
+            .as("n_hits"))
+        .filter(col("n_tok") > 0)
+        .withColumn("blocked",
+          col("n_hits").cast("double") > col("n_tok").cast("double") * 0.1)
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** x116's term blocklist — one constant feeds both engines' predicates
+    * (each unit must stay a plain lowercase word: it is spliced into the
+    * DuckDB oracle's quoted list literal).
+    */
+  private[graft] val BlocklistTerms = Seq("dup", "slow", "batch")
+  require(BlocklistTerms.forall(_.matches("[a-z]+")),
+    "BlocklistTerms must be plain lowercase words (spliced into quoted SQL)")
+
+  /** x115's per-depth RBO weight 0.9^d/d as a CASE over the fold variable
+    * `x.d` — the weights are Scala-computed doubles embedded via their
+    * shortest round-trip decimal repr, so BOTH engines parse the exact
+    * same IEEE values (java Math.pow vs C pow may differ in the last ulp;
+    * a literal table cannot). One constant feeds the Spark fold and the
+    * DuckDB oracle.
+    */
+  /** x118's Morton interleave as portable integer arithmetic: bit i of a
+    * contributes 4^i, bit i of b contributes 2·4^i. `divOp` is the only
+    * engine difference (Spark `div`, DuckDB `//`); the 32 terms are
+    * otherwise one shared string, so the curve cannot drift.
+    */
+  private[graft] def zorderExpr(a: String, b: String, divOp: String): String =
+    (0 until 16).map { i =>
+      val p2 = 1L << i; val p4 = 1L << (2 * i)
+      s"(($a $divOp $p2) % 2) * $p4 + (($b $divOp $p2) % 2) * ${2 * p4}"
+    }.mkString(" + ")
+
+  private def rboWeightCase(v: String): String = {
+    val cases = (1 to 10).scanLeft(1.0)((a, _) => a * 0.9).tail.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w / (i + 1)}" }
+    s"CASE $v ${cases.mkString(" ")} ELSE 0.0 END"
+  }
 
   // x27 constants — the oracle SQL below derives its thresholds from these
   private val sampleRates = Map("en" -> 0.25, "de" -> 0.5)
@@ -3292,6 +3658,177 @@ object ExtensionQueries {
          |SELECT id_a, id_b, round(c_ab, 4) AS c_ab, round(c_ba, 4) AS c_ba
          | FROM p WHERE greatest(c_ab, c_ba) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    // same integer capacity arithmetic (64·⌈n/64⌉ — no float bucket), same
+    // ticket ordering, same batch-of-8 cut and rows·max − Σn waste
+    "x107_length_batching" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len($toks) > 0),
+         |b AS (SELECT doc_id, n_tok, 64 * ((n_tok + 63) // 64) AS cap FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cap
+         |    ORDER BY md5('lb1:'||CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM b),
+         |g AS (SELECT cap, (rk - 1) // 8 AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+         |    max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS s FROM r GROUP BY 1, 2)
+         |SELECT cap, batch, n_rows, max_tok, n_rows * max_tok - s AS pad_waste
+         |FROM g ORDER BY cap, batch""".stripMargin.replace("\n", " ")),
+    // same quality CTEs and integer quantization as x100, same inclusive
+    // ROWS running sum, same ≤2000 keep rule
+    "x108_token_budget" ->
+      (s"$qualityCtes, q AS (SELECT c.doc_id, d.source, " +
+        "CAST(c.n AS BIGINT) AS n_tok, " +
+        s"CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) AS qi " +
+        "FROM c JOIN documents d USING (doc_id) WHERE c.n > 0), " +
+        "r AS (SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER (" +
+        "PARTITION BY source ORDER BY qi DESC, " +
+        "md5('tb1:'||CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok FROM q) " +
+        "SELECT doc_id, source, n_tok, cum_tok FROM r WHERE cum_tok <= 2000 " +
+        "ORDER BY source, cum_tok"),
+    // same integer budget split (div/mod), same ticket-ordered fractional
+    // epoch, same range() expansion
+    "x109_epoch_mixture" ->
+      (s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len($toks) > 0),
+         |t AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot FROM d GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source, d.n_tok, 10000 // t.tot AS fe,
+         |    10000 % t.tot AS rem FROM d JOIN t USING (source)),
+         |c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY md5('em1:'||CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM j),
+         |r AS (SELECT doc_id, source,
+         |    fe + CASE WHEN cum <= rem THEN 1 ELSE 0 END AS n_reps FROM c)
+         |SELECT doc_id, source, CAST(unnest(range(n_reps)) AS BIGINT) AS rep
+         |FROM r WHERE n_reps > 0 ORDER BY doc_id, rep""".stripMargin.replace("\n", " ")),
+    // median ≡ quantile_cont(0.5) ≡ Spark percentile (the x16/x94
+    // equivalence); identical dev and 3·1.4826·mad threshold expressions
+    "x110_robust_outliers" ->
+      ("WITH e AS (SELECT event_type, value FROM events), " +
+        "m AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1), " +
+        "d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev " +
+        "FROM e JOIN m USING (event_type)), " +
+        "a AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1) " +
+        "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers, " +
+        "round(max(d.med), 6) AS med, round(max(a.mad), 6) AS mad " +
+        "FROM d JOIN a USING (event_type) GROUP BY 1 ORDER BY 1"),
+    // same (ts, event_id) lead ordering, same per-cur window normalizer
+    "x111_markov_transitions" ->
+      ("WITH s AS (SELECT event_type AS cur_type, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+        "g AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT cur_type, next_type, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_type), 6) AS p " +
+        "FROM g ORDER BY cur_type, next_type"),
+    // two x10-shape rankings (full vs 16-dim prefix slice), overlap join,
+    // zero-overlap queries kept by the left join
+    "x112_matryoshka_recall" ->
+      (s"""WITH qf AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |itf AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+         |rf AS (SELECT query_id, item_id FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+         |qt AS (SELECT query_id, qv[1:16] AS qv FROM qf),
+         |itt AS (SELECT item_id, iv[1:16] AS iv FROM itf),
+         |rt AS (SELECT query_id, item_id FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itt CROSS JOIN qt WHERE item_id != query_id) WHERE rank <= 10),
+         |o AS (SELECT rf.query_id, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM rf JOIN rt USING (query_id, item_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+         |  round(CAST(coalesce(o.overlap, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN o USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // naive global row_number oracle vs the engine's bucket-prefix-sum
+    // rank (the losslessness gate, as x98); identical integer ceil-div
+    "x113_quantile_normalize" ->
+      ("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         |g AS (SELECT *, CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS g FROM d),
+         |s AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars, doc_id) AS BIGINT) AS r FROM g),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |t AS (SELECT s.doc_id, s.source, s.n_chars,
+         |    (s.r * n.n + m.m - 1) // m.m AS gstar
+         |  FROM s JOIN m USING (source) CROSS JOIN n)
+         |SELECT t.doc_id, t.source, t.n_chars, g.n_chars AS norm_chars
+         |FROM t JOIN g ON g.g = t.gstar ORDER BY t.doc_id""".stripMargin.replace("\n", " ")),
+    // same quality CTEs + integer quantization as x100, same fingerprint
+    // (x04's md5), median ≡ quantile_cont ≡ percentile, same division
+    // order; non-empty docs only on both sides
+    "x114_datacard" ->
+      (s"$qualityCtes, r AS (SELECT d.source, d.lang, " +
+        "CAST(c.n AS BIGINT) AS n_tok, " +
+        s"md5(lower(array_to_string($toks, ' '))) AS fp, " +
+        s"CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) AS qi " +
+        "FROM c JOIN documents d USING (doc_id) WHERE c.n > 0) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate, " +
+        "round(CAST(sum(qi) AS DOUBLE) / 10000.0 / count(*), 6) AS mean_quality, " +
+        "round(median(n_tok), 4) AS p50_tok " +
+        "FROM r GROUP BY source ORDER BY source"),
+    // same two rankings as x112, same literal weight table (no pow() —
+    // last-ulp portability), same depth-ordered fold and (1−p)/p factor
+    "x115_rbo" ->
+      (s"""WITH qf AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |itf AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+         |rf AS (SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+         |qt AS (SELECT query_id, qv[1:16] AS qv FROM qf),
+         |itt AS (SELECT item_id, iv[1:16] AS iv FROM itf),
+         |rt AS (SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itt CROSS JOIN qt WHERE item_id != query_id) WHERE rank <= 10),
+         |j AS (SELECT rf.query_id, greatest(rf.rank, rt.rank) AS dmin
+         |  FROM rf JOIN rt USING (query_id, item_id)),
+         |dep AS (SELECT query_id, dd.d AS d, CAST(count(*) AS BIGINT) AS ov
+         |  FROM j CROSS JOIN (SELECT unnest(range(1, 11)) AS d) dd
+         |  WHERE dmin <= dd.d GROUP BY 1, 2),
+         |tm AS (SELECT query_id, d, (${rboWeightCase("d")}) * CAST(ov AS DOUBLE) AS term FROM dep),
+         |f AS (SELECT query_id, list(term ORDER BY d) AS cs FROM tm GROUP BY 1),
+         |o AS (SELECT query_id, round(list_reduce(list_prepend(0.0, cs),
+         |    (x, y) -> x + y) * (1.0 - 0.9) / 0.9, 6) AS rbo FROM f)
+         |SELECT q.query_id, coalesce(o.rbo, 0.0) AS rbo
+         |FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN o USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // same distinct + order-keyed pair join, same c_ab ≥ 3 floor, same
+    // IEEE-exact √ cosine
+    "x117_copurchase_sim" ->
+      ("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1)
+         |SELECT p.part_a, p.part_b, p.c_ab,
+         |  round(CAST(p.c_ab AS DOUBLE) / sqrt(CAST(ma.c * mb.c AS DOUBLE)), 6) AS sim
+         |FROM p JOIN m ma ON ma.pk = p.part_a JOIN m mb ON mb.pk = p.part_b
+         |WHERE p.c_ab >= 3 ORDER BY p.part_a, p.part_b""".stripMargin.replace("\n", " ")),
+    // the SAME 32-term interleave string (shared constant, // division),
+    // same block width and min/max stats
+    "x118_zorder_blocks" ->
+      (s"""WITH z AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    ${zorderExpr("l_partkey", "l_suppkey", "//")} AS z FROM lineitem)
+         |SELECT z // 4096 AS block, CAST(count(*) AS BIGINT) AS n,
+         |  min(pk) AS pk_min, max(pk) AS pk_max,
+         |  min(sk) AS sk_min, max(sk) AS sk_max
+         |FROM z GROUP BY 1 ORDER BY block""".stripMargin.replace("\n", " ")),
+    // same literal blocklist (one shared constant), same hit-rate gate
+    "x116_blocklist_gate" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(ts, x -> list_contains([${BlocklistTerms.map("'" + _ + "'").mkString(", ")}], x))) AS BIGINT) AS n_hits
+         |  FROM t WHERE len(ts) > 0)
+         |SELECT doc_id, n_tok, n_hits,
+         |  CAST(n_hits AS DOUBLE) > CAST(n_tok AS DOUBLE) * 0.1 AS blocked
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
   )
 
   // ---- sampling-oracle SQL builders: thresholds generated from the SAME

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 dataloader/curation operators (x107-x112):
+  * bucketed batching geometry, token-budget greediness, epoch-mixture
+  * accounting, robust-outlier counts vs a driver-side recompute, Markov
+  * probability mass, and the matryoshka overlap bounds. The bit-exact
+  * cross-engine check is the DuckDB oracle (tools/check_oracle.py); these
+  * lock the properties the hash compare cannot name.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    ExtensionQueries.queries(name)(spark, sf())
+
+  test("x107: batch geometry — <=8 rows, max<=cap, waste nonneg, partition-complete") {
+    val rows = run("x107_length_batching").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cap, nRows, maxTok, waste) =
+        (r.getAs[Long]("cap"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("max_tok"), r.getAs[Long]("pad_waste"))
+      assert(nRows >= 1 && nRows <= 8, s"batch of $nRows rows")
+      assert(maxTok <= cap && maxTok > cap - 64, s"max $maxTok outside ($cap-64,$cap]")
+      assert(waste >= 0 && waste <= nRows * 63, s"waste $waste vs rows $nRows")
+    }
+    // every doc with tokens lands in exactly one batch
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val docs = Tables.table(spark, sf(), "documents")
+      .filter(graft.functions.TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(total == docs, s"batched $total of $docs docs")
+    // within a cap, only the LAST batch may be ragged
+    rows.groupBy(_.getAs[Long]("cap")).foreach { case (cap, bs) =>
+      val byBatch = bs.sortBy(_.getAs[Long]("batch"))
+      assert(byBatch.map(_.getAs[Long]("batch")).toSeq ==
+        byBatch.indices.map(_.toLong), s"cap $cap batches not contiguous")
+      byBatch.dropRight(1).foreach(b =>
+        assert(b.getAs[Long]("n_rows") == 8, s"cap $cap non-final ragged batch"))
+    }
+  }
+
+  test("x108: greedy budget — per-source cum monotone, total <= 2000, next doc would overflow") {
+    val rows = run("x108_token_budget").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val cums = rs.map(_.getAs[Long]("cum_tok")).sorted
+      val toks = rs.map(_.getAs[Long]("n_tok")).sum
+      assert(cums.last == toks, s"$src cum/nTok mismatch")
+      assert(cums.last <= 2000L, s"$src busts the budget: ${cums.last}")
+    }
+  }
+
+  test("x109: mixture accounting — reps contiguous; per-source plan inside (budget-max, budget]") {
+    val rows = run("x109_epoch_mixture").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("rep")).sorted.toSeq ==
+        (0L until rs.length.toLong), s"doc $id reps not 0..n-1")
+    }
+    val docTok = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows.groupBy(r => docTok(r.getAs[Long]("doc_id"))._1).foreach { case (src, rs) =>
+      val planned = rs.map(r => docTok(r.getAs[Long]("doc_id"))._2).sum
+      val maxTok = docTok.values.filter(_._1 == src).map(_._2).max
+      assert(planned <= 10000L, s"$src planned $planned > budget")
+      assert(planned > 10000L - maxTok,
+        s"$src left ${10000L - planned} unspent >= a whole doc ($maxTok)")
+    }
+  }
+
+  test("x110: median/MAD outlier counts match a driver-side exact recompute") {
+    val got = run("x110_robust_outliers").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))).toMap
+    val raw = Tables.events(spark, sf()).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val values = vs.map(_._2)
+      val med = median(values)
+      val mad = median(values.map(v => math.abs(v - med)))
+      val out = values.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad)
+      assert(got(t) == (values.length.toLong, out.toLong),
+        s"$t: got ${got(t)}, want (${values.length},$out)")
+    }
+  }
+
+  test("x111: probability mass sums to ~1 per cur; transition count = events - users") {
+    val rows = run("x111_markov_transitions").collect()
+    rows.groupBy(_.getAs[String]("cur_type")).foreach { case (cur, rs) =>
+      val mass = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$cur mass $mass")
+    }
+    val e = Tables.events(spark, sf())
+    val want = e.count() - e.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == want)
+  }
+
+  test("x112: overlap in [0,10]; recall field consistent; all 5 queries present") {
+    val rows = run("x112_matryoshka_recall").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).sorted.toSeq == (0L until 5L))
+    rows.foreach { r =>
+      val o = r.getAs[Long]("overlap")
+      assert(o >= 0 && o <= 10)
+      assert(math.abs(r.getAs[Double]("recall_at_10") - o / 10.0) < 1e-9)
+    }
+  }
+
+  test("x113: bucket-prefix-sum global rank — norm is a permutation-free monotone remap") {
+    val rows = run("x113_quantile_normalize").collect()
+    val docs = Tables.table(spark, sf(), "documents").count()
+    assert(rows.length == docs, "every doc gets a normalized value")
+    // within a source, normalization preserves the (n_chars, doc_id) order
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val norms = sorted.map(_.getAs[Long]("norm_chars"))
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b },
+        s"$src norm not monotone in source rank")
+    }
+    // the max-rank doc of every source maps to the global max value
+    val globalMax = rows.map(_.getAs[Long]("n_chars")).max
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val top = rs.maxBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      assert(top.getAs[Long]("norm_chars") == globalMax,
+        s"$src top doc normalized to ${top.getAs[Long]("norm_chars")}, want $globalMax")
+    }
+  }
+
+  test("x114: datacard internal consistency vs direct recomputes") {
+    val rows = run("x114_datacard").collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val want = Tables.table(spark, sf(), "documents")
+      .filter(graft.functions.TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(nDocs == want, s"datacard covers $nDocs of $want non-empty docs")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dup_rate") >= 0.0 && r.getAs[Double]("dup_rate") < 1.0)
+      assert(r.getAs[Double]("mean_quality") > 0.0 && r.getAs[Double]("mean_quality") <= 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+    }
+  }
+
+  test("x115: rbo in [0,1]; identical rankings give rbo = truncated-mass bound") {
+    val rows = run("x115_rbo").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).sorted.toSeq == (0L until 5L))
+    // truncated RBO_min at depth 10 with perfect agreement:
+    // (1-p)/p * Σ p^d = (1-p)/p * p(1-p^10)/(1-p) = 1 - p^10 ≈ 0.6513
+    val perfect = 1.0 - math.pow(0.9, 10)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("rbo")
+      assert(v >= 0.0 && v <= perfect + 1e-9, s"rbo $v outside [0, $perfect]")
+    }
+    // rbo must be consistent with x112's set overlap: zero overlap ⇒ 0
+    val overlap = run("x112_matryoshka_recall").collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("overlap")).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      if (overlap(q) == 0L) assert(r.getAs[Double]("rbo") == 0.0)
+      if (overlap(q) == 10L) assert(r.getAs[Double]("rbo") > 0.0)
+    }
+  }
+
+  test("x117: co-purchase cosine matches a driver-side recompute on a sample") {
+    val rows = run("x117_copurchase_sim").collect()
+    assert(rows.nonEmpty, "no co-purchase pairs with c_ab >= 3")
+    val li = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val marg = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    rows.take(20).foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val cab = byOrder.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("c_ab") == cab, s"($a,$b) c_ab")
+      val want = cab / math.sqrt((marg(a) * marg(b)).toDouble)
+      assert(math.abs(r.getAs[Double]("sim") - want) < 1e-6, s"($a,$b) sim")
+    }
+  }
+
+  test("x118: z-order blocks give tighter 2-D spans than a single-column sort layout") {
+    // sf0.1: 5000 parts x 100 suppliers — at sf0.001 the supplier keyspace
+    // (10 keys) is so small every layout spans it fully and the locality
+    // claim is vacuous
+    val rows = ExtensionQueries.queries("x118_zorder_blocks")(spark, sf("sf0.1"))
+      .collect()
+    assert(rows.length > 1)
+    // z-curve correctness on a sample: interleave recomputed bitwise
+    val z = ExtensionQueries.zorderExpr("pk", "sk", "div")
+    import spark.implicits._
+    val sample = Seq((3L, 5L), (0L, 0L), (65535L, 65535L), (1L, 2L))
+      .toDF("pk", "sk").withColumn("z", expr(z)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    sample.foreach { case (pk, sk, got) =>
+      var want = 0L
+      for (i <- 0 until 16)
+        want |= (((pk >> i) & 1L) << (2 * i)) | (((sk >> i) & 1L) << (2 * i + 1))
+      assert(got == want, s"z($pk,$sk) = $got, want $want")
+    }
+    // locality: mean sk-span within z-blocks must beat blocks of the
+    // pk-sorted layout (which scrambles sk) — the data-skipping claim
+    val skSpan = rows.map(r => r.getAs[Long]("sk_max") - r.getAs[Long]("sk_min"))
+      .sum.toDouble / rows.length
+    val li = Tables.table(spark, sf("sf0.1"), "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+      .withColumn("rn", monotonically_increasing_id())
+    val naive = li.withColumn("block", expr("rn div 1000"))
+      .groupBy(col("block"))
+      .agg((max(col("l_suppkey")) - min(col("l_suppkey"))).as("span"))
+      .agg(avg(col("span"))).head().getDouble(0)
+    assert(skSpan < naive,
+      s"z-block sk span $skSpan not tighter than pk-sort layout $naive")
+  }
+
+  test("x116: hit counts match a driver-side recompute; gate threshold honored") {
+    val rows = run("x116_blocklist_gate").collect()
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val block = ExtensionQueries.BlocklistTerms.toSet
+    assert(rows.exists(_.getAs[Long]("n_hits") > 0), "blocklist never fires — dead test")
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).trim.split("\\s+").filter(_.nonEmpty)
+      val hits = toks.count(block.contains)
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Boolean]("blocked") == (hits.toDouble > toks.length.toDouble * 0.1))
+    }
+  }
+}
