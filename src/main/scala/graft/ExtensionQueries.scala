@@ -2219,6 +2219,82 @@ object ExtensionQueries {
           min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
           min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
         .orderBy(col("block"))),
+    // x119: personalized PageRank — x86's tick-quantized iteration with
+    // teleport mass restricted to a seed set (the "related items from
+    // these seeds" ranking). Seeds broadcast (they are the query); every
+    // per-round shape is x86's, so the scale story is unchanged.
+    "x119_ppr" -> ((s, dir) =>
+      graft.operators.Graph.personalizedPageRank(
+        table(s, dir, "lineitem").select(
+          (col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst",
+        seeds = s.range(0, 4).select((col("id") * 2).as("node")),
+        iters = 5)),
+    // x120: HLL cross-source overlap — |A∩B| estimated by
+    // inclusion-exclusion over mergeable sketches (est_a + est_b −
+    // est_a∪b), the way cross-corpus overlap is measured at 100 TB
+    // without an exact distinct join. Engine estimates STAGED (as x81);
+    // the oracle re-derives the exact overlaps and gates the estimates,
+    // so green = "estimates within tolerance of truth", not "it ran".
+    "x120_hll_overlap" -> ((s, dir) => {
+      val srcs = Seq("src0", "src1", "src2", "src3")
+      val tok = table(s, dir, "documents")
+        .filter(col("source").isin(srcs: _*))
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val sk = graft.engine.CacheScope.persistTracked(
+        tok.groupBy(col("source")).agg(hll_sketch_agg(col("t")).as("sk")))
+      val single = sk.select(col("source"), hll_sketch_estimate(col("sk")).as("est"))
+      val est = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("est_ab"))
+        .join(broadcast(single.select(col("source").as("source_a"),
+          col("est").as("est_a"))), "source_a")
+        .join(broadcast(single.select(col("source").as("source_b"),
+          col("est").as("est_b"))), "source_b")
+        .select(col("source_a"), col("source_b"),
+          (col("est_a") + col("est_b") - col("est_ab")).as("overlap_est"))
+      Stage.write(est, dir, "x120_overlap_est")
+      val dt = tok.distinct()
+      val exact = dt.as("a")
+        .join(dt.as("b"),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("overlap_exact"))
+      est.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("overlap_exact"),
+          col("overlap_est"),
+          (abs(col("overlap_est").cast("double") - col("overlap_exact")) <=
+            col("overlap_exact") * 0.15).as("within_15pct"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // x121: EWMA-smoothed daily event rate — the discrete-recursion
+    // smoother (s = 0.3·x + 0.7·s — x101 weights by continuous time
+    // distance; this is the per-tick recursion dashboards use). The fold
+    // runs over the BOUNDED day axis per type (collect_list is #days
+    // long, never rows), seeded with day 1's count on both engines.
+    "x121_ewma_daily" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+        .withColumn("vals", expr("transform(cs, x -> CAST(x.n AS DOUBLE))"))
+        .select(col("event_type"), size(col("vals")).cast("long").as("n_days"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(slice(vals, 2, size(vals) - 1), " +
+              "element_at(vals, 1), (acc, x) -> " +
+              "CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"), 6)
+            .as("ewma"))
+        .orderBy(col("event_type"))
+    }),
+    // x122: typo-grade near-dup pairs — x91's sorted-neighborhood
+    // candidates verified by CHARACTER-level Levenshtein ≤ 60 (unit-cost
+    // DP, identical in both engines) instead of token Jaccard: catches
+    // edit-distance duplicates whose token sets already diverged.
+    "x122_edit_pairs" -> ((s, dir) =>
+      graft.operators.Snm.editPairs(table(s, dir, "documents"),
+        "doc_id", "text", blockCol = "lang", w = 5, prefixLen = 24,
+        maxDist = 60)),
     // x116: blocklist policy gate — broadcast term blocklist, per-doc hit
     // count (duplicates count — a hit-RATE gate, not a membership test)
     // and a >10% token-share block decision. The list rides the plan as
@@ -3800,6 +3876,76 @@ object ExtensionQueries {
          |SELECT q.query_id, coalesce(o.rbo, 0.0) AS rbo
          |FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN o USING (query_id)
          |ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // x86's unrolled tick-quantized iteration with the seed CASE: teleport
+    // only where node ∈ sd (even node ids < 8 ≡ the Spark seed range —
+    // supplier keys start at 0 in this corpus)
+    "x119_ppr" -> {
+      val head =
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src, " +
+          "l_partkey * 2 + 1 AS dst FROM lineitem), " +
+          "und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0), " +
+          "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY src), " +
+          "sd AS MATERIALIZED (SELECT src AS node FROM deg WHERE src % 2 = 0 AND src < 8), " +
+          "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sd), " +
+          "r0 AS MATERIALIZED (SELECT d.src AS node, " +
+          "CASE WHEN s.node IS NOT NULL THEN " +
+          "floor(CAST(1.0 AS DOUBLE) / ns.ns * 1e12 + 0.5) / 1e12 " +
+          "ELSE CAST(0.0 AS DOUBLE) END AS rank " +
+          "FROM deg d LEFT JOIN sd s ON s.node = d.src CROSS JOIN ns)"
+      def iter(k: Int) =
+        s"r$k AS MATERIALIZED (SELECT u.dst AS node, " +
+          "floor((CASE WHEN s.node IS NOT NULL THEN " +
+          "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns.ns " +
+          "ELSE CAST(0.0 AS DOUBLE) END + " +
+          "CAST(0.85 AS DOUBLE) * (CAST(sum(CAST(floor(r.rank / d.deg * 1e12 + 0.5) " +
+          "AS BIGINT)) AS DOUBLE) / 1e12)) * 1e12 + 0.5) / 1e12 AS rank " +
+          s"FROM und u JOIN r${k - 1} r ON u.src = r.node " +
+          "JOIN deg d ON d.src = u.src " +
+          "LEFT JOIN sd s ON s.node = u.dst CROSS JOIN ns " +
+          "GROUP BY u.dst, s.node, ns.ns)"
+      head + ", " + (1 to 5).map(iter).mkString(", ") +
+        " SELECT node, rank FROM r5 ORDER BY node"
+    },
+    // exact overlaps re-derived via the distinct-token join; staged
+    // engine estimates joined in and gated — identical inclusion-
+    // exclusion arithmetic on both sides
+    "x120_hll_overlap" ->
+      (s"""WITH est AS (SELECT source_a, source_b, overlap_est FROM ${Stage.sqlRef("x120_overlap_est")}),
+         |tk AS (SELECT DISTINCT source, t FROM (SELECT source, unnest($toks) AS t
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+         |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS overlap_exact
+         |  FROM tk a JOIN tk b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2)
+         |SELECT e.source_a, e.source_b, ex.overlap_exact,
+         |  CAST(e.overlap_est AS BIGINT) AS overlap_est,
+         |  abs(CAST(e.overlap_est AS DOUBLE) - overlap_exact) <= overlap_exact * 0.15 AS within_15pct
+         |FROM est e JOIN ex USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin.replace("\n", " ")),
+    // same UTC day truncation, same day-ordered value list, and
+    // list_reduce's first-element seeding ≡ the Spark slice-from-2 fold
+    // with element_at(vals, 1) init — one shared recursion
+    "x121_ewma_daily" ->
+      ("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |v AS (SELECT event_type, list_transform(list(n ORDER BY day),
+         |    x -> CAST(x AS DOUBLE)) AS vals FROM d GROUP BY 1)
+         |SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+         |  round(list_reduce(vals, (acc, x) ->
+         |    CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+         |FROM v ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // same blocking/rank/window as x91, same unit-cost levenshtein
+    "x122_edit_pairs" ->
+      ("""WITH k AS (SELECT doc_id AS id, lang AS blk, text,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY bk, id) AS rnk FROM k),
+         |p AS (SELECT a.blk, a.id AS id_a, a.text AS ta, a.rnk + s.k AS tgt
+         |  FROM r a CROSS JOIN (SELECT unnest(range(1, 6)) AS k) s),
+         |c AS (SELECT p.id_a, b.id AS id_b,
+         |    CAST(levenshtein(p.ta, b.text) AS BIGINT) AS dist
+         |  FROM p JOIN r b ON b.blk = p.blk AND b.rnk = p.tgt)
+         |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, dist
+         |FROM c WHERE dist <= 60 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
     // same distinct + order-keyed pair join, same c_ab ≥ 3 floor, same
     // IEEE-exact √ cosine
     "x117_copurchase_sim" ->

@@ -154,4 +154,55 @@ object Graph {
       ranks.orderBy(col("node"))
     } finally adj.unpersist()
   }
+
+  /** Personalized PageRank: same symmetrized graph, quantization, and
+    * per-round dataflow as [[pageRank]], but teleport mass lands ONLY on
+    * `seeds` (a 1-column "node" frame, intersected with the graph's
+    * nodes): r0 = 1/|S| on seeds else 0, and each round adds
+    * (1−d)/|S| to seeds only. The seed set broadcasts (it is the
+    * query, not the data); everything else keeps pageRank's shapes, so
+    * the 100 TB story is unchanged.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = und.join(deg, "src").persist()
+    val sd = deg.join(seeds.select(col("node").as("src")), "src")
+      .select(col("src").as("node")).persist()
+    val nS = sd.count().toDouble
+    require(nS > 0, "personalizedPageRank: no seed is a graph node")
+    val r0 = math.floor(1.0 / nS * 1e12 + 0.5) / 1e12
+    val teleS = (1.0 - damping) / nS
+    val seedFlag = broadcast(sd.withColumn("__isSeed", lit(true)))
+    try {
+      var ranks = deg.select(col("src").as("node"))
+        .join(seedFlag, Seq("node"), "left")
+        .select(col("node"),
+          when(col("__isSeed"), lit(r0)).otherwise(lit(0.0)).as("rank"))
+        .persist()
+      ranks.count()
+      for (_ <- 1 to iters) {
+        val next = adj.join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .join(seedFlag.select(col("node").as("dst"), col("__isSeed")),
+            Seq("dst"), "left")
+          .select(col("dst").as("node"),
+            EngineMath.roundAway(
+              when(col("__isSeed"), lit(teleS)).otherwise(lit(0.0)) +
+                lit(damping) * (col("s").cast("double") / lit(1e12)),
+              12).as("rank"))
+          .persist()
+        next.count()
+        ranks.unpersist()
+        ranks = next
+      }
+      graft.engine.CacheScope.track(ranks)
+      ranks.orderBy(col("node"))
+    } finally { adj.unpersist(); sd.unpersist() }
+  }
 }

@@ -220,6 +220,77 @@ class PipelineOpsSpec extends SparkSpec {
       s"z-block sk span $skSpan not tighter than pk-sort layout $naive")
   }
 
+  test("x119: ppr mass conserved; teleport concentrates rank on the seed side") {
+    val rows = run("x119_ppr").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    // symmetrized graph has no dangling mass: Σ rank ≈ 1 (12-dp ticks)
+    val mass = rows.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass")
+    val seeds = Seq(0L, 2L, 4L, 6L).filter(rows.contains)
+    assert(seeds.nonEmpty)
+    val seedMean = seeds.map(rows).sum / seeds.size
+    val restMean = (rows -- seeds).values.sum / (rows.size - seeds.size)
+    assert(seedMean > 5 * restMean,
+      s"seeds $seedMean not concentrated vs rest $restMean")
+  }
+
+  test("x120: estimates gated within 15% of exact; exact overlaps match a recompute") {
+    val rows = run("x120_hll_overlap").collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("within_15pct")), "an estimate busts 15%")
+    val docs = Tables.table(spark, sf(), "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty).toSet
+    }
+    rows.foreach { r =>
+      val want = (vocab(r.getAs[String]("source_a")) &
+        vocab(r.getAs[String]("source_b"))).size.toLong
+      assert(r.getAs[Long]("overlap_exact") == want)
+    }
+  }
+
+  test("x121: ewma lies within each type's daily-count envelope") {
+    val rows = run("x121_ewma_daily").collect()
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ns = daily.filter(_._1 == t).map(_._2)
+      val e = r.getAs[Double]("ewma")
+      assert(e >= ns.min - 1e-9 && e <= ns.max + 1e-9, s"$t ewma $e outside envelope")
+      assert(r.getAs[Long]("n_days") == ns.length)
+    }
+  }
+
+  test("x122: every pair within threshold; distances match a driver-side recompute") {
+    val rows = run("x122_edit_pairs").collect()
+    assert(rows.nonEmpty, "edit-distance verify never fires — dead test")
+    val texts = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    rows.take(10).foreach { r =>
+      val d = lev(texts(r.getAs[Long]("id_a")), texts(r.getAs[Long]("id_b")))
+      assert(r.getAs[Long]("dist") == d && d <= 60)
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
