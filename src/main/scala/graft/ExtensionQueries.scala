@@ -2272,20 +2272,90 @@ object ExtensionQueries {
     // distance; this is the per-tick recursion dashboards use). The fold
     // runs over the BOUNDED day axis per type (collect_list is #days
     // long, never rows), seeded with day 1's count on both engines.
-    "x121_ewma_daily" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
+    "x121_ewma_daily" -> ((s, dir) =>
+      ewmaOverDaily(Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      daily.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
-        .withColumn("vals", expr("transform(cs, x -> CAST(x.n AS DOUBLE))"))
-        .select(col("event_type"), size(col("vals")).cast("long").as("n_days"),
+        .agg(count(lit(1)).as("n")))),
+    // x123: the STREAM-maintained twin of x121 — the additive daily
+    // counts build incrementally in one stateful aggregate (the only
+    // rows-scale work); the shared read-time fold derives the smoother
+    // over the bounded day axis. Same oracle as x121: the whole point is
+    // stream ≡ batch.
+    "x123_stream_ewma" -> ((s, dir) =>
+      ewmaOverDaily(graft.streaming.StreamOps.dailyCountsStreaming(
+        s, s"$dir/events.parquet"))),
+    // x124: calendar gap-fill (time-series densification) — the full
+    // (type × hour) grid from one broadcast min/max row, left-joined to
+    // the observed hourly counts, gaps filled with 0. The grid explode is
+    // a generator (slots = calendar span, never rows); hours ride as
+    // epoch-micros integers so both engines' grids are value-identical.
+    "x124_gap_fill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("h", date_trunc("HOUR", col("ts")))
+      val rng = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val counts = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n0"))
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          coalesce(col("n0"), lit(0L)).as("n"),
+          col("n0").isNotNull.as("observed"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+    // x125: vocabulary-novelty rate — per 50-doc arrival bucket, the
+    // share of its distinct tokens seen for the FIRST time in that
+    // bucket (the corpus-growth / drift metric a crawl pipeline tracks).
+    // Two hash aggregates on the token key; the first-seen table is the
+    // same min-reduction every incremental-dedup index maintains.
+    "x125_vocab_novelty" -> ((s, dir) => {
+      val tb = table(s, dir, "documents")
+        .select(expr("doc_id div 50").as("bucket"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct()
+      val first = tb.groupBy(col("t")).agg(min(col("bucket")).as("fb"))
+      tb.join(first, "t")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("fb") === col("bucket"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("bucket"), col("n_distinct"), col("n_new"),
           graft.functions.EngineMath.roundAway(
-            expr("aggregate(slice(vals, 2, size(vals) - 1), " +
-              "element_at(vals, 1), (acc, x) -> " +
-              "CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"), 6)
-            .as("ewma"))
-        .orderBy(col("event_type"))
+            col("n_new").cast("double") / col("n_distinct"), 6).as("novelty"))
+        .orderBy(col("bucket"))
+    }),
+    // x126: A/B experiment readout — deterministic md5 50/50 user
+    // assignment (the x27 ticket device) and a Welch t-test on per-event
+    // value between arms. Moments ride EXACT integer sums (the x95/x101
+    // micro-quantization: Σ floor(v·1e6+0.5) as LONG, Σ vm² as DECIMAL —
+    // order-free), and the whole t chain is ONE shared expression string,
+    // so the IEEE derivation is operand-identical in both engines. One
+    // scan, one broadcastable single-row aggregate.
+    "x126_ab_welch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab1:"), col("user_id").cast("string"))),
+            1, 4) < "8000", lit("b")).otherwise(lit("a")))
+        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+      ev.groupBy()
+        .agg(
+          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
+          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
+          sum(when(col("variant") === "a", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_a"),
+          sum(when(col("variant") === "b", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_b"))
+        .select(col("n_a"), col("n_b"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${WelchMean("a")})"), 6).as("mean_a"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${WelchMean("b")})"), 6).as("mean_b"),
+          graft.functions.EngineMath.roundAway(expr(WelchTSql), 6).as("t"))
     }),
     // x122: typo-grade near-dup pairs — x91's sorted-neighborhood
     // candidates verified by CHARACTER-level Levenshtein ≤ 60 (unit-cost
@@ -2330,6 +2400,38 @@ object ExtensionQueries {
     * a literal table cannot). One constant feeds the Spark fold and the
     * DuckDB oracle.
     */
+  /** The x121/x123 shared read-time smoother: collect the bounded
+    * (day, n) axis per type, fold s = 0.3·x + 0.7·s seeded with day 1
+    * (slice-from-2 fold ≡ DuckDB list_reduce's first-element seeding).
+    * ONE definition consumed by the batch and the stream-maintained
+    * query, so the recursion cannot drift between them.
+    */
+  private def ewmaOverDaily(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("vals", expr("transform(cs, x -> CAST(x.n AS DOUBLE))"))
+      .select(col("event_type"), size(col("vals")).cast("long").as("n_days"),
+        graft.functions.EngineMath.roundAway(
+          expr("aggregate(slice(vals, 2, size(vals) - 1), " +
+            "element_at(vals, 1), (acc, x) -> " +
+            "CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"), 6)
+          .as("ewma"))
+      .orderBy(col("event_type"))
+
+  /** x126's Welch t statistic over columns (n_a, n_b, s_a, s_b, q_a, q_b)
+    * — exact integer micro-sums in, ONE expression string evaluated by
+    * both engines, so the IEEE chain (means, sample variances, √) is
+    * operand-identical. The mean/variance sub-expressions are inlined
+    * (not aliased) so both engines evaluate literally the same tree.
+    */
+  private def WelchMean(x: String): String =
+    s"(CAST(s_$x AS DOUBLE) / 1e6) / n_$x"
+  private def WelchVar(x: String): String =
+    s"((CAST(q_$x AS DOUBLE) / 1e12 - n_$x * (${WelchMean(x)}) * (${WelchMean(x)})) / (n_$x - 1))"
+  private val WelchTSql: String =
+    s"((${WelchMean("b")}) - (${WelchMean("a")})) / " +
+      s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+
   /** x118's Morton interleave as portable integer arithmetic: bit i of a
     * contributes 4^i, bit i of b contributes 2·4^i. `divOp` is the only
     * engine difference (Spark `div`, DuckDB `//`); the 32 terms are
@@ -3933,6 +4035,59 @@ object ExtensionQueries {
          |  round(list_reduce(vals, (acc, x) ->
          |    CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
          |FROM v ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // x123 ≡ x121's oracle verbatim: the stream-maintained daily counts
+    // must land exactly where the batch aggregate does
+    "x123_stream_ewma" ->
+      ("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |v AS (SELECT event_type, list_transform(list(n ORDER BY day),
+         |    x -> CAST(x AS DOUBLE)) AS vals FROM d GROUP BY 1)
+         |SELECT event_type, CAST(len(vals) AS BIGINT) AS n_days,
+         |  round(list_reduce(vals, (acc, x) ->
+         |    CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+         |FROM v ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // same hour truncation, same generate_series grid off one min/max
+    // row, same epoch-micros projection and zero fill
+    "x124_gap_fill" ->
+      ("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+         |r AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+         |t AS (SELECT DISTINCT event_type FROM e),
+         |g AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+         |  FROM t CROSS JOIN r),
+         |c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n0 FROM e GROUP BY 1, 2)
+         |SELECT g.event_type, epoch_us(g.h) AS hour_us,
+         |  CAST(coalesce(c.n0, 0) AS BIGINT) AS n, c.n0 IS NOT NULL AS observed
+         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+         |ORDER BY g.event_type, hour_us""".stripMargin.replace("\n", " ")),
+    // same per-bucket distinct token sets, same min-bucket first-seen
+    // reduction, same division
+    "x125_vocab_novelty" ->
+      (s"""WITH tb AS (SELECT DISTINCT bucket, t FROM (
+         |    SELECT doc_id // 50 AS bucket, unnest($toks) AS t FROM documents)),
+         |f AS (SELECT t, min(bucket) AS fb FROM tb GROUP BY 1)
+         |SELECT tb.bucket, CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN f.fb = tb.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  round(CAST(sum(CASE WHEN f.fb = tb.bucket THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM tb JOIN f USING (t) GROUP BY tb.bucket
+         |ORDER BY tb.bucket""".stripMargin.replace("\n", " ")),
+    // same md5 assignment ticket, same integer micro-sums, and the
+    // SHARED Welch t expression string — the IEEE chain cannot drift
+    "x126_ab_welch" ->
+      (s"""WITH e AS (SELECT CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |    < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |a AS (SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
+         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |  FROM e)
+         |SELECT n_a, n_b,
+         |  round((${WelchMean("a")}), 6) AS mean_a,
+         |  round((${WelchMean("b")}), 6) AS mean_b,
+         |  round($WelchTSql, 6) AS t FROM a""".stripMargin.replace("\n", " ")),
     // same blocking/rank/window as x91, same unit-cost levenshtein
     "x122_edit_pairs" ->
       ("""WITH k AS (SELECT doc_id AS id, lang AS blk, text,

@@ -284,6 +284,34 @@ object StreamOps {
       .orderBy(col("user_id"), col("left_id"), col("right_id"))
   }
 
+  /** Stream-maintained DAILY COUNTS for the x121 EWMA read: one stateful
+    * aggregate keyed (event_type, day) in Complete mode — the heavy,
+    * rows-scale work happens incrementally as events arrive; the EWMA
+    * fold itself is a READ-TIME derivation over the bounded day axis
+    * (applied by the caller, shared verbatim with the batch x121), so
+    * stream and batch cannot drift in the recursion. Chaining the fold
+    * INTO the streaming query would need a second stateful aggregate,
+    * which Structured Streaming rejects — maintaining the additive state
+    * and deriving the non-additive smoother at read is the correct
+    * streaming decomposition at any scale.
+    */
+  def dailyCountsStreaming(spark: SparkSession, eventsDir: String,
+      queryName: String = "ewma_daily_counts"): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
+    val q = stream
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-STATIC enrichment join + aggregate: the streaming analogue of
     * the B5 broadcast dimension join — each micro-batch joins the live
     * event stream against a STATIC dimension frame (no state store for

@@ -291,6 +291,66 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x123: stream-maintained EWMA equals the batch x121 row for row") {
+    val batch = run("x121_ewma_daily").collect().map(_.toSeq)
+    val stream = run("x123_stream_ewma").collect().map(_.toSeq)
+    assert(batch.nonEmpty && batch.toSeq == stream.toSeq,
+      "stream-maintained daily counts diverged from the batch aggregate")
+  }
+
+  test("x124: grid is complete, zero-filled, and count-preserving") {
+    val rows = run("x124_gap_fill").collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val slots = rows.length / types.length
+    assert(rows.length == types.length * slots, "ragged grid")
+    // hours are contiguous within each type (1h = 3_600_000_000 us)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val hs = rs.map(_.getAs[Long]("hour_us")).sorted
+      assert(hs.zip(hs.tail).forall { case (a, b) => b - a == 3600000000L },
+        s"$t grid not hour-contiguous")
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf()).count(), "counts not preserved")
+    assert(rows.exists(r => !r.getAs[Boolean]("observed")), "no gaps — dead fill test")
+    assert(rows.filter(!_.getAs[Boolean]("observed"))
+      .forall(_.getAs[Long]("n") == 0L))
+  }
+
+  test("x125: first bucket is all-new; new counts sum to the global vocabulary") {
+    val rows = run("x125_vocab_novelty").collect()
+    val first = rows.minBy(_.getAs[Long]("bucket"))
+    assert(first.getAs[Double]("novelty") == 1.0, "bucket 0 must be 100% new")
+    val vocab = Tables.table(spark, sf(), "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == vocab,
+      "first-seen counts must partition the vocabulary")
+  }
+
+  test("x126: welch t matches a driver-side recompute from raw values") {
+    val r = run("x126_ab_welch").collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(s0: String) = md.digest(s0.getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    val vals = Tables.events(spark, sf())
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (hex4(s"ab1:${x.getLong(0)}") < "8000", x.getDouble(1)))
+    def stats(xs: Array[Double]) = {
+      val vm = xs.map(v => math.floor(v * 1e6 + 0.5).toLong)
+      val n = vm.length.toDouble
+      val m = (vm.sum.toDouble / 1e6) / n
+      val q = vm.map(x => BigInt(x) * BigInt(x)).sum
+      val v = (q.toDouble / 1e12 - n * m * m) / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(vals.filter(!_._1).map(_._2))
+    val (nb, mb, vb) = stats(vals.filter(_._1).map(_._2))
+    val t = (mb - ma) / math.sqrt(va / na + vb / nb)
+    assert(r.getAs[Long]("n_a") == na.toLong && r.getAs[Long]("n_b") == nb.toLong)
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-5,
+      s"t ${r.getAs[Double]("t")} vs recomputed $t")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
