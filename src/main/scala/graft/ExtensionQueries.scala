@@ -2357,6 +2357,86 @@ object ExtensionQueries {
             expr(s"(${WelchMean("b")})"), 6).as("mean_b"),
           graft.functions.EngineMath.roundAway(expr(WelchTSql), 6).as("t"))
     }),
+    // x127: pipeline survival funnel — the per-stage retention report a
+    // curation run ships (how many docs each gate costs): non-empty →
+    // quality ≥ 0.5 → exact-dedup keeper → decontaminated, over the
+    // corpus half (benchmark docs are the contamination reference, not
+    // pipeline input). Each stage count is a 1-row aggregate; the lag
+    // retention is a window over 5 rows. Same gates as x03/x05/x40, so
+    // the funnel IS the composition contract of those operators.
+    "x127_pipeline_funnel" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = graft.engine.CacheScope.persistTracked(
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("text"),
+            TextFunctions.tokens(col("text")).as("ts")))
+      val s1 = graft.engine.CacheScope.persistTracked(
+        toks.filter(size(col("ts")) > 0))
+      val s2 = graft.engine.CacheScope.persistTracked(
+        s1.filter(floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+          * 10000 + lit(0.5)).cast("long") >= 5000L))
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val s3 = graft.engine.CacheScope.persistTracked(
+        s2.withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .withColumn("__rn", row_number().over(wFp))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("text")))
+      val contaminated = graft.operators.Dedup.contaminationScan(
+        s3, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
+        .select(col("doc_id"))
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      def stageCount(df: DataFrame, i: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("gate"), col("n_docs"))
+      val funnel = stageCount(toks, 0, "corpus")
+        .unionByName(stageCount(s1, 1, "non_empty"))
+        .unionByName(stageCount(s2, 2, "quality"))
+        .unionByName(stageCount(s3, 3, "dedup_keeper"))
+        .unionByName(stageCount(s4, 4, "decontaminated"))
+      val wStage = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+      funnel
+        .withColumn("retention", coalesce(
+          graft.functions.EngineMath.roundAway(
+            col("n_docs").cast("double") / lag(col("n_docs"), 1).over(wStage), 6),
+          lit(1.0)))
+        .orderBy(col("stage"))
+    }),
+    // x128: exact-size stratified sampling via largest-remainder quotas —
+    // allocate EXACTLY K=100 eval docs across sources proportionally
+    // (base = ⌊K·n_s/N⌋, the K−Σbase leftovers to the largest
+    // remainders), members by md5-ticket rank within source. Pure
+    // integer quota arithmetic; the only rows-scale work is the
+    // per-source ticket rank.
+    "x128_quota_sample" -> ((s, dir) => {
+      val kTotal = 100L
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("ntk"))
+        .filter(col("ntk") > 0).drop("ntk")
+      val stats = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("N"))))
+        .withColumn("base", expr(s"($kTotal * n_s) div N"))
+        .withColumn("r", expr(s"($kTotal * n_s) % N"))
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(col("r").desc, col("source"))
+      val quotas = stats
+        .crossJoin(broadcast(stats.agg(sum(col("base")).as("__sb"))))
+        .withColumn("__rk", row_number().over(wRem).cast("long"))
+        .withColumn("quota",
+          col("base") + when(col("__rk") <= lit(kTotal) - col("__sb"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("quota"))
+      val wTick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("qs1:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      d.withColumn("__tr", row_number().over(wTick).cast("long"))
+        .join(broadcast(quotas), "source")
+        .filter(col("__tr") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     // x122: typo-grade near-dup pairs — x91's sorted-neighborhood
     // candidates verified by CHARACTER-level Levenshtein ≤ 60 (unit-cost
     // DP, identical in both engines) instead of token Jaccard: catches
@@ -4088,6 +4168,52 @@ object ExtensionQueries {
          |  round((${WelchMean("a")}), 6) AS mean_a,
          |  round((${WelchMean("b")}), 6) AS mean_b,
          |  round($WelchTSql, 6) AS t FROM a""".stripMargin.replace("\n", " ")),
+    // same gates re-derived stage by stage: x03's quality CTEs, x04's
+    // fingerprint keeper, x40's 5-gram contamination join
+    "x127_pipeline_funnel" ->
+      (s"""$qualityCtes,
+         |s0 AS (SELECT d.doc_id, d.text FROM documents d WHERE d.doc_id % 50 <> 0),
+         |s1 AS (SELECT s0.doc_id, s0.text FROM s0 JOIN c USING (doc_id) WHERE c.n > 0),
+         |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN c USING (doc_id)
+         |  WHERE CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) >= 5000),
+         |fp AS (SELECT doc_id, text, md5(lower(array_to_string($toks, ' '))) AS f FROM s2),
+         |s3 AS (SELECT doc_id, text FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY f ORDER BY doc_id) AS rn FROM fp) WHERE rn = 1),
+         |sh3 AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)])) AS sh
+         |  FROM (SELECT doc_id, $toks AS s FROM s3)),
+         |shb AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(list_slice(s, i, i + 4), ' ') for i in range(1, len(s) - 3)])) AS sh
+         |  FROM (SELECT doc_id, $toks AS s FROM documents WHERE doc_id % 50 = 0)),
+         |cont AS (SELECT DISTINCT sh3.doc_id FROM sh3 JOIN shb ON sh3.sh = shb.sh),
+         |s4 AS (SELECT s3.doc_id FROM s3 LEFT JOIN cont ON cont.doc_id = s3.doc_id
+         |  WHERE cont.doc_id IS NULL),
+         |cnt AS (SELECT 0 AS stage, 'corpus' AS gate, (SELECT count(*) FROM s0) AS n_docs
+         |  UNION ALL SELECT 1, 'non_empty', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'dedup_keeper', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM s4))
+         |SELECT CAST(stage AS BIGINT) AS stage, gate, CAST(n_docs AS BIGINT) AS n_docs,
+         |  coalesce(round(CAST(n_docs AS DOUBLE) / lag(n_docs) OVER (ORDER BY stage), 6),
+         |    1.0) AS retention
+         |FROM cnt ORDER BY stage""".stripMargin.replace("\n", " ")),
+    // same integer largest-remainder arithmetic, same (r DESC, source)
+    // leftover order, same ticket rank within source
+    "x128_quota_sample" ->
+      (s"""WITH d AS (SELECT doc_id, source FROM documents WHERE len($toks) > 0),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+         |b AS (SELECT source, n_s, (100 * n_s) // nt AS base, (100 * n_s) % nt AS r
+         |  FROM st CROSS JOIN nn),
+         |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+         |q AS (SELECT source, CAST(base + CASE WHEN row_number() OVER (
+         |    ORDER BY r DESC, source) <= 100 - sb.sb THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |  FROM b CROSS JOIN sb),
+         |rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5('qs1:'||CAST(doc_id AS VARCHAR)), doc_id) AS tr FROM d)
+         |SELECT rk.doc_id, rk.source, q.quota
+         |FROM rk JOIN q USING (source) WHERE rk.tr <= q.quota
+         |ORDER BY rk.source, rk.doc_id""".stripMargin.replace("\n", " ")),
     // same blocking/rank/window as x91, same unit-cost levenshtein
     "x122_edit_pairs" ->
       ("""WITH k AS (SELECT doc_id AS id, lang AS blk, text,

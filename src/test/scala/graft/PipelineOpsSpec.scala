@@ -351,6 +351,41 @@ class PipelineOpsSpec extends SparkSpec {
       s"t ${r.getAs[Double]("t")} vs recomputed $t")
   }
 
+  test("x127: funnel is monotone non-increasing and stage-count consistent") {
+    val rows = run("x127_pipeline_funnel").collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 5)
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, "funnel grew")
+    assert(ns.head == Tables.table(spark, sf(), "documents")
+      .filter(col("doc_id") % 50 =!= 0).count())
+    assert(ns.last > 0, "everything filtered — dead funnel")
+    rows.tail.foreach { r =>
+      assert(r.getAs[Double]("retention") > 0.0 &&
+        r.getAs[Double]("retention") <= 1.0)
+    }
+  }
+
+  test("x128: exactly K=100 rows; per-source picks within quota; quotas near-proportional") {
+    val rows = run("x128_quota_sample").collect()
+    assert(rows.length == 100, s"got ${rows.length} rows, want exactly 100")
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      assert(rs.length.toLong == quota, s"$src picked ${rs.length} of quota $quota")
+    }
+    // largest-remainder property: every quota within 1 of the exact share
+    val d = Tables.table(spark, sf(), "documents")
+      .filter(graft.functions.TextFunctions.tokenCount(col("text")) > 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = d.values.sum.toDouble
+    bySrc.foreach { case (src, rs) =>
+      val share = 100.0 * d(src) / total
+      assert(math.abs(rs.length - share) < 1.0 + 1e-9,
+        s"$src quota ${rs.length} vs share $share")
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
