@@ -2437,6 +2437,67 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("quota"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    // x129: SCD2 dimension RECONSTRUCTION + temporal join — build the
+    // versioned per-user tier history from the event log (tier = integer
+    // thresholds over the EXACT micro-quantized cumulative value; a
+    // change opens an interval, lead() closes it) and join purchases to
+    // the tier valid at their time. Intervals live in per-user SEQUENCE
+    // space (row_number over the unique (ts, event_id) order), so
+    // identical-timestamp boundary ties cannot double-match. The join is
+    // user-keyed with a range residual — per-user fan-out is the user's
+    // version count, never rows.
+    "x129_scd2_tiers" -> ((s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wCum = wSeq.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val e = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir)
+          .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+          .withColumn("seq", row_number().over(wSeq).cast("long"))
+          .withColumn("cum", sum(col("vm")).over(wCum))
+          .withColumn("tier",
+            when(col("cum") < 100000000L, 0L)
+              .when(col("cum") < 500000000L, 1L).otherwise(2L))
+          .select(col("user_id"), col("event_type"), col("vm"), col("seq"),
+            col("tier"),
+            lag(col("tier"), 1).over(wSeq).as("prev_tier")))
+      val wVer = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("vf"))
+      val dim = e
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+        .select(col("user_id"), col("tier"), col("seq").as("vf"))
+        .withColumn("vt", lead(col("vf"), 1).over(wVer))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("seq"), col("vm"))
+      purchases.join(dim,
+          purchases("user_id") === dim("user_id") &&
+            purchases("seq") >= dim("vf") &&
+            (dim("vt").isNull || purchases("seq") < dim("vt")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.functions.EngineMath.roundAway(
+            sum(col("vm")).cast("double") / 1e6, 6).as("amount"))
+        .orderBy(col("tier"))
+    }),
+    // x130: k-core decomposition (k=75, 6 synchronous peel rounds —
+    // measured: the cascade runs 3-4 rounds to a NONEMPTY fixpoint at
+    // sf0.01/sf0.1 and to the correctly-empty 75-core at sf0.001; a k
+    // below the degree floor would make the peel a no-op) over the
+    // co-purchase part graph: the community-pruning step before graph
+    // embeddings. Per round one degree aggregate + two node-keyed
+    // semi-joins; localCheckpoint truncates the doubling lineage
+    // (KCoreSpec pins the multi-round cascade on a planted graph).
+    "x130_kcore" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = po.as("a").join(po.as("b"), "ok")
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      graft.operators.Graph.kCore(und, "src", "dst", k = 75, rounds = 6)
+    }),
     // x122: typo-grade near-dup pairs — x91's sorted-neighborhood
     // candidates verified by CHARACTER-level Levenshtein ≤ 60 (unit-cost
     // DP, identical in both engines) instead of token Jaccard: catches
@@ -4214,6 +4275,44 @@ object ExtensionQueries {
          |SELECT rk.doc_id, rk.source, q.quota
          |FROM rk JOIN q USING (source) WHERE rk.tr <= q.quota
          |ORDER BY rk.source, rk.doc_id""".stripMargin.replace("\n", " ")),
+    // same sequence-space intervals (row_number over (ts, event_id)),
+    // same integer cumulative thresholds, same range-residual join
+    "x129_scd2_tiers" ->
+      ("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |s AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS seq,
+         |    CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |t AS (SELECT *, CASE WHEN cum < 100000000 THEN 0
+         |    WHEN cum < 500000000 THEN 1 ELSE 2 END AS tier FROM s),
+         |l AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY seq) AS prev_tier FROM t),
+         |d AS (SELECT user_id, tier, seq AS vf,
+         |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS vt
+         |  FROM l WHERE prev_tier IS NULL OR tier <> prev_tier),
+         |p AS (SELECT user_id, seq, vm FROM l WHERE event_type = 'purchase')
+         |SELECT CAST(d.tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  round(CAST(sum(p.vm) AS DOUBLE) / 1e6, 6) AS amount
+         |FROM p JOIN d ON d.user_id = p.user_id AND p.seq >= d.vf
+         |  AND (d.vt IS NULL OR p.seq < d.vt)
+         |GROUP BY d.tier ORDER BY tier""".stripMargin.replace("\n", " ")),
+    // the same 6 peel rounds unrolled — degree aggregate + two endpoint
+    // semi-joins per round over the same canonical co-purchase edges
+    "x130_kcore" -> {
+      val head =
+        "WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+          "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM po a " +
+          "JOIN po b ON a.ok = b.ok AND a.pk < b.pk)"
+      def round(i: Int) =
+        s"d$i AS MATERIALIZED (SELECT x, count(*) AS c FROM " +
+          s"(SELECT u AS x FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY x), " +
+          s"k$i AS MATERIALIZED (SELECT x FROM d$i WHERE c >= 75), " +
+          s"e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1} " +
+          s"JOIN k$i a ON a.x = e${i - 1}.u JOIN k$i b ON b.x = e${i - 1}.v)"
+      head + ", " + (1 to 6).map(round).mkString(", ") +
+        " SELECT x AS node, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT u AS x FROM e6 UNION ALL SELECT v FROM e6) GROUP BY x ORDER BY node"
+    },
     // same blocking/rank/window as x91, same unit-cost levenshtein
     "x122_edit_pairs" ->
       ("""WITH k AS (SELECT doc_id AS id, lang AS blk, text,

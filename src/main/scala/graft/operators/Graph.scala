@@ -205,4 +205,45 @@ object Graph {
       ranks.orderBy(col("node"))
     } finally { adj.unpersist(); sd.unpersist() }
   }
+
+  /** `rounds` synchronous peels toward the k-core: each round drops every
+    * node whose degree in the REMAINING graph is < k, then the edges
+    * touching it. Returns (node, deg) of the surviving subgraph after
+    * the last round — callers asserting a true k-core check the fixpoint
+    * (round r ≡ round r−1; KCoreSpec does, and the x130 oracle unrolls
+    * the same fixed rounds). Per round: one degree aggregate + two
+    * semi-joins, each shuffling on the node key — the standard bounded-
+    * round distributed peel (full Matula–Beck ordering needs a priority
+    * queue; the fixed-round peel is the shape that scales).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    // canonical undirected edge set (u < v), deduped. Each round
+    // references the surviving edges TWICE (degree aggregate + endpoint
+    // semi-joins) — a persist would lose cache substitution on the
+    // second reference (DeduplicateRelations re-aliases it) and the
+    // lineage would double per round; localCheckpoint is the barrier
+    // that actually truncates it (the connected-components loop's
+    // device, Dedup.deduplicateByPairs).
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val keep = deg.filter(col("c") >= k).select(col("x"))
+      e = e
+        .join(keep.select(col("x").as("u")), "u")
+        .join(keep.select(col("x").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("node"), col("deg"))
+      .orderBy(col("node"))
+  }
 }

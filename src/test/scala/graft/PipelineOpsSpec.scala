@@ -386,6 +386,57 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x129: scd2 tier join matches a driver-side interval replay") {
+    val got = run("x129_scd2_tiers").collect()
+      .map(r => r.getAs[Long]("tier") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("amount"))).toMap
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val want = scala.collection.mutable.Map[Long, (Long, Long)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        val vm = math.floor(r._5 * 1e6 + 0.5).toLong
+        cum += vm
+        val tier = if (cum < 100000000L) 0L else if (cum < 500000000L) 1L else 2L
+        if (r._4 == "purchase") {
+          val (n, s0) = want.getOrElse(tier, (0L, 0L))
+          want(tier) = (n + 1, s0 + vm)
+        }
+      }
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (tier, (n, s0)) =>
+      assert(got(tier)._1 == n, s"tier $tier n_purchases")
+      assert(math.abs(got(tier)._2 - s0 / 1e6) < 1e-5, s"tier $tier amount")
+    }
+  }
+
+  test("x130: k-core peel cascades over multiple rounds on a planted graph") {
+    import spark.implicits._
+    // 4-clique (the 3-core) + a pendant triangle-ish tail: 5-(4,6,7),
+    // 6-(5,7), 7-(5,6). Round 1 peels 6,7 (deg 2); only THEN 5 drops
+    // below 3 — a genuine multi-round cascade.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L))
+      .toDF("src", "dst")
+    val one = graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 1)
+      .collect().map(_.getAs[Long]("node")).toSet
+    assert(one.contains(5L), "node 5 must survive round 1 (deg 3 before the peel)")
+    val fix = graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(fix == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the clique, got $fix")
+    // fixpoint: more rounds change nothing
+    val more = graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(more == fix)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
