@@ -2437,6 +2437,116 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("quota"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    // x131: 1-bit sign quantization recall probe — the cheapest
+    // quantization in the int8 (x25) / PQ (x51) family: 64 sign bits
+    // pack into two BIGINT words (generated CASE terms — no engine bit
+    // intrinsics), candidates ranked by Hamming distance, overlap@10 vs
+    // the exact ranking. 512× smaller vectors; this probe answers what
+    // recall that buys, the same operational question as x112.
+    "x131_sign_bits_recall" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      def words(df: DataFrame) = df
+        .withColumn("w1", expr(signWordExpr(j => s"element_at(vec, $j)", 0)))
+        .withColumn("w2", expr(signWordExpr(j => s"element_at(vec, $j)", 32)))
+      val it = words(e).select(col("vec_id").as("item_id"), col("w1"), col("w2"))
+      val q = words(e.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("query_id"),
+          col("w1").as("q1"), col("w2").as("q2"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("ham"), col("item_id"))
+      val signTop = it.crossJoin(broadcast(q))
+        .filter(col("item_id") =!= col("query_id"))
+        .withColumn("ham",
+          (Dedup.hammingDistance(col("w1"), col("q1")) +
+            Dedup.hammingDistance(col("w2"), col("q2"))).cast("long"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("item_id"))
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "vec", e.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10).select(col("query_id"), col("item_id"))
+      val inter = full.join(signTop, Seq("query_id", "item_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"))
+        .join(inter, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          graft.functions.EngineMath.roundAway(
+            coalesce(col("overlap"), lit(0L)).cast("double") / lit(10.0), 4)
+            .as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+    // x132: hard-negative mining for contrastive training — per query
+    // vector, the top-3 most-similar items with a DIFFERENT label (the
+    // negatives that actually teach). Same broadcast-queries brute shape
+    // as x10 with the label-mismatch residual; at scale the IVF probe
+    // restricts candidates first (x13's path), label filter unchanged.
+    "x132_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        call_function("graft_dot", x, y)
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qv"),
+          col("label").as("ql"),
+          sqrt(dot(col("vec"), col("vec"))).as("qnorm"))
+      val it = e.select(col("vec_id").as("item_id"), col("vec").as("iv"),
+        col("label").as("il"), sqrt(dot(col("vec"), col("vec"))).as("inorm"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+      it.crossJoin(broadcast(q))
+        .filter(col("item_id") =!= col("query_id") && col("il") =!= col("ql"))
+        .withColumn("cos", dot(col("iv"), col("qv")) / (col("inorm") * col("qnorm")))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("item_id"),
+          graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // x133: embedding class-separation report — per label: mean cosine
+    // to the OWN class centroid vs mean cosine to OTHER centroids, and
+    // the margin. Centroid DIRECTIONS are exact integer component sums
+    // (cosine is scale-invariant, so Σ floor(x·1e6+0.5) IS the centroid
+    // — no order-dependent double sum anywhere); per-vector cosines are
+    // micro-quantized before averaging, so the means are exact integer
+    // arithmetic too. Labels are bounded: the centroid table broadcasts.
+    "x133_class_separation" -> ((s, dir) => {
+      val e = graft.engine.CacheScope.persistTracked(
+        embeddingsD(s, dir).select(col("vec_id"), col("label"), col("vec")))
+      val cent = e
+        .select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .withColumn("xm", floor(col("x") * 1e6 + lit(0.5)).cast("long"))
+        .groupBy(col("label"), col("pos")).agg(sum(col("xm")).as("sm"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sm")))).as("cs"))
+        .select(col("label"),
+          expr("transform(cs, p -> CAST(p.sm AS DOUBLE))").as("cvec"))
+      val intra = e.join(broadcast(cent), "label")
+        .withColumn("cm",
+          floor(Dedup.cosine(col("vec"), col("cvec")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("cm")).as("si"))
+      val inter = e.join(
+          broadcast(cent.select(col("label").as("olabel"), col("cvec"))),
+          col("label") =!= col("olabel"))
+        .withColumn("cm",
+          floor(Dedup.cosine(col("vec"), col("cvec")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("no"), sum(col("cm")).as("so"))
+      intra.join(inter, "label")
+        .select(col("label"), col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr("(CAST(si AS DOUBLE) / 1e6) / n"), 6).as("intra_cos"),
+          graft.functions.EngineMath.roundAway(
+            expr("(CAST(so AS DOUBLE) / 1e6) / no"), 6).as("inter_cos"),
+          graft.functions.EngineMath.roundAway(
+            expr("(CAST(si AS DOUBLE) / 1e6) / n - (CAST(so AS DOUBLE) / 1e6) / no"),
+            6).as("margin"))
+        .orderBy(col("label"))
+    }),
     // x129: SCD2 dimension RECONSTRUCTION + temporal join — build the
     // versioned per-user tier history from the event log (tier = integer
     // thresholds over the EXACT micro-quantized cumulative value; a
@@ -2572,6 +2682,17 @@ object ExtensionQueries {
   private val WelchTSql: String =
     s"((${WelchMean("b")}) - (${WelchMean("a")})) / " +
       s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+
+  /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
+    * generated CASE terms — `at` supplies the engine's 1-based list
+    * indexing (Spark element_at, DuckDB v[i]); the term values are plain
+    * decimal literals, so no engine bit intrinsics are involved.
+    */
+  private[graft] def signWordExpr(at: Int => String, lo: Int): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN ${at(lo + j + 1)} > 0 THEN CAST(${1L << j} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
 
   /** x118's Morton interleave as portable integer arithmetic: bit i of a
     * contributes 4^i, bit i of b contributes 2·4^i. `divOp` is the only
@@ -4275,6 +4396,66 @@ object ExtensionQueries {
          |SELECT rk.doc_id, rk.source, q.quota
          |FROM rk JOIN q USING (source) WHERE rk.tr <= q.quota
          |ORDER BY rk.source, rk.doc_id""".stripMargin.replace("\n", " ")),
+    // same generated sign-word CASE terms (shared builder, v[i]
+    // indexing), same Hamming ranking, same x10-shape exact ranking
+    "x131_sign_bits_recall" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |w AS (SELECT vec_id, ${signWordExpr(j => s"v[$j]", 0)} AS w1,
+         |    ${signWordExpr(j => s"v[$j]", 32)} AS w2 FROM e),
+         |qw AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM w WHERE vec_id < 5),
+         |st AS (SELECT query_id, item_id FROM (
+         |  SELECT qw.query_id, w.vec_id AS item_id,
+         |    row_number() OVER (PARTITION BY qw.query_id ORDER BY
+         |      bit_count(xor(w.w1, qw.q1)) + bit_count(xor(w.w2, qw.q2)), w.vec_id) AS rank
+         |  FROM w CROSS JOIN qw WHERE w.vec_id != qw.query_id) WHERE rank <= 10),
+         |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |itf AS (SELECT vec_id AS item_id, v AS iv FROM e),
+         |rf AS (SELECT query_id, item_id FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+         |o AS (SELECT rf.query_id, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM rf JOIN st USING (query_id, item_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+         |  round(CAST(coalesce(o.overlap, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10
+         |FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN o USING (query_id)
+         |ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // x10's oracle with the label-mismatch residual and k=3
+    "x132_hard_negatives" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 5),
+         |i AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv, label AS il FROM embeddings)
+         |SELECT query_id, rank, item_id, round(cos, 4) AS cos FROM (
+         |  SELECT query_id, item_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+         |  FROM i CROSS JOIN q WHERE item_id != query_id AND il != ql)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+    // same integer centroid directions (cosine is scale-invariant, so
+    // the micro-int component sums ARE the centroids), same quantized
+    // cosine means, same division order
+    "x133_class_separation" ->
+      ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+         |cm AS (SELECT label, pos,
+         |    CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM comp GROUP BY 1, 2),
+         |cent AS (SELECT label, list_transform(list(sm ORDER BY pos),
+         |    s -> CAST(s AS DOUBLE)) AS cvec FROM cm GROUP BY label),
+         |ia AS (SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor((list_dot_product(e.v, c.cvec) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))))
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS si
+         |  FROM e JOIN cent c USING (label) GROUP BY 1),
+         |ie AS (SELECT e.label, CAST(count(*) AS BIGINT) AS no,
+         |    CAST(sum(CAST(floor((list_dot_product(e.v, c.cvec) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))))
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS so
+         |  FROM e JOIN cent c ON e.label != c.label GROUP BY 1)
+         |SELECT ia.label, ia.n,
+         |  round((CAST(si AS DOUBLE) / 1e6) / n, 6) AS intra_cos,
+         |  round((CAST(so AS DOUBLE) / 1e6) / no, 6) AS inter_cos,
+         |  round((CAST(si AS DOUBLE) / 1e6) / n - (CAST(so AS DOUBLE) / 1e6) / no, 6) AS margin
+         |FROM ia JOIN ie USING (label) ORDER BY ia.label""".stripMargin.replace("\n", " ")),
     // same sequence-space intervals (row_number over (ts, event_id)),
     // same integer cumulative thresholds, same range-residual join
     "x129_scd2_tiers" ->

@@ -437,6 +437,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(more == fix)
   }
 
+  test("x131: sign words match a bitwise driver recompute; overlap bounded") {
+    val rows = run("x131_sign_bits_recall").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).sorted.toSeq == (0L until 5L))
+    rows.foreach(r => assert(r.getAs[Long]("overlap") >= 0 &&
+      r.getAs[Long]("overlap") <= 10))
+    // recompute the packed words for a few vectors through the shared
+    // expression builder vs plain Scala bit logic
+    val vecs = Tables.table(spark, sf(), "embeddings").limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    import spark.implicits._
+    vecs.foreach { case (id, v) =>
+      val df = Seq(Tuple1(v.map(_.toDouble))).toDF("vec")
+        .withColumn("w1", expr(ExtensionQueries.signWordExpr(
+          j => s"element_at(vec, $j)", 0)))
+        .withColumn("w2", expr(ExtensionQueries.signWordExpr(
+          j => s"element_at(vec, $j)", 32)))
+        .collect().head
+      def word(lo: Int) = (0 until 32).map { j =>
+        if (v(lo + j) > 0) 1L << j else 0L
+      }.sum
+      assert(df.getAs[Long]("w1") == word(0) && df.getAs[Long]("w2") == word(32),
+        s"vec $id sign words diverge")
+    }
+  }
+
+  test("x132: hard negatives always cross labels and rank by true cosine") {
+    val rows = run("x132_hard_negatives").collect()
+    assert(rows.length == 15, "5 queries x top-3")
+    val labels = Tables.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) != labels(r.getAs[Long]("item_id")),
+        "a hard negative shares the query's label")
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q negatives not cosine-ordered")
+    }
+  }
+
+  test("x133: separation report covers every label; cosine means bounded") {
+    val rows = run("x133_class_separation").collect()
+    val nLabels = Tables.table(spark, sf(), "embeddings")
+      .select(col("label")).distinct().count()
+    assert(rows.length == nLabels)
+    val total = Tables.table(spark, sf(), "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      Seq("intra_cos", "inter_cos").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6, s"$c = $v")
+      }
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("intra_cos") - r.getAs[Double]("inter_cos"))) < 1e-5)
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
