@@ -2437,6 +2437,68 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("quota"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    // x134: two-sample Kolmogorov-Smirnov drift statistic — max CDF gap
+    // between the even/odd user cohorts' value distributions, the
+    // standard continuous-feature drift monitor (x53's KL is the token
+    // view). ENTIRELY integer until one final division: D's numerator is
+    // max |cumA·nB − cumB·nA| over micro-quantized values, so both
+    // engines agree bit-exactly with no fold ordering anywhere. The
+    // value-ordered cumsum is a global window here (exact small-data
+    // form); at 100 TB the same statistic runs on a binned CDF (bounded
+    // bins) or the x113 bucket-prefix-sum rank.
+    "x134_ks_drift" -> ((s, dir) => {
+      val v = Tables.events(s, dir)
+        .select((col("user_id") % 2 === 0).as("isA"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+      val counts = v.groupBy(col("vm"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("vm"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = v.agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
+      counts
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .orderBy(col("dnum").desc, col("vm"))
+        .limit(1)
+        .select(col("na"), col("nb"),
+          graft.functions.EngineMath.roundAway(
+            col("dnum").cast("double") / (col("na") * col("nb")).cast("double"),
+            6).as("ks"),
+          graft.functions.EngineMath.roundAway(
+            col("vm").cast("double") / 1e6, 6).as("at_value"))
+    }),
+    // x135: chi-square categorical drift — event-type contingency over
+    // the even/odd event-id halves: χ² = Σ (o−e)²/e with e from exact
+    // integer margins, contributions folded in (event_type, half) order
+    // (the x53/x96 ordered-fold device) so the IEEE sum is
+    // engine-identical. Bounded cells: |types| × 2.
+    "x135_chi2_drift" -> ((s, dir) => {
+      val o = Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("event_id") % 2).as("half"))
+        .agg(count(lit(1)).as("o"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("half"))
+      val tot = o.agg(sum(col("o")).as("nn"))
+      o.withColumn("rt", sum(col("o")).over(wT))
+        .withColumn("ct", sum(col("o")).over(wH))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", expr(Chi2CellSql))
+        .groupBy()
+        .agg(max(col("nn")).as("n"),
+          (countDistinct(col("event_type")) - 1).as("dof"),
+          sort_array(collect_list(struct(col("event_type"), col("half"),
+            col("contrib")))).as("cs"))
+        .select(col("n"), col("dof"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+              "(acc, v) -> acc + v)"), 6).as("chi2"))
+    }),
     // x131: 1-bit sign quantization recall probe — the cheapest
     // quantization in the int8 (x25) / PQ (x51) family: 64 sign bits
     // pack into two BIGINT words (generated CASE terms — no engine bit
@@ -2682,6 +2744,15 @@ object ExtensionQueries {
   private val WelchTSql: String =
     s"((${WelchMean("b")}) - (${WelchMean("a")})) / " +
       s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+
+  /** x135's per-cell χ² contribution (o−e)²/e with e = rt·ct/nn — ONE
+    * string over columns (o, rt, ct, nn) evaluated by both engines, so
+    * every division/subtraction orders identically.
+    */
+  private val Chi2CellSql: String =
+    "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn) * " +
+      "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn) / " +
+      "(CAST(rt AS DOUBLE) * ct / nn)"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -4396,6 +4467,39 @@ object ExtensionQueries {
          |SELECT rk.doc_id, rk.source, q.quota
          |FROM rk JOIN q USING (source) WHERE rk.tr <= q.quota
          |ORDER BY rk.source, rk.doc_id""".stripMargin.replace("\n", " ")),
+    // entirely integer numerator (|cumA·nB − cumB·nA|), one final
+    // division — no fold ordering anywhere; same (dnum DESC, vm) argmax
+    "x134_ks_drift" ->
+      ("""WITH v AS (SELECT (user_id % 2 = 0) AS isa,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |c AS (SELECT vm, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM v GROUP BY 1),
+         |t AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM v),
+         |cum AS (SELECT vm, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM c
+         |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT vm, abs(cuma * t.nb - cumb * t.na) AS dnum, t.na, t.nb
+         |  FROM cum CROSS JOIN t)
+         |SELECT na, nb, round(CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS ks,
+         |  round(CAST(vm AS DOUBLE) / 1e6, 6) AS at_value
+         |FROM d ORDER BY dnum DESC, vm LIMIT 1""".stripMargin.replace("\n", " ")),
+    // same integer margins, the SHARED per-cell contribution string, and
+    // the (event_type, half)-ordered fold ≡ list_reduce
+    "x135_chi2_drift" ->
+      (s"""WITH o AS (SELECT event_type, event_id % 2 AS half,
+         |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+         |m AS (SELECT *, CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         |    CAST(sum(o) OVER (PARTITION BY half) AS BIGINT) AS ct FROM o),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM o),
+         |cells AS (SELECT event_type, half, ($Chi2CellSql) AS contrib
+         |  FROM m CROSS JOIN t),
+         |f AS (SELECT list(contrib ORDER BY event_type, half) AS cs FROM cells)
+         |SELECT (SELECT nn FROM t) AS n,
+         |  (SELECT CAST(count(DISTINCT event_type) - 1 AS BIGINT) FROM o) AS dof,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS chi2
+         |FROM f""".stripMargin.replace("\n", " ")),
     // same generated sign-word CASE terms (shared builder, v[i]
     // indexing), same Hamming ranking, same x10-shape exact ranking
     "x131_sign_bits_recall" ->

@@ -499,6 +499,43 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x134: ks statistic matches an exact driver-side CDF sweep") {
+    val r = run("x134_ks_drift").collect().head
+    val vs = Tables.events(spark, sf())
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2 == 0, math.floor(x.getDouble(1) * 1e6 + 0.5).toLong))
+    val a = vs.filter(_._1).map(_._2).sorted
+    val b = vs.filterNot(_._1).map(_._2).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val ks = (a ++ b).distinct.sorted.map { v =>
+      val cuma = a.count(_ <= v).toLong
+      val cumb = b.count(_ <= v).toLong
+      math.abs(cuma * nb - cumb * na)
+    }.max.toDouble / (na * nb)
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+    assert(math.abs(r.getAs[Double]("ks") - ks) < 1e-6,
+      s"ks ${r.getAs[Double]("ks")} vs $ks")
+  }
+
+  test("x135: chi2 matches a driver-side contingency recompute") {
+    val r = run("x135_chi2_drift").collect().head
+    val cells = Tables.events(spark, sf())
+      .select(col("event_type"), (col("event_id") % 2).as("half")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = cells.values.sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (h, m) => h -> m.values.sum }
+    val chi2 = cells.toSeq.sortBy(_._1).map { case ((t, h), o) =>
+      val e = rt(t) * ct(h) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("dof") == rt.size - 1)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-4,
+      s"chi2 ${r.getAs[Double]("chi2")} vs $chi2")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
