@@ -2437,6 +2437,95 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("quota"))
         .orderBy(col("source"), col("doc_id"))
     }),
+    // x136: behavioral perplexity — each user's event stream scored
+    // under the corpus's own first-order Markov model (x111's
+    // transitions): mean −ln P(next|cur), folded in sequence order (the
+    // x59 device). The model table is bounded (type alphabet²) and
+    // broadcasts; anomalously-improbable users surface at the top.
+    "x136_behavior_perplexity" -> ((s, dir) => {
+      val wSeq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("seq", row_number().over(wSeq).cast("long"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(wSeq)))
+      val tr = e.filter(col("next_type").isNotNull)
+      val wCur = org.apache.spark.sql.expressions.Window.partitionBy(col("cur"))
+      val probs = tr
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(wCur))
+        .select(col("cur").as("event_type"), col("nxt").as("next_type"), col("p"))
+      tr.join(broadcast(probs), Seq("event_type", "next_type"))
+        .select(col("user_id"), col("seq"), (-log(col("p"))).as("nlp"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_tr"),
+          sort_array(collect_list(struct(col("seq"), col("nlp")))).as("cs"))
+        .select(col("user_id"), col("n_tr"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.nlp), 0.0d, " +
+              "(acc, v) -> acc + v)") / col("n_tr"), 6).as("mean_nlp"))
+        .orderBy(col("user_id"))
+    }),
+    // x137: greedy set-cover data selection (submodular curation lite) —
+    // 5 rounds of "pick the doc covering the most yet-uncovered tokens".
+    // The argmax per round runs distributed; only the PICKED doc's token
+    // set and the covered-vocabulary set come to the driver (bounded by
+    // vocabulary, documented — at 100 TB the covered set rides a
+    // broadcast bloom/set, the loop shape unchanged). Oracle = the same
+    // 5 rounds unrolled in SQL.
+    "x137_greedy_cover" -> ((s, dir) => {
+      val t = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+          .filter(size(col("ts")) > 0))
+      var covered = Array.empty[String]
+      var picked = List.empty[Long]
+      val rows = (1 to 5).map { step =>
+        val pool =
+          if (picked.isEmpty) t else t.filter(!col("doc_id").isin(picked: _*))
+        val best = pool
+          .select(col("doc_id"),
+            size(array_except(col("ts"), typedlit(covered.toSeq)))
+              .cast("long").as("gain"), col("ts"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect().head
+        covered = (covered ++ best.getSeq[String](2)).distinct
+        picked ::= best.getLong(0)
+        (step.toLong, best.getLong(0), best.getLong(1), covered.length.toLong)
+      }
+      import s.implicits._
+      rows.toDF("step", "doc_id", "gain", "covered_total")
+    }),
+    // x138: reciprocal-rank fusion — the standard zero-tuning way to
+    // merge two retrieval rankings (full-dim exact × 16-dim prefix):
+    // score = Σ 1/(60+rank) over the rankings that contain the item,
+    // re-ranked per query. Both inputs are the x10/x112 broadcast brute
+    // shapes; the fusion is one outer join + window over ≤20 rows/query.
+    "x138_rrf_fusion" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "vec", e.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10).select(col("query_id"), col("item_id"), col("rank").as("ra"))
+      val et = e.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
+      val trunc = Similarity.bruteForceTopK(
+        et, "vec_id", "vec", et.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10).select(col("query_id"), col("item_id"), col("rank").as("rb"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("item_id"))
+      full.join(trunc, Seq("query_id", "item_id"), "full_outer")
+        .withColumn("score",
+          coalesce(lit(1.0) / (lit(60.0) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("item_id"),
+          graft.functions.EngineMath.roundAway(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // x134: two-sample Kolmogorov-Smirnov drift statistic — max CDF gap
     // between the even/odd user cohorts' value distributions, the
     // standard continuous-feature drift monitor (x53's KL is the token
@@ -4467,6 +4556,79 @@ object ExtensionQueries {
          |SELECT rk.doc_id, rk.source, q.quota
          |FROM rk JOIN q USING (source) WHERE rk.tr <= q.quota
          |ORDER BY rk.source, rk.doc_id""".stripMargin.replace("\n", " ")),
+    // same windows, same unrounded p = n/tot, same ln, same seq-ordered
+    // fold and final division
+    "x136_behavior_perplexity" ->
+      ("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+         |    CAST(row_number() OVER w AS BIGINT) AS seq,
+         |    lead(event_type) OVER w AS next_type FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tr AS (SELECT * FROM e WHERE next_type IS NOT NULL),
+         |cnt AS (SELECT event_type AS cur, next_type AS nxt,
+         |    CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+         |pr AS (SELECT cur, nxt, CAST(n AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS p FROM cnt),
+         |j AS (SELECT tr.user_id, tr.seq, -ln(pr.p) AS nlp FROM tr
+         |  JOIN pr ON pr.cur = tr.event_type AND pr.nxt = tr.next_type),
+         |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_tr,
+         |    list(nlp ORDER BY seq) AS cs FROM j GROUP BY 1)
+         |SELECT user_id, n_tr,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) / n_tr, 6) AS mean_nlp
+         |FROM f ORDER BY user_id""".stripMargin.replace("\n", " ")),
+    // the same 5 greedy rounds unrolled: per round the identical
+    // (gain DESC, doc_id) argmax over not-yet-picked docs against the
+    // accumulated covered set
+    "x137_greedy_cover" -> {
+      val tCte = s"t AS MATERIALIZED (SELECT doc_id, list_distinct($toks) AS ts " +
+        s"FROM documents WHERE len($toks) > 0)"
+      def notPicked(i: Int) =
+        " WHERE t.doc_id NOT IN (" +
+          (1 until i).map(j => s"SELECT doc_id FROM g$j").mkString(" UNION ALL ") + ")"
+      def g(i: Int) =
+        if (i == 1)
+          "g1 AS MATERIALIZED (SELECT doc_id, CAST(len(ts) AS BIGINT) AS gain, ts " +
+            "FROM t ORDER BY gain DESC, doc_id LIMIT 1)"
+        else
+          s"g$i AS MATERIALIZED (SELECT t.doc_id, CAST(len(list_filter(t.ts, " +
+            s"x -> NOT list_contains(cv${i - 1}.cov, x))) AS BIGINT) AS gain, t.ts " +
+            s"FROM t CROSS JOIN cv${i - 1}${notPicked(i)} " +
+            "ORDER BY gain DESC, t.doc_id LIMIT 1)"
+      def cv(i: Int) =
+        if (i == 1) "cv1 AS MATERIALIZED (SELECT list_distinct(ts) AS cov FROM g1)"
+        else s"cv$i AS MATERIALIZED (SELECT list_distinct(flatten(" +
+          s"[cv${i - 1}.cov, g$i.ts])) AS cov FROM cv${i - 1} CROSS JOIN g$i)"
+      val parts = (1 to 5).flatMap(i => Seq(g(i), cv(i)))
+      val sel = (1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, doc_id, gain, " +
+          s"(SELECT CAST(len(cov) AS BIGINT) FROM cv$i) AS covered_total FROM g$i")
+        .mkString(" UNION ALL ")
+      "WITH " + (tCte +: parts).mkString(", ") + " " + sel + " ORDER BY step"
+    },
+    // two x10-shape rankings, FULL OUTER fusion, the same
+    // 1/(60+rank) arithmetic with NULL→0 coalesce
+    "x138_rrf_fusion" ->
+      (s"""WITH qf AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |itf AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+         |rf AS (SELECT query_id, item_id, rank AS ra FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+         |qt AS (SELECT query_id, qv[1:16] AS qv FROM qf),
+         |itt AS (SELECT item_id, iv[1:16] AS iv FROM itf),
+         |rt AS (SELECT query_id, item_id, rank AS rb FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itt CROSS JOIN qt WHERE item_id != query_id) WHERE rank <= 10),
+         |u AS (SELECT query_id, item_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + ra), CAST(0.0 AS DOUBLE)) +
+         |    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rb), CAST(0.0 AS DOUBLE)) AS score
+         |  FROM rf FULL OUTER JOIN rt USING (query_id, item_id))
+         |SELECT query_id, rank, item_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, item_id, score, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS BIGINT) AS rank
+         |  FROM u) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
     // entirely integer numerator (|cumA·nB − cumB·nA|), one final
     // division — no fold ordering anywhere; same (dnum DESC, vm) argmax
     "x134_ks_drift" ->

@@ -536,6 +536,46 @@ class PipelineOpsSpec extends SparkSpec {
       s"chi2 ${r.getAs[Double]("chi2")} vs $chi2")
   }
 
+  test("x136: transition coverage complete; perplexity positive") {
+    val rows = run("x136_behavior_perplexity").collect()
+    val e = Tables.events(spark, sf())
+    val want = e.count() - e.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_tr")).sum == want,
+      "per-user transition counts must partition all transitions")
+    rows.foreach(r => assert(r.getAs[Double]("mean_nlp") > 0.0))
+  }
+
+  test("x137: greedy gains non-increasing; coverage accumulates; first pick is argmax") {
+    val rows = run("x137_greedy_cover").collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to 5L))
+    val gains = rows.map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
+      "greedy gains must be non-increasing (submodularity)")
+    val cov = rows.map(_.getAs[Long]("covered_total"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a })
+    assert(cov.head == gains.head, "step 1 covers exactly its own gain")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 5)
+    val best = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"),
+        size(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+          .cast("long").as("g"))
+      .orderBy(col("g").desc, col("doc_id")).limit(1).collect().head
+    assert(rows.head.getAs[Long]("doc_id") == best.getLong(0) &&
+      gains.head == best.getLong(1))
+  }
+
+  test("x138: fused ranking is score-ordered and consistent with both sources") {
+    val rows = run("x138_rrf_fusion").collect()
+    assert(rows.length == 50, "5 queries x top-10")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q fusion not score-ordered")
+      // max possible RRF with both rank-1 hits; min with one rank-10 hit
+      assert(byRank.head <= 2.0 / 61.0 + 1e-9 && byRank.last >= 1.0 / 70.0 - 1e-9)
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
