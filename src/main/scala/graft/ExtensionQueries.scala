@@ -2785,6 +2785,315 @@ object ExtensionQueries {
           col("n_hits").cast("double") > col("n_tok").cast("double") * 0.1)
         .orderBy(col("doc_id"))
     }),
+    // x139: calibration reliability bins for the x70/x88 quality model —
+    // predicted sigmoid probabilities vs observed positive rate per
+    // EQUAL-FREQUENCY score decile (fixed [0,1] deciles collapse to one
+    // bin when the base rate concentrates the scores — measured at
+    // sf0.01), the standard "is the scorer's confidence honest" report
+    // before its scores gate data. bin = (rank−1)·10 div N is
+    // closed-form off the (score, doc_id) rank, so both engines bin
+    // identically with no ntile semantics in play; probabilities
+    // micro-quantize BEFORE the per-bin mean (the x101 device —
+    // floor(·1e6+0.5) is also exp's last-ulp insurance), so the bin
+    // means are exact integer sums. The rank is a global window at
+    // verify SF; at 100 TB it rides the x113 bucket-prefix-sum rank
+    // (score quantized to micro-ints is a perfectly bucketable key).
+    "x139_calibration" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.operators.Fitted.getOrFit(s,
+        graft.operators.Fitted.key(dir, "qlr",
+          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+        graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+          isTarget = col("source") === "src0")
+      }
+      Stage.write(model, dir, "x139_weights")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      graft.operators.QualityFilter
+        .logits(docs, "doc_id", "text", model)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+        .withColumn("pm",
+          floor(lit(1e6) / (lit(1.0) + exp(-col("score"))) + lit(0.5))
+            .cast("long"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+        .withColumn("bin", expr("((rk - 1) * 10) div nn"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
+          sum(col("pos")).as("np"))
+        .select(col("bin"), col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sp AS DOUBLE) / 1e6 / n"), 6).as("mean_pred"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(np AS DOUBLE) / n"), 6).as("frac_pos"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sp AS DOUBLE) / 1e6 / n - CAST(np AS DOUBLE) / n"),
+            6).as("gap"))
+        .orderBy(col("bin"))
+    }),
+    // x140: inter-labeler agreement (Cohen's kappa) between two
+    // independent document gates — the char-length rule and the
+    // token-count rule: the pre-flight check that two cheap heuristic
+    // labelers measure the same thing before either routes data. The
+    // confusion matrix is four integer counts off ONE scan (no shuffle
+    // beyond the single-row agg); kappa is one fixed-order double chain
+    // over those exact integers (shared KappaSql string).
+    "x140_cohens_kappa" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select((col("n_chars") >= 250).cast("long").as("la"),
+          (TextFunctions.tokenCount(col("text")) >= 40).cast("long").as("lb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("la") * col("lb")).as("n11"),
+          sum(col("la") * (lit(1L) - col("lb"))).as("n10"),
+          sum((lit(1L) - col("la")) * col("lb")).as("n01"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"),
+          (col("n") - col("n11") - col("n10") - col("n01")).as("n00"))
+        .withColumn("kappa",
+          graft.functions.EngineMath.roundAway(expr(KappaSql), 6))),
+    // x141: association rules over per-user event-type baskets —
+    // support/confidence/lift for directed pairs a→b with a min-support
+    // floor, the classic co-behavior miner. The per-user pair join is
+    // bounded by the type alphabet (alphabet² per user, never rows²);
+    // singles and the user total are broadcast dims; counts stay
+    // integer until three final fixed-order ratios.
+    "x141_assoc_rules" -> ((s, dir) => {
+      val ut = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct())
+      val tot = ut.agg(countDistinct(col("user_id")).as("nu"))
+      val single = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      ut.as("a").join(ut.as("b"), "user_id")
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(broadcast(single.select(col("event_type").as("ante"),
+          col("c").as("n_a"))), "ante")
+        .join(broadcast(single.select(col("event_type").as("cons"),
+          col("c").as("n_b"))), "cons")
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          graft.functions.EngineMath.roundAway(
+            col("n_ab").cast("double") / col("nu"), 6).as("support"),
+          graft.functions.EngineMath.roundAway(
+            col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          graft.functions.EngineMath.roundAway(
+            col("n_ab").cast("double") * col("nu") /
+              (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy(col("ante"), col("cons"))
+    }),
+    // x142: Zipf-law fit — OLS slope/intercept of ln(freq) on ln(rank)
+    // over the top-100 tokens, the corpus-health fingerprint (natural
+    // text ≈ −1; templated/boilerplate corpora bend it). The ln terms
+    // micro-quantize to integers BEFORE the sums (order-free exact; the
+    // +0.5 floor is ln's last-ulp insurance), and the closed-form
+    // normal-equation chain is ONE shared string over those exact
+    // integer sums. Top-100 via orderBy+limit; the rank window runs
+    // over 100 bounded rows.
+    "x142_zipf_fit" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(100)
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))
+      counts
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .withColumn("xm",
+          floor(log(col("rk").cast("double")) * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("ym",
+          floor(log(col("c").cast("double")) * 1e6 + lit(0.5)).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+          sum(col("ym")).as("sy"), sum(col("xm") * col("ym")).as("sxy"),
+          sum(col("xm") * col("xm")).as("sxx"))
+        .select(col("n").as("n_terms"),
+          graft.functions.EngineMath.roundAway(expr(ZipfSlopeSql), 6)
+            .as("slope"),
+          graft.functions.EngineMath.roundAway(expr(ZipfInterceptSql), 6)
+            .as("intercept"))
+    }),
+    // x143: day-of-week seasonal index — per-dow mean event value over
+    // the global mean (ratio-to-overall, the classic multiplicative
+    // seasonality profile a scheduler reads before trusting a daily
+    // drift monitor). Micro-quantized integer sums; the two-level ratio
+    // is ONE shared string; the dow frame is 7 bounded rows. Engines
+    // differ on week origin (Spark Sunday=1, DuckDB Sunday=0) — the
+    // Spark side shifts to the DuckDB convention.
+    "x143_seasonal_index" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        (dayofweek(col("ts")) - lit(1)).cast("long").as("dow"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+      val tot = e.agg(count(lit(1)).as("nn"), sum(col("vm")).as("st"))
+      e.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sv AS DOUBLE) / 1e6 / n"), 6).as("dow_mean"),
+          graft.functions.EngineMath.roundAway(expr(SeasonalSql), 6)
+            .as("seasonal_index"))
+        .orderBy(col("dow"))
+    }),
+    // x144: CUSUM changepoint — the day where the cumulative deviation
+    // of daily event counts from the overall mean peaks, the
+    // level-shift detector behind "when did the pipeline's volume
+    // change". ENTIRELY integer until one final division: S_i·D =
+    // cum_i·D − i·T (argmax |S·D|, tie → earliest day), so both
+    // engines agree bit-exactly with no mean in the loop; the cumsum
+    // window runs over the bounded day axis.
+    "x144_cusum_changepoint" -> ((s, dir) =>
+      cusumOverDaily(Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c")))),
+    // x149: the STREAM-maintained twin of x144 — daily counts build
+    // incrementally in x123's stateful aggregate (re-summed over the
+    // bounded type axis at read time; addition is exact, so stream ≡
+    // batch), then the SAME shared CUSUM read. Same oracle as x144:
+    // the changepoint monitor must land exactly where the batch scan
+    // does.
+    "x149_stream_cusum" -> ((s, dir) =>
+      cusumOverDaily(graft.streaming.StreamOps.dailyCountsStreaming(
+        s, s"$dir/events.parquet")
+        .groupBy(col("day")).agg(sum(col("n")).as("c")))),
+    // x145: synchronous mode-label propagation (2 rounds) over the part
+    // co-purchase graph — the cheap community detector run before
+    // sharding related content together. Each round: per (node,
+    // neighbor-label) counts, then the (count DESC, label ASC) argmax —
+    // fully deterministic, no damping, ties always resolve to the
+    // smallest label. Per-round cost is one edge-keyed shuffle + one
+    // node aggregate (the x86 iteration shape); the oracle unrolls both
+    // rounds.
+    "x145_label_prop" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = po.as("a").join(po.as("b"), "ok")
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val edges = graft.engine.CacheScope.persistTracked(
+        und.union(und.select(col("v").as("u"), col("u").as("v"))))
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 2) {
+        val wN = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))
+        labels = edges
+          .join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wN))
+          .filter(col("rk") === 1)
+          .select(col("node"), col("label"))
+      }
+      labels.orderBy(col("node"))
+    }),
+    // x146: Adamic-Adar link prediction over the part co-purchase graph
+    // — for NON-adjacent pairs sharing neighbors, score = Σ_z 1/ln(deg z)
+    // (the common-neighbor weight that discounts hubs). Weights
+    // micro-quantize off the INTEGER degree (1e6/ln insurance floor), so
+    // per-pair sums are exact integers and the top-50 argsort is
+    // integer-keyed. The wedge join is z-keyed like x87; a common
+    // neighbor has deg ≥ 2 by construction, so ln never sees 1.
+    "x146_adamic_adar" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = graft.engine.CacheScope.persistTracked(
+        po.as("a").join(po.as("b"), "ok")
+          .filter(col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
+      val ed = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      val adj = ed.select(col("u").as("z"), col("v").as("n"))
+      val wz = ed.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("z"),
+          floor(lit(1e6) / log(col("deg").cast("double")) + lit(0.5))
+            .cast("long").as("wm"))
+      adj.as("x").join(adj.as("y"), "z")
+        .filter(col("x.n") < col("y.n"))
+        .join(wz, "z")
+        .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+        .agg(sum(col("wm")).as("swm"), count(lit(1)).as("n_common"))
+        .join(und, Seq("u", "v"), "left_anti")
+        .orderBy(col("swm").desc, col("u"), col("v"))
+        .limit(50)
+        .select(col("u"), col("v"), col("n_common"),
+          graft.functions.EngineMath.roundAway(
+            col("swm").cast("double") / 1e6, 6).as("aa_score"))
+    }),
+    // x147: BM25 relevance against a fixed query-term set — the
+    // retrieval scorer a curation pipeline runs to pull topical slices.
+    // tf/df/dl stay integer; each term's contribution is ONE shared
+    // string over (tf, dl, df, nn, tt); the per-doc sum folds over the
+    // ≤|query| bounded terms in term order. df and the corpus totals
+    // broadcast; one tokens scan otherwise.
+    "x147_bm25" -> ((s, dir) => {
+      val qTerms = Bm25Query.map(lit(_))
+      val toksD = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) > 0))
+      val tot = toksD.agg(count(lit(1)).as("nn"),
+        sum(size(col("ts"))).as("tt"))
+      val tf = toksD
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          explode(col("ts")).as("t"))
+        .filter(col("t").isin(Bm25Query: _*))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "t")
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", expr(Bm25TermSql))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), max(col("dl")).as("dl"),
+          sort_array(collect_list(struct(col("t"), col("contrib"))))
+            .as("cs"))
+        .select(col("doc_id"), col("n_terms"), col("dl"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+              "(acc, v) -> acc + v)"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+    // x148: NDCG@10 of the 16-dim-prefix ranking against the full-dim
+    // ranking as graded truth (rel = 11 − full rank) — the ranking-
+    // quality lens on x112's overlap question: position-aware, so a
+    // prefix index that finds the right items in the wrong order is
+    // penalized. Discount weights are Scala-computed literals (CASE
+    // table — both engines parse the identical IEEE doubles, the x115
+    // device); the per-query fold runs over 10 bounded rows in rank
+    // order.
+    "x148_ndcg" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val full = Similarity.bruteForceTopK(
+        e, "vec_id", "vec", e.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10).select(col("query_id"), col("item_id"),
+        (lit(11L) - col("rank")).as("rel"))
+      val et = e.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
+      val trunc = Similarity.bruteForceTopK(
+        et, "vec_id", "vec", et.filter(col("vec_id") < 5), "vec_id", "vec",
+        k = 10).select(col("query_id"), col("item_id"), col("rank"))
+      trunc.join(full, Seq("query_id", "item_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("contrib", expr(NdcgContribSql))
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("contrib"))))
+          .as("cs"))
+        .select(col("query_id"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+              "(acc, v) -> acc + v)"), 6).as("dcg"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+              s"(acc, v) -> acc + v) / CAST($IdcgVal AS DOUBLE)"), 6)
+            .as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -2820,6 +3129,65 @@ object ExtensionQueries {
           .as("ewma"))
       .orderBy(col("event_type"))
 
+  /** The x144/x149 shared CUSUM read over a (day, c) daily-count frame:
+    * integer S_i·D = cum_i·D − i·T, argmax |S·D| with the earliest-day
+    * tie-break, one final division. ONE definition consumed by the batch
+    * scan and the stream-maintained twin, so the statistic cannot drift
+    * between them. The cumsum window runs over the bounded day axis.
+    */
+  private def cusumOverDaily(daily: DataFrame): DataFrame = {
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("c")).as("tt"))
+    val wD = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wI = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    daily
+      .withColumn("cum", sum(col("c")).over(wD))
+      .withColumn("i", row_number().over(wI).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sd", col("cum") * col("dd") - col("i") * col("tt"))
+      .orderBy(abs(col("sd")).desc, col("day"))
+      .limit(1)
+      .select(col("day").as("at_day"), col("dd").as("n_days"),
+        col("tt").as("total"),
+        graft.functions.EngineMath.roundAway(
+          col("sd").cast("double") / col("dd"), 6).as("cusum"))
+  }
+
+  /** x147's fixed query-term set — one constant feeds both engines (each
+    * unit must stay a plain lowercase word: it is spliced into the
+    * DuckDB oracle's quoted IN list).
+    */
+  private[graft] val Bm25Query = Seq("join", "vector", "stream")
+  require(Bm25Query.forall(_.matches("[a-z]+")),
+    "Bm25Query terms must be plain lowercase words (spliced into quoted SQL)")
+
+  /** x147's per-term BM25 contribution (k1=1.2, b=0.75) over the exact
+    * integer columns (tf, dl, df, nn, tt) — ONE string evaluated by both
+    * engines, so the idf·saturation chain orders identically. dl/avgdl
+    * rides dl·nn/tt (no pre-divided average in the loop).
+    */
+  private val Bm25TermSql: String =
+    "ln((nn - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(tf * (1.2 + 1.0)) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) * nn / tt)))"
+
+  /** x148's DCG discount weights 1/log2(rank+1) as a CASE literal table
+    * (the x115 device — Scala-computed doubles embedded via their
+    * shortest round-trip repr, so both engines parse identical IEEE
+    * values), plus the ideal DCG for 10 graded-relevance items.
+    */
+  private val DcgW: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private def dcgWeightCase(v: String): String =
+    s"CASE $v " + DcgW.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN CAST($w AS DOUBLE)" }.mkString(" ") +
+      " ELSE CAST(0.0 AS DOUBLE) END"
+  private val IdcgVal: Double =
+    (1 to 10).map(r => (11 - r) * DcgW(r - 1)).sum
+  private val NdcgContribSql: String =
+    s"CAST(rel AS DOUBLE) * (${dcgWeightCase("rank")})"
+
   /** x126's Welch t statistic over columns (n_a, n_b, s_a, s_b, q_a, q_b)
     * — exact integer micro-sums in, ONE expression string evaluated by
     * both engines, so the IEEE chain (means, sample variances, √) is
@@ -2833,6 +3201,34 @@ object ExtensionQueries {
   private val WelchTSql: String =
     s"((${WelchMean("b")}) - (${WelchMean("a")})) / " +
       s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+
+  /** x140's Cohen's kappa over the integer confusion columns
+    * (n, n11, n10, n01, n00) — ONE string evaluated by both engines, so
+    * the (po−pe)/(1−pe) chain orders identically off the exact counts.
+    */
+  private val KappaSql: String = {
+    val po = "(CAST(n11 + n00 AS DOUBLE) / n)"
+    val pa = "(CAST(n11 + n10 AS DOUBLE) / n)"
+    val pb = "(CAST(n11 + n01 AS DOUBLE) / n)"
+    val pe = s"($pa * $pb + (1.0 - $pa) * (1.0 - $pb))"
+    s"($po - $pe) / (1.0 - $pe)"
+  }
+
+  /** x142's normal-equation chain over the exact integer ln-sums
+    * (n, sx, sy, sxy, sxx — micro-scaled by 1e6/1e12) — ONE string per
+    * statistic evaluated by both engines, so every product/division
+    * orders identically. The intercept inlines the slope tree (not an
+    * alias) so both engines evaluate literally the same expression.
+    */
+  private val ZipfSlopeSql: String =
+    "(n * (CAST(sxy AS DOUBLE) / 1e12) - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6)) / " +
+      "(n * (CAST(sxx AS DOUBLE) / 1e12) - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))"
+  private val ZipfInterceptSql: String =
+    s"((CAST(sy AS DOUBLE) / 1e6) - ($ZipfSlopeSql) * (CAST(sx AS DOUBLE) / 1e6)) / n"
+
+  /** x143's ratio-to-overall over (sv, n, st, nn) — one shared string. */
+  private val SeasonalSql: String =
+    "(CAST(sv AS DOUBLE) / 1e6 / n) / (CAST(st AS DOUBLE) / 1e6 / nn)"
 
   /** x135's per-cell χ² contribution (o−e)²/e with e = rt·ct/nn — ONE
     * string over columns (o, rt, ct, nn) evaluated by both engines, so
@@ -4802,7 +5198,192 @@ object ExtensionQueries {
          |SELECT doc_id, n_tok, n_hits,
          |  CAST(n_hits AS DOUBLE) > CAST(n_tok AS DOUBLE) * 0.1 AS blocked
          |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // x88's score derivation (same features, same written weights row),
+    // then the SAME micro-quantized sigmoid, decile binning, and
+    // integer-sum bin means
+    "x139_calibration" ->
+      (s"$qualityCtes, " +
+        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x139_weights")}), " +
+        "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
+        "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
+        "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+        "FROM z JOIN documents d USING (doc_id)), " +
+        "q AS (SELECT CAST(floor(1e6 / (1.0 + exp(-score)) + 0.5) AS BIGINT) AS pm, pos, " +
+        "CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk, " +
+        "(SELECT count(*) FROM lab) AS nn FROM lab), " +
+        "b AS (SELECT ((rk - 1) * 10) // nn AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(pm) AS BIGINT) AS sp, CAST(sum(pos) AS BIGINT) AS np FROM q GROUP BY 1) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n, " +
+        "round(CAST(sp AS DOUBLE) / 1e6 / n, 6) AS mean_pred, " +
+        "round(CAST(np AS DOUBLE) / n, 6) AS frac_pos, " +
+        "round(CAST(sp AS DOUBLE) / 1e6 / n - CAST(np AS DOUBLE) / n, 6) AS gap " +
+        "FROM b ORDER BY bin"),
+    // same two gates (n_chars vs the shared whitespace tokenizer), same
+    // integer confusion counts, the SAME KappaSql chain
+    "x140_cohens_kappa" ->
+      (s"""WITH l AS (SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS la,
+         |    CASE WHEN len($toks) >= 40 THEN 1 ELSE 0 END AS lb FROM documents),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(la * lb) AS BIGINT) AS n11,
+         |    CAST(sum(la * (1 - lb)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - la) * lb) AS BIGINT) AS n01 FROM l),
+         |f AS (SELECT n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM c)
+         |SELECT n, n11, n10, n01, CAST(n00 AS BIGINT) AS n00,
+         |  round($KappaSql, 6) AS kappa FROM f"""
+        .stripMargin.replace("\n", " ")),
+    // same distinct baskets, same directed-pair counts and >= 5 floor,
+    // same three fixed-order ratio chains
+    "x141_assoc_rules" ->
+      ("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+         |p AS (SELECT a.event_type AS ante, b.event_type AS cons,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+         |    AND a.event_type <> b.event_type
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT p.ante, p.cons, p.n_ab, sa.c AS n_a, sb.c AS n_b,
+         |  round(CAST(p.n_ab AS DOUBLE) / nu, 6) AS support,
+         |  round(CAST(p.n_ab AS DOUBLE) / sa.c, 6) AS confidence,
+         |  round(CAST(p.n_ab AS DOUBLE) * nu / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+         |FROM p JOIN s sa ON sa.event_type = p.ante
+         |  JOIN s sb ON sb.event_type = p.cons CROSS JOIN tot
+         |ORDER BY ante, cons""".stripMargin.replace("\n", " ")),
+    // same top-100 cut, same micro-quantized ln terms, the SAME
+    // normal-equation strings over the exact integer sums
+    "x142_zipf_fit" ->
+      (s"""WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($toks) AS t FROM documents)
+         |  GROUP BY 1 ORDER BY c DESC, t LIMIT 100),
+         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk FROM c),
+         |q AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xm,
+         |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ym FROM r),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xm) AS BIGINT) AS sx,
+         |    CAST(sum(ym) AS BIGINT) AS sy, CAST(sum(xm * ym) AS BIGINT) AS sxy,
+         |    CAST(sum(xm * xm) AS BIGINT) AS sxx FROM q)
+         |SELECT n AS n_terms, round($ZipfSlopeSql, 6) AS slope,
+         |  round($ZipfInterceptSql, 6) AS intercept FROM s"""
+        .stripMargin.replace("\n", " ")),
+    // DuckDB's native Sunday=0 dow (the Spark side shifts to match),
+    // same integer micro-sums, the SAME two-level ratio string
+    "x143_seasonal_index" ->
+      (s"""WITH e AS (SELECT dayofweek(ts) AS dow,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(vm) AS BIGINT) AS st FROM e),
+         |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sv
+         |  FROM e GROUP BY 1)
+         |SELECT CAST(dow AS BIGINT) AS dow, n,
+         |  round(CAST(sv AS DOUBLE) / 1e6 / n, 6) AS dow_mean,
+         |  round($SeasonalSql, 6) AS seasonal_index
+         |FROM g CROSS JOIN t ORDER BY dow""".stripMargin.replace("\n", " ")),
+    // same integer S·D numerator and the same (|S·D| DESC, day) argmax
+    "x144_cusum_changepoint" -> CusumOracleSql,
+    // x149 ≡ x144's oracle verbatim: the stream-maintained daily counts
+    // must land exactly where the batch aggregate does
+    "x149_stream_cusum" -> CusumOracleSql,
+    // both rounds unrolled: the identical (count DESC, label ASC)
+    // per-node argmax over neighbor labels
+    "x145_label_prop" ->
+      ("""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |ud AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+         |ed AS (SELECT u, v FROM ud UNION ALL SELECT v AS u, u AS v FROM ud),
+         |r1 AS (SELECT node, label FROM (
+         |  SELECT e.u AS node, e.v AS label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.u ORDER BY count(*) DESC, e.v) AS rk
+         |  FROM ed e GROUP BY 1, 2) WHERE rk = 1),
+         |r2 AS (SELECT node, label FROM (
+         |  SELECT e.u AS node, l.label AS label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.label) AS rk
+         |  FROM ed e JOIN r1 l ON l.node = e.v GROUP BY 1, 2) WHERE rk = 1)
+         |SELECT node, CAST(label AS BIGINT) AS label FROM r2 ORDER BY node"""
+        .stripMargin.replace("\n", " ")),
+    // same deg≥2 micro-quantized 1/ln(deg) weights, same z-keyed wedge
+    // join, same NON-edge filter and integer-keyed top-50
+    "x146_adamic_adar" ->
+      ("""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |ud AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+         |ed AS (SELECT u, v FROM ud UNION ALL SELECT v AS u, u AS v FROM ud),
+         |adj AS (SELECT u AS z, v AS n FROM ed),
+         |wz AS (SELECT u AS z, CAST(floor(1e6 / ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wm
+         |  FROM ed GROUP BY 1 HAVING count(*) >= 2),
+         |p AS (SELECT x.n AS u, y.n AS v, CAST(sum(w.wm) AS BIGINT) AS swm,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+         |  JOIN wz w ON w.z = x.z GROUP BY 1, 2),
+         |np AS (SELECT p.* FROM p LEFT JOIN ud ON ud.u = p.u AND ud.v = p.v
+         |  WHERE ud.u IS NULL)
+         |SELECT u, v, n_common, round(CAST(swm AS DOUBLE) / 1e6, 6) AS aa_score
+         |FROM np ORDER BY swm DESC, u, v LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
+    // same shared per-term contribution string over exact integer
+    // (tf, dl, df, nn, tt), same term-ordered fold ≡ list_reduce
+    "x147_bm25" ->
+      (s"""WITH d AS (SELECT doc_id, $toks AS ts FROM documents),
+         |dd AS (SELECT doc_id, ts FROM d WHERE len(ts) > 0),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(len(ts)) AS BIGINT) AS tt FROM dd),
+         |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(max(dl) AS BIGINT) AS dl FROM (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS t FROM dd)
+         |  WHERE t IN (${Bm25Query.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id, tf.term, tf.dl, ($Bm25TermSql) AS contrib
+         |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN t),
+         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(max(dl) AS BIGINT) AS dl,
+         |    list(contrib ORDER BY term) AS cs FROM c GROUP BY 1)
+         |SELECT doc_id, n_terms, dl,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS bm25
+         |FROM f ORDER BY bm25 DESC, doc_id LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
+    // x138's two ranking shapes, the SAME literal discount table and
+    // graded relevance, rank-ordered fold ≡ list_reduce
+    "x148_ndcg" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |itf AS (SELECT vec_id AS item_id, v AS iv FROM e),
+         |rf AS (SELECT query_id, item_id, CAST(11 - rank AS BIGINT) AS rel FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+         |qt AS (SELECT query_id, qv[1:16] AS qv FROM qf),
+         |itt AS (SELECT item_id, iv[1:16] AS iv FROM itf),
+         |rt AS (SELECT query_id, item_id, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM itt CROSS JOIN qt WHERE item_id != query_id) WHERE rank <= 10),
+         |j AS (SELECT rt.query_id, rt.rank,
+         |    coalesce(rf.rel, CAST(0 AS BIGINT)) AS rel
+         |  FROM rt LEFT JOIN rf USING (query_id, item_id)),
+         |c AS (SELECT query_id, rank, ($NdcgContribSql) AS contrib FROM j),
+         |f AS (SELECT query_id, list(contrib ORDER BY rank) AS cs FROM c GROUP BY 1)
+         |SELECT query_id,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS dcg,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
+         |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
+         |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
   )
+
+  /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
+    * day) argmax, one final division.
+    */
+  private val CusumOracleSql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(c) AS BIGINT) AS tt FROM d),
+      |m AS (SELECT day, CAST(sum(c) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+      |s AS (SELECT day, cum * t.dd - i * t.tt AS sd, t.dd, t.tt FROM m CROSS JOIN t)
+      |SELECT day AS at_day, dd AS n_days, tt AS total,
+      |  round(CAST(sd AS DOUBLE) / dd, 6) AS cusum
+      |FROM s ORDER BY abs(sd) DESC, day LIMIT 1"""
+      .stripMargin.replace("\n", " ")
 
   // ---- sampling-oracle SQL builders: thresholds generated from the SAME
   // constants as the Spark side (operators/Sampling), so they cannot drift

@@ -576,6 +576,206 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x139: equal-frequency bins partition the corpus; means monotone; gap consistent") {
+    val rows = run("x139_calibration").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L),
+      "equal-frequency binning must produce all 10 bins")
+    val docs = Tables.table(spark, sf(), "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == docs)
+    // equal-frequency: bin sizes differ by at most 1 from N/10
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n") - docs / 10) <= 1))
+    val means = rows.map(_.getAs[Double]("mean_pred"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      "score-ordered bins must have non-decreasing mean predicted p")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gap") -
+        (r.getAs[Double]("mean_pred") - r.getAs[Double]("frac_pos"))) < 1e-5)
+      assert(r.getAs[Double]("mean_pred") > 0.0 && r.getAs[Double]("mean_pred") < 1.0)
+    }
+  }
+
+  test("x140: confusion partitions the corpus; kappa matches a driver recompute") {
+    val r = run("x140_cohens_kappa").collect().head
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == n11 + n10 + n01 + n00)
+    assert(n == Tables.table(spark, sf(), "documents").count())
+    val po = (n11 + n00).toDouble / n
+    val pa = (n11 + n10).toDouble / n
+    val pb = (n11 + n01).toDouble / n
+    val pe = pa * pb + (1 - pa) * (1 - pb)
+    val kappa = (po - pe) / (1 - pe)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-5)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("x141: rule arithmetic consistent; one rule matches a driver recount") {
+    val rows = run("x141_assoc_rules").collect()
+    assert(rows.nonEmpty)
+    val nu = Tables.events(spark, sf())
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab >= 5 && nab <= math.min(na, nb))
+      assert(math.abs(r.getAs[Double]("support") - nab.toDouble / nu) < 1e-5)
+      assert(math.abs(r.getAs[Double]("confidence") - nab.toDouble / na) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lift") -
+        nab.toDouble * nu / (na.toDouble * nb)) < 1e-4)
+    }
+    // spot-recount the first rule from the raw baskets
+    val first = rows.minBy(r => (r.getAs[String]("ante"), r.getAs[String]("cons")))
+    val baskets = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (_, v) => v.map(_.getString(1)).toSet }
+    val want = baskets.count(b =>
+      b.contains(first.getAs[String]("ante")) && b.contains(first.getAs[String]("cons")))
+    assert(first.getAs[Long]("n_ab") == want)
+  }
+
+  test("x142: Zipf slope negative and matches a driver-side OLS recompute") {
+    val r = run("x142_zipf_fit").collect().head
+    val counts = Tables.table(spark, sf(), "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(100)
+      .collect().map(_.getAs[Long]("c"))
+    assert(r.getAs[Long]("n_terms") == counts.length,
+      "fit must cover min(100, vocab) terms")
+    val slope = r.getAs[Double]("slope")
+    assert(slope < 0.0, s"Zipf slope must be negative, got $slope")
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - want) < 1e-3, s"slope $slope vs local $want")
+    val wantB = (sy - want * sx) / n
+    assert(math.abs(r.getAs[Double]("intercept") - wantB) < 1e-3)
+  }
+
+  test("x143: dow frame complete; indices average to 1 under event weights") {
+    val rows = run("x143_seasonal_index").collect()
+    assert(rows.map(_.getAs[Long]("dow")).sorted.toSeq == (0L to 6L))
+    val total = Tables.events(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach(r => assert(r.getAs[Double]("seasonal_index") > 0.0))
+    // Σ n·index / N = 1 by construction (ratio-to-overall)
+    val wmean = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("seasonal_index")).sum / total
+    assert(math.abs(wmean - 1.0) < 1e-3, s"weighted mean index $wmean != 1")
+  }
+
+  test("x144: changepoint matches a driver-side CUSUM recompute") {
+    val r = run("x144_cusum_changepoint").collect().head
+    val daily = Tables.events(spark, sf())
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[java.sql.Date]("day"), x.getAs[Long]("c")))
+      .sortBy(_._1.toString)
+    val dd = daily.length.toLong
+    val tt = daily.map(_._2).sum
+    assert(r.getAs[Long]("n_days") == dd && r.getAs[Long]("total") == tt)
+    var cum = 0L
+    val sds = daily.zipWithIndex.map { case ((day, c), i) =>
+      cum += c; (day, cum * dd - (i + 1) * tt) }
+    val best = sds.maxBy(s => (math.abs(s._2), -s._1.getTime))
+    assert(r.getAs[java.sql.Date]("at_day").toString == best._1.toString)
+    assert(math.abs(r.getAs[Double]("cusum") - best._2.toDouble / dd) < 1e-4)
+  }
+
+  test("x145: every graph node labeled exactly once with a node id; communities shrink labels") {
+    val rows = run("x145_label_prop").collect()
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nodes = po.as("a").join(po.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(explode(array(col("a.pk"), col("b.pk"))).as("n"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.length == nodes.size, "one labeled row per graph node")
+    assert(rows.map(_.getAs[Long]("node")).toSet == nodes)
+    val labels = rows.map(_.getAs[Long]("label")).toSet
+    assert(labels.subsetOf(nodes), "labels must be node ids")
+    assert(labels.size < nodes.size, "propagation must merge at least one label")
+  }
+
+  test("x146: AA pairs are non-edges; one score matches a driver recompute") {
+    val rows = run("x146_adamic_adar").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u") < r.getAs[Long]("v"))
+      assert(r.getAs[Long]("n_common") >= 1)
+      assert(r.getAs[Double]("aa_score") > 0.0)
+    }
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = po.as("a").join(po.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach(r => assert(
+      !edges.contains((r.getAs[Long]("u"), r.getAs[Long]("v"))),
+      "AA candidates must be non-adjacent pairs"))
+    // driver recompute of the top pair's score from the adjacency
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val top = rows.head
+    val (u, v) = (top.getAs[Long]("u"), top.getAs[Long]("v"))
+    val common = adj(u) & adj(v)
+    val want = common.toSeq.map { z =>
+      math.floor(1e6 / math.log(adj(z).size.toDouble) + 0.5).toLong }.sum
+    assert(top.getAs[Long]("n_common") == common.size)
+    assert(math.abs(top.getAs[Double]("aa_score") - want / 1e6) < 1e-5)
+  }
+
+  test("x147: scores descend; one doc matches a driver-side BM25 recompute") {
+    val rows = run("x147_bm25").collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq).filter(_._2.nonEmpty)
+    val nn = docs.length.toDouble
+    val tt = docs.map(_._2.length).sum.toDouble
+    val q = ExtensionQueries.Bm25Query
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val top = rows.head
+    val toks = docs.find(_._1 == top.getAs[Long]("doc_id")).get._2
+    val dl = toks.length.toDouble
+    val want = q.filter(toks.contains).map { t =>
+      val tf = toks.count(_ == t).toDouble
+      math.log((nn - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+        (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * nn / tt)))
+    }.sum
+    assert(math.abs(top.getAs[Double]("bm25") - want) < 1e-4,
+      s"bm25 ${top.getAs[Double]("bm25")} vs local $want")
+    assert(top.getAs[Long]("dl") == toks.length)
+  }
+
+  test("x148: ndcg bounded, consistent with dcg, and <= 1 with equality iff perfect order") {
+    val rows = run("x148_ndcg").collect()
+    assert(rows.length == 5)
+    val idcg = (1 to 10).map(r => (11 - r) / (math.log(r + 1.0) / math.log(2.0))).sum
+    rows.foreach { r =>
+      val (dcg, ndcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("ndcg"))
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(math.abs(ndcg - dcg / idcg) < 1e-4)
+    }
+  }
+
+  test("x149: stream-maintained CUSUM equals the batch x144 row") {
+    val batch = run("x144_cusum_changepoint").collect().head
+    val stream = run("x149_stream_cusum").collect().head
+    assert(stream.getAs[java.sql.Date]("at_day").toString ==
+      batch.getAs[java.sql.Date]("at_day").toString)
+    assert(stream.getAs[Long]("n_days") == batch.getAs[Long]("n_days"))
+    assert(stream.getAs[Long]("total") == batch.getAs[Long]("total"))
+    assert(stream.getAs[Double]("cusum") == batch.getAs[Double]("cusum"))
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
