@@ -2991,34 +2991,32 @@ object ExtensionQueries {
       }
       labels.orderBy(col("node"))
     }),
-    // x146: Adamic-Adar link prediction over the part co-purchase graph
-    // — for NON-adjacent pairs sharing neighbors, score = Σ_z 1/ln(deg z)
-    // (the common-neighbor weight that discounts hubs). Weights
-    // micro-quantize off the INTEGER degree (1e6/ln insurance floor), so
-    // per-pair sums are exact integers and the top-50 argsort is
-    // integer-keyed. The wedge join is z-keyed like x87; a common
-    // neighbor has deg ≥ 2 by construction, so ln never sees 1.
+    // x146: bipartite Adamic-Adar over the part–order graph — part pairs
+    // scored by Σ 1/ln(order size) over their SHARED orders, the
+    // link-prediction weighting that discounts bulk orders (a 100-item
+    // order says little about any pair inside it; a 2-item order says a
+    // lot). Weights micro-quantize off the INTEGER order size
+    // (1e6/ln insurance floor), so per-pair sums and the top-50 argsort
+    // are integer-exact. Scale shape: the pair fan-out is per-ORDER
+    // bounded (C(order size, 2), x117's measured-linear join) — unlike a
+    // part-part wedge join, whose Σ deg² cost goes quadratic under
+    // densification (measured: 23 s at sf0.1 before this formulation); a
+    // shared order has ≥ 2 parts by construction, so ln never sees 1.
     "x146_adamic_adar" -> ((s, dir) => {
-      val po = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val und = graft.engine.CacheScope.persistTracked(
-        po.as("a").join(po.as("b"), "ok")
-          .filter(col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
-      val ed = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      val adj = ed.select(col("u").as("z"), col("v").as("n"))
-      val wz = ed.groupBy(col("u").as("z")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2)
-        .select(col("z"),
-          floor(lit(1e6) / log(col("deg").cast("double")) + lit(0.5))
+      val po = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+      val osz = po.groupBy(col("ok")).agg(count(lit(1)).as("k"))
+        .filter(col("k") >= 2)
+        .select(col("ok"),
+          floor(lit(1e6) / log(col("k").cast("double")) + lit(0.5))
             .cast("long").as("wm"))
-      adj.as("x").join(adj.as("y"), "z")
-        .filter(col("x.n") < col("y.n"))
-        .join(wz, "z")
-        .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+      po.as("a").join(po.as("b"), "ok")
+        .filter(col("a.pk") < col("b.pk"))
+        .join(osz, "ok")
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(sum(col("wm")).as("swm"), count(lit(1)).as("n_common"))
-        .join(und, Seq("u", "v"), "left_anti")
         .orderBy(col("swm").desc, col("u"), col("v"))
         .limit(50)
         .select(col("u"), col("v"), col("n_common"),
@@ -5300,24 +5298,18 @@ object ExtensionQueries {
          |  FROM ed e JOIN r1 l ON l.node = e.v GROUP BY 1, 2) WHERE rk = 1)
          |SELECT node, CAST(label AS BIGINT) AS label FROM r2 ORDER BY node"""
         .stripMargin.replace("\n", " ")),
-    // same deg≥2 micro-quantized 1/ln(deg) weights, same z-keyed wedge
-    // join, same NON-edge filter and integer-keyed top-50
+    // same k≥2 micro-quantized 1/ln(order size) weights, same
+    // order-keyed pair join and integer-keyed top-50
     "x146_adamic_adar" ->
       ("""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |ud AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
-         |ed AS (SELECT u, v FROM ud UNION ALL SELECT v AS u, u AS v FROM ud),
-         |adj AS (SELECT u AS z, v AS n FROM ed),
-         |wz AS (SELECT u AS z, CAST(floor(1e6 / ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wm
-         |  FROM ed GROUP BY 1 HAVING count(*) >= 2),
-         |p AS (SELECT x.n AS u, y.n AS v, CAST(sum(w.wm) AS BIGINT) AS swm,
+         |osz AS (SELECT ok, CAST(floor(1e6 / ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wm
+         |  FROM po GROUP BY 1 HAVING count(*) >= 2),
+         |p AS (SELECT a.pk AS u, b.pk AS v, CAST(sum(w.wm) AS BIGINT) AS swm,
          |    CAST(count(*) AS BIGINT) AS n_common
-         |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
-         |  JOIN wz w ON w.z = x.z GROUP BY 1, 2),
-         |np AS (SELECT p.* FROM p LEFT JOIN ud ON ud.u = p.u AND ud.v = p.v
-         |  WHERE ud.u IS NULL)
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+         |  JOIN osz w ON w.ok = a.ok GROUP BY 1, 2)
          |SELECT u, v, n_common, round(CAST(swm AS DOUBLE) / 1e6, 6) AS aa_score
-         |FROM np ORDER BY swm DESC, u, v LIMIT 50"""
+         |FROM p ORDER BY swm DESC, u, v LIMIT 50"""
         .stripMargin.replace("\n", " ")),
     // same shared per-term contribution string over exact integer
     // (tf, dl, df, nn, tt), same term-ordered fold ≡ list_reduce

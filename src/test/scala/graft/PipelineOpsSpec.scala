@@ -700,7 +700,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(labels.size < nodes.size, "propagation must merge at least one label")
   }
 
-  test("x146: AA pairs are non-edges; one score matches a driver recompute") {
+  test("x146: AA pairs share orders; one score matches a driver recompute") {
     val rows = run("x146_adamic_adar").collect()
     assert(rows.length == 50)
     rows.foreach { r =>
@@ -708,24 +708,18 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_common") >= 1)
       assert(r.getAs[Double]("aa_score") > 0.0)
     }
-    val po = Tables.table(spark, sf(), "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = po.as("a").join(po.as("b"), "ok")
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk"), col("b.pk")).distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    rows.foreach(r => assert(
-      !edges.contains((r.getAs[Long]("u"), r.getAs[Long]("v"))),
-      "AA candidates must be non-adjacent pairs"))
-    // driver recompute of the top pair's score from the adjacency
-    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // driver recompute of the top pair's score from the raw baskets
+    val orders = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+      .filter(_.size >= 2).toSeq
     val top = rows.head
     val (u, v) = (top.getAs[Long]("u"), top.getAs[Long]("v"))
-    val common = adj(u) & adj(v)
-    val want = common.toSeq.map { z =>
-      math.floor(1e6 / math.log(adj(z).size.toDouble) + 0.5).toLong }.sum
-    assert(top.getAs[Long]("n_common") == common.size)
+    val shared = orders.filter(o => o.contains(u) && o.contains(v))
+    val want = shared.map(o =>
+      math.floor(1e6 / math.log(o.size.toDouble) + 0.5).toLong).sum
+    assert(top.getAs[Long]("n_common") == shared.size)
     assert(math.abs(top.getAs[Double]("aa_score") - want / 1e6) < 1e-5)
   }
 
