@@ -3058,6 +3058,111 @@ object ExtensionQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     }),
+    // x150: AMS second-frequency-moment sketch vs exact F2 — Σ c_t²
+    // (the "surprise number" behind join-size estimation and skew
+    // detection) estimated by 8 sign-hash estimators (Σ ±c_t)², median
+    // taken. Signs come off a SHARED md5 parity rule (first hex digit
+    // odd), so every estimator is integer-exact in both engines; the
+    // sketch row is mergeable partials only (each estimator is one
+    // signed integer sum — the CMS/HLL scale story).
+    "x150_ams_f2" -> ((s, dir) => {
+      val counts = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c")))
+      val f2 = counts.agg(sum(col("c") * col("c")).as("f2"),
+        count(lit(1)).as("n_tokens"))
+      val ests = (0 until 8).map { j =>
+        sum(when(expr(AmsSignOddSql(j, "t")), col("c"))
+          .otherwise(-col("c"))).as(s"e$j")
+      }
+      val sk = counts.agg(ests.head, ests.tail: _*)
+      val sq = (0 until 8).map(j => col(s"e$j") * col(s"e$j"))
+      sk.crossJoin(broadcast(f2))
+        .withColumn("es", sort_array(array(sq: _*)))
+        .select(col("n_tokens"), col("f2"),
+          ((element_at(col("es"), 4) + element_at(col("es"), 5))
+            .cast("double") / 2.0).as("ams_med"))
+        .select(col("n_tokens"), col("f2"), col("ams_med"),
+          graft.functions.EngineMath.roundAway(
+            expr("(ams_med - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE)"), 6)
+            .as("rel_err"))
+    }),
+    // x151: Gini concentration of the token-frequency mass — the
+    // inequality diagnostic behind "is this corpus a few templates in a
+    // trenchcoat". ENTIRELY integer: G·(n·T) = 2·Σ rk·c − (n+1)·T over
+    // the (c ASC, t ASC) rank, one final division. The rank is a global
+    // window at verify SF; at 100 TB it rides the x113 bucket-prefix-sum
+    // rank (counts are a bucketable key).
+    "x151_gini_concentration" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"), col("t"))
+      counts.withColumn("rk", row_number().over(wR).cast("long"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("total"),
+          sum(col("rk") * col("c")).as("src"))
+        .select(col("n_tokens"), col("total"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(2 * src - (n_tokens + 1) * total AS DOUBLE) / " +
+              "CAST(n_tokens * total AS DOUBLE)"), 6).as("gini"))
+    }),
+    // x152: vocabulary coverage curve — token-mass share captured by the
+    // top-k vocabulary at k ∈ {10, 50, 100, 1000}: the "how big a vocab
+    // do we actually need" planning curve. Integer rank-gated sums per
+    // bounded k; one shared division string; the rank is the same
+    // bucket-swappable global window as x151.
+    "x152_coverage_curve" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(wR).cast("long"))
+      val tot = ranked.agg(sum(col("c")).as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .select(explode(typedlit(CoverageKs)).as("k"), col("rk"),
+          col("c"), col("total"))
+        .filter(col("rk") <= col("k"))
+        .groupBy(col("k"), col("total"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("mass"))
+        .select(col("k"), col("n_vocab"), col("mass"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)"), 6)
+            .as("share"))
+        .orderBy(col("k"))
+    }),
+    // x153: Hill tail-index estimator over the token-frequency
+    // distribution — the power-law exponent read off the top-k order
+    // statistics (complements x142's global OLS with a tail-only view).
+    // k = min(50, vocab−1); the ln(c_i/c_{k+1}) terms micro-quantize to
+    // integers (ties → exactly 0), so the sum is order-free exact and
+    // α = k·1e6/Σ is one shared string. The whole computation runs on a
+    // ≤51-row frame after the top-(k+1) cut.
+    "x153_hill_tail" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(51)
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))
+      val ranked = graft.engine.CacheScope.persistTracked(
+        counts.withColumn("rk", row_number().over(wR).cast("long")))
+      val ref = ranked.agg(max(col("rk")).as("kp1"))
+        .join(ranked.select(col("rk").as("kp1"), col("c").as("cref")), "kp1")
+      ranked.crossJoin(broadcast(ref))
+        .filter(col("rk") < col("kp1"))
+        .withColumn("lm",
+          floor(log(col("c").cast("double") / col("cref")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .groupBy(col("kp1"), col("cref"))
+        .agg(count(lit(1)).as("k"), sum(col("lm")).as("slm"))
+        .select(col("k"), col("cref").as("c_ref"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(k AS DOUBLE) * 1e6 / slm"), 6).as("alpha"))
+    }),
     // x148: NDCG@10 of the 16-dim-prefix ranking against the full-dim
     // ranking as graded truth (rel = 11 − full rank) — the ranking-
     // quality lens on x112's overlap question: position-aware, so a
@@ -3211,6 +3316,17 @@ object ExtensionQueries {
     val pe = s"($pa * $pb + (1.0 - $pa) * (1.0 - $pb))"
     s"($po - $pe) / (1.0 - $pe)"
   }
+
+  /** x150's estimator sign rule — first md5 hex digit of 'ams<j>:<term>'
+    * odd → +1 — as ONE predicate string both engines evaluate on their
+    * identical lowercase-hex md5; no bit intrinsics, no conv.
+    */
+  private[graft] def AmsSignOddSql(j: Int, c: String): String =
+    s"substr(md5(concat('ams$j:', $c)), 1, 1) IN " +
+      "('1', '3', '5', '7', '9', 'b', 'd', 'f')"
+
+  /** x152's coverage checkpoints — one constant feeds both engines. */
+  private[graft] val CoverageKs = Seq(10L, 50L, 100L, 1000L)
 
   /** x142's normal-equation chain over the exact integer ln-sums
     * (n, sx, sy, sxy, sxx — micro-scaled by 1e6/1e12) — ONE string per
@@ -5359,6 +5475,63 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // same md5-parity sign rule (shared predicate strings), same integer
+    // estimator sums, same sorted-median read
+    "x150_ams_f2" ->
+      (s"""WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * c) AS BIGINT) AS f2 FROM c),
+         |e AS (SELECT ${(0 until 8).map(j =>
+            s"CAST(sum(CASE WHEN ${AmsSignOddSql(j, "t")} THEN c ELSE -c END) AS BIGINT) AS e$j")
+            .mkString(", ")} FROM c),
+         |m AS (SELECT list_sort([${(0 until 8).map(j => s"e$j * e$j").mkString(", ")}]) AS es FROM e),
+         |a AS (SELECT n_tokens, f2,
+         |    CAST(es[4] + es[5] AS DOUBLE) / 2.0 AS ams_med FROM m CROSS JOIN f)
+         |SELECT n_tokens, f2, ams_med,
+         |  round((ams_med - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE), 6) AS rel_err
+         |FROM a""".stripMargin.replace("\n", " ")),
+    // same (c ASC, t ASC) rank, same integer 2·Σrk·c − (n+1)·T numerator
+    "x151_gini_concentration" ->
+      (s"""WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, t) AS BIGINT) AS rk FROM c),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c) AS BIGINT) AS total, CAST(sum(rk * c) AS BIGINT) AS src FROM r)
+         |SELECT n_tokens, total,
+         |  round(CAST(2 * src - (n_tokens + 1) * total AS DOUBLE) /
+         |    CAST(n_tokens * total AS DOUBLE), 6) AS gini
+         |FROM s""".stripMargin.replace("\n", " ")),
+    // same shared checkpoint list, same rank-gated integer sums
+    "x152_coverage_curve" ->
+      (s"""WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+         |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk FROM c),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+         |k AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k),
+         |g AS (SELECT k.k, CAST(count(*) AS BIGINT) AS n_vocab,
+         |    CAST(sum(r.c) AS BIGINT) AS mass
+         |  FROM r CROSS JOIN k WHERE r.rk <= k.k GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS k, n_vocab, mass,
+         |  round(CAST(mass AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+         |FROM g CROSS JOIN tt ORDER BY k""".stripMargin.replace("\n", " ")),
+    // same top-(k+1) cut, same micro-quantized ln ratios off the
+    // reference count, same k·1e6/Σ read
+    "x153_hill_tail" ->
+      (s"""WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1
+         |  ORDER BY c DESC, t LIMIT 51),
+         |r AS (SELECT c, t, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk FROM c),
+         |ref AS (SELECT r2.rk AS kp1, r2.c AS cref FROM r r2
+         |  JOIN (SELECT max(rk) AS kp1 FROM r) mx ON r2.rk = mx.kp1),
+         |q AS (SELECT ref.kp1, ref.cref,
+         |    CAST(floor(ln(CAST(r.c AS DOUBLE) / ref.cref) * 1e6 + 0.5) AS BIGINT) AS lm
+         |  FROM r CROSS JOIN ref WHERE r.rk < ref.kp1),
+         |s AS (SELECT kp1, cref, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(lm) AS BIGINT) AS slm FROM q GROUP BY 1, 2)
+         |SELECT k, cref AS c_ref,
+         |  round(CAST(k AS DOUBLE) * 1e6 / slm, 6) AS alpha
+         |FROM s""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

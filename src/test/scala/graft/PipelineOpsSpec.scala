@@ -770,6 +770,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stream.getAs[Double]("cusum") == batch.getAs[Double]("cusum"))
   }
 
+  test("x150: exact F2 matches a driver recompute; AMS median is a sane estimate") {
+    val r = run("x150_ams_f2").collect().head
+    val counts = Tables.table(spark, sf(), "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    assert(r.getAs[Long]("n_tokens") == counts.length)
+    assert(r.getAs[Long]("f2") == counts.map(c => c * c).sum)
+    val (f2, med) = (r.getAs[Long]("f2").toDouble, r.getAs[Double]("ams_med"))
+    assert(med > 0.0 && med < 10.0 * f2,
+      s"AMS median $med implausible vs F2 $f2")
+    assert(math.abs(r.getAs[Double]("rel_err") - (med - f2) / f2) < 1e-5)
+  }
+
+  test("x151: gini in [0,1) and matches a driver recompute") {
+    val r = run("x151_gini_concentration").collect().head
+    val counts = Tables.table(spark, sf(), "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[Long]("c"), x.getAs[String]("t")))
+      .sortBy(identity)
+    val n = counts.length.toLong
+    val total = counts.map(_._1).sum
+    val src = counts.zipWithIndex.map { case ((c, _), i) => (i + 1) * c }.sum
+    val want = (2 * src - (n + 1) * total).toDouble / (n * total).toDouble
+    assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("total") == total)
+    assert(math.abs(r.getAs[Double]("gini") - want) < 1e-5)
+    assert(want >= 0.0 && want < 1.0)
+  }
+
+  test("x152: coverage shares monotone in k and bounded by 1") {
+    val rows = run("x152_coverage_curve").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq ==
+      ExtensionQueries.CoverageKs.sorted)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    shares.foreach(sh => assert(sh > 0.0 && sh <= 1.0))
+    rows.foreach(r => assert(r.getAs[Long]("n_vocab") <= r.getAs[Long]("k")))
+    assert(rows.last.getAs[Long]("mass") <=
+      rows.last.getAs[Long]("n_vocab") * Long.MaxValue) // type sanity
+  }
+
+  test("x153: Hill alpha positive and matches a driver recompute") {
+    val r = run("x153_hill_tail").collect().head
+    val counts = Tables.table(spark, sf(), "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[Long]("c"), x.getAs[String]("t")))
+      .sortBy { case (c, t) => (-c, t) }.take(51)
+    val k = counts.length - 1
+    val cref = counts.last._1
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("c_ref") == cref)
+    val slm = counts.take(k).map { case (c, _) =>
+      math.floor(math.log(c.toDouble / cref) * 1e6 + 0.5).toLong }.sum
+    assert(math.abs(r.getAs[Double]("alpha") - k.toDouble * 1e6 / slm) < 1e-4)
+    assert(r.getAs[Double]("alpha") > 0.0)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
