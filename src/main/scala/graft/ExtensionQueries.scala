@@ -2967,30 +2967,9 @@ object ExtensionQueries {
     // smallest label. Per-round cost is one edge-keyed shuffle + one
     // node aggregate (the x86 iteration shape); the oracle unrolls both
     // rounds.
-    "x145_label_prop" -> ((s, dir) => {
-      val po = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val und = po.as("a").join(po.as("b"), "ok")
-        .filter(col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      val edges = graft.engine.CacheScope.persistTracked(
-        und.union(und.select(col("v").as("u"), col("u").as("v"))))
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("label", col("node"))
-      for (_ <- 1 to 2) {
-        val wN = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))
-        labels = edges
-          .join(labels.select(col("node").as("v"), col("label")), "v")
-          .groupBy(col("u").as("node"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(wN))
-          .filter(col("rk") === 1)
-          .select(col("node"), col("label"))
-      }
-      labels.orderBy(col("node"))
-    }),
+    "x145_label_prop" -> ((s, dir) =>
+      labelPropagate(coPurchaseEdges(s, dir), rounds = 2)
+        .orderBy(col("node"))),
     // x146: bipartite Adamic-Adar over the part–order graph — part pairs
     // scored by Σ 1/ln(order size) over their SHARED orders, the
     // link-prediction weighting that discounts bulk orders (a 100-item
@@ -3057,6 +3036,70 @@ object ExtensionQueries {
               "(acc, v) -> acc + v)"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
+    }),
+    // x154: modularity of the x145 label-propagation partition — the
+    // "did the communities actually capture structure" score:
+    // Q = Σ_c e_c/m − (d_c/2m)². ENTIRELY integer numerator
+    // (4·m·Σe_c − Σd_c²) over exact edge/degree sums, one final
+    // division — both engines agree bit-exactly. Shares x145's edge
+    // surface and propagation helper (one definition, cannot drift).
+    "x154_modularity" -> ((s, dir) => {
+      val und = graft.engine.CacheScope.persistTracked(
+        coPurchaseEdges(s, dir))
+      val labels = graft.engine.CacheScope.persistTracked(
+        labelPropagate(und, rounds = 2))
+      val m = und.agg(count(lit(1)).as("m"))
+      val ec = und
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("ec"))
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val dc = deg.join(labels, "node")
+        .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
+      dc.join(ec, Seq("label"), "left")
+        .select(col("label"), coalesce(col("ec"), lit(0L)).as("ec"),
+          col("dc"))
+        .agg(count(lit(1)).as("n_communities"), sum(col("ec")).as("sec"),
+          sum(col("dc") * col("dc")).as("sdc2"))
+        .crossJoin(broadcast(m))
+        .select(col("n_communities"), col("m"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(4 * m * sec - sdc2 AS DOUBLE) / " +
+              "CAST(4 * m * m AS DOUBLE)"), 6).as("q"))
+    }),
+    // x155: Poisson bootstrap confidence interval for the mean event
+    // value — the scale-standard resampling (per-replica weights drawn
+    // independently per row, so replicas build in ONE pass with no
+    // global resample). Weights come off a SHARED inverse-CDF CASE over
+    // the md5 ticket (deterministic, engine-identical); replica means
+    // ride exact integer Σw/Σw·vm; the CI is an order-statistic read of
+    // the 20 bounded replica means.
+    "x155_poisson_bootstrap" -> ((s, dir) => {
+      val e = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir).select(col("event_id"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm")))
+      val reps = e
+        .select(col("event_id"), col("vm"),
+          explode(typedlit((0L until 20L).toSeq)).as("b"))
+        .withColumn("u", expr("substr(md5(concat('bs', " +
+          "CAST(b AS STRING), ':', CAST(event_id AS STRING))), 1, 4)"))
+        .withColumn("w", expr(PoissonCaseSql))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("vm")).as("swv"))
+        .select(col("b"), expr(BootMeanSql).as("mean_b"))
+      val overall = e.agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+      reps.agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+        .crossJoin(broadcast(overall))
+        .select(col("n").as("n_events"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sv AS DOUBLE) / 1e6 / n"), 6).as("mean"),
+          graft.functions.EngineMath.roundAway(
+            element_at(col("ms"), 2), 6).as("boot_lo"),
+          graft.functions.EngineMath.roundAway(
+            element_at(col("ms"), 19), 6).as("boot_hi"))
     }),
     // x150: AMS second-frequency-moment sketch vs exact F2 — Σ c_t²
     // (the "surprise number" behind join-size estimation and skew
@@ -3317,6 +3360,42 @@ object ExtensionQueries {
     s"($po - $pe) / (1.0 - $pe)"
   }
 
+  /** The x145/x154 shared graph surface: undirected (u < v) part
+    * co-purchase edges (parts sharing an order), deduped.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val po = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    po.as("a").join(po.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+  }
+
+  /** The x145/x154 shared synchronous mode-label propagation: per round
+    * each node takes the (count DESC, label ASC) argmax of its
+    * neighbors' labels — deterministic, no damping. Returns
+    * (node, label) for every node of the undirected edge set.
+    */
+  private def labelPropagate(und: DataFrame, rounds: Int): DataFrame = {
+    val edges = graft.engine.CacheScope.persistTracked(
+      und.union(und.select(col("v").as("u"), col("u").as("v"))))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))
+      labels = edges
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wN))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels
+  }
+
   /** x150's estimator sign rule — first md5 hex digit of 'ams<j>:<term>'
     * odd → +1 — as ONE predicate string both engines evaluate on their
     * identical lowercase-hex md5; no bit intrinsics, no conv.
@@ -3327,6 +3406,22 @@ object ExtensionQueries {
 
   /** x152's coverage checkpoints — one constant feeds both engines. */
   private[graft] val CoverageKs = Seq(10L, 50L, 100L, 1000L)
+
+  /** x155's Poisson(1) inverse-CDF thresholds as 4-hex-digit ticket
+    * bounds (floor(cdf·65536), the Sampling.thresholdHex device) — the
+    * CASE is ONE string over the per-engine `u` ticket column, so the
+    * weight draw cannot drift. Scala-computed constants; both engines
+    * compare the identical literals.
+    */
+  private val PoissonThreshHex: Seq[String] = {
+    val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.floor(c * 65536).toLong}%04x")
+  }
+  private val PoissonCaseSql: String =
+    "CASE " + PoissonThreshHex.zipWithIndex.map { case (h, k) =>
+      s"WHEN u < '$h' THEN $k" }.mkString(" ") + " ELSE 5 END"
+  private val BootMeanSql: String = "CAST(swv AS DOUBLE) / 1e6 / sw"
 
   /** x142's normal-equation chain over the exact integer ln-sums
     * (n, sx, sy, sxy, sxx — micro-scaled by 1e6/1e12) — ONE string per
@@ -5475,6 +5570,53 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // x145's unrolled propagation + the same integer 4·m·Σe_c − Σd_c²
+    // numerator
+    "x154_modularity" ->
+      ("""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |ud AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+         |ed AS (SELECT u, v FROM ud UNION ALL SELECT v AS u, u AS v FROM ud),
+         |r1 AS (SELECT node, label FROM (
+         |  SELECT e.u AS node, e.v AS label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.u ORDER BY count(*) DESC, e.v) AS rk
+         |  FROM ed e GROUP BY 1, 2) WHERE rk = 1),
+         |r2 AS (SELECT node, label FROM (
+         |  SELECT e.u AS node, l.label AS label, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.label) AS rk
+         |  FROM ed e JOIN r1 l ON l.node = e.v GROUP BY 1, 2) WHERE rk = 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ud),
+         |ec AS (SELECT l1.label, CAST(count(*) AS BIGINT) AS ec FROM ud
+         |  JOIN r2 l1 ON l1.node = ud.u JOIN r2 l2 ON l2.node = ud.v
+         |  WHERE l1.label = l2.label GROUP BY 1),
+         |dg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |dc AS (SELECT r2.label, CAST(sum(dg.deg) AS BIGINT) AS dc
+         |  FROM dg JOIN r2 ON r2.node = dg.node GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(coalesce(ec.ec, 0)) AS BIGINT) AS sec,
+         |    CAST(sum(dc.dc * dc.dc) AS BIGINT) AS sdc2
+         |  FROM dc LEFT JOIN ec ON ec.label = dc.label)
+         |SELECT n_communities, m,
+         |  round(CAST(4 * m * sec - sdc2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS q
+         |FROM s CROSS JOIN mm""".stripMargin.replace("\n", " ")),
+    // same shared inverse-CDF CASE over the same ticket, same integer
+    // replica sums, same order-statistic CI read
+    "x155_poisson_bootstrap" ->
+      (s"""WITH e AS (SELECT event_id, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM events),
+         |bb AS (SELECT unnest(range(0, 20)) AS b),
+         |r AS (SELECT bb.b, e.vm, substr(md5(concat('bs',
+         |    CAST(bb.b AS VARCHAR), ':', CAST(e.event_id AS VARCHAR))), 1, 4) AS u
+         |  FROM e CROSS JOIN bb),
+         |w AS (SELECT b, CAST($PoissonCaseSql AS BIGINT) AS w, vm FROM r),
+         |g AS (SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+         |    CAST(sum(w * vm) AS BIGINT) AS swv FROM w GROUP BY 1),
+         |mb AS (SELECT ($BootMeanSql) AS mean_b FROM g),
+         |ms AS (SELECT list_sort(list(mean_b)) AS ms FROM mb),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS sv FROM e)
+         |SELECT n AS n_events, round(CAST(sv AS DOUBLE) / 1e6 / n, 6) AS mean,
+         |  round(ms[2], 6) AS boot_lo, round(ms[19], 6) AS boot_hi
+         |FROM ms CROSS JOIN t""".stripMargin.replace("\n", " ")),
     // same md5-parity sign rule (shared predicate strings), same integer
     // estimator sums, same sorted-median read
     "x150_ams_f2" ->

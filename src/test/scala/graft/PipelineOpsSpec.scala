@@ -828,6 +828,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("alpha") > 0.0)
   }
 
+  test("x154: modularity matches a driver recompute over the x145 labels") {
+    val r = run("x154_modularity").collect().head
+    val labels = run("x145_label_prop").collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = po.as("a").join(po.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val m = edges.length.toLong
+    assert(r.getAs[Long]("m") == m)
+    val sec = edges.count { case (u, v) => labels(u) == labels(v) }.toLong
+    val dc = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(labels).map { case (_, v) => v.length.toLong }
+    assert(r.getAs[Long]("n_communities") == labels.values.toSet.size)
+    val want = (4 * m * sec - dc.map(d => d * d).sum).toDouble / (4 * m * m).toDouble
+    assert(math.abs(r.getAs[Double]("q") - want) < 1e-5)
+    assert(want > -0.5 && want <= 1.0)
+  }
+
+  test("x155: bootstrap CI ordered, brackets plausible, deterministic") {
+    val r1 = run("x155_poisson_bootstrap").collect().head
+    val r2 = run("x155_poisson_bootstrap").collect().head
+    assert(r1 == r2, "md5-driven bootstrap must be rerun-identical")
+    val (mean, lo, hi) = (r1.getAs[Double]("mean"),
+      r1.getAs[Double]("boot_lo"), r1.getAs[Double]("boot_hi"))
+    assert(lo <= hi)
+    assert(math.abs(hi - lo) < math.abs(mean).max(1.0),
+      s"CI [$lo,$hi] implausibly wide vs mean $mean")
+    assert(mean >= lo - (hi - lo) && mean <= hi + (hi - lo),
+      s"mean $mean far outside CI [$lo,$hi]")
+    val n = Tables.events(spark, sf()).count()
+    assert(r1.getAs[Long]("n_events") == n)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
