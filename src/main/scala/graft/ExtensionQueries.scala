@@ -3037,6 +3037,75 @@ object ExtensionQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     }),
+    // x156: MMR (maximal marginal relevance) diversified re-ranking —
+    // 5 greedy picks per query from the exact top-10 pool, maximizing
+    // λ·rel − (1−λ)·max-sim-to-selected (λ=0.7): the standard
+    // redundancy-pruning re-rank after retrieval. ENTIRELY integer
+    // greedy: rel and pairwise sims micro-quantize once, so the score
+    // is 7·relm − 3·maxsimm and every argmax is integer-keyed — no
+    // float comparison anywhere in the loop. All state is
+    // pool-bounded (10 rows/query, 90 sims/query); the oracle unrolls
+    // the 5 rounds.
+    "x156_mmr_diversify" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        call_function("graft_dot", x, y)
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qv"),
+          sqrt(dot(col("vec"), col("vec"))).as("qnorm"))
+      val it = e.select(col("vec_id").as("item_id"), col("vec").as("iv"),
+        sqrt(dot(col("vec"), col("vec"))).as("inorm"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+      val pool = graft.engine.CacheScope.persistTracked(
+        it.crossJoin(broadcast(q))
+          .filter(col("item_id") =!= col("query_id"))
+          .withColumn("cos",
+            dot(col("iv"), col("qv")) / (col("inorm") * col("qnorm")))
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 10)
+          .withColumn("relm", floor(col("cos") * 1e6 + lit(0.5)).cast("long"))
+          .select(col("query_id"), col("item_id"), col("iv"), col("inorm"),
+            col("relm")))
+      val sims = graft.engine.CacheScope.persistTracked(
+        pool.as("x").join(pool.as("y"), "query_id")
+          .filter(col("x.item_id") =!= col("y.item_id"))
+          .select(col("query_id"), col("x.item_id").as("ca"),
+            col("y.item_id").as("cb"),
+            floor(dot(col("x.iv"), col("y.iv")) /
+              (col("x.inorm") * col("y.inorm")) * 1e6 + lit(0.5))
+              .cast("long").as("simm")))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("scorem").desc, col("item_id"))
+      var picked = pool.withColumn("scorem", lit(7L) * col("relm"))
+        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .select(col("query_id"), col("item_id"), lit(1L).as("pick_no"),
+          col("scorem"))
+      for (r <- 2 to 5) {
+        val maxs = sims
+          .join(picked.select(col("query_id"), col("item_id").as("cb")),
+            Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca"))
+          .agg(max(col("simm")).as("maxsimm"))
+          .select(col("query_id"), col("ca").as("item_id"), col("maxsimm"))
+        val next = pool
+          .join(picked.select(col("query_id"), col("item_id")),
+            Seq("query_id", "item_id"), "left_anti")
+          .join(maxs, Seq("query_id", "item_id"), "left")
+          .withColumn("scorem",
+            lit(7L) * col("relm") - lit(3L) * coalesce(col("maxsimm"), lit(0L)))
+          .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+          .select(col("query_id"), col("item_id"), lit(r.toLong).as("pick_no"),
+            col("scorem"))
+        picked = picked.union(next)
+      }
+      picked.select(col("query_id"), col("pick_no"), col("item_id"),
+        graft.functions.EngineMath.roundAway(
+          col("scorem").cast("double") / 1e7, 6).as("mmr_score"))
+        .orderBy(col("query_id"), col("pick_no"))
+    }),
     // x154: modularity of the x145 label-propagation partition — the
     // "did the communities actually capture structure" score:
     // Q = Σ_c e_c/m − (d_c/2m)². ENTIRELY integer numerator
@@ -5570,6 +5639,59 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // the same micro-quantized pool/sims and the same integer
+    // 7·relm − 3·maxsimm greedy, all 5 rounds unrolled
+    "x156_mmr_diversify" -> {
+      val head =
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |itf AS (SELECT vec_id AS item_id, v AS iv FROM e),
+           |pool AS (SELECT query_id, item_id, relm, iv FROM (
+           |  SELECT query_id, item_id,
+           |    CAST(floor(($cosSql) * 1e6 + 0.5) AS BIGINT) AS relm, iv,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $cosSql DESC, item_id) AS rank
+           |  FROM itf CROSS JOIN qf WHERE item_id != query_id) WHERE rank <= 10),
+           |sims AS (SELECT x.query_id, x.item_id AS ca, y.item_id AS cb,
+           |    CAST(floor((list_dot_product(x.iv, y.iv) /
+           |      (sqrt(list_dot_product(x.iv, x.iv)) * sqrt(list_dot_product(y.iv, y.iv))))
+           |      * 1e6 + 0.5) AS BIGINT) AS simm
+           |  FROM pool x JOIN pool y ON x.query_id = y.query_id
+           |    AND x.item_id != y.item_id),
+           |r1 AS (SELECT query_id, item_id, scorem FROM (
+           |  SELECT query_id, item_id, 7 * relm AS scorem,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY 7 * relm DESC, item_id) AS rk FROM pool) WHERE rk = 1),
+           |pk1 AS (SELECT query_id, item_id FROM r1)"""
+          .stripMargin.replace("\n", " ")
+      def round(i: Int): String = {
+        val prev = s"pk${i - 1}"
+        (s"""m$i AS (SELECT s.query_id, s.ca AS item_id, max(s.simm) AS maxsimm
+            |  FROM sims s JOIN $prev pp ON pp.query_id = s.query_id
+            |    AND pp.item_id = s.cb GROUP BY 1, 2),
+            |r$i AS (SELECT query_id, item_id, scorem FROM (
+            |  SELECT p.query_id, p.item_id,
+            |    7 * p.relm - 3 * coalesce(m$i.maxsimm, 0) AS scorem,
+            |    row_number() OVER (PARTITION BY p.query_id
+            |      ORDER BY 7 * p.relm - 3 * coalesce(m$i.maxsimm, 0) DESC,
+            |      p.item_id) AS rk
+            |  FROM pool p
+            |  LEFT JOIN m$i ON m$i.query_id = p.query_id
+            |    AND m$i.item_id = p.item_id
+            |  LEFT JOIN $prev ex ON ex.query_id = p.query_id
+            |    AND ex.item_id = p.item_id
+            |  WHERE ex.item_id IS NULL) WHERE rk = 1),
+            |pk$i AS (SELECT query_id, item_id FROM $prev
+            |  UNION ALL SELECT query_id, item_id FROM r$i)"""
+          .stripMargin.replace("\n", " "))
+      }
+      val sel = (1 to 5).map(i =>
+        s"SELECT query_id, CAST($i AS BIGINT) AS pick_no, item_id, " +
+          s"round(CAST(scorem AS DOUBLE) / 1e7, 6) AS mmr_score FROM r$i")
+        .mkString(" UNION ALL ")
+      head + ", " + (2 to 5).map(round).mkString(", ") + " " + sel +
+        " ORDER BY query_id, pick_no"
+    },
     // x145's unrolled propagation + the same integer 4·m·Σe_c − Σd_c²
     // numerator
     "x154_modularity" ->

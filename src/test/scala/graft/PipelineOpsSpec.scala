@@ -864,6 +864,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_events") == n)
   }
 
+  test("x156: 5 distinct picks per query; pick 1 is the exact top-1; scores bounded") {
+    val rows = run("x156_mmr_diversify").collect()
+    assert(rows.length == 25, "5 queries x 5 picks")
+    val eD = Tables.table(spark, sf(), "embeddings")
+      .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
+    val top1 = graft.operators.Similarity.bruteForceTopK(
+      eD, "vec_id", "vec", eD.filter(col("vec_id") < 5), "vec_id", "vec",
+      k = 1)
+      .collect().map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Long]("item_id")).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val picks = rs.sortBy(_.getAs[Long]("pick_no")).map(_.getAs[Long]("item_id"))
+      assert(picks.distinct.length == 5, s"query $q picked a duplicate")
+      assert(picks.head == top1(q),
+        s"query $q pick 1 ${picks.head} != exact top-1 ${top1(q)}")
+      val scores = rs.sortBy(_.getAs[Long]("pick_no")).map(_.getAs[Double]("mmr_score"))
+      // pick 1 score is 0.7*rel(top1) <= 0.7; later picks carry a
+      // diversity penalty so they are bounded by 0.7 too
+      scores.foreach(sc => assert(sc <= 0.7 + 1e-9 && sc >= -1.0))
+      assert(scores.head >= scores.last - 1e-9,
+        s"query $q first MMR score below last — penalty inverted")
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
