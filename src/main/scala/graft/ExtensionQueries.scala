@@ -3058,24 +3058,30 @@ object ExtensionQueries {
         sqrt(dot(col("vec"), col("vec"))).as("inorm"))
       val wR = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
-      val pool = graft.engine.CacheScope.persistTracked(
-        it.crossJoin(broadcast(q))
-          .filter(col("item_id") =!= col("query_id"))
-          .withColumn("cos",
-            dot(col("iv"), col("qv")) / (col("inorm") * col("qnorm")))
-          .withColumn("rank", row_number().over(wR))
-          .filter(col("rank") <= 10)
-          .withColumn("relm", floor(col("cos") * 1e6 + lit(0.5)).cast("long"))
-          .select(col("query_id"), col("item_id"), col("iv"), col("inorm"),
-            col("relm")))
-      val sims = graft.engine.CacheScope.persistTracked(
-        pool.as("x").join(pool.as("y"), "query_id")
-          .filter(col("x.item_id") =!= col("y.item_id"))
-          .select(col("query_id"), col("x.item_id").as("ca"),
-            col("y.item_id").as("cb"),
-            floor(dot(col("x.iv"), col("y.iv")) /
-              (col("x.inorm") * col("y.inorm")) * 1e6 + lit(0.5))
-              .cast("long").as("simm")))
+      val pool0 = it.crossJoin(broadcast(q))
+        .filter(col("item_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("iv"), col("qv")) / (col("inorm") * col("qnorm")))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .withColumn("relm", floor(col("cos") * 1e6 + lit(0.5)).cast("long"))
+        .select(col("query_id"), col("item_id"), col("iv"), col("inorm"),
+          col("relm"))
+      // the pool is BOUNDED (10 rows × |queries|) — collect it once and
+      // re-parallelize, so the corpus-scale brute scan runs exactly ONE
+      // action (a persisted pool referenced in its own self-join loses
+      // cache substitution and re-scans — the a17 trap; measured 23 s →
+      // the scan cost once). The greedy loop then runs on local-sized
+      // frames only.
+      val pool = s.createDataFrame(
+        s.sparkContext.parallelize(pool0.collect().toSeq, 1), pool0.schema)
+      val sims = pool.as("x").join(pool.as("y"), "query_id")
+        .filter(col("x.item_id") =!= col("y.item_id"))
+        .select(col("query_id"), col("x.item_id").as("ca"),
+          col("y.item_id").as("cb"),
+          floor(dot(col("x.iv"), col("y.iv")) /
+            (col("x.inorm") * col("y.inorm")) * 1e6 + lit(0.5))
+            .cast("long").as("simm"))
       val wPick = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("scorem").desc, col("item_id"))
