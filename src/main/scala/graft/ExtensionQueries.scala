@@ -3037,6 +3037,105 @@ object ExtensionQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     }),
+    // x157: IDF-weighted Jaccard near-dup verification — x91's
+    // sorted-neighborhood candidates re-scored with Σ idf(∩)/Σ idf(∪)
+    // instead of set Jaccard, so shared RARE tokens count and shared
+    // boilerplate doesn't: the docs that agree on distinctive content
+    // surface. idf micro-quantizes to integers, per-doc weight sums
+    // precompute once, and the 0.3 threshold compares as
+    // 10·sI ≥ 3·(sA+sB−sI) — ENTIRELY integer, no float in the gate.
+    // Same O(n·w) candidate bound as x91; the idf table floors its
+    // Zipf tail at 100 TB like x50's head.
+    "x157_weighted_jaccard" -> ((s, dir) => {
+      val k = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ts"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+            1, 24).as("bk")))
+      val tot = k.agg(count(lit(1)).as("nn"))
+      val idf = k.select(explode(col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"),
+          floor(log((col("nn") + lit(1)).cast("double") / (col("df") + lit(1)))
+            * 1e6 + lit(0.5)).cast("long").as("wm"))
+      val docw = k.select(col("doc_id").as("id"), explode(col("ts")).as("t"))
+        .join(idf, "t").groupBy(col("id")).agg(sum(col("wm")).as("sw"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("bk"), col("doc_id"))
+      val r = k.withColumn("rnk", row_number().over(wB).cast("long"))
+      val cand = r
+        .select(col("lang"), col("doc_id").as("ida"), col("ts").as("tsa"),
+          col("rnk"), explode(typedlit((1L to 5L).toSeq)).as("d"))
+        .withColumn("rnk_b", col("rnk") + col("d"))
+        .join(r.select(col("lang"), col("doc_id").as("idb"),
+          col("ts").as("tsb"), col("rnk").as("rnk_b")), Seq("lang", "rnk_b"))
+        .select(col("ida"), col("idb"), col("tsa"), col("tsb"))
+      val inter = cand
+        .select(col("ida"), col("idb"), col("tsb"),
+          explode(col("tsa")).as("t"))
+        .filter(array_contains(col("tsb"), col("t")))
+        .join(idf, "t")
+        .groupBy(col("ida"), col("idb")).agg(sum(col("wm")).as("si"))
+      cand.select(col("ida"), col("idb"))
+        .join(inter, Seq("ida", "idb"), "left")
+        .join(docw.select(col("id").as("ida"), col("sw").as("sa")), "ida")
+        .join(docw.select(col("id").as("idb"), col("sw").as("sb")), "idb")
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"),
+          coalesce(col("si"), lit(0L)).as("si"),
+          (col("sa") + col("sb") - coalesce(col("si"), lit(0L))).as("su"))
+        .filter(col("su") > 0 && lit(10L) * col("si") >= lit(3L) * col("su"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(si AS DOUBLE) / CAST(su AS DOUBLE)"), 6).as("wjaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // x158: user lifecycle cohorts — weekly growth accounting (new /
+    // retained / resurrected) off each user's active-week sequence: the
+    // engagement report behind every retention dashboard (x76 measures
+    // a fixed cohort's comeback; this classifies EVERY active week).
+    // Weeks become integer epoch-week indices, so the lag comparison is
+    // integer and the state CASE is ONE shared string; per-user state
+    // is the bounded active-week axis.
+    "x158_lifecycle_cohorts" -> ((s, dir) => {
+      val weekly = Tables.events(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+        .withColumn("wd", expr("datediff(wk, DATE '1970-01-05') div 7"))
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("wd"))
+      weekly.withColumn("pwd", lag(col("wd"), 1).over(wU))
+        .withColumn("state", expr(LifecycleCaseSql))
+        .groupBy(col("wk"), col("state"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("wk"), col("state"))
+    }),
+    // x159: skip-gram co-occurrence — distance-weighted (1/d, d ≤ 2)
+    // token-pair counts, the word2vec-style corpus statistic one step
+    // wider than x89's adjacent-only PMI. Weights are exact integers
+    // (1e6/d for d ∈ {1,2}), counts per distance stay separate columns,
+    // and the top-50 argsort is integer-keyed.
+    "x159_skipgram_pairs" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(TextFunctions.tokens(col("text")).as("ts")))
+      def atDist(d: Int) = toks.filter(size(col("ts")) > d)
+        .select(explode(expr(s"transform(sequence(1, size(ts) - $d), " +
+          s"i -> struct(element_at(ts, i) AS a, element_at(ts, i + $d) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), lit(d.toLong).as("d"))
+      atDist(1).union(atDist(2))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("d") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(expr("1000000 div d")).as("swm"))
+        .orderBy(col("swm").desc, col("a"), col("b"))
+        .limit(50)
+        .select(col("a"), col("b"), col("n1"), col("n2"),
+          graft.functions.EngineMath.roundAway(
+            col("swm").cast("double") / 1e6, 6).as("score"))
+    }),
     // x156: MMR (maximal marginal relevance) diversified re-ranking —
     // 5 greedy picks per query from the exact top-10 pool, maximizing
     // λ·rel − (1−λ)·max-sim-to-selected (λ=0.7): the standard
@@ -3497,6 +3596,13 @@ object ExtensionQueries {
     "CASE " + PoissonThreshHex.zipWithIndex.map { case (h, k) =>
       s"WHEN u < '$h' THEN $k" }.mkString(" ") + " ELSE 5 END"
   private val BootMeanSql: String = "CAST(swv AS DOUBLE) / 1e6 / sw"
+
+  /** x158's state rule over the integer epoch-week columns (pwd, wd) —
+    * ONE string evaluated by both engines.
+    */
+  private val LifecycleCaseSql: String =
+    "CASE WHEN pwd IS NULL THEN 'new' WHEN wd - pwd = 1 THEN 'retained' " +
+      "ELSE 'resurrected' END"
 
   /** x142's normal-equation chain over the exact integer ln-sums
     * (n, sx, sy, sxy, sxx — micro-scaled by 1e6/1e12) — ONE string per
@@ -5645,6 +5751,64 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // x91's blocking + the same integer idf sums and the same
+    // 10·sI ≥ 3·(sA+sB−sI) integer gate
+    "x157_weighted_jaccard" ->
+      (s"""WITH k AS (SELECT doc_id, lang, list_distinct($toks) AS ts,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk
+         |  FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM k),
+         |dfr AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(ts) AS t FROM k) GROUP BY 1),
+         |idf AS (SELECT t, CAST(floor(ln(CAST(nn + 1 AS DOUBLE) / (df + 1))
+         |    * 1e6 + 0.5) AS BIGINT) AS wm FROM dfr CROSS JOIN tot),
+         |docw AS (SELECT kt.doc_id AS id, CAST(sum(idf.wm) AS BIGINT) AS sw
+         |  FROM (SELECT doc_id, unnest(ts) AS t FROM k) kt
+         |  JOIN idf ON idf.t = kt.t GROUP BY 1),
+         |r AS (SELECT doc_id, lang, ts, CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY bk, doc_id) AS BIGINT) AS rnk FROM k),
+         |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.ts AS tsa, b.ts AS tsb
+         |  FROM r a CROSS JOIN (SELECT unnest(range(1, 6)) AS d) s
+         |  JOIN r b ON b.lang = a.lang AND b.rnk = a.rnk + s.d),
+         |si AS (SELECT ida, idb, CAST(sum(idf.wm) AS BIGINT) AS si
+         |  FROM (SELECT ida, idb, unnest(list_intersect(tsa, tsb)) AS t FROM cand) ci
+         |  JOIN idf ON idf.t = ci.t GROUP BY 1, 2),
+         |f AS (SELECT least(c.ida, c.idb) AS id_a, greatest(c.ida, c.idb) AS id_b,
+         |    coalesce(si.si, 0) AS si, da.sw + db.sw - coalesce(si.si, 0) AS su
+         |  FROM cand c LEFT JOIN si ON si.ida = c.ida AND si.idb = c.idb
+         |  JOIN docw da ON da.id = c.ida JOIN docw db ON db.id = c.idb)
+         |SELECT id_a, id_b, round(CAST(si AS DOUBLE) / CAST(su AS DOUBLE), 6) AS wjaccard
+         |FROM f WHERE su > 0 AND 10 * si >= 3 * su
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    // same Monday-epoch integer week index, the SAME state CASE string
+    "x158_lifecycle_cohorts" ->
+      (s"""WITH w AS (SELECT DISTINCT user_id,
+         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         |d AS (SELECT user_id, wk,
+         |    datediff('day', DATE '1970-01-05', wk) // 7 AS wd FROM w),
+         |l AS (SELECT user_id, wk, wd,
+         |    lag(wd) OVER (PARTITION BY user_id ORDER BY wd) AS pwd FROM d)
+         |SELECT wk, $LifecycleCaseSql AS state,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM l GROUP BY 1, 2 ORDER BY wk, state"""
+        .stripMargin.replace("\n", " ")),
+    // same two distance explodes, same integer 1e6/d weights and
+    // integer-keyed top-50
+    "x159_skipgram_pairs" ->
+      (s"""WITH m AS (SELECT $toks AS s FROM documents),
+         |g1 AS (SELECT unnest([{'a': s[i], 'b': s[i+1]} for i in range(1, len(s))]) AS p
+         |  FROM m WHERE len(s) > 1),
+         |g2 AS (SELECT unnest([{'a': s[i], 'b': s[i+2]} for i in range(1, len(s) - 1)]) AS p
+         |  FROM m WHERE len(s) > 2),
+         |u AS (SELECT p.a AS a, p.b AS b, 1 AS d FROM g1
+         |  UNION ALL SELECT p.a AS a, p.b AS b, 2 AS d FROM g2),
+         |g AS (SELECT a, b,
+         |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(1000000 // d) AS BIGINT) AS swm FROM u GROUP BY 1, 2)
+         |SELECT a, b, n1, n2, round(CAST(swm AS DOUBLE) / 1e6, 6) AS score
+         |FROM g ORDER BY swm DESC, a, b LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
     // the same micro-quantized pool/sims and the same integer
     // 7·relm − 3·maxsimm greedy, all 5 rounds unrolled
     "x156_mmr_diversify" -> {

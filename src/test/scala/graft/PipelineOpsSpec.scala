@@ -888,6 +888,72 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x157: pairs ordered and above threshold; one pair matches a driver idf recompute") {
+    val rows = run("x157_weighted_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("wjaccard") >= 0.3 - 1e-9)
+      assert(r.getAs[Double]("wjaccard") <= 1.0 + 1e-9)
+    }
+    // driver recompute of the first pair
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).distinct.toSet)
+      .toMap
+    val nn = docs.size
+    val df = docs.values.flatten.groupBy(identity).map { case (t, v) => t -> v.size }
+    def wm(t: String): Long =
+      math.floor(math.log((nn + 1).toDouble / (df(t) + 1)) * 1e6 + 0.5).toLong
+    val first = rows.minBy(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val (a, b) = (docs(first.getAs[Long]("id_a")), docs(first.getAs[Long]("id_b")))
+    val si = (a & b).toSeq.map(wm).sum
+    val su = a.toSeq.map(wm).sum + b.toSeq.map(wm).sum - si
+    assert(math.abs(first.getAs[Double]("wjaccard") - si.toDouble / su) < 1e-5)
+  }
+
+  test("x158: every user is 'new' exactly once; states partition active weeks") {
+    val rows = run("x158_lifecycle_cohorts").collect()
+    val states = rows.map(_.getAs[String]("state")).toSet
+    assert(states.subsetOf(Set("new", "retained", "resurrected")))
+    val users = Tables.events(spark, sf())
+      .select(col("user_id")).distinct().count()
+    assert(rows.filter(_.getAs[String]("state") == "new")
+      .map(_.getAs[Long]("n_users")).sum == users,
+      "each user must be classified 'new' exactly once")
+    val weeklyActive = Tables.events(spark, sf())
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == weeklyActive,
+      "states must partition all (user, active week) rows")
+    // the earliest week is all-new
+    val firstWk = rows.map(_.getAs[java.sql.Date]("wk").toString).min
+    rows.filter(_.getAs[java.sql.Date]("wk").toString == firstWk)
+      .foreach(r => assert(r.getAs[String]("state") == "new"))
+  }
+
+  test("x159: top skip-gram pair matches a driver recount; score identity holds") {
+    val rows = run("x159_skipgram_pairs").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val want = (r.getAs[Long]("n1") * 1000000L + r.getAs[Long]("n2") * 500000L)
+        .toDouble / 1e6
+      assert(math.abs(r.getAs[Double]("score") - want) < 1e-6,
+        "score must equal the integer weight identity")
+    }
+    val top = rows.head
+    val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+    val toks = Tables.table(spark, sf(), "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+    val n1 = toks.map(_.sliding(2).count(w =>
+      w.length == 2 && w(0) == a && w(1) == b)).sum
+    val n2 = toks.map(_.sliding(3).count(w =>
+      w.length == 3 && w(0) == a && w(2) == b)).sum
+    assert(top.getAs[Long]("n1") == n1 && top.getAs[Long]("n2") == n2)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
