@@ -3037,6 +3037,114 @@ object ExtensionQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     }),
+    // x160: TF-IDF lexical search — "find documents like this one"
+    // without embeddings: per-doc sparse tf·idf vectors, cosine via the
+    // shared-term join, top-10 per query doc. Weights are exact
+    // integers (tf · micro-idf); dot products and squared norms ride
+    // DECIMAL(38,0) so a 100 TB document can't overflow; the cosine
+    // chain is ONE shared string off those exact sums. Query side is 3
+    // docs — the x10 broadcast shape.
+    "x160_tfidf_search" -> ((s, dir) => {
+      val k = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+            .as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+      val tot = k.select(col("doc_id")).distinct().agg(count(lit(1)).as("nn"))
+      val idf = k.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"),
+          floor(log((col("nn") + lit(1)).cast("double") / (col("df") + lit(1)))
+            * 1e6 + lit(0.5)).cast("long").as("idfm"))
+      val w = graft.engine.CacheScope.persistTracked(
+        k.join(idf, "t").select(col("doc_id"), col("t"),
+          (col("tf") * col("idfm")).as("w")))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nsq"))
+      val qw = w.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("t"), col("w").as("wq"))
+      val dots = w.join(qw, "t")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum((col("w") * col("wq")).cast("decimal(38,0)")).as("dot"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+      dots
+        .join(norms.select(col("doc_id"), col("nsq").as("nd")), "doc_id")
+        .join(norms.select(col("doc_id").as("query_id"),
+          col("nsq").as("nq")), "query_id")
+        .withColumn("cos", expr(TfidfCosSql))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          graft.functions.EngineMath.roundAway(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // x161: SimHash candidate-quality evaluation — precision/recall/F1
+    // of the banded hamming≤10 pairs (x08's index shape) against the
+    // LOSSLESS prefix-filtered exact-Jaccard truth at 0.8 (x92's path,
+    // sub-quadratic on BOTH sides — no all-pairs join anywhere in the
+    // engine). The three ratios are integer-count divisions; this is
+    // the measurement that justifies (or indicts) shipping the cheap
+    // signature index.
+    "x161_simhash_eval" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sh = graft.engine.CacheScope.persistTracked(
+        Dedup.simhashTable(docs, "doc_id", "text"))
+      Stage.write(sh, dir, "x161_simhash")
+      val pred = Dedup.simhashPairsOf(sh, maxDist = 10)
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+        k = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+      val tp = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("tp"))
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(tp))
+        .select(col("n_truth"), col("n_pred"), col("tp"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tp AS DOUBLE) / n_pred"), 6).as("precision"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tp AS DOUBLE) / n_truth"), 6).as("recall"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(2 * tp AS DOUBLE) / (n_pred + n_truth)"), 6).as("f1"))
+    }),
+    // x162: optimal quality-gate threshold — sweep every distinct x03
+    // quality score as a candidate cutoff and pick the F1-argmax against
+    // the src0 labels: the operating-point selection every filter ships
+    // with. Cumulative TP/FP ride the score-DESC window over DISTINCT
+    // scores (bounded by the 4-dp quantization, ≤10⁴ rows); F1
+    // micro-quantizes off the integer counts so the argmax is
+    // integer-keyed (ties → higher threshold).
+    "x162_optimal_threshold" -> ((s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(
+          TextFunctions.qualityScoreOf(
+            TextFunctions.tokens(col("text")), col("text")).as("score"),
+          (col("source") === "src0").cast("long").as("pos"))
+      val byScore = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val tot = byScore.agg(sum(col("n")).as("nn"), sum(col("np")).as("p"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      byScore
+        .withColumn("tp", sum(col("np")).over(wCum))
+        .withColumn("predn", sum(col("n")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .withColumn("fp", col("predn") - col("tp"))
+        .withColumn("fn", col("p") - col("tp"))
+        .withColumn("f1m", expr(F1MicroSql))
+        .orderBy(col("f1m").desc, col("score").desc)
+        .limit(1)
+        .select(col("score").as("threshold"), col("tp"), col("fp"), col("fn"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tp AS DOUBLE) / (tp + fp)"), 6).as("precision"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tp AS DOUBLE) / (tp + fn)"), 6).as("recall"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(f1m AS DOUBLE) / 1e6"), 6).as("f1"))
+    }),
     // x157: IDF-weighted Jaccard near-dup verification — x91's
     // sorted-neighborhood candidates re-scored with Σ idf(∩)/Σ idf(∪)
     // instead of set Jaccard, so shared RARE tokens count and shared
@@ -3603,6 +3711,17 @@ object ExtensionQueries {
   private val LifecycleCaseSql: String =
     "CASE WHEN pwd IS NULL THEN 'new' WHEN wd - pwd = 1 THEN 'retained' " +
       "ELSE 'resurrected' END"
+
+  /** x160's cosine over the exact decimal sums (dot, nq, nd) — ONE
+    * string; the DOUBLE casts land on the decimals, so both engines run
+    * the identical IEEE chain.
+    */
+  private val TfidfCosSql: String =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nd AS DOUBLE)))"
+
+  /** x162's micro-quantized F1 over the integer counts (tp, fp, fn). */
+  private val F1MicroSql: String =
+    "CAST(floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e6 + 0.5) AS BIGINT)"
 
   /** x142's normal-equation chain over the exact integer ln-sums
     * (n, sx, sy, sxy, sxx — micro-scaled by 1e6/1e12) — ONE string per
@@ -5751,6 +5870,77 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // same integer tf·idf weights, same DECIMAL(38,0) dot/norm sums,
+    // the SAME cosine string
+    "x160_tfidf_search" ->
+      (s"""WITH kt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nn FROM kt),
+         |idf AS (SELECT t, CAST(floor(ln(CAST(nn + 1 AS DOUBLE) / (count(*) + 1))
+         |    * 1e6 + 0.5) AS BIGINT) AS idfm FROM kt CROSS JOIN tot GROUP BY t, nn),
+         |w AS (SELECT doc_id, t, tf * idfm AS w FROM kt JOIN idf USING (t)),
+         |norms AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,0))) AS nsq
+         |  FROM w GROUP BY 1),
+         |qw AS (SELECT doc_id AS query_id, t, w AS wq FROM w WHERE doc_id < 3),
+         |dots AS (SELECT qw.query_id, w.doc_id,
+         |    sum(CAST(w.w * qw.wq AS DECIMAL(38,0))) AS dot
+         |  FROM w JOIN qw USING (t) WHERE w.doc_id != qw.query_id GROUP BY 1, 2),
+         |c AS (SELECT query_id, doc_id, $TfidfCosSql AS cos FROM dots
+         |  JOIN (SELECT doc_id, nsq AS nd FROM norms) jn USING (doc_id)
+         |  JOIN (SELECT doc_id AS query_id, nsq AS nq FROM norms) jq USING (query_id))
+         |SELECT query_id, rank, doc_id, round(cos, 6) AS cos FROM (
+         |  SELECT query_id, doc_id, cos, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM c) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+    // the x06/x92 all-pairs truth CTE + x08's staged banded candidates,
+    // integer count ratios
+    "x161_simhash_eval" -> {
+      val chunkRows = Dedup.simhashChunkSpec(10)
+        .map { case (c, off, mask) => s"($c, $off, $mask)" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $shingleSql AS sh
+         |  FROM (SELECT doc_id, $toks AS s FROM documents)),
+         |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |s AS (SELECT id, sh FROM ${Stage.sqlRef("x161_simhash")}),
+         |ch(c_idx, c_off, c_mask) AS (VALUES $chunkRows),
+         |c AS (SELECT id, sh, c_idx, (sh >> c_off) & c_mask AS chunk_val
+         |  FROM s CROSS JOIN ch),
+         |pr AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM c a
+         |  JOIN c b ON a.c_idx = b.c_idx AND a.chunk_val = b.chunk_val
+         |    AND a.id < b.id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 10),
+         |tpc AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM pr JOIN tr USING (id_a, id_b)),
+         |cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pred)
+         |SELECT n_truth, n_pred, tp,
+         |  round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall,
+         |  round(CAST(2 * tp AS DOUBLE) / (n_pred + n_truth), 6) AS f1
+         |FROM cnt CROSS JOIN tpc""".stripMargin.replace("\n", " ")
+    },
+    // the shared x03 quality derivation, the same DESC cumulative
+    // counts, the SAME micro-F1 string and (f1m DESC, score DESC) argmax
+    "x162_optimal_threshold" ->
+      (s"$qualityCtes, " +
+        s"sc AS (SELECT $qualityExprSql AS score, " +
+        "CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+        "FROM c JOIN documents d USING (doc_id)), " +
+        "g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(pos) AS BIGINT) AS np FROM sc GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(np) AS BIGINT) AS p FROM g), " +
+        "cum AS (SELECT score, CAST(sum(np) OVER w AS BIGINT) AS tp, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS predn FROM g " +
+        "WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "f AS (SELECT score, tp, predn - tp AS fp, tt.p - tp AS fn FROM cum CROSS JOIN tt), " +
+        s"x AS (SELECT score, tp, fp, fn, $F1MicroSql AS f1m FROM f) " +
+        "SELECT score AS threshold, tp, fp, fn, " +
+        "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision, " +
+        "round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall, " +
+        "round(CAST(f1m AS DOUBLE) / 1e6, 6) AS f1 " +
+        "FROM x ORDER BY f1m DESC, score DESC LIMIT 1"),
     // x91's blocking + the same integer idf sums and the same
     // 10·sI ≥ 3·(sA+sB−sI) integer gate
     "x157_weighted_jaccard" ->

@@ -954,6 +954,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("n1") == n1 && top.getAs[Long]("n2") == n2)
   }
 
+  test("x160: per-query top-10 descending; results share vocabulary with the query") {
+    val rows = run("x160_tfidf_search").collect()
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.length == 10)
+      val coss = byRank.map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+      coss.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-9))
+      byRank.foreach(r => assert(
+        (docs(q) & docs(r.getAs[Long]("doc_id"))).nonEmpty,
+        "a tf-idf match must share at least one token"))
+      assert(!byRank.exists(_.getAs[Long]("doc_id") == q), "self excluded")
+    }
+  }
+
+  test("x161: eval counts consistent; f1 is the harmonic identity") {
+    val r = run("x161_simhash_eval").collect().head
+    val (tp, np, nt) = (r.getAs[Long]("tp"), r.getAs[Long]("n_pred"),
+      r.getAs[Long]("n_truth"))
+    assert(tp <= math.min(np, nt))
+    assert(r.getAs[Double]("precision") >= 0.0 && r.getAs[Double]("precision") <= 1.0)
+    assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    assert(math.abs(r.getAs[Double]("f1") - 2.0 * tp / (np + nt)) < 1e-5)
+    assert(nt > 0, "truth pairs must exist or the eval is vacuous")
+  }
+
+  test("x162: threshold is an observed score; F1 beats the accept-all baseline") {
+    val r = run("x162_optimal_threshold").collect().head
+    val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"))
+    assert(math.abs(r.getAs[Double]("f1") -
+      math.floor(2.0 * tp / (2 * tp + fp + fn) * 1e6 + 0.5) / 1e6) < 1e-6)
+    val docs = Tables.table(spark, sf(), "documents")
+    val n = docs.count()
+    val p = docs.filter(col("source") === "src0").count()
+    assert(tp + fn == p, "tp+fn must equal the positive count")
+    val f1All = 2.0 * p / (n + p)
+    assert(r.getAs[Double]("f1") >= f1All - 1e-9,
+      "argmax F1 must be at least the accept-all baseline")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
