@@ -3037,6 +3037,115 @@ object ExtensionQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     }),
+    // x163: character-trigram LM scoring — gibberish/encoding-noise
+    // detection one level below x59's word bigrams: per-doc mean
+    // ln((c3+1)/(c2+V)) under the corpus's own char-trigram counts.
+    // Same two-deliberate-scans + position-ordered fold device as
+    // x50/x59; the char explode is the linear scan (≈ corpus chars),
+    // count tables broadcast (alphabet-bounded: ≤27³ trigrams).
+    "x163_char_trigram_lm" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z ]", "").as("cs"))
+        .filter(length(col("cs")) >= 3)
+      val inst = graft.engine.CacheScope.persistTracked(
+        d.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(cs) - 2), i -> " +
+            "struct(i AS pos, substr(cs, i, 3) AS tri, substr(cs, i, 2) AS bi))"))
+          .as("p"))
+          .select(col("doc_id"), col("p.pos").as("pos"),
+            col("p.tri").as("tri"), col("p.bi").as("bi")))
+      val c3 = inst.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+      val c2 = inst.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
+      val v3 = c3.agg(count(lit(1)).as("v"))
+      inst.join(broadcast(c3), "tri").join(broadcast(c2), "bi")
+        .crossJoin(broadcast(v3))
+        .select(col("doc_id"), col("pos"),
+          log((col("c3") + lit(1.0)) / (col("c2") + col("v")).cast("double"))
+            .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          sort_array(collect_list(struct(col("pos"), col("lp")))).as("cs"))
+        .select(col("doc_id"), col("n_tri"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.lp), 0.0d, " +
+              "(acc, v) -> acc + v)") / col("n_tri"), 6).as("mean_lp"))
+        .orderBy(col("doc_id"))
+    }),
+    // x164: dedup impact report — per-source before/after accounting of
+    // exact text dedup (keeper = min doc_id per md5 group, GLOBAL — a
+    // keeper in one source removes copies in every other): the
+    // "what did dedup cost each domain" datacard row. All integer; the
+    // keeper window is md5-partitioned (hash-keyed, never one
+    // partition).
+    "x164_dedup_impact" -> ((s, dir) => {
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntk"))
+        .withColumn("keep", (row_number().over(wH) === 1).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+          sum(col("ntk")).as("tokens"),
+          sum(col("keep") * col("ntk")).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens"), (col("tokens") - col("tokens_kept")).as("tokens_removed"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tokens - tokens_kept AS DOUBLE) / tokens"), 6)
+            .as("pct_removed"))
+        .orderBy(col("source"))
+    }),
+    // x165: MinHash estimate calibration — |sig-agreement/128 − exact J|
+    // over x91's SNM candidate pairs: the measurement that says how many
+    // hashes the signature actually needs. Signatures stage once (the
+    // x08 device — DuckDB re-derives the estimate from the staged
+    // table, no xxhash in SQL); errors micro-quantize so the mean is an
+    // exact integer sum, scale-safe with no collect anywhere.
+    "x165_minhash_estimate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      // TWO checkpoint boundaries, both load-bearing:
+      //  1. shingles materialize BEFORE the 128-hash signature —
+      //     CollapseProject otherwise inlines the shingle expression
+      //     into every signature element, re-tokenizing 128× per row
+      //     (measured 450 s vs ~6 s at sf0.1);
+      //  2. the signature table materializes before its two join
+      //     references — a persisted subtree loses cache substitution
+      //     in its own self-join (the a17/x156 trap).
+      // At scale this IS the signature index build — materialized once
+      // by design (x08 stages the same way).
+      val shd = docs.select(col("doc_id").as("id"),
+        TextFunctions.shingles(col("text"), 3).as("sh")).localCheckpoint()
+      val sigs = shd.select(col("id"),
+        Dedup.minhashSignatureOf(col("sh"), numHashes = 128).as("sig"),
+        col("sh")).localCheckpoint()
+      Stage.write(sigs.select(col("id"), col("sig")), dir, "x165_sigs")
+      val cand = graft.operators.Snm.pairs(docs, "doc_id", "text",
+        blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0)
+        .select(col("id_a"), col("id_b"))
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa"),
+          col("sh").as("sha")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb"),
+          col("sh").as("shb")), "id_b")
+        .filter(size(array_distinct(concat(col("sha"), col("shb")))) > 0)
+        .select(
+          size(expr("filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)"))
+            .cast("long").as("agree"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_distinct(concat(col("sha"), col("shb"))))
+              .cast("double")).as("j"))
+        .select(col("agree"),
+          floor(abs(col("agree").cast("double") / 128.0 - col("j")) * 1e6
+            + lit(0.5)).cast("long").as("em"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("em")).as("sem"),
+          max(col("em")).as("mx"))
+        .select(col("n_pairs"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sem AS DOUBLE) / 1e6 / n_pairs"), 6)
+            .as("mean_abs_err"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mx AS DOUBLE) / 1e6"), 6).as("max_abs_err"))
+    }),
     // x160: TF-IDF lexical search — "find documents like this one"
     // without embeddings: per-doc sparse tf·idf vectors, cosine via the
     // shared-term join, top-10 per query doc. Weights are exact
@@ -5870,6 +5979,69 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
+    // same char cleaning, same position-keyed trigram/bigram explode,
+    // same add-1 chain and position-ordered fold ≡ list_reduce
+    "x163_char_trigram_lm" ->
+      ("""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS cs
+         |  FROM documents),
+         |dd AS (SELECT doc_id, cs FROM d WHERE len(cs) >= 3),
+         |i0 AS (SELECT doc_id, [{'pos': i, 'tri': substr(cs, i, 3), 'bi': substr(cs, i, 2)}
+         |    for i in range(1, len(cs) - 1)] AS ps FROM dd),
+         |inst AS (SELECT doc_id, p.pos AS pos, p.tri AS tri, p.bi AS bi
+         |  FROM (SELECT doc_id, unnest(ps) AS p FROM i0)),
+         |c3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM inst GROUP BY 1),
+         |c2 AS (SELECT bi, CAST(count(*) AS BIGINT) AS c2 FROM inst GROUP BY 1),
+         |v3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c3),
+         |l AS (SELECT inst.doc_id, inst.pos,
+         |    ln((c3.c3 + 1.0) / CAST(c2.c2 + v3.v AS DOUBLE)) AS lp
+         |  FROM inst JOIN c3 USING (tri) JOIN c2 USING (bi) CROSS JOIN v3),
+         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |    list(lp ORDER BY pos) AS cs FROM l GROUP BY 1)
+         |SELECT doc_id, n_tri,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) / n_tri, 6) AS mean_lp
+         |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // same global md5 keeper rule, same integer per-source sums
+    "x164_dedup_impact" ->
+      (s"""WITH d AS (SELECT doc_id, source, md5(text) AS h,
+         |    CAST(len($toks) AS BIGINT) AS ntk FROM documents),
+         |k AS (SELECT source, ntk, CASE WHEN row_number() OVER
+         |    (PARTITION BY h ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS keep FROM d),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(keep) AS BIGINT) AS n_kept, CAST(sum(ntk) AS BIGINT) AS tokens,
+         |    CAST(sum(keep * ntk) AS BIGINT) AS tokens_kept FROM k GROUP BY 1)
+         |SELECT source, n_docs, n_kept, tokens,
+         |  CAST(tokens - tokens_kept AS BIGINT) AS tokens_removed,
+         |  round(CAST(tokens - tokens_kept AS DOUBLE) / tokens, 6) AS pct_removed
+         |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+    // x91's candidate generation, the STAGED signatures re-read
+    // (agreement recomputed in SQL), the same shingle exact-J and
+    // micro-quantized errors
+    "x165_minhash_estimate" ->
+      (s"""WITH k AS (SELECT doc_id, lang, list_distinct($toks) AS ts, $toks AS s,
+         |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk
+         |  FROM documents),
+         |t AS (SELECT doc_id, lang, ts, bk, $shingleSql AS sh FROM k),
+         |r AS (SELECT doc_id, lang, ts, sh, CAST(row_number() OVER
+         |    (PARTITION BY lang ORDER BY bk, doc_id) AS BIGINT) AS rnk FROM t),
+         |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.ts AS tsa, b.ts AS tsb,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM r a CROSS JOIN (SELECT unnest(range(1, 6)) AS d) s
+         |  JOIN r b ON b.lang = a.lang AND b.rnk = a.rnk + s.d),
+         |f AS (SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, sha, shb
+         |  FROM cand WHERE len(list_distinct(list_concat(tsa, tsb))) > 0
+         |    AND len(list_distinct(list_concat(sha, shb))) > 0),
+         |g AS (SELECT
+         |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) AS BIGINT) AS agree,
+         |    CAST(len(list_intersect(f.sha, f.shb)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(f.sha, f.shb))) AS DOUBLE) AS j
+         |  FROM f JOIN ${Stage.sqlRef("x165_sigs")} sa ON sa.id = f.id_a
+         |  JOIN ${Stage.sqlRef("x165_sigs")} sb ON sb.id = f.id_b),
+         |e AS (SELECT agree, CAST(floor(abs(CAST(agree AS DOUBLE) / 128.0 - j)
+         |    * 1e6 + 0.5) AS BIGINT) AS em FROM g)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(em) AS DOUBLE) / 1e6 / count(*), 6) AS mean_abs_err,
+         |  round(CAST(max(em) AS DOUBLE) / 1e6, 6) AS max_abs_err
+         |FROM e""".stripMargin.replace("\n", " ")),
     // same integer tf·idf weights, same DECIMAL(38,0) dot/norm sums,
     // the SAME cosine string
     "x160_tfidf_search" ->

@@ -337,7 +337,14 @@ object Dedup {
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     minhashSignatureOf(TextFunctions.shingles(text, k), numHashes)
 
-  private def minhashSignatureOf(sh: Column, numHashes: Int): Column =
+  /** Signature over an ALREADY-MATERIALIZED shingle array column. Callers
+    * scoring many hashes must materialize `sh` first (checkpoint/persist
+    * boundary): Catalyst's CollapseProject inlines a shingle EXPRESSION
+    * into every one of the `numHashes` elements, re-tokenizing and
+    * re-building the shingle strings numHashes× per row (measured 450 s
+    * vs 6 s at sf0.1 with 128 hashes).
+    */
+  def minhashSignatureOf(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)

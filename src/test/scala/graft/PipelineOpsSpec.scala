@@ -999,6 +999,48 @@ class PipelineOpsSpec extends SparkSpec {
       "argmax F1 must be at least the accept-all baseline")
   }
 
+  test("x163: lp negative; transitions partition all char trigrams") {
+    val rows = run("x163_char_trigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("mean_lp") < 0.0,
+      "add-1 char-LM log-probs must be negative"))
+    val want = Tables.table(spark, sf(), "documents")
+      .select(regexp_replace(lower(col("text")), "[^a-z ]", "").as("cs"))
+      .filter(length(col("cs")) >= 3)
+      .agg(sum(length(col("cs")) - 2)).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tri")).sum == want,
+      "per-doc trigram counts must partition the corpus")
+  }
+
+  test("x164: keeper accounting consistent; totals match the corpus") {
+    val rows = run("x164_dedup_impact").collect()
+    val docs = Tables.table(spark, sf(), "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctTexts,
+      "global keepers must equal distinct texts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_removed") >= 0)
+      val pct = r.getAs[Double]("pct_removed")
+      assert(pct >= 0.0 && pct < 1.0)
+    }
+  }
+
+  test("x165: estimate error small and the pair frame matches the SNM candidates") {
+    val r = run("x165_minhash_estimate").collect().head
+    val cand = graft.operators.Snm.pairs(
+      Tables.table(spark, sf(), "documents"), "doc_id", "text",
+      blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0).count()
+    assert(r.getAs[Long]("n_pairs") <= cand)
+    assert(r.getAs[Long]("n_pairs") > 0)
+    // 128 hashes: SE of the estimate is ~sqrt(j(1-j)/128) <= 0.045 —
+    // the MEAN abs error across pairs must sit well inside that
+    assert(r.getAs[Double]("mean_abs_err") < 0.06,
+      s"mean |est-J| ${r.getAs[Double]("mean_abs_err")} implausibly high for 128 hashes")
+    assert(r.getAs[Double]("max_abs_err") <= 0.5)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
