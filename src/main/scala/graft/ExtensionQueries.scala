@@ -3047,28 +3047,40 @@ object ExtensionQueries {
       val d = table(s, dir, "documents").select(col("doc_id"),
           regexp_replace(lower(col("text")), "[^a-z ]", "").as("cs"))
         .filter(length(col("cs")) >= 3)
-      val inst = graft.engine.CacheScope.persistTracked(
-        d.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(cs) - 2), i -> " +
-            "struct(i AS pos, substr(cs, i, 3) AS tri, substr(cs, i, 2) AS bi))"))
-          .as("p"))
-          .select(col("doc_id"), col("p.pos").as("pos"),
-            col("p.tri").as("tri"), col("p.bi").as("bi")))
-      val c3 = inst.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
-      val c2 = inst.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
+      // ONE explode pass total (the first cut's three instance passes
+      // measured 71-117 s at 10×): positions explode to a compact int
+      // sequence, substr AFTER the explode (no per-doc struct-array
+      // build), instances collapse immediately to (doc, tri, m) — the
+      // ONLY corpus-scale shuffle. Bigram counts DERIVE from the tiny
+      // trigram table (each position's bigram is its trigram's 2-prefix,
+      // so c2 = Σ c3 over the prefix — no second pass); the checkpoint
+      // breaks the dtc self-reference (the a17/x156/x165 trap).
+      val dtc = d
+        .select(col("doc_id"), col("cs"),
+          explode(expr("sequence(1, length(cs) - 2)")).as("pos"))
+        .select(col("doc_id"), expr("substr(cs, pos, 3)").as("tri"))
+        .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val c3 = dtc.groupBy(col("tri")).agg(sum(col("m")).as("c3"))
+      val c2 = c3.groupBy(expr("substr(tri, 1, 2)").as("bi"))
+        .agg(sum(col("c3")).as("c2"))
       val v3 = c3.agg(count(lit(1)).as("v"))
-      inst.join(broadcast(c3), "tri").join(broadcast(c2), "bi")
+      // nano-quantized per-trigram log-probs make the per-doc sum a
+      // plain INTEGER aggregate — map-side combinable, no ordered fold
+      // (the x101 device; lp ∈ (−20, 0) so ·1e9 fits a long)
+      dtc
+        .withColumn("bi", expr("substr(tri, 1, 2)"))
+        .join(broadcast(c3), "tri").join(broadcast(c2), "bi")
         .crossJoin(broadcast(v3))
-        .select(col("doc_id"), col("pos"),
-          log((col("c3") + lit(1.0)) / (col("c2") + col("v")).cast("double"))
-            .as("lp"))
+        .select(col("doc_id"), col("m"),
+          floor(log((col("c3") + lit(1.0)) /
+            (col("c2") + col("v")).cast("double")) * 1e9 + lit(0.5))
+            .cast("long").as("lpm"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"),
-          sort_array(collect_list(struct(col("pos"), col("lp")))).as("cs"))
+        .agg(sum(col("m")).as("n_tri"), sum(col("m") * col("lpm")).as("slpm"))
         .select(col("doc_id"), col("n_tri"),
           graft.functions.EngineMath.roundAway(
-            expr("aggregate(transform(cs, x -> x.lp), 0.0d, " +
-              "(acc, v) -> acc + v)") / col("n_tri"), 6).as("mean_lp"))
+            expr("CAST(slpm AS DOUBLE) / 1e9 / n_tri"), 6).as("mean_lp"))
         .orderBy(col("doc_id"))
     }),
     // x164: dedup impact report — per-source before/after accounting of
@@ -5979,26 +5991,26 @@ object ExtensionQueries {
          |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) /
          |    CAST($IdcgVal AS DOUBLE), 6) AS ndcg
          |FROM f ORDER BY query_id""".stripMargin.replace("\n", " ")),
-    // same char cleaning, same position-keyed trigram/bigram explode,
-    // same add-1 chain and position-ordered fold ≡ list_reduce
+    // same char cleaning, same trigram/bigram explode, same add-1 chain
+    // nano-quantized to order-free integer sums
     "x163_char_trigram_lm" ->
       ("""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS cs
          |  FROM documents),
          |dd AS (SELECT doc_id, cs FROM d WHERE len(cs) >= 3),
-         |i0 AS (SELECT doc_id, [{'pos': i, 'tri': substr(cs, i, 3), 'bi': substr(cs, i, 2)}
+         |i0 AS (SELECT doc_id, [{'tri': substr(cs, i, 3), 'bi': substr(cs, i, 2)}
          |    for i in range(1, len(cs) - 1)] AS ps FROM dd),
-         |inst AS (SELECT doc_id, p.pos AS pos, p.tri AS tri, p.bi AS bi
+         |inst AS (SELECT doc_id, p.tri AS tri, p.bi AS bi
          |  FROM (SELECT doc_id, unnest(ps) AS p FROM i0)),
          |c3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM inst GROUP BY 1),
          |c2 AS (SELECT bi, CAST(count(*) AS BIGINT) AS c2 FROM inst GROUP BY 1),
          |v3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c3),
-         |l AS (SELECT inst.doc_id, inst.pos,
-         |    ln((c3.c3 + 1.0) / CAST(c2.c2 + v3.v AS DOUBLE)) AS lp
+         |l AS (SELECT inst.doc_id, CAST(floor(ln((c3.c3 + 1.0)
+         |    / CAST(c2.c2 + v3.v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lpm
          |  FROM inst JOIN c3 USING (tri) JOIN c2 USING (bi) CROSS JOIN v3),
          |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-         |    list(lp ORDER BY pos) AS cs FROM l GROUP BY 1)
+         |    CAST(sum(lpm) AS BIGINT) AS slpm FROM l GROUP BY 1)
          |SELECT doc_id, n_tri,
-         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) / n_tri, 6) AS mean_lp
+         |  round(CAST(slpm AS DOUBLE) / 1e9 / n_tri, 6) AS mean_lp
          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")),
     // same global md5 keeper rule, same integer per-source sums
     "x164_dedup_impact" ->
