@@ -3643,6 +3643,82 @@ object ExtensionQueries {
             .as("ndcg"))
         .orderBy(col("query_id"))
     }),
+    // x166: population stability index — the industry-standard drift
+    // score the KS (x134) / χ² (x135) pair is missing: per-source quality
+    // distribution vs the whole corpus over 10 fixed equal-width bins of
+    // the 4-dp score, Laplace-smoothed over the full bin spine so empty
+    // bins contribute finitely. Everything until the ln is integer (bin
+    // ids by integer division, counts, margins); the 10 per-source
+    // contributions fold in bin order (the x135 device). One corpus pass
+    // → a |sources|×10 cell table; all joins after it are broadcasts.
+    "x166_psi_drift" -> ((s, dir) => {
+      val q = table(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("source"),
+          floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+            * 10000 + lit(0.5)).cast("long").as("q4"))
+        .select(col("source"), expr("least(9, q4 div 1000)").as("bin"))
+      val cnts = q.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("cc"))
+      val spine = q.select(col("source")).distinct()
+        .crossJoin(s.range(0, 10).toDF("bin"))
+      val cells = spine.join(cnts, Seq("source", "bin"), "left")
+        .withColumn("c", coalesce(col("cc"), lit(0L))).drop("cc")
+      val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val gb = cells.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+      val nn = cells.agg(sum(col("c")).as("nn"))
+      cells.join(broadcast(ns), "source").join(broadcast(gb), "bin")
+        .crossJoin(broadcast(nn))
+        .withColumn("contrib", expr(PsiCellSql))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_docs"),
+          sort_array(collect_list(struct(col("bin"), col("contrib"))))
+            .as("cs"))
+        .select(col("source"), col("n_docs"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+              "(acc, v) -> acc + v)"), 6).as("psi"))
+        .orderBy(col("source"))
+    }),
+    // x167: 1-D Wasserstein (earth-mover) drift — ∫|CDF_A − CDF_B| dv
+    // between the even/odd user cohorts' event-value distributions: the
+    // magnitude-weighted companion to x134's sup-gap KS (a small shift
+    // everywhere and a large shift in one tail can tie on KS; W₁ ranks
+    // them). The numerator Σ |cumA·nB − cumB·nA|·Δv is EXACT integer
+    // arithmetic end-to-end (terms ride DECIMAL(38,0) — a 100 TB event
+    // log cannot overflow); ONE final division. Distinct micro-quantized
+    // values collapse first, so the global-order window runs over the
+    // value domain, not the event count (at 100 TB: the x113
+    // bucket-prefix-sum rank or a binned CDF, as with x134).
+    "x167_wasserstein_drift" -> ((s, dir) => {
+      val v = Tables.events(s, dir)
+        .select((col("user_id") % 2 === 0).as("isA"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+      val counts = v.groupBy(col("vm"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val tot = v.agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("vm"))
+      val wCum = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      counts
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("nxt", lead(col("vm"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+            .cast("decimal(38,0)") *
+            (col("nxt") - col("vm")).cast("decimal(38,0)"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(col("term")).as("st"))
+        .select(col("na"), col("nb"),
+          graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -3868,6 +3944,27 @@ object ExtensionQueries {
     "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn) * " +
       "(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn) / " +
       "(CAST(rt AS DOUBLE) * ct / nn)"
+
+  /** x166's per-bin PSI contribution (p−q)·ln(p/q) with Laplace-smoothed
+    * bin fractions p = (c+1)/(ns+10), q = (g+1)/(nn+10) — ONE string over
+    * columns (c, ns, g, nn) so both engines evaluate the identical IEEE
+    * expression (the Chi2CellSql device; smoothing over the full 10-bin
+    * spine keeps every log argument finite).
+    */
+  private val PsiCellSql: String =
+    "((CAST(c AS DOUBLE) + 1) / (CAST(ns AS DOUBLE) + 10) - " +
+      "(CAST(g AS DOUBLE) + 1) / (CAST(nn AS DOUBLE) + 10)) * " +
+      "ln(((CAST(c AS DOUBLE) + 1) / (CAST(ns AS DOUBLE) + 10)) / " +
+      "((CAST(g AS DOUBLE) + 1) / (CAST(nn AS DOUBLE) + 10)))"
+
+  /** x167's final W₁ read off the exact integer numerator: the sum of
+    * |cumA·nB − cumB·nA|·Δv terms divided by nA·nB·1e6 — one shared
+    * string over (st, na, nb); st is an exact integer in both engines
+    * (Spark DECIMAL(38,0), DuckDB HUGEINT), so the double cast rounds
+    * the same value once.
+    */
+  private val W1Sql: String =
+    "CAST(st AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1e6)"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -6340,6 +6437,48 @@ object ExtensionQueries {
          |SELECT k, cref AS c_ref,
          |  round(CAST(k AS DOUBLE) * 1e6 / slm, 6) AS alpha
          |FROM s""".stripMargin.replace("\n", " ")),
+    // same quality CTEs as x03, same integer binning (// ≡ Spark div),
+    // same Laplace spine, the SHARED PsiCellSql contribution, and the
+    // bin-ordered fold ≡ list_reduce
+    "x166_psi_drift" ->
+      (s"""$qualityCtes,
+         |q AS (SELECT d.source,
+         |    least(9, CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) // 1000) AS bin
+         |  FROM c JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cc FROM q GROUP BY 1, 2),
+         |spine AS (SELECT source, bin FROM (SELECT DISTINCT source FROM documents)
+         |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range(10))),
+         |cells AS (SELECT spine.source, spine.bin, CAST(coalesce(cc, 0) AS BIGINT) AS c
+         |  FROM spine LEFT JOIN cnt USING (source, bin)),
+         |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cells GROUP BY 1),
+         |gbin AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+         |cell2 AS (SELECT cells.source, cells.bin, nsrc.ns, ($PsiCellSql) AS contrib
+         |  FROM cells JOIN nsrc USING (source) JOIN gbin USING (bin) CROSS JOIN t),
+         |f AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+         |    list(contrib ORDER BY bin) AS cs FROM cell2 GROUP BY 1)
+         |SELECT source, n_docs,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS psi
+         |FROM f ORDER BY source""".stripMargin.replace("\n", " ")),
+    // same micro-quantized values and integer cumsums as x134, the exact
+    // HUGEINT ≡ DECIMAL(38,0) numerator, and the SHARED W1Sql final read
+    "x167_wasserstein_drift" ->
+      (s"""WITH v AS (SELECT (user_id % 2 = 0) AS isa,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |c AS (SELECT vm, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM v GROUP BY 1),
+         |t AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM v),
+         |cum AS (SELECT vm, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+         |    lead(vm) OVER (ORDER BY vm) AS nxt FROM c
+         |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT CAST(abs(cuma * t.nb - cumb * t.na) AS HUGEINT) * (nxt - vm) AS term,
+         |    t.na, t.nb FROM cum CROSS JOIN t WHERE nxt IS NOT NULL),
+         |f AS (SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+         |    sum(term) AS st FROM s)
+         |SELECT na, nb, round($W1Sql, 6) AS w1 FROM f""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -1041,6 +1041,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("max_abs_err") <= 0.5)
   }
 
+  test("x166: psi nonneg per source (same-sign terms); doc accounting closes") {
+    val rows = run("x166_psi_drift").collect()
+    val bySource = Tables.table(spark, sf(), "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == bySource.size, "one row per source")
+    rows.foreach { r =>
+      // (p−q) and ln(p/q) always share a sign, so PSI ≥ 0 exactly
+      assert(r.getAs[Double]("psi") >= 0.0,
+        s"${r.getAs[String]("source")} psi ${r.getAs[Double]("psi")} < 0")
+      assert(r.getAs[Long]("n_docs") == bySource(r.getAs[String]("source")))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == bySource.values.sum)
+  }
+
+  test("x167: wasserstein matches an exact driver-side CDF integral") {
+    val r = run("x167_wasserstein_drift").collect().head
+    val vs = Tables.events(spark, sf())
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2 == 0, math.floor(x.getDouble(1) * 1e6 + 0.5).toLong))
+    val a = vs.filter(_._1).map(_._2)
+    val b = vs.filterNot(_._1).map(_._2)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val grid = (a ++ b).distinct.sorted
+    val num = grid.zip(grid.tail).map { case (v, nxt) =>
+      val cuma = a.count(_ <= v).toLong
+      val cumb = b.count(_ <= v).toLong
+      BigInt(math.abs(cuma * nb - cumb * na)) * BigInt(nxt - v)
+    }.sum
+    val w1 = (BigDecimal(num) / (BigDecimal(na) * nb * 1000000L)).toDouble
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+    assert(math.abs(r.getAs[Double]("w1") - w1) < 1e-6,
+      s"w1 ${r.getAs[Double]("w1")} vs $w1")
+    assert(r.getAs[Double]("w1") >= 0.0)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
