@@ -3719,6 +3719,65 @@ object ExtensionQueries {
         .select(col("na"), col("nb"),
           graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
     }),
+    // x168: multinomial Naive Bayes source classifier — the generative
+    // counterpart to x70's discriminative logistic gate (fastText-style
+    // corpus classifiers are THE quality/domain labelers in large-scale
+    // curation): train add-1-smoothed per-source term log-probabilities
+    // on the corpus itself, score every doc against every class, report
+    // per-source self-classification accuracy. All score arithmetic is
+    // exact integer (nano-quantized class parameters, the x163 device);
+    // unseen-term mass folds into a per-class default so only SEEN
+    // (term, class) pairs join: score = prior + tm·def + Σ m·(lp − def).
+    // One corpus explode (checkpointed — 3 downstream consumers); the
+    // class-parameter table is vocab × |sources| (hash-bucket the vocab
+    // à la x64 at 100 TB); the term-keyed join is the only big shuffle;
+    // the doc×class base is |docs|·|sources| narrow rows.
+    "x168_naive_bayes" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val dt = docs.select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("source"), col("term"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val ct = dt.groupBy(col("source").as("cls"), col("term"))
+        .agg(sum(col("m")).as("cst"))
+      val nst = ct.groupBy(col("cls")).agg(sum(col("cst")).as("ns"))
+      val vv = dt.agg(countDistinct(col("term")).as("v"))
+      val dcls = docs.groupBy(col("source").as("cls"))
+        .agg(count(lit(1)).as("dc"))
+      val dtot = docs.agg(count(lit(1)).as("dd"))
+      val clsp = nst.join(dcls, "cls").crossJoin(broadcast(vv))
+        .crossJoin(broadcast(dtot))
+        .select(col("cls"), expr(NbDefSql).as("defn"),
+          expr(NbPriorSql).as("priorn"))
+      val delta = ct.join(broadcast(nst), "cls").crossJoin(broadcast(vv))
+        .select(col("cls"), col("term"), expr(NbLpSql).as("lpn"))
+        .join(broadcast(clsp.select(col("cls"), col("defn"))), "cls")
+        .select(col("cls"), col("term"), (col("lpn") - col("defn")).as("dn"))
+      val dtm = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tm"))
+      val base = dtm.crossJoin(broadcast(clsp))
+        .select(col("doc_id"), col("source"), col("cls"),
+          (col("priorn") + col("tm") * col("defn")).as("basen"))
+      val con = dt.join(delta, "term")
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("m") * col("dn")).as("sn"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("scoren").desc, col("cls").asc)
+      base.join(con, Seq("doc_id", "cls"), "left")
+        .withColumn("scoren", col("basen") + coalesce(col("sn"), lit(0L)))
+        .withColumn("rk", row_number().over(wP))
+        .filter(col("rk") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cls") === col("source"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("source"), col("n_docs"), col("n_correct"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n_correct AS DOUBLE) / n_docs"), 4).as("accuracy"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -3965,6 +4024,21 @@ object ExtensionQueries {
     */
   private val W1Sql: String =
     "CAST(st AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1e6)"
+
+  /** x168's Naive Bayes parameter quantizers — nano-quantized natural
+    * logs of the Laplace-smoothed class-conditional term probability
+    * (over cst, ns, v), the unseen-term default (over ns, v), and the
+    * class prior (over dc, dd). ONE string each evaluated by both
+    * engines, so every per-(class, term) integer is identical and the
+    * per-doc scores are exact integer sums.
+    */
+  private val NbLpSql: String =
+    "CAST(floor(ln((CAST(cst AS DOUBLE) + 1) / (CAST(ns AS DOUBLE) + v)) " +
+      "* 1e9 + 0.5) AS BIGINT)"
+  private val NbDefSql: String =
+    "CAST(floor(ln(1.0 / (CAST(ns AS DOUBLE) + v)) * 1e9 + 0.5) AS BIGINT)"
+  private val NbPriorSql: String =
+    "CAST(floor(ln(CAST(dc AS DOUBLE) / dd) * 1e9 + 0.5) AS BIGINT)"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -6479,6 +6553,43 @@ object ExtensionQueries {
          |f AS (SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
          |    sum(term) AS st FROM s)
          |SELECT na, nb, round($W1Sql, 6) AS w1 FROM f""".stripMargin.replace("\n", " ")),
+    // same tokenization, the SHARED nano-quantized parameter strings
+    // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
+    // decomposition, and the same (scoren DESC, cls) argmax
+    "x168_naive_bayes" ->
+      (s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
+         |dt AS (SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS m
+         |  FROM tk GROUP BY 1, 2, 3),
+         |ct AS (SELECT source AS cls, term, CAST(sum(m) AS BIGINT) AS cst
+         |  FROM dt GROUP BY 1, 2),
+         |nst AS (SELECT cls, CAST(sum(cst) AS BIGINT) AS ns FROM ct GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM dt),
+         |dcls AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS dc
+         |  FROM documents GROUP BY 1),
+         |dtot AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+         |clsp AS (SELECT cls, $NbDefSql AS defn, $NbPriorSql AS priorn
+         |  FROM nst JOIN dcls USING (cls) CROSS JOIN vv CROSS JOIN dtot),
+         |delta AS (SELECT lp.cls, lp.term, lpn - defn AS dn
+         |  FROM (SELECT ct.cls, ct.term, $NbLpSql AS lpn
+         |    FROM ct JOIN nst USING (cls) CROSS JOIN vv) lp
+         |  JOIN clsp USING (cls)),
+         |dtm AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS tm
+         |  FROM documents),
+         |base AS (SELECT doc_id, source, cls, priorn + tm * defn AS basen
+         |  FROM dtm CROSS JOIN clsp),
+         |con AS (SELECT dt.doc_id, delta.cls, CAST(sum(m * dn) AS BIGINT) AS sn
+         |  FROM dt JOIN delta USING (term) GROUP BY 1, 2),
+         |sc AS (SELECT base.doc_id, base.source, base.cls,
+         |    basen + coalesce(sn, 0) AS scoren
+         |  FROM base LEFT JOIN con ON base.doc_id = con.doc_id AND base.cls = con.cls),
+         |pred AS (SELECT doc_id, source, cls FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY scoren DESC, cls) AS rk
+         |  FROM sc) WHERE rk = 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS accuracy
+         |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -1077,6 +1077,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("w1") >= 0.0)
   }
 
+  test("x168: naive bayes beats the majority-prior baseline; accounting closes") {
+    val rows = run("x168_naive_bayes").collect()
+    val bySource = Tables.table(spark, sf(), "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == bySource(r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_correct") >= 0 &&
+        r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val correct = rows.map(_.getAs[Long]("n_correct")).sum.toDouble
+    // predicting the single most-common source would score maxShare;
+    // a trained classifier on 20 roughly-balanced sources must beat it
+    val maxShare = bySource.values.max.toDouble / total
+    assert(correct / total > math.max(2 * maxShare, 0.10),
+      s"accuracy ${correct / total} vs majority baseline $maxShare")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
