@@ -3778,6 +3778,33 @@ object ExtensionQueries {
             expr("CAST(n_correct AS DOUBLE) / n_docs"), 4).as("accuracy"))
         .orderBy(col("source"))
     }),
+    // x169: HITS hubs & authorities over the DIRECTED supplier→part
+    // bipartite graph (x86's edge construction without symmetrization) —
+    // the "which suppliers span many popular parts / which parts are
+    // carried by the strong suppliers" mutual-reinforcement ranking
+    // PageRank's single score conflates. 3 alternating L1-normalized
+    // half-steps, every sum an exact integer (operators/Graph.hits);
+    // top-10 per role via orderBy+limit (TakeOrderedAndProject — the
+    // ranking window runs AFTER the 10-row cut, never globally).
+    "x169_hits" -> ((s, dir) => {
+      val ha = graft.operators.Graph.hits(
+        table(s, dir, "lineitem").select(
+          (col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", iters = 3)
+      def top(c: String, role: String): DataFrame = {
+        val t = ha.filter(col(c).isNotNull)
+          .select(col("node"), col(c).as("score"))
+          .orderBy(col("score").desc, col("node")).limit(10)
+        t.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("node"))).cast("long"))
+          .select(lit(role).as("role"), col("rank"), col("node"),
+            graft.functions.EngineMath.roundAway(col("score"), 6).as("score"))
+      }
+      top("auth", "auth").unionAll(top("hub", "hub"))
+        .orderBy(col("role"), col("rank"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -6590,6 +6617,39 @@ object ExtensionQueries {
          |  round(CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 4) AS accuracy
          |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same directed edge set, the x86 unrolled-iteration device with
+    // HITS's alternating half-steps: tick-quantized contributions, exact
+    // integer normalizers, one 12-dp-rounded division per score
+    "x169_hits" -> {
+      val head =
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src, " +
+          "l_partkey * 2 + 1 AS dst FROM lineitem), " +
+          "nn AS MATERIALIZED (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e), " +
+          "h0 AS MATERIALIZED (SELECT src AS node, " +
+          "floor(CAST(1.0 AS DOUBLE) / nn.n * 1e12 + 0.5) / 1e12 AS sc " +
+          "FROM (SELECT DISTINCT src FROM e) CROSS JOIN nn)"
+      def aStep(k: Int) =
+        s"a${k}r AS MATERIALIZED (SELECT e.dst AS node, " +
+          "CAST(sum(CAST(floor(h.sc * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS r " +
+          s"FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1), " +
+          s"a$k AS MATERIALIZED (SELECT node, " +
+          "round(CAST(r AS DOUBLE) / CAST(s AS DOUBLE), 12) AS sc " +
+          s"FROM a${k}r CROSS JOIN (SELECT CAST(sum(r) AS BIGINT) AS s FROM a${k}r))"
+      def hStep(k: Int) =
+        s"h${k}r AS MATERIALIZED (SELECT e.src AS node, " +
+          "CAST(sum(CAST(floor(a.sc * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS r " +
+          s"FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1), " +
+          s"h$k AS MATERIALIZED (SELECT node, " +
+          "round(CAST(r AS DOUBLE) / CAST(s AS DOUBLE), 12) AS sc " +
+          s"FROM h${k}r CROSS JOIN (SELECT CAST(sum(r) AS BIGINT) AS s FROM h${k}r))"
+      def topCte(name: String, role: String, from: String) =
+        s"$name AS (SELECT '$role' AS role, " +
+          "CAST(row_number() OVER (ORDER BY sc DESC, node) AS BIGINT) AS rank, " +
+          s"node, round(sc, 6) AS score FROM $from ORDER BY sc DESC, node LIMIT 10)"
+      head + ", " + (1 to 3).map(k => aStep(k) + ", " + hStep(k)).mkString(", ") +
+        ", " + topCte("topa", "auth", "a3") + ", " + topCte("toph", "hub", "h3") +
+        " SELECT * FROM topa UNION ALL SELECT * FROM toph ORDER BY role, rank"
+    },
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -155,6 +155,64 @@ object Graph {
     } finally adj.unpersist()
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge set (deduplicated):
+    * alternating half-steps a ← Aᵀh, h ← A·a, each L1-normalized. The
+    * cross-engine determinism device is [[pageRank]]'s: every inbound
+    * score tick-quantizes to an integer (floor(s·1e12 + 0.5)) before the
+    * sum, the normalizer is the exact integer total of those sums, and
+    * the normalized score is ONE division of two exact integers rounded
+    * to 12 dp — no IEEE fold anywhere. Nodes without out-edges carry
+    * hub 0 (and never appear in the h table); symmetric for authorities
+    * — on a bipartite graph the two tables are the two node classes.
+    *
+    * Scale shape: per half-step ONE equi-join of the persisted edge list
+    * against the current O(|nodes|) score frame plus a grouped sum; the
+    * normalizer is an aggregate of the already-grouped frame (never the
+    * edge list). Persist-per-round caps lineage exactly as pageRank.
+    * Returns (node, hub, auth) with nulls as 0.0 on the missing side.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val srcN = e.select(col("src")).distinct()
+    val n = srcN.count()
+    // identical IEEE sequence to the oracle's h0 expression
+    val h0 = math.floor(1.0 / n.toDouble * 1e12 + 0.5) / 1e12
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("r")).as("s"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key).as("node"),
+          EngineMath.roundAway(
+            col("r").cast("double") / col("s").cast("double"), 12).as(out))
+    }
+    try {
+      var h = srcN.select(col("src").as("node"), lit(h0).as("hub")).persist()
+      h.count()
+      var a: DataFrame = null
+      for (_ <- 1 to iters) {
+        val araw = e.join(h, col("src") === col("node"))
+          .select(col("dst"), floor(col("hub") * lit(1e12) + lit(0.5)).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("r"))
+        val aNext = normalized(araw, "dst", "auth").persist()
+        aNext.count()
+        if (a != null) a.unpersist()
+        a = aNext
+        val hraw = e.join(a, col("dst") === col("node"))
+          .select(col("src"), floor(col("auth") * lit(1e12) + lit(0.5)).as("c"))
+          .groupBy(col("src")).agg(sum(col("c")).as("r"))
+        val hNext = normalized(hraw, "src", "hub").persist()
+        hNext.count()
+        h.unpersist()
+        h = hNext
+      }
+      graft.engine.CacheScope.track(h)
+      graft.engine.CacheScope.track(a)
+      h.join(a, Seq("node"), "full_outer")
+        .select(col("node"), col("hub"), col("auth"))
+    } finally e.unpersist()
+  }
+
   /** Personalized PageRank: same symmetrized graph, quantization, and
     * per-round dataflow as [[pageRank]], but teleport mass lands ONLY on
     * `seeds` (a 1-column "node" frame, intersected with the graph's

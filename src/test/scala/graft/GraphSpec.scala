@@ -119,4 +119,36 @@ class GraphSpec extends SparkSpec {
     // quantization drift is bounded by n * 1e-12 per round
     assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
   }
+
+  test("hits: star hub dominates; bipartite sides separate; L1 mass ~1") {
+    // hub 1 points at parts 11,13,15; hub 3 at 11 only → 1 out-hubs 3,
+    // 11 out-auths 13/15 (it draws from both hubs)
+    val edges = Seq((1L, 11L), (1L, 13L), (1L, 15L), (3L, 11L))
+      .toDF("src", "dst")
+    val ha = Graph.hits(edges, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(ha(1L)._1.get > ha(3L)._1.get, "broad hub must outrank narrow hub")
+    assert(ha(11L)._2.get > ha(13L)._2.get, "two-hub part must outrank one-hub part")
+    assert(ha(13L)._2 == ha(15L)._2, "symmetric parts tie")
+    // sources carry no auth, sinks no hub (bipartite separation)
+    assert(ha(1L)._2.isEmpty && ha(11L)._1.isEmpty)
+    val hubMass = ha.values.flatMap(_._1).sum
+    val authMass = ha.values.flatMap(_._2).sum
+    assert(math.abs(hubMass - 1.0) < 1e-9 && math.abs(authMass - 1.0) < 1e-9,
+      s"hub mass $hubMass auth mass $authMass")
+  }
+
+  test("hits on the real bipartite graph: masses ~1, every node one row") {
+    val edges = Tables.table(spark, sf(), "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+    val ha = Graph.hits(edges, "src", "dst", iters = 3)
+    val nNodes = edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().count()
+    assert(ha.count() == nNodes)
+    val m = ha.agg(sum(col("hub")).as("h"), sum(col("auth")).as("a")).head()
+    assert(math.abs(m.getDouble(0) - 1.0) < 1e-6, s"hub mass ${m.getDouble(0)}")
+    assert(math.abs(m.getDouble(1) - 1.0) < 1e-6, s"auth mass ${m.getDouble(1)}")
+  }
 }
