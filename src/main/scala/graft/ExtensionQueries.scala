@@ -3805,6 +3805,55 @@ object ExtensionQueries {
       top("auth", "auth").unionAll(top("hub", "hub"))
         .orderBy(col("role"), col("rank"))
     }),
+    // x170: Heaps' law fit — V(N) ≈ k·N^β, the vocabulary-growth curve
+    // that sizes tokenizer vocab and OOV budgets before a corpus scales
+    // (the growth-side companion to x142's Zipf rank-frequency fit).
+    // Points are per-doc prefixes in doc_id order: N = cumulative
+    // tokens, V = cumulative first-occurrence types (a term's novelty
+    // charges ONE doc — min(doc_id) — so V needs no per-prefix distinct).
+    // β/ln k come from closed-form OLS on nano-quantized ln coordinates:
+    // all five sufficient statistics are exact integers (products ride
+    // DECIMAL(38,0)), one double read each (HeapsBetaSql). The prefix
+    // cumsums are a doc_id-ordered window — exact small-data form; at
+    // 100 TB the same two cumsums run on the x113 bucket-prefix-sum
+    // spine (checkpointed doc-count buckets), nothing else changes.
+    "x170_heaps_law" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val nty = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("fdoc"))
+        .groupBy(col("fdoc")).agg(count(lit(1)).as("nty"))
+      docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntk"))
+        .join(nty, col("doc_id") === col("fdoc"), "left")
+        .select(col("doc_id"), col("ntk"),
+          coalesce(col("nty"), lit(0L)).as("nty"))
+        .withColumn("nk", sum(col("ntk")).over(wCum))
+        .withColumn("vk", sum(col("nty")).over(wCum))
+        .filter(col("nk") > 0 && col("vk") > 0)
+        .select(
+          floor(log(col("nk").cast("double")) * 1e9 + lit(0.5))
+            .cast("long").as("xn"),
+          floor(log(col("vk").cast("double")) * 1e9 + lit(0.5))
+            .cast("long").as("yn"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xn")).cast("decimal(38,0)").as("sx"),
+          sum(col("yn")).cast("decimal(38,0)").as("sy"),
+          sum(col("xn").cast("decimal(38,0)") * col("yn").cast("decimal(38,0)"))
+            .as("sxy"),
+          sum(col("xn").cast("decimal(38,0)") * col("xn").cast("decimal(38,0)"))
+            .as("sxx"))
+        .select(col("n").as("n_points"),
+          graft.functions.EngineMath.roundAway(expr(HeapsBetaSql), 6)
+            .as("beta"),
+          graft.functions.EngineMath.roundAway(expr(HeapsLnKSql), 6)
+            .as("ln_k"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4066,6 +4115,17 @@ object ExtensionQueries {
     "CAST(floor(ln(1.0 / (CAST(ns AS DOUBLE) + v)) * 1e9 + 0.5) AS BIGINT)"
   private val NbPriorSql: String =
     "CAST(floor(ln(CAST(dc AS DOUBLE) / dd) * 1e9 + 0.5) AS BIGINT)"
+
+  /** x170's log-log OLS reads — slope β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * and intercept ln k = (Σy − βΣx)/(1e9·n), over nano-quantized
+    * ln-coordinates. The sums are EXACT (Σx/Σy pre-widened, Σxy/Σx² as
+    * DECIMAL(38,0)/HUGEINT products), so each read is arithmetic on
+    * identical integers with one double rounding — ONE string each.
+    */
+  private val HeapsBetaSql: String =
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+  private val HeapsLnKSql: String =
+    s"(CAST(sy AS DOUBLE) / 1e9 - ($HeapsBetaSql) * CAST(sx AS DOUBLE) / 1e9) / n"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -6650,6 +6710,29 @@ object ExtensionQueries {
         ", " + topCte("topa", "auth", "a3") + ", " + topCte("toph", "hub", "h3") +
         " SELECT * FROM topa UNION ALL SELECT * FROM toph ORDER BY role, rank"
     },
+    // same first-occurrence novelty accounting, the same doc_id-ordered
+    // cumsums, nano-quantized ln points, HUGEINT ≡ DECIMAL(38,0) exact
+    // sufficient statistics, and the SHARED OLS read strings
+    "x170_heaps_law" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS ntk FROM documents),
+         |ft AS (SELECT term, min(doc_id) AS fdoc
+         |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents) GROUP BY 1),
+         |nt AS (SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS nty FROM ft GROUP BY 1),
+         |cum AS (SELECT d.doc_id,
+         |    CAST(sum(ntk) OVER w AS BIGINT) AS nk,
+         |    CAST(sum(coalesce(nty, 0)) OVER w AS BIGINT) AS vk
+         |  FROM d LEFT JOIN nt USING (doc_id)
+         |  WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |p AS (SELECT
+         |    CAST(floor(ln(CAST(nk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS xn,
+         |    CAST(floor(ln(CAST(vk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS yn
+         |  FROM cum WHERE nk > 0 AND vk > 0),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xn) AS HUGEINT) AS sx, CAST(sum(yn) AS HUGEINT) AS sy,
+         |    sum(CAST(xn AS HUGEINT) * yn) AS sxy,
+         |    sum(CAST(xn AS HUGEINT) * xn) AS sxx FROM p)
+         |SELECT n AS n_points, round($HeapsBetaSql, 6) AS beta,
+         |  round($HeapsLnKSql, 6) AS ln_k FROM s""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -1097,6 +1097,37 @@ class PipelineOpsSpec extends SparkSpec {
       s"accuracy ${correct / total} vs majority baseline $maxShare")
   }
 
+  test("x170: heaps fit matches an exact driver-side OLS recompute") {
+    val r = run("x170_heaps_law").collect().head
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).sortBy(_._1)
+    val seen = collection.mutable.Set[String]()
+    var (nk, vk) = (0L, 0L)
+    val pts = docs.flatMap { case (_, text) =>
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty)
+      nk += ts.length
+      vk += ts.count(seen.add)
+      if (nk > 0 && vk > 0)
+        Some((math.floor(math.log(nk.toDouble) * 1e9 + 0.5).toLong,
+          math.floor(math.log(vk.toDouble) * 1e9 + 0.5).toLong))
+      else None
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val beta = (BigDecimal(n * sxy - sx * sy) /
+      BigDecimal(n * sxx - sx * sx)).toDouble
+    assert(r.getAs[Long]("n_points") == n)
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-5,
+      s"beta ${r.getAs[Double]("beta")} vs $beta")
+    // a growth exponent is a rate in [0, 1); the synthetic corpus's
+    // fixed vocab saturates (β≈0) — web corpora sit near 0.5
+    assert(r.getAs[Double]("beta") >= 0.0 && r.getAs[Double]("beta") < 1.0)
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
