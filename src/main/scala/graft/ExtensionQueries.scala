@@ -3854,6 +3854,66 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(expr(HeapsLnKSql), 6)
             .as("ln_k"))
     }),
+    // x171: Benjamini-Hochberg FDR over a per-source drift family — the
+    // multiple-testing correction x134/x135/x166 need the moment they
+    // run per source: 20 simultaneous "does this source's quality
+    // distribution differ from the rest?" χ² tests (3 score bands ×
+    // in/out, dof 2) would produce false drift alarms at q·m without it.
+    // dof is 2 BY CONSTRUCTION so the BH comparison maps exactly onto
+    // the χ² scale (BhThrSql — no exp anywhere). The 6 cells per source
+    // derive entirely from the one (source, band) count pass + margins
+    // (no per-test scan); contributions fold in (band, grp) order; the
+    // ranking windows run over |sources| rows.
+    "x171_bh_fdr" -> ((s, dir) => {
+      val q = table(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("source"),
+          floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+            * 10000 + lit(0.5)).cast("long").as("q4"))
+        .select(col("source"), expr("least(2, q4 div 3334)").as("band"))
+      val cnts = q.groupBy(col("source"), col("band"))
+        .agg(count(lit(1)).as("cc"))
+      val spine = q.select(col("source")).distinct()
+        .crossJoin(s.range(0, 3).toDF("band"))
+      val cells = spine.join(cnts, Seq("source", "band"), "left")
+        .withColumn("c", coalesce(col("cc"), lit(0L))).drop("cc")
+      val gb = cells.groupBy(col("band")).agg(sum(col("c")).as("g"))
+      val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val nn = cells.agg(sum(col("c")).as("nn"))
+      val wide = cells.join(broadcast(gb), "band")
+        .join(broadcast(ns), "source").crossJoin(broadcast(nn))
+      val long = wide.select(col("source"), col("band"),
+          lit("in").as("grp"), col("c").as("o"), col("g").as("rt"),
+          col("ns").as("ct"), col("nn"))
+        .unionAll(wide.select(col("source"), col("band"),
+          lit("out").as("grp"), (col("g") - col("c")).as("o"),
+          col("g").as("rt"), (col("nn") - col("ns")).as("ct"), col("nn")))
+      val chi = long.filter(col("rt") > 0)
+        .withColumn("contrib", expr(Chi2CellSql))
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(
+          struct(col("band"), col("grp"), col("contrib")))).as("cs"))
+        .select(col("source"),
+          expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+            "(acc, v) -> acc + v)").as("chi2"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      chi
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("chi2").desc, col("source"))).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("thr", expr(BhThrSql))
+        .withColumn("flag", col("chi2") >= col("thr"))
+        .withColumn("kstar",
+          max(when(col("flag"), col("rank"))).over(wAll))
+        .select(col("source"),
+          graft.functions.EngineMath.roundAway(col("chi2"), 6).as("chi2"),
+          col("rank"),
+          graft.functions.EngineMath.roundAway(col("thr"), 6).as("thr_chi2"),
+          (col("rank") <= coalesce(col("kstar"), lit(0L))).as("rejected"))
+        .orderBy(col("rank"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4126,6 +4186,15 @@ object ExtensionQueries {
     "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
   private val HeapsLnKSql: String =
     s"(CAST(sy AS DOUBLE) / 1e9 - ($HeapsBetaSql) * CAST(sx AS DOUBLE) / 1e9) / n"
+
+  /** x171's BH threshold mapped to the χ² scale: with 2 dof the χ²
+    * survival is exp(−x/2), so p₍ᵢ₎ ≤ i·q/m ⟺ χ²₍ᵢ₎ ≥ −2·ln(i·q/m) —
+    * the comparison runs without an exp() anywhere (x70's lesson: exp is
+    * not bit-portable; ln on small exact rationals is the x163 device).
+    * ONE string over (rank, m), q = 0.10.
+    */
+  private val BhThrSql: String =
+    "-2 * ln(CAST(rank AS DOUBLE) * 0.10 / m)"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -6733,6 +6802,38 @@ object ExtensionQueries {
          |    sum(CAST(xn AS HUGEINT) * xn) AS sxx FROM p)
          |SELECT n AS n_points, round($HeapsBetaSql, 6) AS beta,
          |  round($HeapsLnKSql, 6) AS ln_k FROM s""".stripMargin.replace("\n", " ")),
+    // same quality CTEs and integer banding as x166, the SHARED
+    // Chi2CellSql cells in (band, grp) fold order, and the SHARED
+    // BhThrSql step-up comparison
+    "x171_bh_fdr" ->
+      (s"""$qualityCtes,
+         |q AS (SELECT d.source,
+         |    least(2, CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) // 3334) AS band
+         |  FROM c JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT source, band, CAST(count(*) AS BIGINT) AS cc FROM q GROUP BY 1, 2),
+         |spine AS (SELECT source, band FROM (SELECT DISTINCT source FROM documents)
+         |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS band FROM range(3))),
+         |cells AS (SELECT spine.source, spine.band, CAST(coalesce(cc, 0) AS BIGINT) AS cv
+         |  FROM spine LEFT JOIN cnt USING (source, band)),
+         |gbin AS (SELECT band, CAST(sum(cv) AS BIGINT) AS g FROM cells GROUP BY 1),
+         |nsrc AS (SELECT source, CAST(sum(cv) AS BIGINT) AS ns FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(cv) AS BIGINT) AS nn FROM cells),
+         |wide AS (SELECT cells.source, cells.band, cells.cv, g, ns, nn
+         |  FROM cells JOIN gbin USING (band) JOIN nsrc USING (source) CROSS JOIN t),
+         |lng AS (SELECT source, band, 'in' AS grp, cv AS o, g AS rt, ns AS ct, nn FROM wide
+         |  UNION ALL SELECT source, band, 'out', g - cv, g, nn - ns, nn FROM wide),
+         |chi AS (SELECT source, list_reduce(list_prepend(0.0,
+         |      list(contrib ORDER BY band, grp)), (x, y) -> x + y) AS chi2
+         |  FROM (SELECT source, band, grp, ($Chi2CellSql) AS contrib
+         |    FROM lng WHERE rt > 0) GROUP BY 1),
+         |rk AS (SELECT source, chi2,
+         |    CAST(row_number() OVER (ORDER BY chi2 DESC, source) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m FROM chi),
+         |fl AS (SELECT *, ($BhThrSql) AS thr, chi2 >= ($BhThrSql) AS flag FROM rk),
+         |ks AS (SELECT max(CASE WHEN flag THEN rank END) AS kstar FROM fl)
+         |SELECT source, round(chi2, 6) AS chi2, rank, round(thr, 6) AS thr_chi2,
+         |  rank <= coalesce(kstar, 0) AS rejected
+         |FROM fl CROSS JOIN ks ORDER BY rank""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -1128,6 +1128,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("beta") >= 0.0 && r.getAs[Double]("beta") < 1.0)
   }
 
+  test("x171: bh ordering/prefix invariants; chi2 matches a driver recompute") {
+    val rows = run("x171_bh_fdr").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("chi2") >= b.getAs[Double]("chi2"))
+      assert(a.getAs[Double]("thr_chi2") >= b.getAs[Double]("thr_chi2"))
+      // step-up rejections form a prefix of the ranking
+      assert(a.getAs[Boolean]("rejected") || !b.getAs[Boolean]("rejected"))
+    case _ => ()
+    }
+    // recompute the top source's chi2 from the quality scores
+    val quality = run("x03_quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val src = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bands = quality.toSeq.map { case (id, qv) =>
+      (src(id), math.min(2L, math.floor(qv * 10000 + 0.5).toLong / 3334)) }
+    val top = rows.head.getAs[String]("source")
+    val nn = bands.size.toDouble
+    val nsrc = bands.count(_._1 == top).toDouble
+    val chi2 = (0L to 2L).flatMap { b =>
+      val g = bands.count(_._2 == b).toDouble
+      if (g == 0) Nil
+      else Seq(("in", bands.count(x => x._1 == top && x._2 == b).toDouble, nsrc),
+        ("out", bands.count(x => x._1 != top && x._2 == b).toDouble, nn - nsrc))
+        .map { case (_, o, ct) => val e = g * ct / nn; (o - e) * (o - e) / e }
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("chi2") - chi2) < 1e-5,
+      s"chi2 ${rows.head.getAs[Double]("chi2")} vs $chi2")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
