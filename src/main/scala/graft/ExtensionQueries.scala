@@ -3914,6 +3914,117 @@ object ExtensionQueries {
           (col("rank") <= coalesce(col("kstar"), lit(0L))).as("rejected"))
         .orderBy(col("rank"))
     }),
+    // x172: mixed-language document detection — x02's marker-count
+    // lang-id run on each HALF of the token stream: halves that disagree
+    // (both confidently) flag code-switched / concatenated-crawl docs
+    // that a whole-doc classifier averages away. Per-source incidence is
+    // the datacard row. Same one-pass shape as x02 (the slice adds no
+    // pass — both halves project off one tokens column).
+    "x172_mixed_lang" -> ((s, dir) => {
+      val halves = table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .filter(col("n") >= 2)
+        .withColumn("h", expr("(n + 1) div 2"))
+        .select(col("source"),
+          TextFunctions.langIdOf(expr("slice(ts, 1, h)")).as("la"),
+          TextFunctions.langIdOf(expr("slice(ts, h + 1, n - h)")).as("lb"))
+      halves.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("la") =!= col("lb") && col("la") =!= "und"
+            && col("lb") =!= "und", 1L).otherwise(0L)).as("n_mixed"))
+        .select(col("source"), col("n_docs"), col("n_mixed"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n_mixed AS DOUBLE) / n_docs"), 4).as("pct_mixed"))
+        .orderBy(col("source"))
+    }),
+    // x173: log-likelihood keyness (Dunning G²) — the distinctive-terms
+    // list for src0 vs the rest of the corpus: the corpus-COMPARISON
+    // statistic next to x89's within-corpus PMI. The ordering key is the
+    // exact integer micro-tick (G2MicroSql), so the top-20 cut cannot
+    // ulp-flip; direction by integer cross-multiply. One explode pass →
+    // term-keyed counts; everything after is per-term arithmetic against
+    // one broadcast total row. (Count products ride longs here; at
+    // 100 TB the same strings run on DECIMAL(38,0) sums.)
+    "x173_keyness" -> ((s, dir) => {
+      val tk = table(s, dir, "documents").select(
+        (col("source") === "src0").as("tgt"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val counts = tk.groupBy(col("term"))
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("tgt"), 1L).otherwise(0L)).as("b"))
+      val tot = tk.agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("g2n", expr(G2MicroSql))
+        .withColumn("dir",
+          when(col("a") * col("tb") > col("b") * col("ta"), "src0")
+            .otherwise("rest"))
+        .orderBy(col("g2n").desc, col("term")).limit(20)
+        .select(col("term"), col("a").as("n_target"), col("b").as("n_rest"),
+          col("dir"),
+          graft.functions.EngineMath.roundAway(
+            col("g2n").cast("double") / 1e6, 6).as("g2"))
+    }),
+    // x174: Benford leading-digit audit over order totals — the
+    // fabricated-numbers screen for ingested numeric feeds (x142 Zipf /
+    // x143 seasonality are the other distribution-shape audits).
+    // Expected shares are Scala-computed literals (the x115 CASE
+    // device); the χ² folds over the 9-digit spine in digit order. One
+    // scan → 9 cells.
+    "x174_benford" -> ((s, dir) => {
+      val d = table(s, dir, "orders").select(
+        expr("CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) " +
+          "AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      val o = d.groupBy(col("digit")).agg(count(lit(1)).as("cc"))
+      val cells = s.range(1, 10).toDF("digit")
+        .join(o, Seq("digit"), "left")
+        .withColumn("o", coalesce(col("cc"), lit(0L))).drop("cc")
+      val nn = cells.agg(sum(col("o")).as("nn"))
+      val folded = cells.crossJoin(broadcast(nn))
+        .withColumn("contrib", expr(BenfordCellSql))
+      val chi = folded.groupBy()
+        .agg(sort_array(collect_list(struct(col("digit"), col("contrib"))))
+          .as("cs"))
+        .select(expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+          "(acc, v) -> acc + v)").as("chi2"))
+      folded.crossJoin(broadcast(chi))
+        .select(col("digit"), col("o").as("n_obs"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(o AS DOUBLE) / nn"), 6).as("p_obs"),
+          graft.functions.EngineMath.roundAway(expr(BenfordPSql), 6)
+            .as("p_benford"),
+          graft.functions.EngineMath.roundAway(col("chi2"), 6).as("chi2"))
+        .orderBy(col("digit"))
+    }),
+    // x175: term burstiness — variance-to-mean ratio of per-doc counts
+    // over ALL docs (zeros included, so the sums need only the nonzero
+    // (doc, term) pairs): bursty terms are topical content words,
+    // VMR≈1 terms are function words — the statistic behind stopword
+    // induction and x68-style feature pruning. Numerator and
+    // denominator are exact pre-widened integers (BurstSql), the
+    // ordering key an exact micro-tick. Support floor tf ≥ 50, df ≥ 2.
+    "x175_burstiness" -> ((s, dir) => {
+      val dt = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+      val dd = table(s, dir, "documents").agg(count(lit(1)).as("dd"))
+      dt.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("m")).as("sm0"),
+          sum(col("m") * col("m")).as("sm20"))
+        .filter(col("sm0") >= 50 && col("df") >= 2)
+        .crossJoin(broadcast(dd))
+        .select(col("term"), col("df"),
+          col("sm0").cast("decimal(38,0)").as("sm"),
+          col("sm20").cast("decimal(38,0)").as("sm2"), col("dd"))
+        .withColumn("bn",
+          floor(expr(BurstSql) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(col("bn").desc, col("term")).limit(20)
+        .select(col("term"), col("df"), col("sm").cast("long").as("tf"),
+          graft.functions.EngineMath.roundAway(
+            col("bn").cast("double") / 1e6, 6).as("burstiness"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4195,6 +4306,43 @@ object ExtensionQueries {
     */
   private val BhThrSql: String =
     "-2 * ln(CAST(rank AS DOUBLE) * 0.10 / m)"
+
+  /** x173's micro-quantized log-likelihood keyness G² = 2·Σ o·ln(o/e)
+    * over the term's 2×1 split (target count a of total ta, rest count
+    * b of total tb; expected shares from the pooled rate) — ONE string
+    * over (a, b, ta, tb) producing the INTEGER micro-tick directly, so
+    * the top-k ordering key is exact in both engines. 0·ln(0) = 0 via
+    * the CASE guards.
+    */
+  private val G2MicroSql: String =
+    "CAST(floor(2 * (" +
+      "(CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * (ta + tb) / " +
+      "(CAST(a + b AS DOUBLE) * ta)) ELSE 0.0 END) + " +
+      "(CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * (ta + tb) / " +
+      "(CAST(a + b AS DOUBLE) * tb)) ELSE 0.0 END)" +
+      ") * 1e6 + 0.5) AS BIGINT)"
+
+  /** x175's variance-to-mean burstiness over ALL docs (zeros included):
+    * b = (D·Σm² − (Σm)²) / (D·Σm) — exact integer numerator and
+    * denominator (pre-widened sums), ONE double division.
+    */
+  private val BurstSql: String =
+    "CAST(dd * sm2 - sm * sm AS DOUBLE) / CAST(dd * sm AS DOUBLE)"
+
+  /** x174's Benford expectations log10(1+1/d) as Scala-computed literals
+    * (the x115/x148 CASE device — both engines parse the identical IEEE
+    * doubles), and the per-digit χ² contribution over (o, nn) with
+    * e = nn·p.
+    */
+  private[graft] val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+  private val BenfordPSql: String = {
+    val cases = BenfordP.map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }
+    s"CASE digit ${cases.mkString(" ")} ELSE 0.0 END"
+  }
+  private val BenfordCellSql: String =
+    s"(CAST(o AS DOUBLE) - nn * ($BenfordPSql)) * " +
+      s"(CAST(o AS DOUBLE) - nn * ($BenfordPSql)) / (nn * ($BenfordPSql))"
 
   /** x131's sign-bit word: Σ_{j=0..31} (vec[lo+j] > 0 ? 2^j : 0) as
     * generated CASE terms — `at` supplies the engine's 1-based list
@@ -6834,6 +6982,81 @@ object ExtensionQueries {
          |SELECT source, round(chi2, 6) AS chi2, rank, round(thr, 6) AS thr_chi2,
          |  rank <= coalesce(kstar, 0) AS rejected
          |FROM fl CROSS JOIN ks ORDER BY rank""".stripMargin.replace("\n", " ")),
+    // same half split (list_slice end-inclusive ≡ Spark slice length
+    // form), the x02 marker CASE on each half, same both-confident
+    // disagreement rule
+    "x172_mixed_lang" -> {
+      val caseSql = "CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und' " +
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' " +
+        "WHEN de = greatest(en, de, fr, es) THEN 'de' " +
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' " +
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' ELSE 'und' END"
+      def langOf(half: String) =
+        s"(SELECT doc_id, source, ${markers("en")} AS en, ${markers("de")} AS de, " +
+          s"${markers("fr")} AS fr, ${markers("es")} AS es FROM $half)"
+      s"WITH m AS (SELECT doc_id, source, $toks AS ts0 FROM documents), " +
+        "f AS (SELECT doc_id, source, ts0, len(ts0) AS n, " +
+        "(len(ts0) + 1) // 2 AS h FROM m WHERE len(ts0) >= 2), " +
+        "ha AS (SELECT doc_id, source, list_slice(ts0, 1, h) AS ts FROM f), " +
+        "hb AS (SELECT doc_id, source, list_slice(ts0, h + 1, n) AS ts FROM f), " +
+        s"la AS (SELECT doc_id, source, $caseSql AS la FROM ${langOf("ha")}), " +
+        s"lb AS (SELECT doc_id, $caseSql AS lb FROM ${langOf("hb")}) " +
+        "SELECT la.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN la != lb AND la != 'und' AND lb != 'und' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed, " +
+        "round(CAST(sum(CASE WHEN la != lb AND la != 'und' AND lb != 'und' " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pct_mixed " +
+        "FROM la JOIN lb USING (doc_id) GROUP BY 1 ORDER BY 1"
+    },
+    // same counts, the SHARED integer micro-tick string keys the top-20,
+    // same integer cross-multiply direction
+    "x173_keyness" ->
+      (s"""WITH tk AS (SELECT (source = 'src0') AS tgt, unnest($toks) AS term
+         |  FROM documents),
+         |c AS (SELECT term, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS tb FROM tk),
+         |g AS (SELECT term, a, b, $G2MicroSql AS g2n,
+         |    CASE WHEN a * tb > b * ta THEN 'src0' ELSE 'rest' END AS dir
+         |  FROM c CROSS JOIN t)
+         |SELECT term, a AS n_target, b AS n_rest, dir,
+         |  round(CAST(g2n AS DOUBLE) / 1e6, 6) AS g2
+         |FROM g ORDER BY g2n DESC, term LIMIT 20""".stripMargin.replace("\n", " ")),
+    // same digit extraction (VARCHAR ≡ STRING cast of the exact BIGINT),
+    // same literal expectations, digit-ordered fold ≡ list_reduce
+    "x174_benford" ->
+      (s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS cc FROM d GROUP BY 1),
+         |cells AS (SELECT s.digit, CAST(coalesce(cc, 0) AS BIGINT) AS o
+         |  FROM (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)) s
+         |  LEFT JOIN o USING (digit)),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         |f AS (SELECT digit, o, nn, ($BenfordCellSql) AS contrib
+         |  FROM cells CROSS JOIN t),
+         |x AS (SELECT round(list_reduce(list_prepend(0.0,
+         |    list(contrib ORDER BY digit)), (a, b) -> a + b), 6) AS chi2 FROM f)
+         |SELECT digit, o AS n_obs, round(CAST(o AS DOUBLE) / nn, 6) AS p_obs,
+         |  round($BenfordPSql, 6) AS p_benford, chi2
+         |FROM f CROSS JOIN x ORDER BY digit""".stripMargin.replace("\n", " ")),
+    // same (doc, term) collapse, HUGEINT ≡ DECIMAL(38,0) widened sums,
+    // the SHARED division string, exact micro-tick ordering
+    "x175_burstiness" ->
+      (s"""WITH dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS m
+         |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents) GROUP BY 1, 2),
+         |d AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+         |g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(m) AS HUGEINT) AS sm, CAST(sum(m * m) AS HUGEINT) AS sm2
+         |  FROM dt GROUP BY 1),
+         |f AS (SELECT term, df, sm, sm2, dd FROM g CROSS JOIN d
+         |  WHERE sm >= 50 AND df >= 2),
+         |q AS (SELECT term, df, sm,
+         |    CAST(floor(($BurstSql) * 1e6 + 0.5) AS BIGINT) AS bn FROM f)
+         |SELECT term, df, CAST(sm AS BIGINT) AS tf,
+         |  round(CAST(bn AS DOUBLE) / 1e6, 6) AS burstiness
+         |FROM q ORDER BY bn DESC, term LIMIT 20""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
