@@ -261,6 +261,21 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write file artifact: $e") }
+    // compact trailer: the round artifact keeps only a ~2000-char stdout
+    // TAIL, so the full line above arrives truncated mid-map and parses
+    // as null (BENCH_r09). The LAST stdout line is therefore a complete
+    // JSON object small enough to always fit the tail: headline cube
+    // queries + the suite's slowest 10 + the trust stamps; the full
+    // per-query map lives in BENCH_LAST.json.
+    val compactQs = (results.filter(_._1.startsWith("a")) ++
+        results.sortBy(-_._2).take(10))
+      .distinctBy(_._1).sortBy(_._1)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + num("%.3f", v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num("%.3f", total)},""" +
+      s""""unit":"sec","sf":"$sfDir","suite_n":${results.size},""" +
+      s""""queries":$compactQs,"queries_full":"BENCH_LAST.json"""" +
+      s"""$load$gate,"canary_floor_ms":${num("%.1f", floor)}}""")
     spark.stop()
   }
 }

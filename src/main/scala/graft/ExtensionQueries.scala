@@ -2551,12 +2551,19 @@ object ExtensionQueries {
         .withColumn("cuma", sum(col("ca")).over(wCum))
         .withColumn("cumb", sum(col("cb")).over(wCum))
         .crossJoin(broadcast(tot))
-        .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        // pre-widen to decimal(38,0): cum·n is a BIGINT product that
+        // silently wraps (non-ANSI Spark) once a cohort passes ~3e9
+        // events; widened, the argmax and the final division stay exact
+        // (na·nb divides as double·double, matching the oracle's read)
+        .withColumn("dnum",
+          abs(col("cuma").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")
+            - col("cumb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")))
         .orderBy(col("dnum").desc, col("vm"))
         .limit(1)
         .select(col("na"), col("nb"),
           graft.functions.EngineMath.roundAway(
-            col("dnum").cast("double") / (col("na") * col("nb")).cast("double"),
+            col("dnum").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")),
             6).as("ks"),
           graft.functions.EngineMath.roundAway(
             col("vm").cast("double") / 1e6, 6).as("at_value"))
@@ -3108,33 +3115,51 @@ object ExtensionQueries {
         .orderBy(col("source"))
     }),
     // x165: MinHash estimate calibration — |sig-agreement/128 − exact J|
-    // over x91's SNM candidate pairs: the measurement that says how many
-    // hashes the signature actually needs. Signatures stage once (the
-    // x08 device — DuckDB re-derives the estimate from the staged
-    // table, no xxhash in SQL); errors micro-quantize so the mean is an
-    // exact integer sum, scale-safe with no collect anywhere.
+    // over a fixed-size deterministic sample of x91's SNM candidate
+    // pairs: the measurement that says how many hashes the signature
+    // actually needs. PROBE-COST SHAPE (round 10, retiring the r9
+    // full-index build that was the suite's most expensive query at
+    // 8.3×-on-10× — the linear 128-hash floor): the statistic is a
+    // mean/max over pairs, so an md5-ticket top-2000 sample answers it
+    // with the same statistical content, and only the ≤4000 sampled
+    // docs get shingled and signed — constant work at ANY corpus size.
+    // Signatures stage once (the x08 device — DuckDB re-derives the
+    // estimate from the staged table, no xxhash in SQL); errors
+    // micro-quantize so the mean is an exact integer sum, no collect.
     "x165_minhash_estimate" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      // TWO checkpoint boundaries, both load-bearing:
+      val cand = graft.operators.Snm.pairs(docs, "doc_id", "text",
+        blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0)
+        .select(col("id_a"), col("id_b"))
+      // deterministic fixed-size sample: md5-ticket total order with
+      // exact integer tie-break (TakeOrderedAndProject — no full sort);
+      // checkpointed so the candidate pass runs ONCE for both the id
+      // set and the pair frame
+      val samp = cand
+        .withColumn("tk", md5(concat(col("id_a").cast("string"), lit(":"),
+          col("id_b").cast("string"))))
+        .orderBy(col("tk"), col("id_a"), col("id_b")).limit(2000)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val ids = samp.select(col("id_a").as("did"))
+        .union(samp.select(col("id_b").as("did"))).distinct()
+      // TWO checkpoint boundaries, both load-bearing (now over the
+      // bounded sampled-doc set, not the corpus):
       //  1. shingles materialize BEFORE the 128-hash signature —
       //     CollapseProject otherwise inlines the shingle expression
       //     into every signature element, re-tokenizing 128× per row
-      //     (measured 450 s vs ~6 s at sf0.1);
+      //     (measured 450 s vs ~6 s at sf0.1 on the full-corpus form);
       //  2. the signature table materializes before its two join
       //     references — a persisted subtree loses cache substitution
       //     in its own self-join (the a17/x156 trap).
-      // At scale this IS the signature index build — materialized once
-      // by design (x08 stages the same way).
-      val shd = docs.select(col("doc_id").as("id"),
-        TextFunctions.shingles(col("text"), 3).as("sh")).localCheckpoint()
+      val shd = docs.join(ids, col("doc_id") === col("did"), "left_semi")
+        .select(col("doc_id").as("id"),
+          TextFunctions.shingles(col("text"), 3).as("sh")).localCheckpoint()
       val sigs = shd.select(col("id"),
         Dedup.minhashSignatureOf(col("sh"), numHashes = 128).as("sig"),
         col("sh")).localCheckpoint()
       Stage.write(sigs.select(col("id"), col("sig")), dir, "x165_sigs")
-      val cand = graft.operators.Snm.pairs(docs, "doc_id", "text",
-        blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0)
-        .select(col("id_a"), col("id_b"))
-      cand
+      samp
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sa"),
           col("sh").as("sha")), "id_a")
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sb"),
@@ -3710,9 +3735,13 @@ object ExtensionQueries {
         .withColumn("nxt", lead(col("vm"), 1).over(wOrd))
         .filter(col("nxt").isNotNull)
         .crossJoin(broadcast(tot))
+        // the cross-multiplies ride decimal(38,0) BEFORE the product —
+        // cohorts past ~3e9 events would silently wrap a BIGINT product
+        // (non-ANSI Spark); pre-widened, cum·n ≤ ~1e24 and term ≤ ~1e36
+        // both fit 38 digits (oracle side widens to HUGEINT likewise)
         .withColumn("term",
-          abs(col("cuma") * col("nb") - col("cumb") * col("na"))
-            .cast("decimal(38,0)") *
+          abs(col("cuma").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")
+            - col("cumb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")) *
             (col("nxt") - col("vm")).cast("decimal(38,0)"))
         .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
           sum(col("term")).as("st"))
@@ -4292,6 +4321,16 @@ object ExtensionQueries {
     * ln-coordinates. The sums are EXACT (Σx/Σy pre-widened, Σxy/Σx² as
     * DECIMAL(38,0)/HUGEINT products), so each read is arithmetic on
     * identical integers with one double rounding — ONE string each.
+    *
+    * Practical bound on the DECIMAL(38,0) claim: with one point per doc
+    * and |xn·yn| ≤ (ln(1e14)·1e9)² ≈ 1.1e21, n·Σxy stays within 38
+    * digits up to n ≈ 3e8 sample points; past that a Spark decimal
+    * overflow yields NULL (loudly wrong, not silently wrapped). The
+    * documented at-scale form — the x113 bucket-prefix spine — samples
+    * the prefix curve at bounded bucket boundaries (thousands of
+    * points, not one per doc), which keeps the sufficient statistics
+    * far inside the bound; fitting Heaps on 1e9+ raw per-doc points
+    * is statistical overkill the sampled spine removes.
     */
   private val HeapsBetaSql: String =
     "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
@@ -6143,9 +6182,9 @@ object ExtensionQueries {
          |cum AS (SELECT vm, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
          |    CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM c
          |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |d AS (SELECT vm, abs(cuma * t.nb - cumb * t.na) AS dnum, t.na, t.nb
+         |d AS (SELECT vm, abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na) AS dnum, t.na, t.nb
          |  FROM cum CROSS JOIN t)
-         |SELECT na, nb, round(CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS ks,
+         |SELECT na, nb, round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks,
          |  round(CAST(vm AS DOUBLE) / 1e6, 6) AS at_value
          |FROM d ORDER BY dnum DESC, vm LIMIT 1""".stripMargin.replace("\n", " ")),
     // same integer margins, the SHARED per-cell contribution string, and
@@ -6500,9 +6539,9 @@ object ExtensionQueries {
          |  CAST(tokens - tokens_kept AS BIGINT) AS tokens_removed,
          |  round(CAST(tokens - tokens_kept AS DOUBLE) / tokens, 6) AS pct_removed
          |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
-    // x91's candidate generation, the STAGED signatures re-read
-    // (agreement recomputed in SQL), the same shingle exact-J and
-    // micro-quantized errors
+    // x91's candidate generation, the SAME md5-ticket top-2000 sample,
+    // the STAGED signatures re-read (agreement recomputed in SQL), the
+    // same shingle exact-J and micro-quantized errors
     "x165_minhash_estimate" ->
       (s"""WITH k AS (SELECT doc_id, lang, list_distinct($toks) AS ts, $toks AS s,
          |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS bk
@@ -6514,9 +6553,13 @@ object ExtensionQueries {
          |    a.sh AS sha, b.sh AS shb
          |  FROM r a CROSS JOIN (SELECT unnest(range(1, 6)) AS d) s
          |  JOIN r b ON b.lang = a.lang AND b.rnk = a.rnk + s.d),
-         |f AS (SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, sha, shb
-         |  FROM cand WHERE len(list_distinct(list_concat(tsa, tsb))) > 0
-         |    AND len(list_distinct(list_concat(sha, shb))) > 0),
+         |f0 AS (SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, sha, shb
+         |  FROM cand WHERE len(list_distinct(list_concat(tsa, tsb))) > 0),
+         |samp AS (SELECT id_a, id_b, sha, shb FROM f0
+         |  ORDER BY md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
+         |    id_a, id_b LIMIT 2000),
+         |f AS (SELECT id_a, id_b, sha, shb FROM samp
+         |  WHERE len(list_distinct(list_concat(sha, shb))) > 0),
          |g AS (SELECT
          |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) AS BIGINT) AS agree,
          |    CAST(len(list_intersect(f.sha, f.shb)) AS DOUBLE)
@@ -6852,7 +6895,7 @@ object ExtensionQueries {
          |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
          |    lead(vm) OVER (ORDER BY vm) AS nxt FROM c
          |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |s AS (SELECT CAST(abs(cuma * t.nb - cumb * t.na) AS HUGEINT) * (nxt - vm) AS term,
+         |s AS (SELECT abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na) * (nxt - vm) AS term,
          |    t.na, t.nb FROM cum CROSS JOIN t WHERE nxt IS NOT NULL),
          |f AS (SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
          |    sum(term) AS st FROM s)

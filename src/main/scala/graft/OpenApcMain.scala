@@ -99,6 +99,11 @@ object OpenApcMain {
       Assets.institutionInfo(inputs.institutions), s"$outDir/yamls")
 
     val registry = new CubeRegistry
+    // the workspace info blob (slicer.ini:11 info_file: info.json) ships
+    // beside the CSV inputs; when present it is served verbatim at /info
+    val infoPath = java.nio.file.Paths.get(csvDir, "info.json")
+    if (java.nio.file.Files.exists(infoPath))
+      registry.setInfo(java.nio.file.Files.readString(infoPath))
     registerAll(spark, registry, s"$outDir/cubes", manifest)
     val server = new GraftServer(registry, port)
     server.start()

@@ -169,10 +169,14 @@ object Graph {
     * against the current O(|nodes|) score frame plus a grouped sum; the
     * normalizer is an aggregate of the already-grouped frame (never the
     * edge list). Persist-per-round caps lineage exactly as pageRank.
-    * Returns (node, hub, auth) with nulls as 0.0 on the missing side.
+    * Returns (node, hub, auth); a side the node never scores on (no
+    * out-edges → hub, no in-edges → auth) is SQL NULL — callers that
+    * want zeros coalesce explicitly (GraphSpec pins the NULL contract).
+    * Requires iters ≥ 1 (zero rounds would have no auth side at all).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val srcN = e.select(col("src")).distinct()

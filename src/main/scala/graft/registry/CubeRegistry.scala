@@ -41,6 +41,22 @@ final class CubeRegistry {
     gen.incrementAndGet(): Unit
   }
 
+  // ---- workspace info blob (`GET /info`) --------------------------------
+
+  @volatile private var infoBlob: String = "{}"
+
+  /** The workspace metadata blob the cubes server exposes at `GET /info`
+    * (slicer.ini:11 `info_file: info.json`) — served verbatim; `{}` until
+    * an instance registers one. Setting it bumps the generation so the
+    * HTTP response cache self-invalidates like any registry change.
+    */
+  def infoJson: String = infoBlob
+
+  def setInfo(json: String): Unit = {
+    infoBlob = json
+    gen.incrementAndGet(): Unit
+  }
+
   def names: Seq[String] = cubes.keys.toSeq.sorted
   def model(name: String): Option[CubeModel] = cubes.get(name).map(_._1)
   def browser(name: String): Browser = {

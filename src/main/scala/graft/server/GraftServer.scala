@@ -14,10 +14,13 @@ import graft.registry.CubeRegistry
   * olap_server.py:3,11) with the endpoint surface documented in
   * /root/reference/HOWTO.md:
   *
+  *   GET /info                        → workspace metadata blob
+  *                                                        (slicer.ini:11 info_file)
   *   GET /cubes                       → cube list         (HOWTO.md:31-33)
   *   GET /cube/<c>/model              → cube model        (HOWTO.md:69-71)
-  *   GET /cube/<c>/aggregate?cut&drilldown&order&page&pagesize
+  *   GET /cube/<c>/aggregate?cut&drilldown&order&page&pagesize&format=csv
   *                                    → {summary, cells, total_cell_count}
+  *                                      (format=csv: the cells as CSV)
   *                                                        (HOWTO.md:44-91)
   *   GET /cube/<c>/aggregate?drilldown&share=<agg>
   *                                    → {cells, cell_count} with
@@ -109,15 +112,18 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
       }
       val genAtStart = if (noCache) -1L else registry.generation
       val path = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
-      // facts supports the cubes `format=csv` alternative rendering
-      if (path.length == 3 && path(0) == "cube" && path(2) == "facts" &&
+      // facts AND aggregate support the cubes `format=csv` rendering
+      if (path.length == 3 && path(0) == "cube" &&
+          (path(2) == "facts" || path(2) == "aggregate") &&
           params.get("format").contains("csv")) {
-        val csv = factsCsv(path(1), params)
+        val csv = if (path(2) == "facts") factsCsv(path(1), params)
+          else aggregateCsv(path(1), params)
         cachePut(key, genAtStart, csv, "text/csv; charset=utf-8")
         respond(ex, 200, csv, "text/csv; charset=utf-8")
         return
       }
       val body = path match {
+        case Seq("info") => registry.infoJson
         case Seq("cubes") => registry.listJson
         case Seq("cube", c, "model") => modelJson(c)
         case Seq("cube", c, "aggregate") => aggregateJson(c, params)
@@ -266,6 +272,31 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
       case Some(_) => q
       case None => q.copy(page = Some(graft.query.Page(0, recordLimit)))
     })
+    csvRender(frame.columns, frame.collect())
+  }
+
+  /** `GET /cube/<c>/aggregate?format=csv` (cubes server alternative
+    * rendering): the drilldown cells — or the single summary row when
+    * there is no drilldown — as CSV over the same ordered, paginated
+    * listing the JSON form serves. Cells are bounded by the drilldown's
+    * group count (and the pagesize cap when paginated), so the
+    * driver-side string assembly stays small.
+    */
+  private def aggregateCsv(cube: String, params: Map[String, String]): String = {
+    val b = registry.browser(cube)
+    val q = parseQuery(params)
+    if (q.drilldown.isEmpty) {
+      val s = b.summary(q)
+      csvRender(s.columns, s.collect())
+    } else {
+      val r = b.aggregateResponse(q)
+      try csvRender(r.cells.columns, r.cells.collect())
+      finally r.release()
+    }
+  }
+
+  private def csvRender(columns: Seq[String],
+      rows: Array[org.apache.spark.sql.Row]): String = {
     def cell(v: Any): String = v match {
       case null => ""
       case s =>
@@ -274,10 +305,10 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
           "\"" + t.replace("\"", "\"\"") + "\""
         else t
     }
-    val header = frame.columns.map(cell).mkString(",")
-    val rows = frame.collect().map(r =>
+    val header = columns.map(cell).mkString(",")
+    val body = rows.map(r =>
       (0 until r.length).map(i => cell(r.get(i))).mkString(","))
-    (header +: rows).mkString("\r\n")
+    (header +: body).mkString("\r\n")
   }
 
   private def membersJson(cube: String, dim: String, params: Map[String, String]): String = {

@@ -76,6 +76,16 @@ object EtlFixture {
     write(dir, "article_pubdates.json",
       """{"40746": {"10.1007/s40746-d2": "2019"}}""")
     write(dir, "journal_ids.json", """{"3333-3333": "10052"}""")
+    // workspace info blob (slicer.ini:11 info_file) — served verbatim at /info
+    write(dir, "info.json",
+      """{
+        |    "name": "fixture.olap.test",
+        |    "label": "Fixture OLAP",
+        |    "description": "e2e fixture instance",
+        |    "license": "Open Database License",
+        |    "keywords": ["fixture", "APC"],
+        |    "visualizers": [{"label": "Treemaps", "url": "http://treemaps.example"}]
+        |}""")
     dir
   }
 }

@@ -16,8 +16,9 @@ import graft.server.GraftServer
 class OpenApcE2eSpec extends SparkSpec {
 
   private lazy val outDir = Files.createTempDirectory("graft-e2e").toString
+  private lazy val csvDir = EtlFixture.create().toString
   private lazy val server: GraftServer =
-    OpenApcMain.launch(spark, EtlFixture.create().toString, outDir)
+    OpenApcMain.launch(spark, csvDir, outDir)
   private lazy val client = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
 
@@ -47,6 +48,16 @@ class OpenApcE2eSpec extends SparkSpec {
       "konstanz", "mit")
       .foreach(c => assert(body.contains(s""""name":"$c""""), s"missing cube $c"))
     assert(!body.contains("wellcome"))
+  }
+
+  test("GET /info serves the instance's info.json verbatim (slicer.ini:11)") {
+    val body = ok("/info")
+    assert(body == Files.readString(Paths.get(csvDir, "info.json")),
+      "/info must serve the workspace info_file byte-for-byte")
+    // and it parses as the metadata object the treemaps frontend expects
+    val node = mapper.readTree(body)
+    assert(node.get("name").asText() == "fixture.olap.test")
+    assert(node.get("visualizers").isArray)
   }
 
   test("HOWTO q2-q4: institutional facts listing paginates stably") {

@@ -1027,12 +1027,12 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("x165: estimate error small and the pair frame matches the SNM candidates") {
+  test("x165: estimate error small; sample bounded by min(2000, SNM candidates)") {
     val r = run("x165_minhash_estimate").collect().head
     val cand = graft.operators.Snm.pairs(
       Tables.table(spark, sf(), "documents"), "doc_id", "text",
       blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0).count()
-    assert(r.getAs[Long]("n_pairs") <= cand)
+    assert(r.getAs[Long]("n_pairs") <= math.min(2000L, cand))
     assert(r.getAs[Long]("n_pairs") > 0)
     // 128 hashes: SE of the estimate is ~sqrt(j(1-j)/128) <= 0.045 —
     // the MEAN abs error across pairs must sit well inside that
@@ -1158,6 +1158,134 @@ class PipelineOpsSpec extends SparkSpec {
     }.sum
     assert(math.abs(rows.head.getAs[Double]("chi2") - chi2) < 1e-5,
       s"chi2 ${rows.head.getAs[Double]("chi2")} vs $chi2")
+  }
+
+  test("x172: accounting closes; halves match a driver-side split; deterministic") {
+    val rows = run("x172_mixed_lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_mixed"))
+      assert(nm >= 0 && nm <= nd, s"n_mixed $nm outside [0, $nd]")
+      val pct = math.floor(nm.toDouble / nd * 10000 + 0.5) / 10000
+      assert(math.abs(r.getAs[Double]("pct_mixed") - pct) < 1e-9)
+    }
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // every >=2-token doc is counted in exactly one source row
+    val eligible = docs.count(_._2.trim.split("\\s+").count(_.nonEmpty) >= 2)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == eligible)
+    // recompute n_mixed with the halves sliced DRIVER-side (checks the
+    // query's slice arithmetic), lang-id'd by the engine on half-strings
+    import spark.implicits._
+    val halves = docs.toSeq.flatMap { case (src, text) =>
+      val ts = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (ts.length < 2) None
+      else {
+        val h = (ts.length + 1) / 2
+        Some((src, ts.take(h).mkString(" "), ts.drop(h).mkString(" ")))
+      }
+    }.toDF("source", "ha", "hb")
+    val mixed = halves.select(col("source"),
+        graft.functions.TextFunctions.langId(col("ha")).as("la"),
+        graft.functions.TextFunctions.langId(col("hb")).as("lb"))
+      .collect()
+      .filter(r => r.getString(1) != r.getString(2)
+        && r.getString(1) != "und" && r.getString(2) != "und")
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach(r => assert(r.getAs[Long]("n_mixed") ==
+      mixed.getOrElse(r.getAs[String]("source"), 0L),
+      s"${r.getAs[String]("source")} n_mixed mismatch"))
+    // the half-split is a pure function of the token stream — rerun-identical
+    val again = run("x172_mixed_lang").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("x173: g2 nonneg descending; top term counts, direction and G2 match a recompute") {
+    val rows = run("x173_keyness").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Double]("g2") >= 0.0))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("g2") >= b.getAs[Double]("g2"))
+      case _ => ()
+    }
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    val ta = docs.filter(_._1 == "src0").map(d => toks(d._2).length.toLong).sum
+    val tb = docs.filter(_._1 != "src0").map(d => toks(d._2).length.toLong).sum
+    val top = rows.head
+    val term = top.getAs[String]("term")
+    val a = docs.filter(_._1 == "src0")
+      .map(d => toks(d._2).count(_ == term).toLong).sum
+    val b = docs.filter(_._1 != "src0")
+      .map(d => toks(d._2).count(_ == term).toLong).sum
+    assert(top.getAs[Long]("n_target") == a && top.getAs[Long]("n_rest") == b)
+    assert(top.getAs[String]("dir") == (if (a * tb > b * ta) "src0" else "rest"))
+    def term0(o: Long, t: Long) =
+      if (o == 0) 0.0
+      else o * math.log(o.toDouble * (ta + tb) / ((a + b).toDouble * t))
+    val g2 = 2 * (term0(a, ta) + term0(b, tb))
+    assert(math.abs(top.getAs[Double]("g2") - g2) < 1e-5,
+      s"g2 ${top.getAs[Double]("g2")} vs $g2")
+  }
+
+  test("x174: 9-digit spine; p_obs sums to 1; chi2 constant, nonneg, matches recompute") {
+    val rows = run("x174_benford").collect().sortBy(_.getAs[Long]("digit"))
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val chi2s = rows.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2s.length == 1, "chi2 must be the one corpus-level statistic")
+    assert(chi2s.head >= 0.0)
+    assert(math.abs(rows.map(_.getAs[Double]("p_obs")).sum - 1.0) < 1e-5)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toInt
+      val p = math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("p_benford") - p) < 1e-9)
+    }
+    // leading digits recomputed driver-side from the raw totals
+    val lead = Tables.table(spark, sf(), "orders")
+      .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS v").collect()
+      .map(_.getLong(0).toString.head.asDigit.toLong)
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == lead.length)
+    val n = lead.length.toDouble
+    val chi2 = (1 to 9).map { d =>
+      val o = lead.count(_ == d).toDouble
+      val e = n * math.log10(1.0 + 1.0 / d)
+      (o - e) * (o - e) / e
+    }.sum
+    rows.foreach(r => assert(r.getAs[Long]("n_obs") ==
+      lead.count(_ == r.getAs[Long]("digit"))))
+    assert(math.abs(chi2s.head - chi2) < 1e-5, s"chi2 ${chi2s.head} vs $chi2")
+  }
+
+  test("x175: burstiness nonneg descending; floors honored; top term matches VMR recompute") {
+    val rows = run("x175_burstiness").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") >= 50L, "support floor tf >= 50")
+      assert(r.getAs[Long]("df") >= 2L, "support floor df >= 2")
+      // D·Σm² ≥ (Σm)² by Cauchy-Schwarz — VMR burstiness cannot go negative
+      assert(r.getAs[Double]("burstiness") >= 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("burstiness") >= b.getAs[Double]("burstiness"))
+      case _ => ()
+    }
+    val texts = Tables.table(spark, sf(), "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val term = rows.head.getAs[String]("term")
+    val ms = texts.map(_.trim.split("\\s+").count(_ == term).toLong)
+    val dd = texts.length
+    val sm = ms.sum
+    val sm2 = ms.map(m => m * m).sum
+    assert(rows.head.getAs[Long]("tf") == sm)
+    assert(rows.head.getAs[Long]("df") == ms.count(_ > 0).toLong)
+    val b = (dd.toDouble * sm2 - sm.toDouble * sm) / (dd.toDouble * sm)
+    assert(math.abs(rows.head.getAs[Double]("burstiness") - b) < 1e-5,
+      s"burstiness ${rows.head.getAs[Double]("burstiness")} vs $b")
   }
 
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {

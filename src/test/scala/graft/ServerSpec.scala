@@ -58,6 +58,17 @@ class ServerSpec extends SparkSpec {
     assert(preHdrs.firstValue("Access-Control-Allow-Methods").orElse("").contains("GET"))
   }
 
+  test("GET /info: {} by default; serves the registered blob verbatim; cache invalidates") {
+    val (code0, body0) = get("/info")
+    assert(code0 == 200 && body0 == "{}")
+    val blob = """{"name":"test.olap","label":"Test","keywords":["a","b"]}"""
+    registry.setInfo(blob)
+    val (code1, body1) = get("/info")
+    assert(code1 == 200 && body1 == blob,
+      "setInfo must bump the generation so the cached {} is unreachable")
+    registry.setInfo("{}") // restore for other tests (suite order free)
+  }
+
   test("GET /cube/<c>/model returns dims + aggregates (HOWTO q9)") {
     val (code, body) = get("/cube/lineitem/model")
     assert(code == 200)
@@ -166,6 +177,27 @@ class ServerSpec extends SparkSpec {
     val firstKey = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json).get(0).get("l_orderkey").asLong()
     assert(lines(1).split(",")(lines.head.split(",").indexOf("l_orderkey")).toLong == firstKey)
+  }
+
+  test("aggregate format=csv: cells as CSV matching the JSON response; summary row without drilldown") {
+    val req = HttpRequest.newBuilder(URI.create(
+      s"http://localhost:${server.boundPort}/cube/lineitem/aggregate?drilldown=l_returnflag&format=csv"))
+      .GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(res.statusCode() == 200)
+    assert(res.headers().firstValue("Content-Type").get.startsWith("text/csv"))
+    val lines = res.body().split("\r\n")
+    val header = lines.head.split(",")
+    assert(header.contains("l_returnflag") && header.contains("price_sum"))
+    // same cells (count and first drilldown key) as the JSON rendering
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(get("/cube/lineitem/aggregate?drilldown=l_returnflag")._2)
+    assert(lines.length - 1 == json.get("cells").size())
+    assert(lines(1).split(",")(header.indexOf("l_returnflag")) ==
+      json.get("cells").get(0).get("l_returnflag").asText())
+    // no drilldown: the one summary row
+    val s = get("/cube/lineitem/aggregate?format=csv")._2.split("\r\n")
+    assert(s.length == 2 && s.head.split(",").contains("price_sum"))
   }
 
   test("facts honours the 500-row record limit when unpaginated") {
