@@ -3676,36 +3676,9 @@ object ExtensionQueries {
     // ids by integer division, counts, margins); the 10 per-source
     // contributions fold in bin order (the x135 device). One corpus pass
     // → a |sources|×10 cell table; all joins after it are broadcasts.
-    "x166_psi_drift" -> ((s, dir) => {
-      val q = table(s, dir, "documents")
-        .select(col("source"), col("text"),
-          TextFunctions.tokens(col("text")).as("ts"))
-        .select(col("source"),
-          floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
-            * 10000 + lit(0.5)).cast("long").as("q4"))
-        .select(col("source"), expr("least(9, q4 div 1000)").as("bin"))
-      val cnts = q.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("cc"))
-      val spine = q.select(col("source")).distinct()
-        .crossJoin(s.range(0, 10).toDF("bin"))
-      val cells = spine.join(cnts, Seq("source", "bin"), "left")
-        .withColumn("c", coalesce(col("cc"), lit(0L))).drop("cc")
-      val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("ns"))
-      val gb = cells.groupBy(col("bin")).agg(sum(col("c")).as("g"))
-      val nn = cells.agg(sum(col("c")).as("nn"))
-      cells.join(broadcast(ns), "source").join(broadcast(gb), "bin")
-        .crossJoin(broadcast(nn))
-        .withColumn("contrib", expr(PsiCellSql))
-        .groupBy(col("source"))
-        .agg(max(col("ns")).as("n_docs"),
-          sort_array(collect_list(struct(col("bin"), col("contrib"))))
-            .as("cs"))
-        .select(col("source"), col("n_docs"),
-          graft.functions.EngineMath.roundAway(
-            expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
-              "(acc, v) -> acc + v)"), 6).as("psi"))
-        .orderBy(col("source"))
-    }),
+    "x166_psi_drift" -> ((s, dir) =>
+      psiOverBinCounts(s, qualityBins(table(s, dir, "documents"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cc")))),
     // x167: 1-D Wasserstein (earth-mover) drift — ∫|CDF_A − CDF_B| dv
     // between the even/odd user cohorts' event-value distributions: the
     // magnitude-weighted companion to x134's sup-gap KS (a small shift
@@ -3716,38 +3689,11 @@ object ExtensionQueries {
     // values collapse first, so the global-order window runs over the
     // value domain, not the event count (at 100 TB: the x113
     // bucket-prefix-sum rank or a binned CDF, as with x134).
-    "x167_wasserstein_drift" -> ((s, dir) => {
-      val v = Tables.events(s, dir)
-        .select((col("user_id") % 2 === 0).as("isA"),
-          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
-      val counts = v.groupBy(col("vm"))
+    "x167_wasserstein_drift" -> ((s, dir) =>
+      w1OverCounts(valueCohorts(Tables.events(s, dir))
+        .groupBy(col("vm"))
         .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
-          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
-      val tot = v.agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
-      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("vm"))
-      val wCum = wOrd.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      counts
-        .withColumn("cuma", sum(col("ca")).over(wCum))
-        .withColumn("cumb", sum(col("cb")).over(wCum))
-        .withColumn("nxt", lead(col("vm"), 1).over(wOrd))
-        .filter(col("nxt").isNotNull)
-        .crossJoin(broadcast(tot))
-        // the cross-multiplies ride decimal(38,0) BEFORE the product —
-        // cohorts past ~3e9 events would silently wrap a BIGINT product
-        // (non-ANSI Spark); pre-widened, cum·n ≤ ~1e24 and term ≤ ~1e36
-        // both fit 38 digits (oracle side widens to HUGEINT likewise)
-        .withColumn("term",
-          abs(col("cuma").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")
-            - col("cumb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")) *
-            (col("nxt") - col("vm")).cast("decimal(38,0)"))
-        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
-          sum(col("term")).as("st"))
-        .select(col("na"), col("nb"),
-          graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
-    }),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb")))),
     // x168: multinomial Naive Bayes source classifier — the generative
     // counterpart to x70's discriminative logistic gate (fastText-style
     // corpus classifiers are THE quality/domain labelers in large-scale
@@ -4054,6 +4000,22 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(
             col("bn").cast("double") / 1e6, 6).as("burstiness"))
     }),
+    // x176: the STREAM-maintained twin of x166 — drift monitoring is
+    // the production use of PSI, so the additive (source, bin) counts
+    // build incrementally in ONE stateful aggregate (the only
+    // rows-scale work; the x123/x149 decomposition) and the SHARED
+    // read-time derivation computes PSI over the bounded |sources|×10
+    // cell table. Same oracle as x166: stream ≡ batch is the point.
+    "x176_stream_psi" -> ((s, dir) =>
+      psiOverBinCounts(s, graft.streaming.StreamOps
+        .qualityBinCountsStreaming(s, s"$dir/documents.parquet"))),
+    // x177: the STREAM-maintained twin of x167 — per-micro-value cohort
+    // counts accumulate in one stateful aggregate; the SHARED read-time
+    // cumsum + exact pre-widened integer numerator derive W₁ over the
+    // bounded distinct-value axis. Same oracle as x167.
+    "x177_stream_w1" -> ((s, dir) =>
+      w1OverCounts(graft.streaming.StreamOps
+        .valueCohortCountsStreaming(s, s"$dir/events.parquet"))),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4088,6 +4050,86 @@ object ExtensionQueries {
             "CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"), 6)
           .as("ewma"))
       .orderBy(col("event_type"))
+
+  /** x166's per-doc quality binning — (source, bin) with
+    * bin = least(9, floor(q·10⁴ + 0.5) div 1000): ONE definition
+    * consumed by the batch query and the stream-maintained twin's
+    * stateful aggregate (x176 via StreamOps.qualityBinCountsStreaming),
+    * so the bin boundaries cannot drift between them.
+    */
+  private[graft] def qualityBins(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("text"),
+        TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("source"),
+        floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+          * 10000 + lit(0.5)).cast("long").as("q4"))
+      .select(col("source"), expr("least(9, q4 div 1000)").as("bin"))
+
+  /** The x166/x176 shared read-time PSI derivation over an ADDITIVE
+    * (source, bin, cc) count table: Laplace spine, margins, the
+    * PsiCellSql contribution, bin-ordered fold. The counts are the only
+    * rows-scale input — everything here is |sources|×10 cells and
+    * broadcasts — so the batch scan and the stream-maintained state
+    * feed one definition and cannot drift.
+    */
+  private def psiOverBinCounts(s: SparkSession, cnts: DataFrame): DataFrame = {
+    val spine = cnts.select(col("source")).distinct()
+      .crossJoin(s.range(0, 10).toDF("bin"))
+    val cells = spine.join(cnts, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("cc"), lit(0L))).drop("cc")
+    val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val gb = cells.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+    val nn = cells.agg(sum(col("c")).as("nn"))
+    cells.join(broadcast(ns), "source").join(broadcast(gb), "bin")
+      .crossJoin(broadcast(nn))
+      .withColumn("contrib", expr(PsiCellSql))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        sort_array(collect_list(struct(col("bin"), col("contrib"))))
+          .as("cs"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.EngineMath.roundAway(
+          expr("aggregate(transform(cs, x -> x.contrib), 0.0d, " +
+            "(acc, v) -> acc + v)"), 6).as("psi"))
+      .orderBy(col("source"))
+  }
+
+  /** x167's cohort/micro-value projection — (isA, vm), shared with the
+    * stream-maintained twin's stateful aggregate (x177).
+    */
+  private[graft] def valueCohorts(events: DataFrame): DataFrame =
+    events.select((col("user_id") % 2 === 0).as("isA"),
+      floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+
+  /** The x167/x177 shared read-time W₁ derivation over an ADDITIVE
+    * (vm, ca, cb) count table: value-ordered integer cumsums, the exact
+    * pre-widened |cumA·nB − cumB·nA|·Δv numerator, ONE final division
+    * (W1Sql). The cross-multiplies ride decimal(38,0) BEFORE the
+    * product — cohorts past ~3e9 events would silently wrap a BIGINT
+    * product (non-ANSI Spark); pre-widened, cum·n ≤ ~1e24 and
+    * term ≤ ~1e36 both fit 38 digits (oracle side widens to HUGEINT).
+    */
+  private def w1OverCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("vm"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("nxt", lead(col("vm"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(col("cuma").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")
+          - col("cumb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")) *
+          (col("nxt") - col("vm")).cast("decimal(38,0)"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("term")).as("st"))
+      .select(col("na"), col("nb"),
+        graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
+  }
 
   /** The x144/x149 shared CUSUM read over a (day, c) daily-count frame:
     * integer S_i·D = cum_i·D − i·T, argmax |S·D| with the earliest-day
@@ -6861,45 +6903,14 @@ object ExtensionQueries {
     // same quality CTEs as x03, same integer binning (// ≡ Spark div),
     // same Laplace spine, the SHARED PsiCellSql contribution, and the
     // bin-ordered fold ≡ list_reduce
-    "x166_psi_drift" ->
-      (s"""$qualityCtes,
-         |q AS (SELECT d.source,
-         |    least(9, CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) // 1000) AS bin
-         |  FROM c JOIN documents d USING (doc_id)),
-         |cnt AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cc FROM q GROUP BY 1, 2),
-         |spine AS (SELECT source, bin FROM (SELECT DISTINCT source FROM documents)
-         |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range(10))),
-         |cells AS (SELECT spine.source, spine.bin, CAST(coalesce(cc, 0) AS BIGINT) AS c
-         |  FROM spine LEFT JOIN cnt USING (source, bin)),
-         |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cells GROUP BY 1),
-         |gbin AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
-         |t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
-         |cell2 AS (SELECT cells.source, cells.bin, nsrc.ns, ($PsiCellSql) AS contrib
-         |  FROM cells JOIN nsrc USING (source) JOIN gbin USING (bin) CROSS JOIN t),
-         |f AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
-         |    list(contrib ORDER BY bin) AS cs FROM cell2 GROUP BY 1)
-         |SELECT source, n_docs,
-         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS psi
-         |FROM f ORDER BY source""".stripMargin.replace("\n", " ")),
+    "x166_psi_drift" -> PsiDriftOracleSql,
     // same micro-quantized values and integer cumsums as x134, the exact
     // HUGEINT ≡ DECIMAL(38,0) numerator, and the SHARED W1Sql final read
-    "x167_wasserstein_drift" ->
-      (s"""WITH v AS (SELECT (user_id % 2 = 0) AS isa,
-         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
-         |c AS (SELECT vm, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
-         |  FROM v GROUP BY 1),
-         |t AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM v),
-         |cum AS (SELECT vm, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
-         |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
-         |    lead(vm) OVER (ORDER BY vm) AS nxt FROM c
-         |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |s AS (SELECT abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na) * (nxt - vm) AS term,
-         |    t.na, t.nb FROM cum CROSS JOIN t WHERE nxt IS NOT NULL),
-         |f AS (SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
-         |    sum(term) AS st FROM s)
-         |SELECT na, nb, round($W1Sql, 6) AS w1 FROM f""".stripMargin.replace("\n", " ")),
+    "x167_wasserstein_drift" -> W1DriftOracleSql,
+    // the stream-maintained twins answer with the BATCH oracles
+    // verbatim — stream ≡ batch is exactly the claim under test
+    "x176_stream_psi" -> PsiDriftOracleSql,
+    "x177_stream_w1" -> W1DriftOracleSql,
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax
@@ -7117,6 +7128,53 @@ object ExtensionQueries {
       |  round(CAST(sd AS DOUBLE) / dd, 6) AS cusum
       |FROM s ORDER BY abs(sd) DESC, day LIMIT 1"""
       .stripMargin.replace("\n", " ")
+
+  /** The x166/x176 shared oracle — quality CTEs, integer binning,
+    * Laplace spine, the PsiCellSql contribution, bin-ordered fold. One
+    * string for the batch query and its stream-maintained twin.
+    */
+  private val PsiDriftOracleSql: String =
+    s"""$qualityCtes,
+       |q AS (SELECT d.source,
+       |    least(9, CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) // 1000) AS bin
+       |  FROM c JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cc FROM q GROUP BY 1, 2),
+       |spine AS (SELECT source, bin FROM (SELECT DISTINCT source FROM documents)
+       |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range(10))),
+       |cells AS (SELECT spine.source, spine.bin, CAST(coalesce(cc, 0) AS BIGINT) AS c
+       |  FROM spine LEFT JOIN cnt USING (source, bin)),
+       |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cells GROUP BY 1),
+       |gbin AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+       |cell2 AS (SELECT cells.source, cells.bin, nsrc.ns, ($PsiCellSql) AS contrib
+       |  FROM cells JOIN nsrc USING (source) JOIN gbin USING (bin) CROSS JOIN t),
+       |f AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+       |    list(contrib ORDER BY bin) AS cs FROM cell2 GROUP BY 1)
+       |SELECT source, n_docs,
+       |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6) AS psi
+       |FROM f ORDER BY source""".stripMargin.replace("\n", " ")
+
+  /** The x167/x177 shared oracle — micro-quantized values, integer
+    * cumsums, HUGEINT-widened numerator, the W1Sql final read. One
+    * string for the batch query and its stream-maintained twin.
+    */
+  private val W1DriftOracleSql: String =
+    s"""WITH v AS (SELECT (user_id % 2 = 0) AS isa,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+       |c AS (SELECT vm, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM v GROUP BY 1),
+       |t AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM v),
+       |cum AS (SELECT vm, CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+       |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+       |    lead(vm) OVER (ORDER BY vm) AS nxt FROM c
+       |  WINDOW w AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (SELECT abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na) * (nxt - vm) AS term,
+       |    t.na, t.nb FROM cum CROSS JOIN t WHERE nxt IS NOT NULL),
+       |f AS (SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+       |    sum(term) AS st FROM s)
+       |SELECT na, nb, round($W1Sql, 6) AS w1 FROM f""".stripMargin.replace("\n", " ")
 
   // ---- sampling-oracle SQL builders: thresholds generated from the SAME
   // constants as the Spark side (operators/Sampling), so they cannot drift

@@ -312,6 +312,75 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Stream-maintained per-(source, quality-bin) counts for the x166 PSI
+    * read — drift monitoring is the PRODUCTION use of the statistic, so
+    * the additive, rows-scale half (binned counts) accumulates in ONE
+    * stateful aggregate in Complete mode, and the non-additive PSI
+    * derivation stays a read-time fold over the bounded |sources|×10
+    * cell table, shared verbatim with the batch x166
+    * (ExtensionQueries.psiOverBinCounts — the x123/x149 decomposition:
+    * chaining the derivation INTO the streaming query would need a
+    * second stateful aggregate, which Structured Streaming rejects).
+    * Binning shares ExtensionQueries.qualityBins, so bin boundaries
+    * cannot drift between engine halves. `onFinish` receives the
+    * terminated query (specs read progress to prove multi-batch runs).
+    */
+  def qualityBinCountsStreaming(spark: SparkSession, docsDir: String,
+      queryName: String = "psi_bin_counts",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
+    val q = graft.ExtensionQueries.qualityBins(src)
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cc"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onFinish(q)
+    // bounded (|sources|×10) — checkpoint so the read-time derivation can
+    // reference it more than once (a MemorySink view referenced twice in
+    // one plan trips analyzer attribute-conflict resolution)
+    spark.table(queryName).localCheckpoint()
+  }
+
+  /** Stream-maintained per-micro-value cohort counts for the x167 W₁
+    * read: the additive (vm, ca, cb) table accumulates in one stateful
+    * aggregate; the exact-integer cumsum/numerator derivation is
+    * read-time, shared verbatim with the batch x167
+    * (ExtensionQueries.w1OverCounts). Same decomposition contract as
+    * [[qualityBinCountsStreaming]].
+    */
+  def valueCohortCountsStreaming(spark: SparkSession, eventsDir: String,
+      queryName: String = "w1_value_counts",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
+    val q = graft.ExtensionQueries.valueCohorts(src)
+      .groupBy(col("vm"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onFinish(q)
+    // bounded by the distinct micro-value domain; checkpointed for the
+    // same double-reference reason as [[qualityBinCountsStreaming]]
+    spark.table(queryName).localCheckpoint()
+  }
+
   /** Stream-STATIC enrichment join + aggregate: the streaming analogue of
     * the B5 broadcast dimension join — each micro-batch joins the live
     * event stream against a STATIC dimension frame (no state store for

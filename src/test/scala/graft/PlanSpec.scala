@@ -39,6 +39,18 @@ class PlanSpec extends SparkSpec {
     assert(broken.isEmpty, s"queries failing to build:\n${broken.mkString("\n")}")
   }
 
+  test("PLANS.md carries an audit row for every batch query") {
+    // the generated artifact must keep pace with SparkEntry: a query
+    // landing without a regenerated PLANS.md (the r9 x172-x175 gap)
+    // fails the build instead of shipping unaudited. Streaming/DDL
+    // queries are the documented exclusions (PlanAudit.skip).
+    val md = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.md"))
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip).filterNot(n => md.contains(s"| $n |"))
+    assert(missing.isEmpty,
+      s"queries with no PLANS.md audit row (rerun graft.PlanAudit): $missing")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = built.filter(_.cartesian > 0).map(_.name)
     assert(offenders.isEmpty, s"cartesian products in: $offenders")

@@ -200,6 +200,42 @@ class StreamingSpec extends SparkSpec {
     assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
   }
 
+  test("stream-maintained PSI/W1 counts across MULTIPLE micro-batches == batch counts (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift-spec").toString
+    // several files + maxFilesPerTrigger=1 → the stateful aggregate
+    // really accumulates over multiple micro-batches; equality with the
+    // one-shot batch counts is the exactly-once proof (double-counted or
+    // dropped rows would show as a differing (source, bin) cell)
+    val docs = Tables.table(spark, sf(), "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/docs")
+    var psiBatches = 0
+    val psiCounts = StreamOps.qualityBinCountsStreaming(spark, s"$tmp/docs",
+      queryName = "spec_psi_bins", maxFilesPerTrigger = Some(1),
+      onFinish = q => psiBatches = q.recentProgress.count(_.numInputRows > 0))
+    assert(psiBatches > 1, s"expected multiple micro-batches, got $psiBatches")
+    val psiBatch = ExtensionQueries.qualityBins(docs)
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cc"))
+    assert(psiCounts.count() > 0)
+    assert(psiCounts.exceptAll(psiBatch).isEmpty &&
+      psiBatch.exceptAll(psiCounts).isEmpty)
+    events.write.mode("overwrite").parquet(s"$tmp/events-raw")
+    // rewrite through repartition so the stream sees >1 file
+    spark.read.parquet(s"$tmp/events-raw").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    var w1Batches = 0
+    val w1Counts = StreamOps.valueCohortCountsStreaming(spark, s"$tmp/events",
+      queryName = "spec_w1_counts", maxFilesPerTrigger = Some(1),
+      onFinish = q => w1Batches = q.recentProgress.count(_.numInputRows > 0))
+    assert(w1Batches > 1, s"expected multiple micro-batches, got $w1Batches")
+    val w1Batch = ExtensionQueries.valueCohorts(events)
+      .groupBy(col("vm"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+    assert(w1Counts.count() > 0)
+    assert(w1Counts.exceptAll(w1Batch).isEmpty &&
+      w1Batch.exceptAll(w1Counts).isEmpty)
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
