@@ -3128,9 +3128,8 @@ object ExtensionQueries {
     // micro-quantize so the mean is an exact integer sum, no collect.
     "x165_minhash_estimate" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val cand = graft.operators.Snm.pairs(docs, "doc_id", "text",
-        blockCol = "lang", w = 5, prefixLen = 24, threshold = 0.0)
-        .select(col("id_a"), col("id_b"))
+      val cand = graft.operators.Snm.candidateIdPairs(docs, "doc_id",
+        "text", blockCol = "lang", w = 5, prefixLen = 24)
       // deterministic fixed-size sample: md5-ticket total order with
       // exact integer tie-break (TakeOrderedAndProject — no full sort);
       // checkpointed so the candidate pass runs ONCE for both the id

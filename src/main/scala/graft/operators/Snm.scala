@@ -41,6 +41,23 @@ object Snm {
         graft.functions.EngineMath.roundAway(col("jac"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Window-adjacent candidate pairs WITHOUT the Jaccard verify or the
+    * global order — the candidate-enumeration half of [[pairs]] alone,
+    * for callers that sample or verify downstream (x165's calibration
+    * samples an md5-ticket subset, so computing intersections and a
+    * total order for every candidate first is wasted work). The
+    * nonempty-union filter keeps the pair set IDENTICAL to
+    * `pairs(threshold = 0.0)`: there the 0/0 Jaccard is NaN and fails
+    * the ≥ 0 filter, here the same pairs drop explicitly.
+    */
+  def candidateIdPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, w: Int, prefixLen: Int): DataFrame =
+    candidates(docs, idCol, textCol, blockCol, w, prefixLen)
+      // union nonempty ⟺ either side nonempty — no union array built
+      .filter(size(col("ts_a")) > 0 || size(col("ts_b")) > 0)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
   /** Same window-adjacent candidates, CHARACTER-level verify: unit-cost
     * Levenshtein ≤ `maxDist` (catches typo-grade near-dups whose token
     * sets already diverge). Two prunings keep the verify k-bounded
