@@ -4015,6 +4015,172 @@ object ExtensionQueries {
     "x177_stream_w1" -> ((s, dir) =>
       w1OverCounts(graft.streaming.StreamOps
         .valueCohortCountsStreaming(s, s"$dir/events.parquet"))),
+    // x178: Jensen-Shannon divergence matrix between per-source token
+    // distributions — the symmetric, bounded corpus-similarity measure
+    // behind mixture design ("which sources are redundant?"); x53's KL
+    // is the asymmetric single-pair view. Per-(pair, term) contributions
+    // pA·ln(pA/m) + pB·ln(pB/m) (m the midpoint) are nano-quantized to
+    // exact integers off exact count inputs (the x163/x168 device), so
+    // the per-pair sum is order-free and engine-identical; each term-
+    // count row fans out only to the bounded source-pair list (broadcast
+    // — ≤ |sources|² rows), and the (pair, term) aggregate is the one
+    // rows-scale shuffle. At 100 TB: hash-bucket the vocab (x64).
+    "x178_jsd_matrix" -> ((s, dir) => {
+      val tc = table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // 3 consumers: totals + both fan sides
+      val ns = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val srcs = tc.select(col("source")).distinct()
+      val prs = srcs.select(col("source").as("sa"))
+        .crossJoin(srcs.select(col("source").as("sb")))
+        .filter(col("sa") < col("sb"))
+      val fanA = tc.join(broadcast(prs), col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("term"),
+          col("c").as("ca"), lit(0L).as("cb"))
+      val fanB = tc.join(broadcast(prs), col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("term"),
+          lit(0L).as("ca"), col("c").as("cb"))
+      fanA.union(fanB)
+        .groupBy(col("sa"), col("sb"), col("term"))
+        .agg(sum(col("ca")).as("a"), sum(col("cb")).as("b"))
+        .join(broadcast(ns.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(ns.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        .withColumn("qn", expr(JsdContribSql))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("qn")).as("sq"))
+        .select(col("sa").as("src_a"), col("sb").as("src_b"), col("n_terms"),
+          graft.functions.EngineMath.roundAway(
+            col("sq").cast("double") / 2e12, 6).as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    // x179: distinct-n lexical diversity per source — unique/total
+    // unigram and bigram ratios, THE degeneration screens for generated
+    // or boilerplate-heavy text (self-repetition collapses distinct-2
+    // long before a quality classifier notices). Bigrams form inside
+    // each doc's token array (zip_with — no cross-doc adjacency, no
+    // extra shuffle); counts are exact integers, one division each.
+    // The exact count_distinct pays the 2-phase shuffle (A15's
+    // documented trade; approx_count_distinct is the one-pass path at
+    // 100 TB where ±1% on a diversity ratio is immaterial).
+    "x179_distinct_ngrams" -> ((s, dir) => {
+      val m = table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("source"), col("ts"),
+          expr("zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
+            "slice(ts, 2, greatest(size(ts) - 1, 0)), " +
+            "(x, y) -> concat(x, ' ', y))").as("bs"))
+      val gu = m.select(col("source"), explode(col("ts")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n1"), countDistinct(col("g")).as("d1"))
+      val gb = m.select(col("source"), explode(col("bs")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("d2"))
+      gu.join(gb, Seq("source"), "left")
+        .select(col("source"),
+          col("n1").as("n_unigrams"), col("d1").as("d_unigrams"),
+          graft.functions.EngineMath.roundAway(
+            col("d1").cast("double") / col("n1"), 6).as("distinct1"),
+          coalesce(col("n2"), lit(0L)).as("n_bigrams"),
+          coalesce(col("d2"), lit(0L)).as("d_bigrams"),
+          graft.functions.EngineMath.roundAway(
+            when(coalesce(col("n2"), lit(0L)) > 0,
+              col("d2").cast("double") / col("n2")).otherwise(lit(0.0)), 6)
+            .as("distinct2"))
+        .orderBy(col("source"))
+    }),
+    // x180: cross-source duplication matrix — near-dup pair counts
+    // between (and within) sources off the banded MinHash pairs: the
+    // "how much of source A recycles source B" datacard that decides
+    // which source to drop when mixtures overlap. The engine-specific
+    // LSH half STAGES (the x46 hand-off device — DuckDB re-derives the
+    // attribution + matrix from the staged pair table); sides
+    // canonicalize by SOURCE so the matrix is upper-triangular with
+    // the within-source diagonal. Pairs are banded (sub-quadratic);
+    // the matrix is |sources|²-bounded.
+    "x180_source_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = graft.engine.CacheScope.persistTracked(
+        Dedup.minhashPairs(d, "doc_id", "text", k = 3, threshold = 0.8))
+      Stage.write(pairs.select(col("id_a"), col("id_b")), dir, "x180_pairs")
+      val srcOf = d.select(col("doc_id"), col("source"))
+      val m = pairs
+        .join(srcOf.select(col("doc_id").as("id_a"), col("source").as("sa0")),
+          "id_a")
+        .join(srcOf.select(col("doc_id").as("id_b"), col("source").as("sb0")),
+          "id_b")
+        .select(least(col("sa0"), col("sb0")).as("src_a"),
+          greatest(col("sa0"), col("sb0")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      val tot = m.agg(sum(col("n_pairs")).as("tt"))
+      m.crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          graft.functions.EngineMath.roundAway(
+            col("n_pairs").cast("double") / col("tt"), 6).as("pct"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    // x181: corpus embedding diversity — MEAN PAIRWISE COSINE over all
+    // n² pairs WITHOUT any pair join: for unit vectors,
+    // Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖², so two linear passes (per-dim
+    // component sums + per-vector norm sums) answer the quadratic
+    // question exactly — the O(n) identity that makes "is this corpus
+    // collapsing toward a mode?" answerable at 100 TB. Determinism:
+    // unit components quantize to micro-integers (norms via the
+    // engine-ordered sequential fold), so every sum is exact integer /
+    // DECIMAL(38,0) under any partitioning; ONE final division.
+    "x181_embedding_diversity" -> ((s, dir) => {
+      val qv = embeddingsD(s, dir)
+        .withColumn("nrm",
+          sqrt(expr("aggregate(vec, 0.0d, (acc, x) -> acc + x * x)")))
+        .filter(col("nrm") > 0)
+        .withColumn("q",
+          expr("transform(vec, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT))"))
+        .localCheckpoint() // 2 consumers: norm totals + the dim explode
+      val tot = qv
+        .select(expr("aggregate(q, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x * x)").as("qq"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qq").cast("decimal(38,0)")).as("s2"))
+      val ss = qv.select(posexplode(col("q")).as(Seq("d", "qd")))
+        .groupBy(col("d")).agg(sum(col("qd")).as("sd"))
+        .agg(sum(col("sd").cast("decimal(38,0)")
+          * col("sd").cast("decimal(38,0)")).as("ssq"))
+      ss.crossJoin(broadcast(tot))
+        .select(col("n").as("n_vectors"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(ssq - s2 AS DOUBLE) / " +
+              "(CAST(n AS DOUBLE) * (n - 1) * 1e12)"), 6).as("mean_cos"))
+    }),
+    // x182: dedup cluster-size distribution — the histogram that says
+    // whether duplication is a long tail of pairs or a few mega-clusters
+    // (the two need different dedup budgets; mega-clusters also break
+    // LSH bucket caps). Components close over the banded MinHash pairs
+    // (scale path, staged for the oracle's recursive-CTE re-derivation
+    // — the x46 hand-off); unmatched docs enter as size-1 clusters from
+    // two scalar aggregates, not a row-scale anti-join.
+    "x182_cluster_sizes" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = graft.engine.CacheScope.persistTracked(
+        Dedup.minhashPairs(d, "doc_id", "text", k = 3, threshold = 0.8))
+      Stage.write(pairs.select(col("id_a"), col("id_b")), dir, "x182_pairs")
+      val sz = graft.engine.CacheScope.persistTracked(
+        Dedup.pairGroups(pairs, "id_a", "id_b")
+          .select(col("n_members").cast("long").as("m")))
+      val h = sz.groupBy(col("m").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val dd = d.agg(count(lit(1)).as("dd"))
+      val mt = sz.agg(coalesce(sum(col("m")), lit(0L)).as("mm"))
+      val singles = dd.crossJoin(broadcast(mt))
+        .select(lit(1L).as("cluster_size"), (col("dd") - col("mm")).as("n_clusters"))
+        .filter(col("n_clusters") > 0)
+      h.union(singles)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4332,6 +4498,23 @@ object ExtensionQueries {
       "(CAST(g AS DOUBLE) + 1) / (CAST(nn AS DOUBLE) + 10)) * " +
       "ln(((CAST(c AS DOUBLE) + 1) / (CAST(ns AS DOUBLE) + 10)) / " +
       "((CAST(g AS DOUBLE) + 1) / (CAST(nn AS DOUBLE) + 10)))"
+
+  /** x178's per-(pair, term) JSD contribution over (a, b, na, nb) —
+    * pA·ln(pA/m) + pB·ln(pB/m) with m = (pA+pB)/2, nano-quantized to an
+    * exact integer (·1e12) so the per-pair sum is order-free. The
+    * COMBINED two-sided term is ≥ 0 for every term (it equals
+    * (pA+pB)·(ln2 − H(pA/(pA+pB))) — log-sum inequality), which
+    * PipelineOpsSpec pins. ONE string evaluated by both engines.
+    */
+  private val JsdContribSql: String =
+    "CAST(floor((" +
+      "(CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / na) * " +
+      "ln((CAST(a AS DOUBLE) / na) / " +
+      "((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2)) ELSE 0.0 END) + " +
+      "(CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / nb) * " +
+      "ln((CAST(b AS DOUBLE) / nb) / " +
+      "((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2)) ELSE 0.0 END)" +
+      ") * 1e12 + 0.5) AS BIGINT)"
 
   /** x167's final W₁ read off the exact integer numerator: the sum of
     * |cumA·nB − cumB·nA|·Δv terms divided by nA·nB·1e6 — one shared
@@ -6910,6 +7093,113 @@ object ExtensionQueries {
     // verbatim — stream ≡ batch is exactly the claim under test
     "x176_stream_psi" -> PsiDriftOracleSql,
     "x177_stream_w1" -> W1DriftOracleSql,
+    // same tokenization, the same bounded pair fan-out (union of two
+    // equi-joins), exact integer (pair, term) counts, and the SHARED
+    // nano-quantized JsdContribSql — the per-pair sum is an exact
+    // integer in both engines, one final division
+    "x178_jsd_matrix" ->
+      (s"""WITH tk AS (SELECT source, unnest($toks) AS term FROM documents),
+         |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+         |prs AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM (SELECT DISTINCT source FROM tc) a
+         |  JOIN (SELECT DISTINCT source FROM tc) b ON a.source < b.source),
+         |fan AS (
+         |  SELECT p.sa, p.sb, t.term, t.c AS ca, CAST(0 AS BIGINT) AS cb
+         |    FROM prs p JOIN tc t ON t.source = p.sa
+         |  UNION ALL
+         |  SELECT p.sa, p.sb, t.term, CAST(0 AS BIGINT) AS ca, t.c AS cb
+         |    FROM prs p JOIN tc t ON t.source = p.sb),
+         |pt AS (SELECT sa, sb, term, CAST(sum(ca) AS BIGINT) AS a,
+         |    CAST(sum(cb) AS BIGINT) AS b FROM fan GROUP BY 1, 2, 3),
+         |j AS (SELECT pt.sa, pt.sb, a, b, x.n AS na, y.n AS nb
+         |  FROM pt JOIN ns x ON x.source = pt.sa JOIN ns y ON y.source = pt.sb),
+         |g AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum($JsdContribSql) AS BIGINT) AS sq FROM j GROUP BY 1, 2)
+         |SELECT sa AS src_a, sb AS src_b, n_terms,
+         |  round(CAST(sq AS DOUBLE) / 2e12, 6) AS jsd
+         |FROM g ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")),
+    // same tokenization; bigrams via the 1-based list comprehension ≡
+    // Spark's zip_with over shifted slices; exact integer counts, one
+    // division per ratio
+    "x179_distinct_ngrams" ->
+      (s"""WITH m AS (SELECT source, $toks AS s FROM documents),
+         |u AS (SELECT source, unnest(s) AS g FROM m),
+         |b AS (SELECT source,
+         |    unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+         |  FROM m WHERE len(s) > 1),
+         |gu AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS d1 FROM u GROUP BY 1),
+         |gb AS (SELECT source, CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS d2 FROM b GROUP BY 1)
+         |SELECT gu.source AS source, n1 AS n_unigrams, d1 AS d_unigrams,
+         |  round(CAST(d1 AS DOUBLE) / n1, 6) AS distinct1,
+         |  CAST(coalesce(n2, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(d2, 0) AS BIGINT) AS d_bigrams,
+         |  round(CASE WHEN coalesce(n2, 0) > 0
+         |    THEN CAST(d2 AS DOUBLE) / n2 ELSE 0.0 END, 6) AS distinct2
+         |FROM gu LEFT JOIN gb ON gu.source = gb.source
+         |ORDER BY gu.source""".stripMargin.replace("\n", " ")),
+    // source attribution + matrix aggregation re-derived from the
+    // STAGED banded pair table (the x46 hand-off); same source
+    // canonicalization and one broadcast-total division
+    "x180_source_overlap" ->
+      (s"""WITH pr AS (SELECT id_a, id_b FROM ${Stage.sqlRef("x180_pairs")}),
+         |sp AS (SELECT a.source AS sa0, b.source AS sb0 FROM pr
+         |  JOIN documents a ON a.doc_id = pr.id_a
+         |  JOIN documents b ON b.doc_id = pr.id_b),
+         |m AS (SELECT least(sa0, sb0) AS src_a, greatest(sa0, sb0) AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_pairs FROM sp GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM m)
+         |SELECT src_a, src_b, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / tt, 6) AS pct
+         |FROM m CROSS JOIN t ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")),
+    // same sequential norm fold (list_reduce with the 0.0 seed ≡ Spark
+    // aggregate), same micro-quantized unit components, exact HUGEINT ≡
+    // DECIMAL(38,0) sums, the same ‖Σu‖² − Σ‖u‖² identity, one division
+    "x181_embedding_diversity" ->
+      ("""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |n0 AS (SELECT vec_id, vec, sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(vec, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e),
+         |qv AS (SELECT vec_id,
+         |    [CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT) for x in vec] AS q
+         |  FROM n0 WHERE nrm > 0),
+         |per AS (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [x * x for x in q]), (a, b) -> a + b) AS qq FROM qv),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(qq) AS HUGEINT) AS s2 FROM per),
+         |ex AS (SELECT unnest(range(1, len(q) + 1)) AS d, q FROM qv),
+         |sd AS (SELECT d, CAST(sum(q[d]) AS BIGINT) AS sd FROM ex GROUP BY 1),
+         |ss AS (SELECT CAST(sum(CAST(sd AS HUGEINT) * sd) AS HUGEINT) AS ssq FROM sd)
+         |SELECT n AS n_vectors,
+         |  round(CAST(ssq - s2 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) * 1e12), 6) AS mean_cos
+         |FROM ss CROSS JOIN tot""".stripMargin.replace("\n", " ")),
+    // components re-derived by recursive-CTE reachability from the
+    // STAGED banded pair table (x14's closure over x46's hand-off);
+    // singleton row from the same two scalar aggregates
+    "x182_cluster_sizes" ->
+      (s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ${Stage.sqlRef("x182_pairs")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS m FROM comp GROUP BY 1),
+         |h AS (SELECT m AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM sz GROUP BY 1),
+         |d AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+         |mt AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS mm FROM sz),
+         |u AS (SELECT * FROM h UNION ALL
+         |  SELECT CAST(1 AS BIGINT), dd - mm FROM d CROSS JOIN mt WHERE dd - mm > 0)
+         |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size * n_clusters) AS BIGINT) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY cluster_size""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

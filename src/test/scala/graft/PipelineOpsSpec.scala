@@ -1288,6 +1288,116 @@ class PipelineOpsSpec extends SparkSpec {
       s"burstiness ${rows.head.getAs[Double]("burstiness")} vs $b")
   }
 
+  test("x178: jsd in [0, ln2]; full pair matrix; one pair matches a driver recompute") {
+    val rows = run("x178_jsd_matrix").collect()
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nSrc = docs.map(_._1).distinct.length
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "upper-triangular pair matrix")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val j = r.getAs[Double]("jsd")
+      // per-term combined contributions are >= 0 (log-sum inequality),
+      // and JSD is bounded by ln 2
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd $j out of range")
+    }
+    // driver recompute for the first pair
+    val top = rows.head
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    def dist(src: String): Map[String, Long] = docs.filter(_._1 == src)
+      .flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val (da, db) = (dist(top.getAs[String]("src_a")), dist(top.getAs[String]("src_b")))
+    val (na, nb) = (da.values.sum.toDouble, db.values.sum.toDouble)
+    val jsd = (da.keySet ++ db.keySet).toSeq.map { t =>
+      val pa = da.getOrElse(t, 0L) / na
+      val pb = db.getOrElse(t, 0L) / nb
+      val m = (pa + pb) / 2
+      (if (pa > 0) pa * math.log(pa / m) else 0.0) +
+        (if (pb > 0) pb * math.log(pb / m) else 0.0)
+    }.sum / 2
+    assert((da.keySet ++ db.keySet).size == top.getAs[Long]("n_terms"))
+    assert(math.abs(top.getAs[Double]("jsd") - jsd) < 1e-5,
+      s"jsd ${top.getAs[Double]("jsd")} vs $jsd")
+  }
+
+  test("x179: distinct-n bounds and a driver recompute for one source") {
+    val rows = run("x179_distinct_ngrams").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_unigrams") <= r.getAs[Long]("n_unigrams"))
+      assert(r.getAs[Long]("d_bigrams") <= r.getAs[Long]("n_bigrams"))
+      assert(r.getAs[Double]("distinct1") > 0.0 && r.getAs[Double]("distinct1") <= 1.0)
+      assert(r.getAs[Double]("distinct2") >= 0.0 && r.getAs[Double]("distinct2") <= 1.0)
+      // a corpus with any repetition has distinct2 >= distinct1 almost
+      // surely false in general — only the count identity is invariant:
+      // per-source bigram count = unigram count - docs with >= 1 token
+      assert(r.getAs[Long]("n_bigrams") <= r.getAs[Long]("n_unigrams"))
+    }
+    val src0 = rows.head.getAs[String]("source")
+    val texts = Tables.table(spark, sf(), "documents")
+      .filter(col("source") === src0).select(col("text")).collect()
+      .map(_.getString(0))
+    val unis = texts.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+    val bis = texts.flatMap { t =>
+      val ts = t.trim.split("\\s+").filter(_.nonEmpty)
+      ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    assert(rows.head.getAs[Long]("n_unigrams") == unis.length.toLong)
+    assert(rows.head.getAs[Long]("d_unigrams") == unis.distinct.length.toLong)
+    assert(rows.head.getAs[Long]("n_bigrams") == bis.length.toLong)
+    assert(rows.head.getAs[Long]("d_bigrams") == bis.distinct.length.toLong)
+  }
+
+  test("x180: matrix canonical; pair accounting closes against the pair frame") {
+    val rows = run("x180_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
+    assert(math.abs(rows.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-4)
+    val pairs = graft.operators.Dedup.minhashPairs(
+      Tables.table(spark, sf(), "documents"), "doc_id", "text",
+      k = 3, threshold = 0.8).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs)
+    graft.engine.CacheScope.drain()
+  }
+
+  test("x181: mean pairwise cosine matches a brute-force driver recompute") {
+    val r = run("x181_embedding_diversity").collect().head
+    val mc = r.getAs[Double]("mean_cos")
+    assert(mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9)
+    val vecs = Tables.table(spark, sf(), "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .filter(v => math.sqrt(v.map(x => x * x).sum) > 0)
+    assert(r.getAs[Long]("n_vectors") == vecs.length.toLong)
+    val units = vecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    var s = 0.0
+    for (i <- units.indices; j <- units.indices if i != j)
+      s += units(i).zip(units(j)).map { case (a, b) => a * b }.sum
+    val brute = s / (units.length.toDouble * (units.length - 1))
+    // quantization at 1e-6 per component bounds the statistic error well
+    // inside 1e-4
+    assert(math.abs(mc - brute) < 1e-4, s"mean_cos $mc vs brute $brute")
+  }
+
+  test("x182: histogram accounting — docs partition into clusters; sizes >= 1") {
+    val rows = run("x182_cluster_sizes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 1L)
+      assert(r.getAs[Long]("n_clusters") > 0L)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    val docs = Tables.table(spark, sf(), "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "every doc lands in exactly one cluster (incl. singletons)")
+    graft.engine.CacheScope.drain()
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
