@@ -4181,6 +4181,135 @@ object ExtensionQueries {
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy(col("cluster_size"))
     }),
+    // x183: clustering balance + inertia report over the IVF coarse
+    // quantizer — per-cluster member share and mean squared distance to
+    // the centroid: the "is the index balanced / are there dead or
+    // catch-all buckets" diagnostic that decides nProbe and re-fit
+    // cadence (skewed buckets are ANN's hot-partition problem). The
+    // engine-specific halves STAGE (assignment + centroid vectors — the
+    // x13 hand-off); per-row d² micro-quantizes off the engine-ordered
+    // sequential fold, so cluster sums are exact integers. Empty
+    // clusters surface via the bounded centroid spine.
+    "x183_cluster_report" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val centroids = ivfCentroids(s, dir)
+      val asg = graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
+      Stage.write(asg, dir, "x183_assign")
+      Stage.write(centroids, dir, "x183_centroids")
+      val per = e.join(asg, col("vec_id") === col("id"))
+        .join(broadcast(centroids), "centroid_id")
+        .withColumn("d2m",
+          floor(expr("aggregate(zip_with(vec, cvec, " +
+            "(x, y) -> (x - y) * (x - y)), 0.0d, (acc, v) -> acc + v)")
+            * 1e6 + lit(0.5)).cast("long"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("nm"), sum(col("d2m")).as("sm"))
+      val tot = per.agg(sum(col("nm")).as("nn"))
+      centroids.select(col("centroid_id"))
+        .join(per, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("nm"), lit(0L)).as("n_members"),
+          coalesce(col("sm"), lit(0L)).as("sm"))
+        .crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n_members"),
+          graft.functions.EngineMath.roundAway(
+            col("n_members").cast("double") / col("nn"), 6).as("share"),
+          graft.functions.EngineMath.roundAway(
+            when(col("n_members") > 0,
+              col("sm").cast("double") / 1e6 / col("n_members"))
+              .otherwise(lit(0.0)), 6).as("mean_d2"))
+        .orderBy(col("centroid_id"))
+    }),
+    // x184: Flesch reading-ease per source — the classic readability
+    // screen (technical/legal boilerplate scores low, conversational
+    // prose high; extreme scores flag OCR junk and word salad).
+    // Words / sentence-groups / syllable-proxies (vowel groups) are
+    // INTEGER regex-match counts per doc (regexp_extract_all — the x99
+    // Java≡RE2 device), summed exactly per source; the Flesch formula
+    // is ONE shared string over the three exact sums. Per-doc sentence
+    // floor max(1, ·) keeps fragments finite. One scan, no joins.
+    "x184_readability" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w"),
+          greatest(lit(1L),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+            .as("se"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("sy"))
+        .filter(col("w") > 0)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w"),
+          sum(col("se")).as("se"), sum(col("sy")).as("sy"))
+        .select(col("source"), col("n_docs"), col("w").as("n_words"),
+          col("se").as("n_sentences"), col("sy").as("n_syllables"),
+          graft.functions.EngineMath.roundAway(expr(FleschSql), 4)
+            .as("flesch"))
+        .orderBy(col("source"))
+    }),
+    // x185: first-order entropy rate per source — H(next|cur) =
+    // H(bigram) − H(unigram): how predictable the token stream is
+    // (templated/boilerplate text sits near 0, diverse prose high) —
+    // the sequence-structure companion to x179's distinct-n and x96's
+    // per-doc entropy. Every −p·ln p contribution is nano-quantized
+    // off exact (count, total) integers (the x178 device), so the
+    // per-source sums are order-free exact integers; three divisions
+    // at the end. Bigrams form per doc (zip_with, x179's device).
+    "x185_entropy_rate" -> ((s, dir) => {
+      val m = table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("source"), col("ts"),
+          expr("zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
+            "slice(ts, 2, greatest(size(ts) - 1, 0)), " +
+            "(x, y) -> concat(x, ' ', y))").as("bs"))
+        .localCheckpoint() // 2 consumers: unigram and bigram explodes
+      def h(grams: org.apache.spark.sql.DataFrame) = grams
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .withColumn("hq", expr(EntropyContribSql))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), sum(col("hq")).as("hq"))
+      val h1 = h(m.select(col("source"), explode(col("ts")).as("g")))
+      val h2 = h(m.select(col("source"), explode(col("bs")).as("g")))
+      h1.select(col("source"), col("n").as("n_tokens"), col("hq").as("q1"))
+        .join(h2.select(col("source"), col("hq").as("q2")), "source")
+        .select(col("source"), col("n_tokens"),
+          graft.functions.EngineMath.roundAway(
+            col("q1").cast("double") / 1e12, 6).as("h_unigram"),
+          graft.functions.EngineMath.roundAway(
+            col("q2").cast("double") / 1e12, 6).as("h_bigram"),
+          graft.functions.EngineMath.roundAway(
+            (col("q2") - col("q1")).cast("double") / 1e12, 6).as("h_cond"))
+        .orderBy(col("source"))
+    }),
+    // x186: shard token-balance report over the x98 epoch permutation —
+    // rows per shard are fixed by construction, but TOKENS per shard
+    // are not: stragglers (one shard of megadocs) stall synchronous
+    // training steps, so max/mean and CV of shard token mass are the
+    // dataloader's skew audit. Per-shard sums and both moments are
+    // exact pre-widened integers (the x170 sufficient-statistics
+    // device); the CV read is ONE shared string. Everything after the
+    // x98 rank machinery is a shard-keyed aggregate → 5 scalars.
+    "x186_shard_balance" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tk"))
+      val sh = graft.operators.Shards.epochShards(
+        docs.select(col("doc_id")), "doc_id", seed = "ep1", shardSize = 100)
+        .select(col("doc_id"), col("shard"))
+      sh.join(docs, "doc_id")
+        .groupBy(col("shard")).agg(sum(col("tk")).as("t"))
+        .agg(count(lit(1)).as("n_shards"),
+          min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+          sum(col("t")).cast("decimal(38,0)").as("st"),
+          sum(col("t").cast("decimal(38,0)") * col("t").cast("decimal(38,0)"))
+            .as("st2"))
+        .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(st AS DOUBLE) / n_shards"), 4).as("mean_tokens"),
+          graft.functions.EngineMath.roundAway(expr(ShardCvSql), 6).as("cv"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4515,6 +4644,29 @@ object ExtensionQueries {
       "ln((CAST(b AS DOUBLE) / nb) / " +
       "((CAST(a AS DOUBLE) / na + CAST(b AS DOUBLE) / nb) / 2)) ELSE 0.0 END)" +
       ") * 1e12 + 0.5) AS BIGINT)"
+
+  /** x184's Flesch reading-ease over the three exact per-source sums
+    * (w words, se sentence groups, sy syllable proxies) — ONE string,
+    * both engines divide the same integers.
+    */
+  private val FleschSql: String =
+    "206.835 - 1.015 * (CAST(w AS DOUBLE) / se) - " +
+      "84.6 * (CAST(sy AS DOUBLE) / w)"
+
+  /** x185's per-gram entropy contribution −p·ln p nano-quantized off the
+    * exact (c, n) integers — order-free exact sums (the x178 device).
+    */
+  private val EntropyContribSql: String =
+    "CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) " +
+      "* 1e12 + 0.5) AS BIGINT)"
+
+  /** x186's coefficient-of-variation read over pre-widened exact moments
+    * (st = Σt, st2 = Σt² as DECIMAL(38,0) ≡ HUGEINT): population
+    * CV = √(S·Σt² − (Σt)²)/Σt — one string, the multiplies run in each
+    * engine's exact wide type (the x170 device).
+    */
+  private val ShardCvSql: String =
+    "sqrt(CAST(n_shards * st2 - st * st AS DOUBLE)) / CAST(st AS DOUBLE)"
 
   /** x167's final W₁ read off the exact integer numerator: the sum of
     * |cumA·nB − cumB·nA|·Δv terms divided by nA·nB·1e6 — one shared
@@ -7200,6 +7352,87 @@ object ExtensionQueries {
          |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
          |  CAST(sum(cluster_size * n_clusters) AS BIGINT) AS n_docs
          |FROM u GROUP BY 1 ORDER BY cluster_size""".stripMargin.replace("\n", " ")),
+    // per-cluster accounting re-derived from the STAGED assignment +
+    // centroid vectors (the x13 hand-off); the same sequential d² fold
+    // and micro-quantization, spine join for empty clusters
+    "x183_cluster_report" ->
+      (s"""WITH a AS (SELECT id, centroid_id FROM ${Stage.sqlRef("x183_assign")}),
+         |c AS (SELECT centroid_id, cvec FROM ${Stage.sqlRef("x183_centroids")}),
+         |r AS (SELECT a.centroid_id, CAST(floor(list_reduce(list_prepend(0.0,
+         |    list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)
+         |    * 1e6 + 0.5) AS BIGINT) AS d2m
+         |  FROM a JOIN embeddings e ON e.vec_id = a.id
+         |  JOIN c ON c.centroid_id = a.centroid_id),
+         |per AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nm,
+         |    CAST(sum(d2m) AS BIGINT) AS sm FROM r GROUP BY 1),
+         |t AS (SELECT CAST(sum(nm) AS BIGINT) AS nn FROM per),
+         |sp AS (SELECT c.centroid_id, CAST(coalesce(nm, 0) AS BIGINT) AS n_members,
+         |    CAST(coalesce(sm, 0) AS BIGINT) AS sm FROM c LEFT JOIN per USING (centroid_id))
+         |SELECT centroid_id, n_members,
+         |  round(CAST(n_members AS DOUBLE) / nn, 6) AS share,
+         |  round(CASE WHEN n_members > 0
+         |    THEN CAST(sm AS DOUBLE) / 1e6 / n_members ELSE 0.0 END, 6) AS mean_d2
+         |FROM sp CROSS JOIN t ORDER BY centroid_id""".stripMargin.replace("\n", " ")),
+    // same regex-match counts (RE2 ≡ java.util.regex on these character
+    // classes), same per-doc sentence floor, the SHARED FleschSql over
+    // identical exact sums
+    "x184_readability" ->
+      (s"""WITH d AS (SELECT source, CAST(len($toks) AS BIGINT) AS w,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS se,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+         |  FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS w, CAST(sum(se) AS BIGINT) AS se,
+         |    CAST(sum(sy) AS BIGINT) AS sy
+         |  FROM d WHERE w > 0 GROUP BY 1)
+         |SELECT source, n_docs, w AS n_words, se AS n_sentences,
+         |  sy AS n_syllables, round($FleschSql, 4) AS flesch
+         |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+    // same tokenization + x179's bigram comprehension, the SHARED
+    // nano-quantized EntropyContribSql — exact integer entropy sums
+    "x185_entropy_rate" ->
+      (s"""WITH m AS (SELECT source, $toks AS s FROM documents),
+         |u AS (SELECT source, unnest(s) AS g FROM m),
+         |b AS (SELECT source,
+         |    unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+         |  FROM m WHERE len(s) > 1),
+         |cu AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+         |nu AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cu GROUP BY 1),
+         |hu AS (SELECT cu.source, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(sum($EntropyContribSql) AS BIGINT) AS q1
+         |  FROM cu JOIN nu ON nu.source = cu.source GROUP BY 1),
+         |cb AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |nb AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY 1),
+         |hb AS (SELECT cb.source, CAST(sum($EntropyContribSql) AS BIGINT) AS q2
+         |  FROM cb JOIN nb ON nb.source = cb.source GROUP BY 1)
+         |SELECT hu.source AS source, hu.n AS n_tokens,
+         |  round(CAST(q1 AS DOUBLE) / 1e12, 6) AS h_unigram,
+         |  round(CAST(q2 AS DOUBLE) / 1e12, 6) AS h_bigram,
+         |  round(CAST(q2 - q1 AS DOUBLE) / 1e12, 6) AS h_cond
+         |FROM hu JOIN hb ON hb.source = hu.source
+         |ORDER BY hu.source""".stripMargin.replace("\n", " ")),
+    // x98's naive-rank permutation re-derived, the same exact
+    // pre-widened moments (HUGEINT ≡ DECIMAL(38,0)), the SHARED
+    // ShardCvSql read
+    "x186_shard_balance" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS tk
+         |  FROM documents),
+         |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+         |    md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         |    // 100 AS shard FROM documents),
+         |per AS (SELECT shard, CAST(sum(tk) AS BIGINT) AS t
+         |  FROM r JOIN d USING (doc_id) GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(min(t) AS BIGINT) AS min_tokens,
+         |    CAST(max(t) AS BIGINT) AS max_tokens,
+         |    CAST(sum(t) AS HUGEINT) AS st,
+         |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2 FROM per)
+         |SELECT n_shards, min_tokens, max_tokens,
+         |  round(CAST(st AS DOUBLE) / n_shards, 4) AS mean_tokens,
+         |  round($ShardCvSql, 6) AS cv
+         |FROM g""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

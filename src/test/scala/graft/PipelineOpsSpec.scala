@@ -1398,6 +1398,86 @@ class PipelineOpsSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("x183: shares sum to 1 and members account for every vector; inertia nonneg") {
+    val rows = run("x183_cluster_report").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 0L)
+      assert(r.getAs[Double]("mean_d2") >= 0.0)
+      assert(r.getAs[Double]("share") >= 0.0 && r.getAs[Double]("share") <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val nVecs = Tables.table(spark, sf(), "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs,
+      "every vector lands in exactly one cluster")
+    graft.engine.CacheScope.drain()
+  }
+
+  test("x184: counts match a driver regex recompute; flesch is the closed form") {
+    val rows = run("x184_readability").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val src0 = rows.head.getAs[String]("source")
+    val mine = docs.filter(_._1 == src0).map(_._2)
+      .map { t =>
+        val w = t.trim.split("\\s+").count(_.nonEmpty).toLong
+        val se = math.max(1L, "[.!?]+".r.findAllIn(t).length.toLong)
+        val sy = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+        (w, se, sy)
+      }.filter(_._1 > 0)
+    val (w, se, sy) = (mine.map(_._1).sum, mine.map(_._2).sum, mine.map(_._3).sum)
+    val top = rows.head
+    assert(top.getAs[Long]("n_words") == w)
+    assert(top.getAs[Long]("n_sentences") == se)
+    assert(top.getAs[Long]("n_syllables") == sy)
+    val flesch = 206.835 - 1.015 * (w.toDouble / se) - 84.6 * (sy.toDouble / w)
+    assert(math.abs(top.getAs[Double]("flesch") - flesch) < 1e-3)
+  }
+
+  test("x185: entropies nonneg; h_cond = h_bigram - h_unigram and bounded by h_unigram-ish recompute") {
+    val rows = run("x185_entropy_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h1, h2, hc) = (r.getAs[Double]("h_unigram"),
+        r.getAs[Double]("h_bigram"), r.getAs[Double]("h_cond"))
+      assert(h1 >= 0.0 && h2 >= 0.0)
+      assert(math.abs(hc - (h2 - h1)) < 1e-5)
+      // conditioning cannot increase entropy: H(next|cur) <= H(next)
+      // (equality iff independence); tolerance covers the quantization
+      assert(hc <= h1 + 1e-4, s"h_cond $hc > h_unigram $h1")
+      assert(hc >= -1e-9)
+    }
+    // driver recompute of h_unigram for the first source
+    val src0 = rows.head.getAs[String]("source")
+    val toks = Tables.table(spark, sf(), "documents")
+      .filter(col("source") === src0).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+    val n = toks.length.toDouble
+    val h1 = toks.groupBy(identity).values
+      .map(g => -(g.length / n) * math.log(g.length / n)).sum
+    assert(math.abs(rows.head.getAs[Double]("h_unigram") - h1) < 1e-5)
+  }
+
+  test("x186: moments match a driver recompute over the x98 permutation") {
+    val r = run("x186_shard_balance").collect().head
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1).trim.split("\\s+")
+        .count(_.nonEmpty).toLong).toMap
+    val perm = run("x98_epoch_shards").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("shard"))
+    val per = perm.groupBy(_._2).values.map(_.map(p => docs(p._1)).sum).toSeq
+    assert(r.getAs[Long]("n_shards") == per.length.toLong)
+    assert(r.getAs[Long]("min_tokens") == per.min)
+    assert(r.getAs[Long]("max_tokens") == per.max)
+    val mean = per.sum.toDouble / per.length
+    assert(math.abs(r.getAs[Double]("mean_tokens") - mean) < 1e-3)
+    val cv = math.sqrt(per.map(t => (t - mean) * (t - mean)).sum / per.length) / mean
+    assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-5, s"cv ${r.getAs[Double]("cv")} vs $cv")
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
