@@ -285,13 +285,26 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   private def aggregateCsv(cube: String, params: Map[String, String]): String = {
     val b = registry.browser(cube)
     val q = parseQuery(params)
-    if (q.drilldown.isEmpty) {
-      val s = b.summary(q)
-      csvRender(s.columns, s.collect())
-    } else {
-      val r = b.aggregateResponse(q)
-      try csvRender(r.cells.columns, r.cells.collect())
-      finally r.release()
+    params.get("share").filter(_.nonEmpty) match {
+      case Some(aggName) =>
+        // same guards as the JSON share path
+        if (q.drilldown.isEmpty) throw new IllegalArgumentException(
+          "share= needs a drilldown (a grand total has no cells to share)")
+        if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
+          s"unknown aggregate '$aggName' for share=")
+        if (q.after.nonEmpty) throw new IllegalArgumentException(
+          "after= is not supported with share= (share cells page by offset)")
+        val cells = b.aggregateWithShare(q, aggName, s"${aggName}_pct")
+        csvRender(cells.columns, cells.collect())
+      case None =>
+        if (q.drilldown.isEmpty) {
+          val s = b.summary(q)
+          csvRender(s.columns, s.collect())
+        } else {
+          val r = b.aggregateResponse(q)
+          try csvRender(r.cells.columns, r.cells.collect())
+          finally r.release()
+        }
     }
   }
 

@@ -198,6 +198,11 @@ class ServerSpec extends SparkSpec {
     // no drilldown: the one summary row
     val s = get("/cube/lineitem/aggregate?format=csv")._2.split("\r\n")
     assert(s.length == 2 && s.head.split(",").contains("price_sum"))
+    // share= renders the share column in CSV too
+    val sh = get("/cube/lineitem/aggregate?drilldown=l_returnflag&share=price_sum&format=csv")._2
+      .split("\r\n")
+    assert(sh.head.split(",").contains("price_sum_pct"))
+    assert(sh.length == lines.length)
   }
 
   test("facts honours the 500-row record limit when unpaginated") {
