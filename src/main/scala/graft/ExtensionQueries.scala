@@ -4310,6 +4310,39 @@ object ExtensionQueries {
             expr("CAST(st AS DOUBLE) / n_shards"), 4).as("mean_tokens"),
           graft.functions.EngineMath.roundAway(expr(ShardCvSql), 6).as("cv"))
     }),
+    // x187: AUDIO near-dup pairs, oracle-gated end to end — the x102
+    // device applied to the audio modality: per doc a structurally-real
+    // 16-bit PCM WAV is SYNTHESIZED from pure integer arithmetic over
+    // the text bytes (Multimodal.synthesizeWav), decoded back through
+    // the INDEPENDENT javax.sound path (WavCodec.samples), fingerprinted
+    // as a 120-band energy-envelope signature in the image dHash's
+    // two-long contract, and paired through the SHARED wide hamming
+    // banding engine. Every stage is exact dyadic arithmetic
+    // ((b−128)/256 samples), so the oracle re-derives the WHOLE
+    // pipeline — waveform, band energies, bits, pairs — from ord()
+    // arithmetic without touching a BLOB; generation and decode are
+    // independent code paths, and the hash breaks if either drifts.
+    "x187_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          graft.multimodal.Multimodal.MediaRow(id, "wav",
+            graft.multimodal.Multimodal.synthesizeWav(t)) }
+      val sigs = graft.engine.CacheScope.persistTracked(
+        graft.multimodal.Multimodal.audioFingerprintTable(media))
+      // maxBucket 256: at maxDist 20 the paired band keys carry only
+      // ~11 bits, so a 10x corpus measured 7.5x growth uncapped (the
+      // x69 lesson); the cap drops oversized buckets loudly per the
+      // Dedup.bandedSelfJoin contract and restores sublinear growth.
+      // At the oracle-checked SFs every bucket is under the cap, so the
+      // pair set stays EXACTLY the all-pairs truth (verified).
+      Dedup.simhashPairsOfWide(sigs, maxDist = 20, maxBucket = 256)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -7433,6 +7466,38 @@ object ExtensionQueries {
          |  round(CAST(st AS DOUBLE) / n_shards, 4) AS mean_tokens,
          |  round($ShardCvSql, 6) AS cv
          |FROM g""".stripMargin.replace("\n", " ")),
+    // full pipeline re-derivation: n = 256 + (len%256)·8 samples,
+    // |s_j| = |ord(byte j%len) − 128| / 256 (exact dyadic — the float
+    // and double paths agree bit-for-bit), 120 sequential band-energy
+    // folds, bits vs the overall mean, two 60-bit MSB-first folds,
+    // all-pairs summed hamming ≤ 20 (the banding is an engine
+    // optimization; the pair SET is the contract — the x79 rule)
+    "x187_audio_neardup" ->
+      ("""WITH m AS (SELECT doc_id AS id, text, strlen(text) AS len,
+         |    256 + (strlen(text) % 256) * 8 AS n
+         |  FROM documents WHERE strlen(text) > 0),
+         |bands AS (SELECT id,
+         |    [[abs(ord(substr(text, CAST((j % len) AS INT) + 1, 1)) - 128) / 256.0
+         |      for j in range(CAST((b * n) // 120 AS INT), CAST(((b + 1) * n) // 120 AS INT))]
+         |      for b in range(120)] AS bl FROM m),
+         |e AS (SELECT id,
+         |    [CASE WHEN len(x) > 0
+         |      THEN list_reduce(list_prepend(0.0, x), (a, v) -> a + v) / len(x)
+         |      ELSE 0.0 END for x in bl] AS eb FROM bands),
+         |mn AS (SELECT id, eb,
+         |    list_reduce(list_prepend(0.0, eb), (a, v) -> a + v) / 120.0 AS mean FROM e),
+         |h AS (SELECT id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CASE WHEN eb[b + 1] > mean THEN 1 ELSE 0 END for b in range(60)]),
+         |      (a, v) -> a * 2 + v) AS shi,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CASE WHEN eb[b + 1] > mean THEN 1 ELSE 0 END for b in range(60, 120)]),
+         |      (a, v) -> a * 2 + v) AS slo FROM mn),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.shi, b.shi)) + bit_count(xor(a.slo, b.slo)) AS BIGINT) AS hamming
+         |  FROM h a JOIN h b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 20
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

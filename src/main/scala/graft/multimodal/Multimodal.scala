@@ -170,7 +170,7 @@ object Multimodal {
     }
 
     /** One normalized [-1, 1] sample per frame (channels averaged). */
-    private[multimodal] def samples(blob: Array[Byte]): Array[Float] = {
+    private[graft] def samples(blob: Array[Byte]): Array[Float] = {
       val in = open(blob)
       try {
         val f = in.getFormat
@@ -543,6 +543,82 @@ object Multimodal {
       maxBucket: Int = Int.MaxValue): DataFrame =
     graft.operators.Dedup.simhashPairsOfWide(
       graft.engine.CacheScope.persistTracked(dhashTableWide(media)),
+      maxDist, maxBucket)
+
+  /** Synthesize a structurally-REAL 16-bit PCM mono WAV (8 kHz) whose
+    * samples are a pure integer function of the text bytes — the x102
+    * device applied to audio: generation here, decode through the
+    * independent javax.sound path ([[WavCodec]]), and an oracle/spec
+    * that re-derives the signal from `ord()` arithmetic without touching
+    * a BLOB. Sample j = ((byte(j mod len) − 128) << 7) — near-identical
+    * texts produce near-identical waveforms, so the corpus's planted
+    * near-dups survive into the audio modality.
+    */
+  def synthesizeWav(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    require(bytes.nonEmpty, "synthesizeWav needs a nonempty payload")
+    val n = 256 + (bytes.length % 256) * 8
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(8000); bb.putInt(8000 * 2) // rate, byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    var j = 0
+    while (j < n) {
+      bb.putShort(((((bytes(j % bytes.length) & 0xff) - 128) << 7)).toShort)
+      j += 1
+    }
+    bb.array()
+  }
+
+  /** Audio fingerprint — the dHash idea applied to the energy envelope:
+    * decode to normalized samples (REAL javax.sound path), mean |s| over
+    * `bands` equal time bands, one bit per band (energy above the
+    * file's overall mean band energy). 120 bands fold into the SAME
+    * two-long (sh_hi, sh_lo) contract as [[dhashTableWide]], so the
+    * wide hamming-banded pair search is reused unchanged — one banding
+    * engine across text, image, and audio. Per-row O(samples) work, no
+    * shuffle; pipelines with the scan.
+    */
+  def audioFingerprintTable(media: Dataset[MediaRow],
+      bands: Int = 120): DataFrame = {
+    require(bands > 60 && bands <= 120,
+      s"audio fingerprint needs 60 < bands <= 120, got $bands")
+    import media.sparkSession.implicits._
+    media.filter(_.blob.nonEmpty).map { r =>
+      val s = WavCodec.samples(r.blob)
+      val n = s.length
+      val e = Array.tabulate(bands) { b =>
+        val from = ((b.toLong * n) / bands).toInt
+        val to = (((b + 1).toLong * n) / bands).toInt
+        var acc = 0.0; var i = from
+        while (i < to) { acc += math.abs(s(i)); i += 1 }
+        if (to > from) acc / (to - from) else 0.0
+      }
+      val mean = e.sum / bands
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < bands) {
+        val bit = if (e(b) > mean) 1L else 0L
+        if (b < 60) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+        b += 1
+      }
+      (r.media_id, hi, lo)
+    }.toDF("id", "sh_hi", "sh_lo")
+  }
+
+  /** Audio near-dup pair search over the banded 120-bit fingerprint —
+    * same production shape as [[imageNearDupPairs]]: banding generates
+    * candidates, every candidate is hamming-verified exactly.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 12,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    graft.operators.Dedup.simhashPairsOfWide(
+      graft.engine.CacheScope.persistTracked(audioFingerprintTable(media)),
       maxDist, maxBucket)
 
   /** "Resize": metadata-level transform (the pixel op is the stub's job);

@@ -505,6 +505,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"frame sampling should not shuffle:\n$plan")
   }
 
+  test("WAV synthesize→decode round-trip: samples match the (b-128)/256 arithmetic exactly") {
+    val text = "spark merge table row window batch"
+    val blob = Multimodal.synthesizeWav(text)
+    // decoded through the INDEPENDENT javax.sound path
+    val s = Multimodal.WavCodec.samples(blob)
+    val bytes = text.getBytes("UTF-8")
+    val n = 256 + (bytes.length % 256) * 8
+    assert(s.length == n, s"expected $n samples, got ${s.length}")
+    s.indices.foreach { j =>
+      val expect = ((bytes(j % bytes.length) & 0xff) - 128).toFloat / 256f
+      assert(s(j) == expect, s"sample $j: ${s(j)} != $expect")
+    }
+  }
+
+  test("audio fingerprint: identical texts at distance 0; banding == brute force on the corpus") {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().take(60)
+    // plant an exact duplicate of row 0's audio under a fresh id
+    val planted = (rows :+ ((999999L, rows.head._2))).toSeq
+      .map { case (id, t) => MediaRow(id, "wav", Multimodal.synthesizeWav(t)) }
+    val media = spark.createDataset(planted)
+    val sigs = Multimodal.audioFingerprintTable(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs(999999L) == sigs(rows.head._1), "identical audio, identical signature")
+    val pairs = Multimodal.audioNearDupPairs(media, maxDist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == rows.head._1 && p._2 == 999999L && p._3 == 0),
+      "planted duplicate not found at distance 0")
+    // banding is a lossless candidate generator: equals brute force
+    val brute = (for {
+      a <- planted; b <- planted if a.media_id < b.media_id
+      (ha, la) = sigs(a.media_id); (hb, lb) = sigs(b.media_id)
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 20
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(pairs == brute, s"banded $pairs != brute $brute")
+    graft.engine.CacheScope.drain()
+  }
+
   test("resize preserves aspect ratio within bounds") {
     val resized = Multimodal.resizeMeta(Multimodal.decodeAll(media), 100, 100)
     val bad = resized.filter(col("resized_w") > 100 || col("resized_h") > 100).count()
