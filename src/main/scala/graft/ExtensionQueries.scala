@@ -4193,7 +4193,10 @@ object ExtensionQueries {
     "x183_cluster_report" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val centroids = ivfCentroids(s, dir)
-      val asg = graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
+      // persist: the assignment pass (K broadcast dot products per row +
+      // the argmin window) feeds BOTH the stage write and the report
+      val asg = graft.engine.CacheScope.persistTracked(
+        graft.operators.Ivf.assign(e, "vec_id", "vec", centroids))
       Stage.write(asg, dir, "x183_assign")
       Stage.write(centroids, dir, "x183_centroids")
       val per = e.join(asg, col("vec_id") === col("id"))
@@ -4302,7 +4305,10 @@ object ExtensionQueries {
         .groupBy(col("shard")).agg(sum(col("tk")).as("t"))
         .agg(count(lit(1)).as("n_shards"),
           min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
-          sum(col("t")).cast("decimal(38,0)").as("st"),
+          // pre-widen INSIDE the sum (the x134/x167 lesson): a post-sum
+          // cast would aggregate in BIGINT first and silently wrap past
+          // 2^63 total tokens while the oracle's HUGEINT sum stays exact
+          sum(col("t").cast("decimal(38,0)")).as("st"),
           sum(col("t").cast("decimal(38,0)") * col("t").cast("decimal(38,0)"))
             .as("st2"))
         .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
@@ -4331,15 +4337,17 @@ object ExtensionQueries {
         .map { case (id, t) =>
           graft.multimodal.Multimodal.MediaRow(id, "wav",
             graft.multimodal.Multimodal.synthesizeWav(t)) }
-      val sigs = graft.engine.CacheScope.persistTracked(
-        graft.multimodal.Multimodal.audioFingerprintTable(media))
       // maxBucket 256: at maxDist 20 the paired band keys carry only
       // ~11 bits, so a 10x corpus measured 7.5x growth uncapped (the
-      // x69 lesson); the cap drops oversized buckets loudly per the
-      // Dedup.bandedSelfJoin contract and restores sublinear growth.
-      // At the oracle-checked SFs every bucket is under the cap, so the
-      // pair set stays EXACTLY the all-pairs truth (verified).
-      Dedup.simhashPairsOfWide(sigs, maxDist = 20, maxBucket = 256)
+      // x69 lesson); the cap bounds each bucket's candidate
+      // contribution. The drop is SILENT by design (a bare filter in
+      // Dedup.bandedSelfJoin — no accumulator on the hot path); the
+      // oracle gate is the detector: at the oracle-checked SFs every
+      // bucket is under the cap, so the pair set is EXACTLY the
+      // all-pairs truth (verified), and a cap that ever bit at those
+      // SFs would hash-mismatch loudly.
+      graft.multimodal.Multimodal.audioNearDupPairs(media,
+          maxDist = 20, maxBucket = 256)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),

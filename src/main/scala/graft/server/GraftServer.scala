@@ -204,14 +204,7 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
     val q = parseQuery(params)
     params.get("share").filter(_.nonEmpty) match {
       case Some(aggName) =>
-        if (q.drilldown.isEmpty) throw new IllegalArgumentException(
-          "share= needs a drilldown (a grand total has no cells to share)")
-        if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
-          s"unknown aggregate '$aggName' for share=")
-        if (q.after.nonEmpty) throw new IllegalArgumentException(
-          "after= is not supported with share= (share cells page by offset)")
-        val cells = b.aggregateWithShare(q, aggName, s"${aggName}_pct")
-          .toJSON.collect()
+        val cells = shareCells(b, q, aggName).toJSON.collect()
         // cell_count = cells in THIS response (the page, when paginated) —
         // not the unpaged total the plain aggregate response reports
         return s"""{"cells":[${cells.mkString(",")}],""" +
@@ -236,6 +229,20 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
           s""""total_cell_count":${r.totalCellCount}}"""
       } finally r.release()
     }
+  }
+
+  /** The validated share-of-total cells frame — ONE definition of the
+    * share= guards and semantics for both the JSON and CSV renderings.
+    */
+  private def shareCells(b: graft.engine.Browser, q: graft.query.CubeQuery,
+      aggName: String): org.apache.spark.sql.DataFrame = {
+    if (q.drilldown.isEmpty) throw new IllegalArgumentException(
+      "share= needs a drilldown (a grand total has no cells to share)")
+    if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
+      s"unknown aggregate '$aggName' for share=")
+    if (q.after.nonEmpty) throw new IllegalArgumentException(
+      "after= is not supported with share= (share cells page by offset)")
+    b.aggregateWithShare(q, aggName, s"${aggName}_pct")
   }
 
   /** `GET /cube/<c>/fact/<id>`: single fact by factKey (comma-separated
@@ -287,14 +294,7 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
     val q = parseQuery(params)
     params.get("share").filter(_.nonEmpty) match {
       case Some(aggName) =>
-        // same guards as the JSON share path
-        if (q.drilldown.isEmpty) throw new IllegalArgumentException(
-          "share= needs a drilldown (a grand total has no cells to share)")
-        if (b.model.aggregate(aggName).isEmpty) throw new IllegalArgumentException(
-          s"unknown aggregate '$aggName' for share=")
-        if (q.after.nonEmpty) throw new IllegalArgumentException(
-          "after= is not supported with share= (share cells page by offset)")
-        val cells = b.aggregateWithShare(q, aggName, s"${aggName}_pct")
+        val cells = shareCells(b, q, aggName)
         csvRender(cells.columns, cells.collect())
       case None =>
         if (q.drilldown.isEmpty) {
