@@ -3816,8 +3816,11 @@ object ExtensionQueries {
           floor(log(col("vk").cast("double")) * 1e9 + lit(0.5))
             .cast("long").as("yn"))
         .agg(count(lit(1)).as("n"),
-          sum(col("xn")).cast("decimal(38,0)").as("sx"),
-          sum(col("yn")).cast("decimal(38,0)").as("sy"),
+          // pre-widen INSIDE the sums: a post-sum cast aggregates in
+          // BIGINT first and silently wraps near the same ~3e8-point
+          // bound where the decimal products overflow LOUDLY (NULL)
+          sum(col("xn").cast("decimal(38,0)")).as("sx"),
+          sum(col("yn").cast("decimal(38,0)")).as("sy"),
           sum(col("xn").cast("decimal(38,0)") * col("yn").cast("decimal(38,0)"))
             .as("sxy"),
           sum(col("xn").cast("decimal(38,0)") * col("xn").cast("decimal(38,0)"))
@@ -3931,9 +3934,12 @@ object ExtensionQueries {
         sum(when(!col("tgt"), 1L).otherwise(0L)).as("tb"))
       counts.crossJoin(broadcast(tot))
         .withColumn("g2n", expr(G2MicroSql))
+        // direction cross-multiply pre-widens: count·total products pass
+        // 2^63 once both sides reach ~3e9 tokens (silent wrap, non-ANSI)
         .withColumn("dir",
-          when(col("a") * col("tb") > col("b") * col("ta"), "src0")
-            .otherwise("rest"))
+          when(col("a").cast("decimal(38,0)") * col("tb").cast("decimal(38,0)")
+            > col("b").cast("decimal(38,0)") * col("ta").cast("decimal(38,0)"),
+            "src0").otherwise("rest"))
         .orderBy(col("g2n").desc, col("term")).limit(20)
         .select(col("term"), col("a").as("n_target"), col("b").as("n_rest"),
           col("dir"),
@@ -3985,13 +3991,16 @@ object ExtensionQueries {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
       val dd = table(s, dir, "documents").agg(count(lit(1)).as("dd"))
       dt.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("m")).as("sm0"),
-          sum(col("m") * col("m")).as("sm20"))
+        // pre-widen INSIDE the sums (the x134/x167 lesson): the squared
+        // per-doc counts of a degenerate hot term can pass 2^63 at scale
+        // and a BIGINT sum would wrap silently; decimal overflows LOUDLY
+        .agg(count(lit(1)).as("df"),
+          sum(col("m").cast("decimal(38,0)")).as("sm0"),
+          sum((col("m") * col("m")).cast("decimal(38,0)")).as("sm20"))
         .filter(col("sm0") >= 50 && col("df") >= 2)
         .crossJoin(broadcast(dd))
-        .select(col("term"), col("df"),
-          col("sm0").cast("decimal(38,0)").as("sm"),
-          col("sm20").cast("decimal(38,0)").as("sm2"), col("dd"))
+        .select(col("term"), col("df"), col("sm0").as("sm"),
+          col("sm20").as("sm2"), col("dd"))
         .withColumn("bn",
           floor(expr(BurstSql) * 1e6 + lit(0.5)).cast("long"))
         .orderBy(col("bn").desc, col("term")).limit(20)
