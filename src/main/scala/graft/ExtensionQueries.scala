@@ -4360,6 +4360,101 @@ object ExtensionQueries {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // x188: interpolated Kneser-Ney bigram LM scoring — the REAL
+    // LM-filter smoothing (x163/x168 are add-1): per-doc mean
+    // ln P_KN(w2|w1) with absolute discount d = 0.75 and the
+    // continuation-count backoff P_cont(w2) = N1+(·w2)/|bigram types|.
+    // Every model parameter is an exact integer (bigram counts, w1
+    // totals, distinct right/left continuation types, the global type
+    // count), the per-bigram log-prob nano-quantizes through ONE shared
+    // string (KnLpSql), and the per-doc mean is an exact integer sum /
+    // count. Self-scoring: every doc bigram is in the counts, so the
+    // discounted term is always > 0 — no unseen branch. Dataflow: one
+    // bigram explode → vocab-bounded parameter tables (broadcastable
+    // margins; hash-bucket the vocab at 100 TB, x64) → the (w1, w2)-
+    // keyed join back is the only rows-scale shuffle (the x168 shape).
+    "x188_kneser_ney" -> ((s, dir) => {
+      val bg = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(expr("zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
+            "slice(ts, 2, greatest(size(ts) - 1, 0)), " +
+            "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint() // 2 consumers: the model build + the scoring join
+      val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint() // 4 consumers: margins + types + the lp table
+      val cw1 = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw1"),
+        count(lit(1)).as("r1"))
+      val l2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("l2"))
+      val bt = bc.agg(count(lit(1)).as("bt"))
+      val lp = bc.join(cw1, "w1").join(l2, "w2")
+        .crossJoin(broadcast(bt))
+        .select(col("w1"), col("w2"), expr(KnLpSql).as("lpn"))
+      bg.join(lp, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lpn")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          graft.functions.EngineMath.roundAway(
+            col("slp").cast("double") / 1e9 / col("n_bigrams"), 6)
+            .as("kn_lp"))
+        .orderBy(col("doc_id"))
+    }),
+    // x189: Mann-Kendall trend test + Sen's slope over the per-type
+    // daily value series — the robust (rank-based, outlier-immune)
+    // monotone-trend detector that belongs next to x144's CUSUM
+    // changepoint and x143's seasonal index: "is this stream's volume
+    // drifting, and how fast?" asked the way production monitoring asks
+    // it (no normality assumption, exact tie handling, a slope estimate
+    // a single outlier day cannot move). The daily series is an exact
+    // micro-tick integer sum; S = Σ sign(v_j − v_i) and the
+    // tie-corrected variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    // are exact integers; Sen's slope is the median of the pairwise
+    // nano-quantized slopes (SenSlopeSql/SgnSql/MedianPickSql/MkZSql —
+    // shared strings, both engines). Scale: the pair fan-out is over
+    // the DAY axis (bounded by the observation window), per event_type
+    // — the only rows-scale work is the (type, day) aggregate;
+    // everything after is day²-bounded with broadcast scalar sides.
+    "x189_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
+        .localCheckpoint() // consumers: both pair sides, ties, day counts
+      val pairs = daily.select(col("event_type"), col("day").as("da"),
+          col("vm").as("va"))
+        .join(daily.select(col("event_type"), col("day").as("db"),
+          col("vm").as("vb")), Seq("event_type"))
+        .filter(col("da") < col("db"))
+        .withColumn("gap", datediff(col("db"), col("da")).cast("long"))
+        .select(col("event_type"), expr(SgnSql).as("sgn"),
+          expr(SenSlopeSql).as("slope_n"))
+      val sstat = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("np"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("slope_n"))
+      val med = pairs.withColumn("rk", row_number().over(wR))
+        .join(broadcast(sstat.select(col("event_type"), col("np"))),
+          "event_type")
+        .filter(expr(MedianPickSql))
+        .groupBy(col("event_type"))
+        .agg(avg(col("slope_n").cast("double")).as("median_n"))
+      val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("event_type"), col("vm"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tcorr"))
+      sstat.join(med, "event_type").join(nd, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_num",
+          col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tcorr"))
+        .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          col("var_num"),
+          graft.functions.EngineMath.roundAway(expr(MkZSql), 6).as("z"),
+          graft.functions.EngineMath.roundAway(
+            col("median_n") / 1e9, 6).as("sen_slope"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4709,6 +4804,40 @@ object ExtensionQueries {
   private val EntropyContribSql: String =
     "CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) " +
       "* 1e12 + 0.5) AS BIGINT)"
+
+  /** x188's per-bigram interpolated Kneser-Ney log-probability over the
+    * exact integer model parameters (cb bigram count, cw1 left-context
+    * total, r1 distinct right types of w1, l2 distinct left types of
+    * w2, bt total bigram types), discount 0.75, nano-quantized — ONE
+    * string, both engines evaluate identical doubles off identical
+    * integers.
+    */
+  private val KnLpSql: String =
+    "CAST(floor(ln((CAST(cb AS DOUBLE) - 0.75) / cw1 + " +
+      "(0.75 * CAST(r1 AS DOUBLE) / cw1) * (CAST(l2 AS DOUBLE) / bt)) " +
+      "* 1e9 + 0.5) AS BIGINT)"
+
+  /** x189's shared Mann-Kendall/Sen pieces: the pair sign, the
+    * nano-quantized pairwise slope ((vb − va) micro-units over `gap`
+    * integer days → nano-units/day), the median-rank picker (handles
+    * odd and even pair counts in one IN-list), and the
+    * continuity-corrected z over the exact integer variance numerator
+    * (Var·18 = n(n−1)(2n+5) − Σt(t−1)(2t+5)). One string each — both
+    * engines evaluate identical doubles off identical integers.
+    */
+  private val SgnSql: String =
+    "CAST(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END AS BIGINT)"
+  private val SenSlopeSql: String =
+    "CAST(floor(CAST(vb - va AS DOUBLE) * 1e3 / gap + 0.5) AS BIGINT)"
+  private val MedianPickSql: String =
+    "rk IN (CAST(floor((np + 1) / 2.0) AS BIGINT), " +
+      "CAST(floor((np + 2) / 2.0) AS BIGINT))"
+  private val MkZSql: String =
+    "CASE WHEN var_num <= 0 OR s_stat = 0 THEN 0.0 " +
+      "WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) " +
+      "/ sqrt(CAST(var_num AS DOUBLE) / 18.0) " +
+      "ELSE (CAST(s_stat AS DOUBLE) + 1.0) " +
+      "/ sqrt(CAST(var_num AS DOUBLE) / 18.0) END"
 
   /** x186's coefficient-of-variation read over pre-widened exact moments
     * (st = Σt, st2 = Σt² as DECIMAL(38,0) ≡ HUGEINT): population
@@ -7515,6 +7644,62 @@ object ExtensionQueries {
          |  FROM h a JOIN h b ON a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 20
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+    // same bigram comprehension, the same exact integer KN parameters,
+    // and the SHARED nano-quantized KnLpSql — per-doc sums are exact
+    // integers in both engines, one final division
+    "x188_kneser_ney" ->
+      (s"""WITH m AS (SELECT doc_id, $toks AS s FROM documents),
+         |g AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest([{'w1': s[i], 'w2': s[i+1]}
+         |    for i in range(1, len(s))]) AS b FROM m WHERE len(s) > 1)),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM g GROUP BY 1, 2),
+         |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1,
+         |    CAST(count(*) AS BIGINT) AS r1 FROM bc GROUP BY 1),
+         |lt AS (SELECT w2, CAST(count(*) AS BIGINT) AS l2 FROM bc GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bc),
+         |lp AS (SELECT bc.w1, bc.w2, $KnLpSql AS lpn
+         |  FROM bc JOIN cw USING (w1) JOIN lt USING (w2) CROSS JOIN t),
+         |sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(lpn) AS BIGINT) AS slp
+         |  FROM g JOIN lp ON lp.w1 = g.w1 AND lp.w2 = g.w2 GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(slp AS DOUBLE) / 1e9 / n_bigrams, 6) AS kn_lp
+         |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // same exact micro-tick daily series, the SHARED sign/slope/median/z
+    // strings — S, the variance numerator, and every median operand are
+    // exact integers in both engines
+    "x189_mann_kendall" ->
+      (s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS vm
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, a.vm AS va, b.vm AS vb,
+         |    datediff('day', a.day, b.day) AS gap
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND a.day < b.day),
+         |ps AS (SELECT event_type, $SgnSql AS sgn, $SenSlopeSql AS slope_n
+         |  FROM p),
+         |ss AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         |    CAST(count(*) AS BIGINT) AS np FROM ps GROUP BY 1),
+         |r AS (SELECT event_type, slope_n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY slope_n) AS rk
+         |  FROM ps),
+         |md AS (SELECT r.event_type, avg(CAST(slope_n AS DOUBLE)) AS median_n
+         |  FROM r JOIN ss USING (event_type) WHERE $MedianPickSql GROUP BY 1),
+         |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM daily GROUP BY 1),
+         |tg AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS t
+         |  FROM daily GROUP BY 1, 2),
+         |tc AS (SELECT event_type,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+         |  FROM tg GROUP BY 1),
+         |fin AS (SELECT ss.event_type, n AS n_days, s_stat,
+         |    CAST(n * (n - 1) * (2 * n + 5) - tcorr AS BIGINT) AS var_num,
+         |    median_n
+         |  FROM ss JOIN md USING (event_type) JOIN nd USING (event_type)
+         |    JOIN tc USING (event_type))
+         |SELECT event_type, n_days, s_stat, var_num, round($MkZSql, 6) AS z,
+         |  round(median_n / 1e9, 6) AS sen_slope
+         |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

@@ -1478,6 +1478,94 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-5, s"cv ${r.getAs[Double]("cv")} vs $cv")
   }
 
+  test("x188: KN log-probs negative; accounting closes; one doc matches a driver recompute") {
+    val rows = run("x188_kneser_ney").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // P_KN sums to 1 over the full vocab, so every materialized
+      // probability is < 1 ⇒ mean log-prob < 0
+      assert(r.getAs[Double]("kn_lp") < 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String) = {
+      val ts = t.trim.split("\\s+").filter(_.nonEmpty)
+      ts.zip(ts.drop(1))
+    }
+    // every >=2-token doc scored exactly once
+    assert(rows.length == docs.values.count(bigrams(_).nonEmpty))
+    // full-model driver recompute, scored on the first doc
+    val all = docs.values.toSeq.flatMap(bigrams)
+    val bc = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cw1 = bc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val r1 = bc.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val l2 = bc.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val bt = bc.size.toDouble
+    val first = rows.head
+    val bs = bigrams(docs(first.getAs[Long]("doc_id")))
+    val lps = bs.map { b =>
+      val p = (bc(b) - 0.75) / cw1(b._1) +
+        (0.75 * r1(b._1) / cw1(b._1)) * (l2(b._2) / bt)
+      math.floor(math.log(p) * 1e9 + 0.5)
+    }
+    assert(first.getAs[Long]("n_bigrams") == bs.length.toLong)
+    val mean = lps.sum / 1e9 / bs.length
+    assert(math.abs(first.getAs[Double]("kn_lp") - mean) < 1e-6,
+      s"kn_lp ${first.getAs[Double]("kn_lp")} vs $mean")
+  }
+
+  test("x189: Mann-Kendall S/var/z and Sen slope match a driver recompute; z tracks sign(S)") {
+    val rows = run("x189_mann_kendall").collect()
+    assert(rows.nonEmpty)
+    // exact micro-tick daily series, recomputed row-by-row like the engine
+    val daily = Tables.events(spark, sf())
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate))
+      .map { case (k, rs) =>
+        k -> rs.map(r => math.floor(r.getAs[Double]("value") * 1e6 + 0.5).toLong).sum }
+    assert(rows.length == daily.keys.map(_._1).toSet.size, "one row per event_type")
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily.collect { case ((e, d), v) if e == et => (d, v) }
+        .toSeq.sortBy(_._1.toEpochDay)
+      val pairs = for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield {
+        val gap = series(j)._1.toEpochDay - series(i)._1.toEpochDay
+        val dv = series(j)._2 - series(i)._2
+        (java.lang.Long.signum(dv).toLong,
+          math.floor(dv.toDouble * 1e3 / gap + 0.5).toLong)
+      }
+      val s = pairs.map(_._1).sum
+      assert(r.getAs[Long]("s_stat") == s)
+      assert(r.getAs[Long]("n_days") == series.length.toLong)
+      val n = series.length.toLong
+      val tcorr = series.groupBy(_._2).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varNum = n * (n - 1) * (2 * n + 5) - tcorr
+      assert(r.getAs[Long]("var_num") == varNum)
+      assert(varNum >= 0, "tie correction can never exceed the untied variance")
+      // Sen: median of the nano-quantized pairwise slopes (avg of the two
+      // middle ranks — identical for odd pair counts)
+      val sl = pairs.map(_._2).sorted
+      val np = sl.length
+      val med = (sl((np - 1) / 2) + sl(np / 2)) / 2.0
+      def away6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("sen_slope") - away6(med / 1e9)) < 1e-9,
+        s"$et sen_slope ${r.getAs[Double]("sen_slope")} vs ${away6(med / 1e9)}")
+      val z = if (varNum <= 0 || s == 0) 0.0
+        else (s.toDouble - java.lang.Long.signum(s)) / math.sqrt(varNum.toDouble / 18.0)
+      assert(math.abs(r.getAs[Double]("z") - away6(z)) < 1e-9,
+        s"$et z ${r.getAs[Double]("z")} vs ${away6(z)}")
+      assert(java.lang.Long.signum(s).toDouble * math.signum(r.getAs[Double]("z")) >= 0.0,
+        "z must carry S's sign (or be 0)")
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
