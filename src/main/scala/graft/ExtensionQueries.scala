@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -4455,6 +4455,89 @@ object ExtensionQueries {
             col("median_n") / 1e9, 6).as("sen_slope"))
         .orderBy(col("event_type"))
     }),
+    // x190: autocorrelation function (lags 1-7 calendar days) over the
+    // per-type daily value series — the seasonality fingerprint that
+    // completes the monitoring family (x143 names the weekly cycle,
+    // x144 finds the level shift, x189 the monotone drift; the ACF says
+    // WHICH periodicities exist). Same exact micro-tick daily series;
+    // per (type, lag) the sufficient statistics (pair count, Σva·vb,
+    // Σva, Σvb) and the series moments (n, Σv, Σv²) are exact integers
+    // pre-widened to DECIMAL(38,0)/HUGEINT BEFORE any product (a 100 TB
+    // day-sum squares past BIGINT), and r_k is ONE shared string
+    // (AcfSql) evaluated off identical integers — with an exact
+    // integer-equality guard for constant series (zero variance).
+    // Scale: the rows-scale work is the daily aggregate; everything
+    // after is (days × 7)-bounded — the lag pairing is an equi-join on
+    // (type, day+k), never a pair fan-out, and the moments broadcast.
+    "x190_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
+        .localCheckpoint() // consumers: moments + both lag-join sides
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("vm"))).as("sv"),
+          sum(dec(col("vm")) * dec(col("vm"))).as("svv"))
+      val pairs = daily
+        .withColumn("lag_days", explode(expr("sequence(1L, 7L)")))
+        .withColumn("day_b", date_add(col("day"), col("lag_days").cast("int")))
+        .join(daily.select(col("event_type"), col("day").as("day_b"),
+          col("vm").as("vb")), Seq("event_type", "day_b"))
+        .groupBy(col("event_type"), col("lag_days"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(dec(col("vm")) * dec(col("vb"))).as("cxy"),
+          sum(dec(col("vm"))).as("hx"), sum(dec(col("vb"))).as("tx"))
+      pairs.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("lag_days"), col("n_pairs"),
+          graft.functions.EngineMath.roundAway(expr(AcfSql), 6).as("acf"))
+        .orderBy(col("event_type"), col("lag_days"))
+    }),
+    // x191: Kaplan-Meier survival curve over user activity streaks — the
+    // retention readout x76/x158 lead up to, done the way survival
+    // analysis does it (censoring-correct). Subject = a consecutive-day
+    // activity streak (gaps-and-islands: day − row_number per user keys
+    // the island); a streak DIES when the user skips the next day, and
+    // is CENSORED (still alive, fate unknown) when it reaches the
+    // observation-window end. Risk sets and death counts are exact
+    // integers off ONE streak aggregate; each step factor ln(1 − d/n)
+    // nano-quantizes through the shared KmLnSql (NULL-guarded for
+    // d = n), the cumulative hazard is an exact integer window sum, and
+    // S(t) is ONE exp read (KmSurvSql) with a cumulative extinction
+    // flag. Scale: rows-scale work is the distinct + the per-user
+    // window sort (both partition by user_id); the curve itself is
+    // bounded by the observation window in DAYS, so the unpartitioned
+    // ordered windows run on a days-sized frame (x144's CUSUM bound).
+    "x191_kaplan_meier" -> ((s, dir) => {
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint() // consumers: window end + the island build
+      val wend = d.agg(max(col("day")).as("wend"))
+      val streaks = d
+        .withColumn("isl", date_sub(col("day"), row_number().over(wU)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("t"), max(col("day")).as("lday"))
+      val byT = streaks.crossJoin(broadcast(wend))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("lday") < col("wend"), 1L).otherwise(0L)).as("d"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byT.withColumn("n_risk", sum(col("c_all")).over(wDesc))
+        .filter(col("d") > 0)
+        .withColumn("lq", expr(KmLnSql))
+        .withColumn("cum", sum(col("lq")).over(wAsc))
+        .withColumn("dead",
+          max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wAsc))
+        .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_churned"),
+          graft.functions.EngineMath.roundAway(expr(KmSurvSql), 6).as("survival"))
+        .orderBy(col("t_days"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -4838,6 +4921,38 @@ object ExtensionQueries {
       "/ sqrt(CAST(var_num AS DOUBLE) / 18.0) " +
       "ELSE (CAST(s_stat AS DOUBLE) + 1.0) " +
       "/ sqrt(CAST(var_num AS DOUBLE) / 18.0) END"
+
+  /** x190's lag-k autocorrelation read over exact integer sufficient
+    * statistics: series moments (n days, sv = Σv, svv = Σv² — pre-widened
+    * DECIMAL(38,0)/HUGEINT) and per-lag pair sums (n_pairs, cxy = Σva·vb,
+    * hx = Σva, tx = Σvb). r_k = Σ(va−v̄)(vb−v̄) / Σ(v−v̄)² expanded so the
+    * only non-integer inputs are double casts of identical integers; the
+    * constant-series guard (n·svv = sv², an EXACT wide-integer equality)
+    * returns 0.0 instead of 0/0. ONE string, both engines.
+    */
+  private val AcfSql: String =
+    "CASE WHEN n * svv = sv * sv THEN 0.0 ELSE " +
+      "(CAST(cxy AS DOUBLE) " +
+      "- (CAST(sv AS DOUBLE) / n) * CAST(hx AS DOUBLE) " +
+      "- (CAST(sv AS DOUBLE) / n) * CAST(tx AS DOUBLE) " +
+      "+ n_pairs * (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) " +
+      "/ (CAST(svv AS DOUBLE) " +
+      "- n * (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) END"
+
+  /** x191's Kaplan-Meier pieces: the nano-quantized per-step log factor
+    * ln(1 − d/n_risk) — NULL at the extinction step (d = n_risk, where the
+    * factor is 0 and the log diverges; the `dead` flag takes over) — and
+    * the survival read S(t) = exp(Σ lq / 1e9) with the cumulative
+    * extinction override. Exact integers (d, n_risk, cum) in, ONE string
+    * each, both engines round the same double once.
+    */
+  private val KmLnSql: String =
+    "CASE WHEN d >= n_risk THEN NULL " +
+      "ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e9 + 0.5) " +
+      "AS BIGINT) END"
+  private val KmSurvSql: String =
+    "CASE WHEN dead = 1 THEN 0.0 " +
+      "ELSE exp(CAST(coalesce(cum, 0) AS DOUBLE) / 1e9) END"
 
   /** x186's coefficient-of-variation read over pre-widened exact moments
     * (st = Σt, st2 = Σt² as DECIMAL(38,0) ≡ HUGEINT): population
@@ -7700,6 +7815,63 @@ object ExtensionQueries {
          |SELECT event_type, n_days, s_stat, var_num, round($MkZSql, 6) AS z,
          |  round(median_n / 1e9, 6) AS sen_slope
          |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // same exact micro-tick daily series; moments and per-lag pair sums
+    // pre-widened to HUGEINT (≡ Spark's DECIMAL(38,0)) BEFORE any product,
+    // then ONE shared AcfSql read — identical integers, identical doubles
+    "x190_acf" ->
+      (s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS vm
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS sv,
+         |    CAST(sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS HUGEINT) AS svv
+         |  FROM daily GROUP BY 1),
+         |lg AS (SELECT unnest(range(1, 8)) AS lag_days),
+         |p AS (SELECT a.event_type, lg.lag_days,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS HUGEINT) AS cxy,
+         |    CAST(sum(CAST(a.vm AS HUGEINT)) AS HUGEINT) AS hx,
+         |    CAST(sum(CAST(b.vm AS HUGEINT)) AS HUGEINT) AS tx
+         |  FROM daily a CROSS JOIN lg JOIN daily b
+         |    ON b.event_type = a.event_type
+         |    AND b.day = a.day + CAST(lg.lag_days AS INTEGER)
+         |  GROUP BY 1, 2)
+         |SELECT event_type, lag_days, n_pairs, round($AcfSql, 6) AS acf
+         |FROM p JOIN st USING (event_type)
+         |ORDER BY event_type, lag_days""".stripMargin.replace("\n", " ")),
+    // same streak/censoring definitions (gaps-and-islands via
+    // day − row_number), the SHARED KmLnSql/KmSurvSql strings — risk
+    // sets, death counts, and the cumulative hazard are exact integers
+    // in both engines
+    "x191_kaplan_meier" ->
+      (s"""WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events),
+         |w AS (SELECT max(day) AS wend FROM dd),
+         |i AS (SELECT user_id, day, day - CAST(row_number() OVER (
+         |    PARTITION BY user_id ORDER BY day) AS INTEGER) AS isl
+         |  FROM dd),
+         |st AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS t,
+         |    max(day) AS lday
+         |  FROM i GROUP BY 1, 2),
+         |bt AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+         |    CAST(sum(CASE WHEN lday < wend THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d
+         |  FROM st CROSS JOIN w GROUP BY 1),
+         |r AS (SELECT t, d, CAST(sum(c_all) OVER (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_risk
+         |  FROM bt),
+         |f AS (SELECT t, n_risk, d, $KmLnSql AS lq FROM r WHERE d > 0),
+         |c AS (SELECT t, n_risk, d,
+         |    CAST(sum(lq) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+         |  FROM f)
+         |SELECT t AS t_days, n_risk, d AS d_churned,
+         |  round($KmSurvSql, 6) AS survival
+         |FROM c ORDER BY t_days""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

@@ -1566,6 +1566,98 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x190: ACF matches a driver recompute; |r_k| <= 1; pair counts close") {
+    val rows = run("x190_acf").collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf())
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate))
+      .map { case (k, rs) =>
+        k -> rs.map(r => math.floor(r.getAs[Double]("value") * 1e6 + 0.5).toLong).sum }
+    def away6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    // exactly the (type, lag) combos with >=1 calendar-day pair appear
+    val types: Seq[String] = daily.keys.map(_._1).toSet.toSeq
+    val want = types.flatMap { et =>
+      val series = daily.collect { case ((e, d), v) if e == et => (d, v) }
+      (1L to 7L).filter(k =>
+        series.keys.exists(d => series.contains(d.plusDays(k)))).map(k => (et, k))
+    }
+    assert(rows.length == want.length, s"${rows.length} rows vs ${want.length} expected")
+    rows.foreach { r =>
+      val (et, k) = (r.getAs[String]("event_type"), r.getAs[Long]("lag_days"))
+      assert(k >= 1L && k <= 7L)
+      val series = daily.collect { case ((e, d), v) if e == et => (d, v) }
+      val pairs = series.toSeq.flatMap { case (d, va) =>
+        series.get(d.plusDays(k)).map(vb => (va, vb)) }
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, s"$et lag $k pair count")
+      // driver recompute in the engines' shared evaluation order
+      val n = series.size
+      val sv = series.values.map(BigInt(_)).sum
+      val svv = series.values.map(v => BigInt(v) * BigInt(v)).sum
+      val acf =
+        if (BigInt(n) * svv == sv * sv) 0.0
+        else {
+          val m = sv.toDouble / n
+          val cxy = pairs.map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+          val hx = pairs.map(p => BigInt(p._1)).sum.toDouble
+          val tx = pairs.map(p => BigInt(p._2)).sum.toDouble
+          (cxy - m * hx - m * tx + pairs.length * m * m) / (svv.toDouble - n * m * m)
+        }
+      assert(math.abs(r.getAs[Double]("acf") - away6(acf)) < 1e-9,
+        s"$et lag $k acf ${r.getAs[Double]("acf")} vs ${away6(acf)}")
+      // Cauchy-Schwarz: each pair sum ranges over a subset of the series
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9, s"$et lag $k |acf| > 1")
+    }
+  }
+
+  test("x191: KM curve matches a driver recompute; S in (0,1] non-increasing; risk sets consistent") {
+    val rows = run("x191_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    // driver gaps-and-islands streak recompute
+    val days = Tables.events(spark, sf())
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay))
+    val wend = days.map(_._2).max
+    val streaks = days.groupBy(_._1).values.flatMap { ds =>
+      val sorted = ds.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (len, last)
+      var start = sorted.head
+      var prev = sorted.head
+      for (d <- sorted.tail) {
+        if (d != prev + 1) { runs += ((prev - start + 1, prev)); start = d }
+        prev = d
+      }
+      runs += ((prev - start + 1, prev))
+      runs.toSeq
+    }.toSeq
+    val byT = streaks.groupBy(_._1).map { case (t, ss) =>
+      t -> (ss.size.toLong, ss.count(_._2 < wend).toLong) }
+    val deathTs = byT.filter(_._2._2 > 0L).keys.toSeq.sorted
+    assert(rows.length == deathTs.length, "one row per death time")
+    def away6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    var cum = 0L
+    var dead = false
+    var prevSurv = 1.0
+    rows.sortBy(_.getAs[Long]("t_days")).zip(deathTs).foreach { case (r, t) =>
+      assert(r.getAs[Long]("t_days") == t)
+      val nRisk = streaks.count(_._1 >= t).toLong
+      val d = byT(t)._2
+      assert(r.getAs[Long]("n_risk") == nRisk, s"t=$t risk set")
+      assert(r.getAs[Long]("d_churned") == d, s"t=$t deaths")
+      assert(d >= 1L && d <= nRisk)
+      if (d >= nRisk) dead = true
+      else cum += math.floor(math.log(1.0 - d.toDouble / nRisk) * 1e9 + 0.5).toLong
+      val surv = if (dead) 0.0 else away6(math.exp(cum.toDouble / 1e9))
+      assert(math.abs(r.getAs[Double]("survival") - surv) < 1e-9,
+        s"t=$t survival ${r.getAs[Double]("survival")} vs $surv")
+      assert(surv >= 0.0 && surv <= 1.0)
+      assert(surv <= prevSurv + 1e-9, s"t=$t survival increased")
+      prevSurv = surv
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")
