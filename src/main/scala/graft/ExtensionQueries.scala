@@ -58,6 +58,30 @@ object ExtensionQueries {
           typedlit(sk), col("term"), CmsDepth, CmsWidth).as("est"))
       .orderBy(col("n").desc, col("term").asc)
 
+  /** The scored-and-labeled ranker-eval frame shared by x88/x192/x193/
+    * x196: the x70 quality-model logits (memoized fit — one model per
+    * (JVM, corpus), like [[ivfCentroids]]) rounded to 6 dp, labeled by
+    * the training target. Each consumer stages the weights under its own
+    * key so its oracle re-derives the IDENTICAL scores independently
+    * ([[scoredLabCtes]] is the oracle half of this definition).
+    */
+  private def qlrScoredLab(s: SparkSession, dir: String,
+      stageKey: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val model = graft.operators.Fitted.getOrFit(s,
+      graft.operators.Fitted.key(dir, "qlr",
+        "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+      graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+        isTarget = col("source") === "src0")
+    }
+    Stage.write(model, dir, stageKey)
+    graft.operators.QualityFilter.logits(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"),
+        graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+  }
+
   /** x99's fixed subword vocabulary, longest-first (then lexicographic).
     * Greedy longest-match encoding falls out of ordered regex alternation:
     * both java.util.regex and DuckDB's RE2 use leftmost-FIRST alternation,
@@ -1329,20 +1353,7 @@ object ExtensionQueries {
     // the AUC double is bit-exact across engines; the window runs over
     // |distinct scores| grouped rows, not |docs|.
     "x88_model_auc" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val model = graft.operators.Fitted.getOrFit(s,
-        graft.operators.Fitted.key(dir, "qlr",
-          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
-        graft.operators.QualityFilter.fit(docs, "doc_id", "text",
-          isTarget = col("source") === "src0")
-      }
-      Stage.write(model, dir, "x88_weights")
-      val scored = graft.operators.QualityFilter
-        .logits(docs, "doc_id", "text", model)
-        .select(col("id").as("doc_id"),
-          graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
-        .join(docs.select(col("doc_id"),
-          (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+      val scored = qlrScoredLab(s, dir, "x88_weights")
       val byScore = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       scored.groupBy(col("score"))
@@ -4469,29 +4480,11 @@ object ExtensionQueries {
     // Scale: the rows-scale work is the daily aggregate; everything
     // after is (days × 7)-bounded — the lag pairing is an equi-join on
     // (type, day+k), never a pair fan-out, and the moments broadcast.
-    "x190_acf" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
+    "x190_acf" -> ((s, dir) =>
+      acfOverDaily(Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
-        .localCheckpoint() // consumers: moments + both lag-join sides
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val stats = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("vm"))).as("sv"),
-          sum(dec(col("vm")) * dec(col("vm"))).as("svv"))
-      val pairs = daily
-        .withColumn("lag_days", explode(expr("sequence(1L, 7L)")))
-        .withColumn("day_b", date_add(col("day"), col("lag_days").cast("int")))
-        .join(daily.select(col("event_type"), col("day").as("day_b"),
-          col("vm").as("vb")), Seq("event_type", "day_b"))
-        .groupBy(col("event_type"), col("lag_days"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(dec(col("vm")) * dec(col("vb"))).as("cxy"),
-          sum(dec(col("vm"))).as("hx"), sum(dec(col("vb"))).as("tx"))
-      pairs.join(broadcast(stats), "event_type")
-        .select(col("event_type"), col("lag_days"), col("n_pairs"),
-          graft.functions.EngineMath.roundAway(expr(AcfSql), 6).as("acf"))
-        .orderBy(col("event_type"), col("lag_days"))
-    }),
+        .localCheckpoint())), // consumers: moments + both lag-join sides
     // x191: Kaplan-Meier survival curve over user activity streaks — the
     // retention readout x76/x158 lead up to, done the way survival
     // analysis does it (censoring-correct). Subject = a consecutive-day
@@ -4537,6 +4530,286 @@ object ExtensionQueries {
         .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_churned"),
           graft.functions.EngineMath.roundAway(expr(KmSurvSql), 6).as("survival"))
         .orderBy(col("t_days"))
+    }),
+    // x192: precision-recall AUC of the x70/x88 quality model — the
+    // class-imbalance-honest companion to x88's ROC-AUC (the metric a
+    // quality-filter sweep actually tunes on: positives are the rare
+    // class a PR curve weights correctly). Threshold semantics: one PR
+    // point per DISTINCT score (all docs scoring ≥ t predicted positive),
+    // so ties are handled exactly and the windows run over |distinct
+    // scores| grouped rows, not |docs| (the x88 frame bound). Each
+    // trapezoid term (ΔR · mean precision, anchored at (R=0, P=1))
+    // pico-quantizes through ONE shared string (PrTermSql) off exact
+    // cumulative integers, so the area is an exact integer sum.
+    "x192_pr_auc" -> ((s, dir) => {
+      val lab = qlrScoredLab(s, dir, "x192_weights")
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wLag = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+      val g = lab.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val tot = g.agg(sum(col("np")).as("p"), sum(col("n")).as("nn"))
+      g.withColumn("tp", sum(col("np")).over(wDesc))
+        .withColumn("fp", sum(col("n") - col("np")).over(wDesc))
+        .withColumn("tpp", coalesce(lag(col("tp"), 1).over(wLag), lit(0L)))
+        .withColumn("fpp", coalesce(lag(col("fp"), 1).over(wLag), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(PrTermSql)).as("sn"), max(col("p")).as("p"),
+          max(col("nn")).as("nn"), count(lit(1)).as("n_thresholds"))
+        .select(col("p").as("n_pos"), (col("nn") - col("p")).as("n_neg"),
+          col("n_thresholds"),
+          graft.functions.EngineMath.roundAway(
+            col("sn").cast("double") / 1e12, 6).as("pr_auc"))
+    }),
+    // x193: gains/lift deciles of the quality model — the campaign-style
+    // readout ("the top decile captures X% of the positives at Y× lift")
+    // that turns x88/x192's scalar AUCs into an actionable spend curve.
+    // Deciles = ntile(10) over (score DESC, doc_id) — deterministic
+    // because doc_id totalizes the order; capture and lift are ONE shared
+    // string each over exact integer counts. The ntile window is the one
+    // rows-scale stage (same contract as x63's quality deciles; at 100 TB
+    // swap in x98's bucket-prefix-sum global rank — the decile boundary
+    // only needs the score histogram, not a total order).
+    "x193_gains" -> ((s, dir) => {
+      val lab = qlrScoredLab(s, dir, "x193_weights")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val d = lab.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = d.agg(sum(col("n_docs")).as("nn"), sum(col("n_pos")).as("p"))
+      d.withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          graft.functions.EngineMath.roundAway(expr(GainsCaptureSql), 6)
+            .as("capture"),
+          graft.functions.EngineMath.roundAway(expr(GainsLiftSql), 6)
+            .as("lift"))
+        .orderBy(col("decile"))
+    }),
+    // x194: simplified silhouette per IVF cluster — the cluster-quality
+    // score x183's inertia report cannot give (inertia always improves
+    // with more clusters; silhouette penalizes overlap). Simplified =
+    // centroid-based (a = distance to own centroid, b = distance to the
+    // nearest OTHER centroid), the linear-time variant that scales where
+    // full silhouette's all-pairs does not. All K distances per point are
+    // K broadcast dot products (the x183 assignment shape); per-point s
+    // nano-quantizes through ONE shared string (SilhSql) off the exact
+    // micro-tick d² integers, so per-cluster means are exact sums.
+    "x194_silhouette" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val cents = ivfCentroids(s, dir)
+      Stage.write(cents, dir, "x194_centroids")
+      val d2 = e.crossJoin(broadcast(cents))
+        .withColumn("d2m",
+          floor(expr("aggregate(zip_with(vec, cvec, " +
+            "(x, y) -> (x - y) * (x - y)), 0.0d, (acc, v) -> acc + v)")
+            * 1e6 + lit(0.5)).cast("long"))
+        .select(col("vec_id"), col("centroid_id"), col("d2m"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("d2m").asc, col("centroid_id").asc)
+      val ranked = graft.engine.CacheScope.persistTracked(
+        d2.withColumn("rk", row_number().over(wP)))
+      val own = ranked.filter(col("rk") === 1)
+        .select(col("vec_id"), col("centroid_id").as("cid"), col("d2m").as("a2"))
+      val next = ranked.filter(col("rk") === 2)
+        .select(col("vec_id"), col("d2m").as("b2"))
+      own.join(next, "vec_id")
+        .withColumn("sn", expr(SilhSql))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("sn")).as("ssn"))
+        .select(col("cid").as("centroid_id"), col("n_members"),
+          graft.functions.EngineMath.roundAway(
+            col("ssn").cast("double") / 1e9 / col("n_members"), 6)
+            .as("mean_silhouette"))
+        .orderBy(col("centroid_id"))
+    }),
+    // x195: degree assortativity of the part co-purchase graph (x87's
+    // edge set) — the one-number topology diagnostic that says whether
+    // hubs link to hubs (r > 0, robust to hub removal) or to leaves
+    // (r < 0, hub-and-spoke: salting the hot keys is mandatory). Pearson
+    // over the degree pairs of every DIRECTED edge (both orientations, so
+    // the marginals coincide); all five sufficient statistics are exact
+    // integers pre-widened to DECIMAL(38,0) BEFORE any product, and r is
+    // ONE shared read (AssortSql) with an exact zero-variance guard.
+    // Scale: the pair-producer is x87's per-order bounded self-join; the
+    // degree join is two broadcast-or-shuffle equi-joins; the stat is one
+    // aggregate to 5 scalars.
+    "x195_assortativity" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = po.as("a").join(po.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .localCheckpoint() // consumers: the degree build + the stat pass
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint() // consumers: node count + both endpoint joins
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val dp = edges
+        .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      dp.agg(count(lit(1)).as("n_edges"),
+          sum(dec(col("du")) + dec(col("dv"))).as("sx"),
+          sum(dec(col("du")) * dec(col("du"))
+            + dec(col("dv")) * dec(col("dv"))).as("sxx"),
+          sum(dec(col("du")) * dec(col("dv"))
+            + dec(col("dv")) * dec(col("du"))).as("sxy"))
+        .withColumn("m", (col("n_edges") * lit(2L)).cast("decimal(38,0)"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("n_nodes"), col("n_edges"),
+          graft.functions.EngineMath.roundAway(expr(AssortSql), 6)
+            .as("assortativity"))
+    }),
+    // x196: split-conformal calibration of the quality model — the
+    // distribution-free uncertainty wrapper production scoring needs
+    // (Vovk et al.; "with 90% coverage, how wrong can this score be?").
+    // Calibration/eval split by the md5 ticket (the x48 sampling device,
+    // 50/50); nonconformity = 1 − P(true class) under the 6-dp sigmoid,
+    // nano-quantized through ONE shared string (ConfNcSql) so both
+    // engines rank identical integers; q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    // via the value-grouped cumulative (a |distinct values| frame, not
+    // |rows| — the x88 bound), and empirical eval coverage is an exact
+    // integer share. Finite-sample guarantee: coverage ≥ 0.9 − 1/(n+1)
+    // in expectation.
+    "x196_conformal" -> ((s, dir) => {
+      val lab = qlrScoredLab(s, dir, "x196_weights")
+      val nc = lab.withColumn("ncn", expr(ConfNcSql))
+        .withColumn("cal",
+          graft.operators.Sampling.keep(col("doc_id"), 0.5, "conf"))
+        .localCheckpoint() // consumers: cal count, value groups, eval side
+      val cal = nc.filter(col("cal"))
+      val ncal = cal.agg(count(lit(1)).as("ncal"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ncn"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val qhat = cal.groupBy(col("ncn")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(ncal))
+        .filter(col("cum") >= expr(ConfRankSql))
+        .agg(min(col("ncn")).as("qn"))
+      nc.filter(!col("cal"))
+        .crossJoin(broadcast(qhat))
+        .crossJoin(broadcast(ncal))
+        .agg(max(col("ncal")).as("n_cal"), count(lit(1)).as("n_eval"),
+          max(col("qn")).as("qn"),
+          sum(when(col("ncn") <= col("qn"), 1L).otherwise(0L)).as("n_cov"))
+        .select(col("n_cal"), col("n_eval"),
+          graft.functions.EngineMath.roundAway(
+            col("qn").cast("double") / 1e9, 6).as("qhat"),
+          graft.functions.EngineMath.roundAway(
+            col("n_cov").cast("double") / col("n_eval"), 6).as("coverage"))
+    }),
+    // x198: log-rank test between streak-survival cohorts — the
+    // hypothesis test that turns x191's curves into a decision ("do
+    // weekend-started streaks die faster?"). Cohort = whether the streak
+    // STARTED on a weekend (Sat/Sun via exact Monday-anchored day
+    // arithmetic — dayofweek() conventions differ across engines, the
+    // datediff-mod-7 integer does not). Standard Mantel-Haenszel
+    // machinery: at each death time, observed-minus-expected deaths in
+    // cohort A under the hypergeometric null and its tie-corrected
+    // variance — each term nano-quantized through ONE shared string
+    // (LrESql/LrVSql) off exact integer risk sets, so O−E and V are
+    // exact integer sums; z is ONE LrZSql read. Scale: identical to
+    // x191 — the only rows-scale work is the distinct + per-user window;
+    // the test frame is days-bounded.
+    "x198_logrank" -> ((s, dir) => {
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .localCheckpoint() // consumers: window end + the island build
+      val wend = d.agg(max(col("day")).as("wend"))
+      val streaks = d
+        .withColumn("isl", date_sub(col("day"), row_number().over(wU)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("t"), min(col("day")).as("fday"),
+          max(col("day")).as("lday"))
+      // weekend iff days-since-Monday-anchor mod 7 ∈ {5, 6}; DuckDB
+      // mirrors with datediff('day', DATE '1970-01-05', fday) % 7 —
+      // exact integer arithmetic on both sides
+      val byT = streaks.crossJoin(broadcast(wend))
+        .withColumn("ga",
+          datediff(col("fday"), to_date(lit("1970-01-05"))) % 7 >= 5)
+        .groupBy(col("t"))
+        .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("c_a"),
+          sum(when(!col("ga"), 1L).otherwise(0L)).as("c_b"),
+          sum(when(col("ga") && col("lday") < col("wend"), 1L)
+            .otherwise(0L)).as("d_a"),
+          sum(when(!col("ga") && col("lday") < col("wend"), 1L)
+            .otherwise(0L)).as("d_b"))
+        .localCheckpoint() // consumers: cohort totals + the test terms
+      val tot = byT.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+        sum(col("d_a")).as("deaths_a"), sum(col("d_b")).as("deaths_b"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byT.withColumn("na", sum(col("c_a")).over(wDesc))
+        .withColumn("nb", sum(col("c_b")).over(wDesc))
+        .filter(col("d_a") + col("d_b") > 0)
+        .select(expr(LrESql).as("en"), expr(LrVSql).as("vn"))
+        .agg(sum(col("en")).as("se"), sum(col("vn")).as("sv"),
+          count(lit(1)).as("n_death_times"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"), col("deaths_a"), col("deaths_b"),
+          col("n_death_times"),
+          graft.functions.EngineMath.roundAway(
+            col("se").cast("double") / 1e9, 6).as("o_minus_e"),
+          graft.functions.EngineMath.roundAway(
+            col("sv").cast("double") / 1e9, 6).as("variance"),
+          graft.functions.EngineMath.roundAway(expr(LrZSql), 6).as("z"))
+    }),
+    // x199: the STREAM-maintained twin of x190 — the ACF's state is one
+    // ADDITIVE (type, day) aggregate (the x123/x149/x176 decomposition:
+    // accumulate integers in the stream, derive at read time), so the
+    // seasonality fingerprint is maintainable incrementally; the SHARED
+    // acfOverDaily read derives moments, lag pairs, and AcfSql over the
+    // bounded (types × days) frame. Same oracle as x190: stream ≡ batch
+    // is the point.
+    "x199_stream_acf" -> ((s, dir) =>
+      acfOverDaily(graft.streaming.StreamOps
+        .dailyValueSumsStreaming(s, s"$dir/events.parquet"))),
+    // x197: join-key skew audit over the schema's join graph — the
+    // measurement that DECIDES between the plain shuffle join and the
+    // salted path (x33/x34): per key column, row/key counts, the hottest
+    // key's share, and the p99 per-key count. Per column: one rows-scale
+    // key aggregate (map-side combined), then a count-of-counts frame
+    // (|distinct counts|-sized) for the exact p99 via cumulative key
+    // coverage — no sort of the key table, no collect. The five audited
+    // columns are every equi-join key the engine's own queries shuffle on.
+    "x197_skew_audit" -> ((s, dir) => {
+      def stats(df: DataFrame, tbl: String, c: String): DataFrame = {
+        val per = df.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // consumers: totals + the count-of-counts
+        val tot = per.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val p99 = per.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+          .withColumn("cum", sum(col("nk")).over(wv))
+          .crossJoin(broadcast(tot.select(col("n_keys"))))
+          .filter(col("cum") >= expr(SkewP99RankSql))
+          .agg(min(col("cnt")).as("p99_cnt"))
+        tot.crossJoin(broadcast(p99))
+          .select(lit(s"$tbl.$c").as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            graft.functions.EngineMath.roundAway(
+              col("max_cnt").cast("double") / col("n_rows"), 6)
+              .as("top_share"),
+            col("p99_cnt"))
+      }
+      SkewAuditCols.map { case (tbl, c) => stats(table(s, dir, tbl), tbl, c) }
+        .reduce(_ unionAll _)
+        .orderBy(col("key_col"))
     }),
   )
 
@@ -4939,6 +5212,80 @@ object ExtensionQueries {
       "/ (CAST(svv AS DOUBLE) " +
       "- n * (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) END"
 
+  /** x190/x199's shared read-time ACF derivation over a (event_type,
+    * day, vm) daily frame of exact micro-tick integers — batch-built
+    * (x190) or stream-maintained (x199), the derivation is the same:
+    * pre-widened moments, equi-join lag pairing, ONE AcfSql read. The
+    * input must be safe to reference three times (checkpointed frame or
+    * memory-sink table).
+    */
+  private def acfOverDaily(daily: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("vm"))).as("sv"),
+        sum(dec(col("vm")) * dec(col("vm"))).as("svv"))
+    val pairs = daily
+      .withColumn("lag_days", explode(expr("sequence(1L, 7L)")))
+      .withColumn("day_b", date_add(col("day"), col("lag_days").cast("int")))
+      .join(daily.select(col("event_type"), col("day").as("day_b"),
+        col("vm").as("vb")), Seq("event_type", "day_b"))
+      .groupBy(col("event_type"), col("lag_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("vm")) * dec(col("vb"))).as("cxy"),
+        sum(dec(col("vm"))).as("hx"), sum(dec(col("vb"))).as("tx"))
+    pairs.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("lag_days"), col("n_pairs"),
+        graft.functions.EngineMath.roundAway(expr(AcfSql), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag_days"))
+  }
+
+  /** x198's log-rank pieces over exact integers (d_a/d_b deaths and
+    * na/nb risk sets at one death time): the nano-quantized
+    * observed-minus-expected term d_a − d·na/n, the tie-corrected
+    * hypergeometric variance term d·(na/n)·(nb/n)·(n−d)/(n−1) (0 when
+    * the risk set is a single subject), and the final z read off the
+    * exact integer sums. ONE string each, both engines.
+    */
+  private val LrESql: String =
+    "CAST(floor((CAST(d_a AS DOUBLE) " +
+      "- CAST(d_a + d_b AS DOUBLE) * na / (na + nb)) * 1e9 + 0.5) AS BIGINT)"
+  private val LrVSql: String =
+    "CASE WHEN na + nb <= 1 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(floor(CAST(d_a + d_b AS DOUBLE) " +
+      "* (CAST(na AS DOUBLE) / (na + nb)) " +
+      "* (CAST(nb AS DOUBLE) / (na + nb)) " +
+      "* (CAST(na + nb - d_a - d_b AS DOUBLE) / (na + nb - 1)) " +
+      "* 1e9 + 0.5) AS BIGINT) END"
+  private val LrZSql: String =
+    "CASE WHEN sv <= 0 THEN 0.0 " +
+      "ELSE (CAST(se AS DOUBLE) / 1e9) / sqrt(CAST(sv AS DOUBLE) / 1e9) END"
+
+  /** The x190 ≡ x199 oracle (the stream-maintained ACF must equal the
+    * batch one — the x166/x176 coupling): exact micro-tick daily series,
+    * HUGEINT pre-widening, the SHARED AcfSql read.
+    */
+  private def AcfOracleSql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS vm
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS sv,
+       |    CAST(sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS HUGEINT) AS svv
+       |  FROM daily GROUP BY 1),
+       |lg AS (SELECT unnest(range(1, 8)) AS lag_days),
+       |p AS (SELECT a.event_type, lg.lag_days,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS HUGEINT) AS cxy,
+       |    CAST(sum(CAST(a.vm AS HUGEINT)) AS HUGEINT) AS hx,
+       |    CAST(sum(CAST(b.vm AS HUGEINT)) AS HUGEINT) AS tx
+       |  FROM daily a CROSS JOIN lg JOIN daily b
+       |    ON b.event_type = a.event_type
+       |    AND b.day = a.day + CAST(lg.lag_days AS INTEGER)
+       |  GROUP BY 1, 2)
+       |SELECT event_type, lag_days, n_pairs, round($AcfSql, 6) AS acf
+       |FROM p JOIN st USING (event_type)
+       |ORDER BY event_type, lag_days""".stripMargin.replace("\n", " ")
+
   /** x191's Kaplan-Meier pieces: the nano-quantized per-step log factor
     * ln(1 − d/n_risk) — NULL at the extinction step (d = n_risk, where the
     * factor is 0 and the log diverges; the `dead` flag takes over) — and
@@ -4953,6 +5300,102 @@ object ExtensionQueries {
   private val KmSurvSql: String =
     "CASE WHEN dead = 1 THEN 0.0 " +
       "ELSE exp(CAST(coalesce(cum, 0) AS DOUBLE) / 1e9) END"
+
+  /** x192's per-threshold PR trapezoid term, pico-quantized: ΔR · mean
+    * precision over the exact cumulative integers (tp, fp) at this
+    * threshold and (tpp, fpp) at the previous (0, 0 at the anchor, where
+    * precision is 1.0 by convention), p = total positives. ONE string —
+    * both engines sum identical integers.
+    */
+  private val PrTermSql: String =
+    "CAST(floor((CAST(tp - tpp AS DOUBLE) / p) * " +
+      "((CAST(tp AS DOUBLE) / (tp + fp) + " +
+      "CASE WHEN tpp + fpp = 0 THEN 1.0 " +
+      "ELSE CAST(tpp AS DOUBLE) / (tpp + fpp) END) / 2.0) " +
+      "* 1e12 + 0.5) AS BIGINT)"
+
+  /** x193's gains reads over exact integer counts: cumulative positive
+    * capture and per-decile lift vs the base rate. ONE string each.
+    */
+  private val GainsCaptureSql: String =
+    "CAST(cum_pos AS DOUBLE) / p"
+  private val GainsLiftSql: String =
+    "(CAST(n_pos AS DOUBLE) / n_docs) / (CAST(p AS DOUBLE) / nn)"
+
+  /** x194's per-point simplified silhouette, nano-quantized off the exact
+    * micro-tick squared distances to the own (a2) and nearest-other (b2)
+    * centroid: s = (√b² − √a²)/√max — with the a2 = b2 = 0 guard (a point
+    * ON two coincident centroids has no preference). ONE string.
+    */
+  private val SilhSql: String =
+    "CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST(floor((sqrt(CAST(b2 AS DOUBLE) / 1e6) " +
+      "- sqrt(CAST(a2 AS DOUBLE) / 1e6)) " +
+      "/ sqrt(CAST(greatest(a2, b2) AS DOUBLE) / 1e6) " +
+      "* 1e9 + 0.5) AS BIGINT) END"
+
+  /** x195's assortativity read: Pearson r over the directed-edge degree
+    * pairs, off exact pre-widened integer sufficient statistics
+    * (m = 2|E| directed pairs; sx = Σx = Σy by orientation symmetry;
+    * sxx = Σx² = Σy²; sxy = Σxy) — one exact integer numerator and
+    * denominator, ONE double division, with the exact zero-variance
+    * guard (a regular graph has no degree variance). ONE string.
+    */
+  private val AssortSql: String =
+    "CASE WHEN m * sxx = sx * sx THEN 0.0 " +
+      "ELSE CAST(m * sxy - sx * sx AS DOUBLE) " +
+      "/ CAST(m * sxx - sx * sx AS DOUBLE) END"
+
+  /** x196's conformal pieces: the nano-quantized nonconformity
+    * 1 − P(true class) under the sigmoid of the 6-dp score (ONE string —
+    * both engines rank identical integers), and the calibration rank
+    * ⌈(n+1)(1−α)⌉ at α = 0.1, clamped to n.
+    */
+  private val ConfNcSql: String =
+    "CAST(floor((1.0 - CASE WHEN pos = 1 " +
+      "THEN 1.0 / (1.0 + exp(-score)) " +
+      "ELSE 1.0 - 1.0 / (1.0 + exp(-score)) END) * 1e9 + 0.5) AS BIGINT)"
+  private val ConfRankSql: String =
+    "least(CAST(ceil((ncal + 1) * 0.9) AS BIGINT), ncal)"
+
+  /** x197's p99 pick over the count-of-counts frame: the smallest
+    * per-key count covering ≥ 99% of keys. ONE string.
+    */
+  private val SkewP99RankSql: String =
+    "CAST(ceil(0.99 * n_keys) AS BIGINT)"
+
+  /** The audited join-key columns — ONE inventory builds both the Spark
+    * union and the oracle's UNION ALL (x90's profileCols device).
+    */
+  private val SkewAuditCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+    "lineitem" -> "l_suppkey", "orders" -> "o_custkey",
+    "events" -> "user_id")
+
+  /** x197's oracle: per audited column, the same per-key aggregate, the
+    * same exact integer stats, the same cumulative count-of-counts p99.
+    */
+  private def skewAuditOracle: String = {
+    val blocks = SkewAuditCols.map { case (tbl, c) =>
+      s"""(WITH per AS (SELECT CAST(count(*) AS BIGINT) AS cnt
+         |    FROM $tbl GROUP BY $c),
+         |  tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |      CAST(count(*) AS BIGINT) AS n_keys,
+         |      CAST(max(cnt) AS BIGINT) AS max_cnt FROM per),
+         |  p99 AS (SELECT CAST(min(cnt) AS BIGINT) AS p99_cnt FROM
+         |    (SELECT cnt, CAST(sum(nk) OVER (ORDER BY cnt
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |        AS cum
+         |      FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS nk FROM per
+         |        GROUP BY 1)) CROSS JOIN (SELECT n_keys FROM tot)
+         |    WHERE cum >= $SkewP99RankSql)
+         |  SELECT '$tbl.$c' AS key_col, n_rows, n_keys, max_cnt,
+         |    round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top_share,
+         |    p99_cnt
+         |  FROM tot CROSS JOIN p99)""".stripMargin.replace("\n", " ")
+    }
+    blocks.mkString("", " UNION ALL ", " ORDER BY key_col")
+  }
 
   /** x186's coefficient-of-variation read over pre-widened exact moments
     * (st = Σt, st2 = Σt² as DECIMAL(38,0) ≡ HUGEINT): population
@@ -5135,6 +5578,22 @@ object ExtensionQueries {
     "floor((least(mk / n * 4, 1.0) * 0.3 + least(CAST(n AS DOUBLE) / 100, 1.0) * 0.3 + " +
       "(1.0 - punct) * 0.2 + (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2) " +
       "* 10000 + 0.5) / 10000"
+
+  /** The oracle half of [[qlrScoredLab]], shared by x88/x192/x193/x196:
+    * CTE `lab` exposes (doc_id, score, pos) — the staged model weights
+    * applied to the independently re-derived quality features, rounded
+    * to the same 6 dp. One definition; a feature/rounding tweak edited
+    * here cannot leave one consumer's oracle gating stale scores.
+    */
+  private def scoredLabCtes(stageKey: String): String =
+    s"$qualityCtes, " +
+      "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+      "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+      s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef(stageKey)}), " +
+      "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
+      "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
+      "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+      "FROM z JOIN documents d USING (doc_id))"
 
   /** Decontamination oracle shared by x40 (exact path) and x56 (bloom
     * path): 5-gram shingle sets (mirrors TextFunctions.shingles k=5),
@@ -5932,14 +6391,7 @@ object ExtensionQueries {
     // grouped tie-averaged rank arithmetic in exact integers (2×midrank),
     // one final double division — identical operand order on both sides
     "x88_model_auc" ->
-      (s"$qualityCtes, " +
-        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
-        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
-        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x88_weights")}), " +
-        "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
-        "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
-        "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
-        "FROM z JOIN documents d USING (doc_id)), " +
+      (s"${scoredLabCtes("x88_weights")}, " +
         "g AS (SELECT score, count(*) AS n, sum(pos) AS np FROM lab GROUP BY score), " +
         "o AS (SELECT score, n, np, coalesce(sum(n) OVER (ORDER BY score " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g), " +
@@ -7818,27 +8270,53 @@ object ExtensionQueries {
     // same exact micro-tick daily series; moments and per-lag pair sums
     // pre-widened to HUGEINT (≡ Spark's DECIMAL(38,0)) BEFORE any product,
     // then ONE shared AcfSql read — identical integers, identical doubles
-    "x190_acf" ->
-      (s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-         |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS vm
-         |  FROM events GROUP BY 1, 2),
-         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(vm AS HUGEINT)) AS HUGEINT) AS sv,
-         |    CAST(sum(CAST(vm AS HUGEINT) * CAST(vm AS HUGEINT)) AS HUGEINT) AS svv
-         |  FROM daily GROUP BY 1),
-         |lg AS (SELECT unnest(range(1, 8)) AS lag_days),
-         |p AS (SELECT a.event_type, lg.lag_days,
-         |    CAST(count(*) AS BIGINT) AS n_pairs,
-         |    CAST(sum(CAST(a.vm AS HUGEINT) * CAST(b.vm AS HUGEINT)) AS HUGEINT) AS cxy,
-         |    CAST(sum(CAST(a.vm AS HUGEINT)) AS HUGEINT) AS hx,
-         |    CAST(sum(CAST(b.vm AS HUGEINT)) AS HUGEINT) AS tx
-         |  FROM daily a CROSS JOIN lg JOIN daily b
-         |    ON b.event_type = a.event_type
-         |    AND b.day = a.day + CAST(lg.lag_days AS INTEGER)
-         |  GROUP BY 1, 2)
-         |SELECT event_type, lag_days, n_pairs, round($AcfSql, 6) AS acf
-         |FROM p JOIN st USING (event_type)
-         |ORDER BY event_type, lag_days""".stripMargin.replace("\n", " ")),
+    "x190_acf" -> AcfOracleSql,
+    // the stream-maintained twin MUST equal the batch ACF (exactly-once
+    // state accumulation) — one oracle gates both
+    "x199_stream_acf" -> AcfOracleSql,
+    // same islands/censoring as x191, the same Monday-anchored weekend
+    // integer, the SHARED nano-quantized LrESql/LrVSql terms and LrZSql
+    // read — O−E and V are exact integer sums in both engines
+    "x198_logrank" ->
+      (s"""WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events),
+         |w AS (SELECT max(day) AS wend FROM dd),
+         |i AS (SELECT user_id, day, day - CAST(row_number() OVER (
+         |    PARTITION BY user_id ORDER BY day) AS INTEGER) AS isl
+         |  FROM dd),
+         |st AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS t,
+         |    min(day) AS fday, max(day) AS lday
+         |  FROM i GROUP BY 1, 2),
+         |g AS (SELECT t,
+         |    (datediff('day', DATE '1970-01-05', fday) % 7) >= 5 AS ga,
+         |    lday < wend AS died
+         |  FROM st CROSS JOIN w),
+         |bt AS (SELECT t,
+         |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+         |    CAST(sum(CASE WHEN ga AND died THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d_a,
+         |    CAST(sum(CASE WHEN NOT ga AND died THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d_b
+         |  FROM g GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |    CAST(sum(c_b) AS BIGINT) AS n_b,
+         |    CAST(sum(d_a) AS BIGINT) AS deaths_a,
+         |    CAST(sum(d_b) AS BIGINT) AS deaths_b FROM bt),
+         |r AS (SELECT t, d_a, d_b,
+         |    CAST(sum(c_a) OVER wd AS BIGINT) AS na,
+         |    CAST(sum(c_b) OVER wd AS BIGINT) AS nb FROM bt
+         |  WINDOW wd AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT CAST(sum($LrESql) AS BIGINT) AS se,
+         |    CAST(sum($LrVSql) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n_death_times
+         |  FROM r WHERE d_a + d_b > 0)
+         |SELECT n_a, n_b, deaths_a, deaths_b, n_death_times,
+         |  round(CAST(se AS DOUBLE) / 1e9, 6) AS o_minus_e,
+         |  round(CAST(sv AS DOUBLE) / 1e9, 6) AS variance,
+         |  round($LrZSql, 6) AS z
+         |FROM s CROSS JOIN tot""".stripMargin.replace("\n", " ")),
     // same streak/censoring definitions (gaps-and-islands via
     // day − row_number), the SHARED KmLnSql/KmSurvSql strings — risk
     // sets, death counts, and the cumulative hazard are exact integers
@@ -7872,6 +8350,117 @@ object ExtensionQueries {
          |SELECT t AS t_days, n_risk, d AS d_churned,
          |  round($KmSurvSql, 6) AS survival
          |FROM c ORDER BY t_days""".stripMargin.replace("\n", " ")),
+    // same staged weights → identical 6-dp scores, same threshold-per-
+    // distinct-score PR points, the SHARED pico-quantized PrTermSql —
+    // the area is an exact integer sum in both engines
+    "x192_pr_auc" ->
+      (s"""${scoredLabCtes("x192_weights")},
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS np FROM lab GROUP BY 1),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+         |    CAST(sum(n) AS BIGINT) AS nn FROM g),
+         |o AS (SELECT score, CAST(sum(np) OVER wd AS BIGINT) AS tp,
+         |    CAST(sum(n - np) OVER wd AS BIGINT) AS fp FROM g
+         |  WINDOW wd AS (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |o2 AS (SELECT tp, fp,
+         |    CAST(coalesce(lag(tp) OVER wo, 0) AS BIGINT) AS tpp,
+         |    CAST(coalesce(lag(fp) OVER wo, 0) AS BIGINT) AS fpp FROM o
+         |  WINDOW wo AS (ORDER BY score DESC)),
+         |s AS (SELECT CAST(sum($PrTermSql) AS BIGINT) AS sn,
+         |    CAST(count(*) AS BIGINT) AS nt FROM o2 CROSS JOIN t)
+         |SELECT p AS n_pos, nn - p AS n_neg, nt AS n_thresholds,
+         |  round(CAST(sn AS DOUBLE) / 1e12, 6) AS pr_auc
+         |FROM s CROSS JOIN t""".stripMargin.replace("\n", " ")),
+    // same staged weights/scores, same deterministic ntile order
+    // (score DESC, doc_id), the SHARED capture/lift strings over exact
+    // integer counts
+    "x193_gains" ->
+      (s"""${scoredLabCtes("x193_weights")},
+         |dq AS (SELECT pos, ntile(10) OVER (ORDER BY score DESC, doc_id)
+         |    AS decile FROM lab),
+         |d AS (SELECT CAST(decile AS BIGINT) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos FROM dq GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |    CAST(sum(n_pos) AS BIGINT) AS p FROM d),
+         |cd AS (SELECT decile, n_docs, n_pos,
+         |    CAST(sum(n_pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_pos FROM d)
+         |SELECT decile, n_docs, n_pos, round($GainsCaptureSql, 6) AS capture,
+         |  round($GainsLiftSql, 6) AS lift
+         |FROM cd CROSS JOIN t ORDER BY decile""".stripMargin.replace("\n", " ")),
+    // same staged centroids, the x183 micro-tick d² arithmetic re-derived
+    // from the raw embeddings, the same (d2m, centroid_id) argmin/next
+    // ranking, the SHARED nano-quantized SilhSql
+    "x194_silhouette" ->
+      (s"""WITH c AS (SELECT centroid_id, cvec
+         |  FROM ${Stage.sqlRef("x194_centroids")}),
+         |d AS (SELECT e.vec_id, c.centroid_id,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)
+         |      * 1e6 + 0.5) AS BIGINT) AS d2m
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, centroid_id, d2m, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2m, centroid_id) AS rk FROM d),
+         |o AS (SELECT vec_id, centroid_id AS cid, d2m AS a2 FROM r WHERE rk = 1),
+         |nx AS (SELECT vec_id, d2m AS b2 FROM r WHERE rk = 2),
+         |s AS (SELECT o.cid, $SilhSql AS sn FROM o JOIN nx USING (vec_id))
+         |SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(CAST(sum(sn) AS DOUBLE) / 1e9 / count(*), 6)
+         |    AS mean_silhouette
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same distinct co-purchase edge set, degrees from both endpoints,
+    // HUGEINT (≡ DECIMAL(38,0)) pre-widening BEFORE any product, the
+    // SHARED AssortSql read
+    "x195_assortativity" ->
+      (s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         |  GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg),
+         |dp AS (SELECT CAST(du.dg AS HUGEINT) AS du,
+         |    CAST(dv.dg AS HUGEINT) AS dv
+         |  FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(du + dv) AS HUGEINT) AS sx,
+         |    CAST(sum(du * du + dv * dv) AS HUGEINT) AS sxx,
+         |    CAST(sum(du * dv + dv * du) AS HUGEINT) AS sxy,
+         |    CAST(count(*) * 2 AS HUGEINT) AS m FROM dp)
+         |SELECT n_nodes, n_edges, round($AssortSql, 6) AS assortativity
+         |FROM st CROSS JOIN nn""".stripMargin.replace("\n", " ")),
+    // same staged weights/scores, the same md5 ticket split, the SHARED
+    // nano-quantized ConfNcSql nonconformity and ConfRankSql pick — both
+    // engines rank identical integers
+    "x196_conformal" ->
+      (s"""${scoredLabCtes("x196_weights")},
+         |nc AS (SELECT doc_id, $ConfNcSql AS ncn,
+         |    substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+         |      AS cal FROM lab),
+         |calc AS (SELECT ncn FROM nc WHERE cal),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS ncal FROM calc),
+         |v AS (SELECT ncn, CAST(count(*) AS BIGINT) AS c FROM calc
+         |  GROUP BY 1),
+         |cv AS (SELECT ncn, CAST(sum(c) OVER (ORDER BY ncn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM v),
+         |q AS (SELECT CAST(min(ncn) AS BIGINT) AS qn FROM cv CROSS JOIN t
+         |  WHERE cum >= $ConfRankSql),
+         |ev AS (SELECT ncn FROM nc WHERE NOT cal)
+         |SELECT CAST(max(ncal) AS BIGINT) AS n_cal,
+         |  CAST(count(*) AS BIGINT) AS n_eval,
+         |  round(CAST(max(qn) AS DOUBLE) / 1e9, 6) AS qhat,
+         |  round(CAST(sum(CASE WHEN ncn <= qn THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS coverage
+         |FROM ev CROSS JOIN q CROSS JOIN t""".stripMargin.replace("\n", " ")),
+    // same per-key aggregates, the same count-of-counts cumulative p99
+    // pick (SHARED SkewP99RankSql) — every statistic an exact integer
+    "x197_skew_audit" -> skewAuditOracle,
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

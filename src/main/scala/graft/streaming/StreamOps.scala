@@ -349,6 +349,39 @@ object StreamOps {
     spark.table(queryName).localCheckpoint()
   }
 
+  /** Stream-maintained (event_type, day) exact micro-tick daily value
+    * sums for the x190 ACF read: the daily series is ADDITIVE (one
+    * stateful sum), so the seasonality fingerprint is maintainable
+    * incrementally; the moments/lag-pair/AcfSql derivation is read-time,
+    * shared verbatim with the batch x190
+    * (ExtensionQueries.acfOverDaily). Same decomposition contract as
+    * [[qualityBinCountsStreaming]]; state is bounded by
+    * |types| × |observation-window days|.
+    */
+  def dailyValueSumsStreaming(spark: SparkSession, eventsDir: String,
+      queryName: String = "acf_daily_sums",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
+    val q = src
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onFinish(q)
+    // bounded (|types| × days); checkpointed for the same
+    // triple-reference reason as [[qualityBinCountsStreaming]]
+    spark.table(queryName).localCheckpoint()
+  }
+
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
     * aggregate; the exact-integer cumsum/numerator derivation is

@@ -1658,6 +1658,260 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  /** The x88/x192/x193/x196 scored-and-labeled frame, re-derived through
+    * the same public calls (the Fitted memo returns the identical model).
+    */
+  private def scoredLab(): Seq[(Long, Double, Long)] = {
+    val docs = Tables.table(spark, sf(), "documents")
+    val model = graft.operators.Fitted.getOrFit(spark,
+      graft.operators.Fitted.key(sf(), "qlr",
+        "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+      graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+        isTarget = col("source") === "src0")
+    }
+    graft.operators.QualityFilter.logits(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"),
+        graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("pos"))).toSeq
+  }
+
+  private def away6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  test("x192: PR-AUC matches a driver trapezoid recompute; in [0,1]; accounting closes") {
+    val r = run("x192_pr_auc").collect().head
+    val lab = scoredLab()
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == lab.length.toLong)
+    assert(r.getAs[Long]("n_pos") == lab.count(_._3 == 1L).toLong)
+    val groups = lab.groupBy(_._2).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.count(_._3 == 1L).toLong) }
+      .toSeq.sortBy(-_._1)
+    assert(r.getAs[Long]("n_thresholds") == groups.length.toLong)
+    val p = lab.count(_._3 == 1L).toLong
+    var (tp, fp) = (0L, 0L)
+    var sn = 0L
+    groups.foreach { case (_, n, np) =>
+      val (tpp, fpp) = (tp, fp)
+      tp += np; fp += n - np
+      val precP = if (tpp + fpp == 0) 1.0 else tpp.toDouble / (tpp + fpp)
+      sn += math.floor(((tp - tpp).toDouble / p) *
+        ((tp.toDouble / (tp + fp) + precP) / 2.0) * 1e12 + 0.5).toLong
+    }
+    val want = away6(sn.toDouble / 1e12)
+    assert(math.abs(r.getAs[Double]("pr_auc") - want) < 1e-9,
+      s"pr_auc ${r.getAs[Double]("pr_auc")} vs $want")
+    assert(r.getAs[Double]("pr_auc") >= 0.0 && r.getAs[Double]("pr_auc") <= 1.0)
+  }
+
+  test("x193: gains deciles match a driver ntile recompute; capture monotone to 1") {
+    val rows = run("x193_gains").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty)
+    val lab = scoredLab().sortBy(t => (-t._2, t._1))
+    val n = lab.length
+    // SQL ntile: first (n mod 10) buckets get one extra row
+    val base = n / 10
+    val extra = n % 10
+    val sizes = (1 to 10).map(i => base + (if (i <= extra) 1 else 0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n.toLong)
+    val p = lab.count(_._3 == 1L).toLong
+    var off = 0
+    var cum = 0L
+    rows.zip(sizes).zipWithIndex.foreach { case ((r, sz), i) =>
+      assert(r.getAs[Long]("decile") == (i + 1).toLong)
+      assert(r.getAs[Long]("n_docs") == sz.toLong, s"decile ${i + 1} size")
+      val np = lab.slice(off, off + sz).count(_._3 == 1L).toLong
+      assert(r.getAs[Long]("n_pos") == np, s"decile ${i + 1} positives")
+      off += sz; cum += np
+      assert(math.abs(r.getAs[Double]("capture") - away6(cum.toDouble / p)) < 1e-9)
+      val lift = (np.toDouble / sz) / (p.toDouble / n)
+      assert(math.abs(r.getAs[Double]("lift") - away6(lift)) < 1e-9,
+        s"decile ${i + 1} lift")
+    }
+    assert(math.abs(rows.last.getAs[Double]("capture") - 1.0) < 1e-9,
+      "full capture at decile 10")
+  }
+
+  test("x194: silhouette matches a driver recompute; |s| <= 1; members account for all vectors") {
+    val rows = run("x194_silhouette").collect()
+    assert(rows.nonEmpty)
+    val cents = graft.operators.Fitted.getOrFit(spark,
+      graft.operators.Fitted.key(sf(), "ivf", "k" -> 8, "maxIter" -> 5)) {
+      graft.operators.Ivf.fit(
+        Tables.table(spark, sf(), "embeddings")
+          .withColumn("vec", transform(col("embedding"), x => x.cast("double"))),
+        "vec", k = 8, maxIter = 5)
+    }.collect().map(r => (r.getAs[Long]("centroid_id"),
+      r.getAs[scala.collection.Seq[Double]]("cvec").toSeq)).sortBy(_._1)
+    val vecs = Tables.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq))
+    def d2m(v: Seq[Double], c: Seq[Double]): Long =
+      math.floor(v.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x - y) * (x - y) } * 1e6 + 0.5).toLong
+    val per = vecs.map { case (_, v) =>
+      val ds = cents.map { case (cid, c) => (d2m(v, c), cid) }.sorted
+      val (a2, cid) = ds.head
+      val b2 = ds(1)._1
+      val sn = if (b2 == 0L) 0L
+        else math.floor((math.sqrt(b2.toDouble / 1e6) - math.sqrt(a2.toDouble / 1e6)) /
+          math.sqrt(math.max(a2, b2).toDouble / 1e6) * 1e9 + 0.5).toLong
+      (cid, sn)
+    }
+    assert(rows.map(_.getAs[Long]("n_members")).sum == vecs.length.toLong)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("centroid_id")
+      val mine = per.filter(_._1 == cid)
+      assert(r.getAs[Long]("n_members") == mine.length.toLong, s"cluster $cid size")
+      val want = away6(mine.map(_._2).sum.toDouble / 1e9 / mine.length)
+      assert(math.abs(r.getAs[Double]("mean_silhouette") - want) < 1e-9,
+        s"cluster $cid s ${r.getAs[Double]("mean_silhouette")} vs $want")
+      assert(math.abs(r.getAs[Double]("mean_silhouette")) <= 1.0 + 1e-9)
+    }
+    graft.engine.CacheScope.drain()
+  }
+
+  test("x195: assortativity matches a driver recompute off exact integer sums") {
+    val r = run("x195_assortativity").collect().head
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = po.groupBy(_._1).values.flatMap { g =>
+      val pks = g.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_nodes") == deg.size.toLong)
+    val m = BigInt(2) * edges.size
+    var (sx, sxx, sxy) = (BigInt(0), BigInt(0), BigInt(0))
+    edges.foreach { case (u, v) =>
+      val (du, dv) = (BigInt(deg(u)), BigInt(deg(v)))
+      sx += du + dv; sxx += du * du + dv * dv; sxy += 2 * du * dv
+    }
+    val want =
+      if (m * sxx == sx * sx) 0.0
+      else away6((m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble)
+    assert(math.abs(r.getAs[Double]("assortativity") - want) < 1e-9,
+      s"r ${r.getAs[Double]("assortativity")} vs $want")
+    assert(math.abs(r.getAs[Double]("assortativity")) <= 1.0 + 1e-9)
+  }
+
+  test("x196: conformal qhat/coverage match a driver recompute; split accounting closes") {
+    val r = run("x196_conformal").collect().head
+    val lab = scoredLab()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nc = lab.map { case (id, score, pos) =>
+      val pTrue = if (pos == 1L) 1.0 / (1.0 + math.exp(-score))
+        else 1.0 - 1.0 / (1.0 + math.exp(-score))
+      val ncn = math.floor((1.0 - pTrue) * 1e9 + 0.5).toLong
+      (ncn, md5hex(s"conf:$id").take(4) < "8000")
+    }
+    val cal = nc.filter(_._2).map(_._1).sorted
+    val ev = nc.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_cal") == cal.length.toLong)
+    assert(r.getAs[Long]("n_eval") == ev.length.toLong)
+    assert(cal.length + ev.length == lab.length)
+    val k = math.min(math.ceil((cal.length + 1) * 0.9).toLong, cal.length.toLong)
+    val qn = cal((k - 1).toInt)
+    assert(math.abs(r.getAs[Double]("qhat") - away6(qn.toDouble / 1e9)) < 1e-9)
+    val cov = ev.count(_ <= qn).toDouble / ev.length
+    assert(math.abs(r.getAs[Double]("coverage") - away6(cov)) < 1e-9,
+      s"coverage ${r.getAs[Double]("coverage")} vs ${away6(cov)}")
+    assert(r.getAs[Double]("coverage") >= 0.0 && r.getAs[Double]("coverage") <= 1.0)
+    assert(r.getAs[Double]("qhat") >= 0.0 && r.getAs[Double]("qhat") <= 1.0)
+  }
+
+  test("x198: log-rank O-E/V/z match a driver recompute; accounting closes with x191") {
+    val r = run("x198_logrank").collect().head
+    // the same gaps-and-islands streaks as the x191 test, plus start day
+    val days = Tables.events(spark, sf())
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(x => (x.getLong(0), x.getAs[java.sql.Date]("day").toLocalDate.toEpochDay))
+    val wend = days.map(_._2).max
+    // (t, firstDay, died)
+    val streaks = days.groupBy(_._1).values.flatMap { ds =>
+      val sorted = ds.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      var start = sorted.head
+      var prev = sorted.head
+      for (d <- sorted.tail) {
+        if (d != prev + 1) { runs += ((prev - start + 1, start, prev < wend)); start = d }
+        prev = d
+      }
+      runs += ((prev - start + 1, start, prev < wend))
+      runs.toSeq
+    }.toSeq
+    // Monday-anchored weekend flag: 1970-01-05 is epoch day 4
+    def weekend(fd: Long): Boolean = ((fd - 4) % 7 + 7) % 7 >= 5
+    val a = streaks.filter(s => weekend(s._2))
+    val b = streaks.filterNot(s => weekend(s._2))
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    assert(r.getAs[Long]("deaths_a") == a.count(_._3).toLong)
+    assert(r.getAs[Long]("deaths_b") == b.count(_._3).toLong)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == streaks.length.toLong,
+      "cohorts partition the streak set")
+    val deathTs = streaks.filter(_._3).map(_._1).distinct.sorted
+    assert(r.getAs[Long]("n_death_times") == deathTs.length.toLong)
+    var (se, sv) = (0L, 0L)
+    deathTs.foreach { t =>
+      val na = a.count(_._1 >= t).toLong
+      val nb = b.count(_._1 >= t).toLong
+      val da = a.count(s => s._1 == t && s._3).toLong
+      val db = b.count(s => s._1 == t && s._3).toLong
+      val (d, n) = (da + db, na + nb)
+      se += math.floor((da.toDouble - d.toDouble * na / n) * 1e9 + 0.5).toLong
+      if (n > 1)
+        sv += math.floor(d.toDouble * (na.toDouble / n) * (nb.toDouble / n) *
+          ((n - d).toDouble / (n - 1)) * 1e9 + 0.5).toLong
+    }
+    assert(math.abs(r.getAs[Double]("o_minus_e") - away6(se.toDouble / 1e9)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variance") - away6(sv.toDouble / 1e9)) < 1e-9)
+    val z = if (sv <= 0) 0.0 else (se.toDouble / 1e9) / math.sqrt(sv.toDouble / 1e9)
+    assert(math.abs(r.getAs[Double]("z") - away6(z)) < 1e-9,
+      s"z ${r.getAs[Double]("z")} vs ${away6(z)}")
+    assert(r.getAs[Double]("variance") >= 0.0)
+  }
+
+  test("x197: skew stats match a driver recompute for every audited key column") {
+    val rows = run("x197_skew_audit").collect()
+    assert(rows.length == 5)
+    val frames = Map(
+      "lineitem.l_orderkey" -> Tables.table(spark, sf(), "lineitem")
+        .select(col("l_orderkey").cast("string")),
+      "lineitem.l_partkey" -> Tables.table(spark, sf(), "lineitem")
+        .select(col("l_partkey").cast("string")),
+      "lineitem.l_suppkey" -> Tables.table(spark, sf(), "lineitem")
+        .select(col("l_suppkey").cast("string")),
+      "orders.o_custkey" -> Tables.table(spark, sf(), "orders")
+        .select(col("o_custkey").cast("string")),
+      "events.user_id" -> Tables.table(spark, sf(), "events")
+        .select(col("user_id").cast("string")))
+    rows.foreach { r =>
+      val name = r.getAs[String]("key_col")
+      val counts = frames(name).collect().map(_.getString(0))
+        .groupBy(identity).map(_._2.length.toLong).toSeq
+      assert(r.getAs[Long]("n_rows") == counts.sum)
+      assert(r.getAs[Long]("n_keys") == counts.length.toLong)
+      assert(r.getAs[Long]("max_cnt") == counts.max)
+      assert(math.abs(r.getAs[Double]("top_share") -
+        away6(counts.max.toDouble / counts.sum)) < 1e-9)
+      // p99: smallest per-key count covering >= 99% of keys
+      val k = math.ceil(0.99 * counts.length).toLong
+      val sorted = counts.sorted
+      assert(r.getAs[Long]("p99_cnt") == sorted((k - 1).toInt), s"$name p99")
+      assert(r.getAs[Long]("p99_cnt") <= r.getAs[Long]("max_cnt"))
+    }
+  }
+
   test("x116: hit counts match a driver-side recompute; gate threshold honored") {
     val rows = run("x116_blocklist_gate").collect()
     val docs = Tables.table(spark, sf(), "documents")

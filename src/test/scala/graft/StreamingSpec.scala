@@ -236,6 +236,24 @@ class StreamingSpec extends SparkSpec {
       w1Batch.exceptAll(w1Counts).isEmpty)
   }
 
+  test("stream-maintained ACF daily sums across MULTIPLE micro-batches == batch sums (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-acf-spec").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events-raw")
+    spark.read.parquet(s"$tmp/events-raw").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    var nBatches = 0
+    val streamed = StreamOps.dailyValueSumsStreaming(spark, s"$tmp/events",
+      queryName = "spec_acf_daily", maxFilesPerTrigger = Some(1),
+      onFinish = q => nBatches = q.recentProgress.count(_.numInputRows > 0))
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    val batch = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
+    assert(streamed.count() > 0)
+    // a dropped or double-counted row would shift a daily micro-tick sum
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessions partition the event count") {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
