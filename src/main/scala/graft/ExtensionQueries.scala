@@ -4777,6 +4777,56 @@ object ExtensionQueries {
     "x199_stream_acf" -> ((s, dir) =>
       acfOverDaily(graft.streaming.StreamOps
         .dailyValueSumsStreaming(s, s"$dir/events.parquet"))),
+    // x200: sliced Wasserstein embedding drift — the EMBEDDING-space
+    // twin of the x167/x177 scalar drift monitor (PSI/W1 watch one
+    // number; a representation regression shows up in the embedding
+    // DISTRIBUTION first). Sliced-W1 (Rabin et al.): project both
+    // cohorts onto fixed deterministic directions and take the exact 1-D
+    // Wasserstein per slice — each projection is one broadcast literal
+    // dot product per row (the x183 fold, bit-identical in both
+    // engines), micro-quantized to integers, and the per-slice W1 is the
+    // x167 exact-integer cumulative read with windows PARTITIONED BY
+    // slice (bounded by |distinct projected values| per slice). The
+    // direction arrays are plan-time literals spliced from ONE Scala
+    // constant into both engines.
+    "x200_sliced_w1" -> ((s, dir) => {
+      val e = graft.engine.CacheScope.persistTracked(
+        embeddingsD(s, dir).select(col("vec_id"), col("vec"),
+          (col("vec_id") % 2 === 0).as("isA")))
+      val sliced = SlicedW1Dirs.zipWithIndex.map { case (dv, j) =>
+        e.select(lit(j.toLong).as("slice"),
+          floor(aggregate(zip_with(col("vec"), typedlit(dv),
+            (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+            * 1e6 + lit(0.5)).cast("long").as("vm"),
+          col("isA"))
+      }.reduce(_ unionAll _)
+      val counts = sliced.groupBy(col("slice"), col("vm"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint() // consumers: per-slice totals + the cumsum
+      val tot = counts.groupBy(col("slice"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("slice")).orderBy(col("vm"))
+      val wCum = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      counts
+        .withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("nxt", lead(col("vm"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .join(broadcast(tot), "slice")
+        .withColumn("term",
+          abs(col("cuma").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")
+            - col("cumb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")) *
+            (col("nxt") - col("vm")).cast("decimal(38,0)"))
+        .groupBy(col("slice"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(col("term")).as("st"))
+        .select(col("slice"), col("na").as("n_a"), col("nb").as("n_b"),
+          graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
+        .orderBy(col("slice"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5363,6 +5413,27 @@ object ExtensionQueries {
     */
   private val SkewP99RankSql: String =
     "CAST(ceil(0.99 * n_keys) AS BIGINT)"
+
+  /** x200's fixed projection directions: 4 deterministic 64-dim arrays
+    * of exact 3-dp decimals in [−1, 1) (an LCG over the flat index —
+    * reproducible, no RNG). ONE constant: the Spark side embeds them as
+    * `typedlit` literals, the oracle as DuckDB list literals printed at
+    * %.3f — 3-dp decimal strings parse to identical doubles in both
+    * engines (correctly-rounded decimal→binary), so the projections are
+    * bit-identical.
+    */
+  private[graft] val SlicedW1Dirs: Seq[Seq[Double]] =
+    (0 until 4).map { j =>
+      (0 until 64).map { i =>
+        val h = ((j * 64 + i + 1) * 1103515245L + 12345L) % 2000
+        (h - 1000) / 1000.0
+      }
+    }
+
+  private def slicedW1DirSql: String =
+    SlicedW1Dirs.zipWithIndex.map { case (dv, j) =>
+      s"SELECT $j AS slice, [${dv.map(d => f"$d%.3f").mkString(", ")}] AS d"
+    }.mkString(" UNION ALL ")
 
   /** The audited join-key columns — ONE inventory builds both the Spark
     * union and the oracle's UNION ALL (x90's profileCols device).
@@ -8461,6 +8532,39 @@ object ExtensionQueries {
     // same per-key aggregates, the same count-of-counts cumulative p99
     // pick (SHARED SkewP99RankSql) — every statistic an exact integer
     "x197_skew_audit" -> skewAuditOracle,
+    // same literal directions (ONE Scala constant), the x183 fold for
+    // the projections, the x167 exact-integer W1 machinery partitioned
+    // by slice, the SHARED W1Sql read
+    "x200_sliced_w1" ->
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    vec_id % 2 = 0 AS isA FROM embeddings),
+         |dirs AS ($slicedW1DirSql),
+         |p AS (SELECT slice, CAST(floor(list_reduce(list_prepend(0.0,
+         |    list_transform(list_zip(v, d), q -> q[1] * q[2])),
+         |    (x, y) -> x + y) * 1e6 + 0.5) AS BIGINT) AS vm, isA
+         |  FROM e CROSS JOIN dirs),
+         |c AS (SELECT slice, vm,
+         |    CAST(sum(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT isA THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM p GROUP BY 1, 2),
+         |t AS (SELECT slice, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1),
+         |cum AS (SELECT slice, vm,
+         |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+         |    lead(vm) OVER (PARTITION BY slice ORDER BY vm) AS nxt FROM c
+         |  WINDOW w AS (PARTITION BY slice ORDER BY vm
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |d2 AS (SELECT cum.slice,
+         |    abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na)
+         |      * CAST(nxt - vm AS HUGEINT) AS term, t.na, t.nb
+         |  FROM cum JOIN t USING (slice) WHERE nxt IS NOT NULL),
+         |f AS (SELECT slice, CAST(max(na) AS BIGINT) AS na,
+         |    CAST(max(nb) AS BIGINT) AS nb, CAST(sum(term) AS HUGEINT) AS st
+         |  FROM d2 GROUP BY 1)
+         |SELECT CAST(slice AS BIGINT) AS slice, na AS n_a, nb AS n_b,
+         |  round($W1Sql, 6) AS w1
+         |FROM f ORDER BY slice""".stripMargin.replace("\n", " ")),
     // same tokenization, the SHARED nano-quantized parameter strings
     // (NbLpSql/NbDefSql/NbPriorSql), the same seen-terms-only
     // decomposition, and the same (scoren DESC, cls) argmax

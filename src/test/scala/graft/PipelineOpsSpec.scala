@@ -1881,6 +1881,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("variance") >= 0.0)
   }
 
+  test("x200: sliced W1 matches a driver recompute per slice; w1 >= 0; cohorts account") {
+    val rows = run("x200_sliced_w1").collect().sortBy(_.getAs[Long]("slice"))
+    assert(rows.length == ExtensionQueries.SlicedW1Dirs.length)
+    val vecs = Tables.table(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq))
+    rows.zip(ExtensionQueries.SlicedW1Dirs).foreach { case (r, dv) =>
+      // same left fold as the engines' shared projection
+      val pts = vecs.map { case (id, v) =>
+        val proj = v.zip(dv).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        (math.floor(proj * 1e6 + 0.5).toLong, id % 2 == 0)
+      }
+      val na = pts.count(_._2).toLong
+      val nb = pts.count(!_._2).toLong
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      // exact integer W1: sum over value gaps of |cumA·nb − cumB·na|·Δv
+      val byV = pts.groupBy(_._1).map { case (v, ps) =>
+        (v, ps.count(_._2).toLong, ps.count(!_._2).toLong) }.toSeq.sortBy(_._1)
+      var (cuma, cumb) = (0L, 0L)
+      var st = BigInt(0)
+      byV.zip(byV.drop(1)).foreach { case ((v, ca, cb), (nxt, _, _)) =>
+        cuma += ca; cumb += cb
+        st += (BigInt(cuma) * nb - BigInt(cumb) * na).abs * (nxt - v)
+      }
+      val want = {
+        val x = st.toDouble / (na.toDouble * nb.toDouble * 1e6)
+        math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      }
+      assert(math.abs(r.getAs[Double]("w1") - want) < 1e-9,
+        s"slice ${r.getAs[Long]("slice")} w1 ${r.getAs[Double]("w1")} vs $want")
+      assert(r.getAs[Double]("w1") >= 0.0)
+    }
+    graft.engine.CacheScope.drain()
+  }
+
   test("x197: skew stats match a driver recompute for every audited key column") {
     val rows = run("x197_skew_audit").collect()
     assert(rows.length == 5)
