@@ -4827,6 +4827,49 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(expr(W1Sql), 6).as("w1"))
         .orderBy(col("slice"))
     }),
+    // x201: 5-fold cross-validated AUC of the quality model — the
+    // HELD-OUT evaluation x88/x192 (train-set metrics) cannot give:
+    // every doc is scored exactly once by a model that never saw it.
+    // Folds = the x106 48-bit md5 modulo device (engine-stable, no RNG);
+    // per fold the model refits on the other 4 folds (memoized per
+    // (corpus, fold)), weights are staged so the oracle re-derives the
+    // identical 6-dp scores, and the AUC is x88's tie-averaged
+    // Mann-Whitney rank arithmetic — exact integers until one guarded
+    // division (CvAucSql; 0.5 when a fold is single-class). Scale: 5
+    // sequential fits over the quality-feature frame (each one scan +
+    // one tiny LBFGS); scoring windows run over |distinct scores| per
+    // fold (the x88 bound).
+    "x201_cv_auc" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val foldCol = conv(substring(md5(concat(lit("cv:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long") % 5
+      val perFold = (0 until 5).map { f =>
+        val model = graft.operators.Fitted.getOrFit(s,
+          graft.operators.Fitted.key(dir, "qlrcv", "fold" -> f,
+            "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+          graft.operators.QualityFilter.fit(docs.filter(foldCol =!= f),
+            "doc_id", "text", isTarget = col("source") === "src0")
+        }
+        Stage.write(model, dir, s"x201_weights_$f")
+        val scored = graft.operators.QualityFilter
+          .logits(docs.filter(foldCol === f), "doc_id", "text", model)
+          .select(col("id").as("doc_id"),
+            graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+          .join(docs.select(col("doc_id"),
+            (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+        val byScore = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        scored.groupBy(col("score"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+          .withColumn("cb", coalesce(sum(col("n")).over(byScore), lit(0L)))
+          .agg(sum(col("np") * (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
+            sum(col("np")).as("p"), sum(col("n")).as("tot"))
+          .select(lit(f.toLong).as("fold"), col("tot").as("n_test"),
+            col("p").as("n_pos"), expr(CvAucSql).as("auc"))
+      }
+      perFold.reduce(_ unionAll _).orderBy(col("fold"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5434,6 +5477,51 @@ object ExtensionQueries {
     SlicedW1Dirs.zipWithIndex.map { case (dv, j) =>
       s"SELECT $j AS slice, [${dv.map(d => f"$d%.3f").mkString(", ")}] AS d"
     }.mkString(" UNION ALL ")
+
+  /** x201's guarded AUC read off x88's exact rank integers (s2 = Σ np·
+    * (2·cb + n + 1), p positives, tot rows): the usual Mann-Whitney
+    * division, 0.5 by convention when a fold is single-class (the
+    * statistic is undefined — a ranker cannot be right or wrong with
+    * one class). ONE string, both engines.
+    */
+  private val CvAucSql: String =
+    "CASE WHEN p = 0 OR p = tot THEN 0.5 " +
+      "ELSE CAST(s2 - p * (p + 1) AS DOUBLE) " +
+      "/ CAST(2 * p * (tot - p) AS DOUBLE) END"
+
+  /** x201's oracle: per fold, the x106 md5-mod fold assignment, the
+    * staged per-fold weights applied to the re-derived quality features
+    * (the scoredLabCtes arithmetic), and x88's exact rank AUC — one
+    * parenthesized WITH block per fold (the x197 device).
+    */
+  private def cvAucOracle: String = {
+    val blocks = (0 until 5).map { f =>
+      s"""(${qualityCtes.replaceFirst("WITH ", "WITH ")},
+         |  f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1,
+         |    mtl AS f2, least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c),
+         |  w AS (SELECT weights, intercept
+         |    FROM ${Stage.sqlRef(s"x201_weights_$f")}),
+         |  z AS (SELECT doc_id, round(intercept + weights[1] * f0 +
+         |    weights[2] * f1 + weights[3] * f2 + weights[4] * f3, 6)
+         |    AS score FROM f CROSS JOIN w),
+         |  lab AS (SELECT z.score,
+         |      CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos
+         |    FROM z JOIN documents d USING (doc_id)
+         |    WHERE ('0x' || substr(md5('cv:' || CAST(d.doc_id AS VARCHAR)),
+         |      1, 12))::BIGINT % 5 = $f),
+         |  g AS (SELECT score, count(*) AS n, sum(pos) AS np FROM lab
+         |    GROUP BY score),
+         |  o AS (SELECT score, n, np, coalesce(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |    FROM g),
+         |  s AS (SELECT sum(np * (2 * cb + n + 1)) AS s2, sum(np) AS p,
+         |    sum(n) AS tot FROM o)
+         |  SELECT CAST($f AS BIGINT) AS fold, CAST(tot AS BIGINT) AS n_test,
+         |    CAST(p AS BIGINT) AS n_pos, $CvAucSql AS auc FROM s)"""
+        .stripMargin.replace("\n", " ")
+    }
+    blocks.mkString("", " UNION ALL ", " ORDER BY fold")
+  }
 
   /** The audited join-key columns — ONE inventory builds both the Spark
     * union and the oracle's UNION ALL (x90's profileCols device).
@@ -8532,6 +8620,9 @@ object ExtensionQueries {
     // same per-key aggregates, the same count-of-counts cumulative p99
     // pick (SHARED SkewP99RankSql) — every statistic an exact integer
     "x197_skew_audit" -> skewAuditOracle,
+    // per fold: same md5-mod assignment, same staged weights → identical
+    // 6-dp scores, x88's exact rank AUC, the SHARED guarded CvAucSql
+    "x201_cv_auc" -> cvAucOracle,
     // same literal directions (ONE Scala constant), the x183 fold for
     // the projections, the x167 exact-integer W1 machinery partitioned
     // by slice, the SHARED W1Sql read

@@ -1917,6 +1917,59 @@ class PipelineOpsSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("x201: per-fold held-out AUC matches a driver rank recompute; folds partition the corpus") {
+    val rows = run("x201_cv_auc").collect().sortBy(_.getAs[Long]("fold"))
+    assert(rows.map(_.getAs[Long]("fold")).toSeq == (0L until 5L))
+    val docs = Tables.table(spark, sf(), "documents")
+    assert(rows.map(_.getAs[Long]("n_test")).sum == docs.count(),
+      "every doc held out exactly once")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fold(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"cv:$id").take(12), 16) % 5
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      // rebuild the fold's scored frame through the same public calls
+      // (the Fitted memo returns the identical per-fold model)
+      val model = graft.operators.Fitted.getOrFit(spark,
+        graft.operators.Fitted.key(sf(), "qlrcv", "fold" -> f.toInt,
+          "maxIter" -> 25, "reg" -> 0.01, "target" -> "src0")) {
+        fail(s"fold $f model must already be memoized by the query run")
+      }
+      val scored = graft.operators.QualityFilter
+        .logits(docs, "doc_id", "text", model)
+        .select(col("id").as("doc_id"),
+          graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+        .collect()
+        .filter(x => fold(x.getAs[Long]("doc_id")) == f)
+        .map(x => (x.getAs[Double]("score"), x.getAs[Long]("pos")))
+      assert(r.getAs[Long]("n_test") == scored.length.toLong)
+      val p = scored.count(_._2 == 1L).toLong
+      assert(r.getAs[Long]("n_pos") == p)
+      // tie-averaged Mann-Whitney off midranks — the statistic itself,
+      // independent of the engines' grouped-cumulative formulation
+      val want =
+        if (p == 0L || p == scored.length.toLong) 0.5
+        else {
+          val byScore = scored.groupBy(_._1).toSeq.sortBy(_._1)
+          var below = 0L
+          var rankSum2 = 0L // Σ over positives of 2×midrank
+          byScore.foreach { case (_, g) =>
+            val n = g.length.toLong
+            val np = g.count(_._2 == 1L).toLong
+            rankSum2 += np * (2 * below + n + 1)
+            below += n
+          }
+          (rankSum2 - p * (p + 1)).toDouble / (2 * p * (scored.length - p)).toDouble
+        }
+      assert(math.abs(r.getAs[Double]("auc") - want) < 1e-12,
+        s"fold $f auc ${r.getAs[Double]("auc")} vs $want")
+      assert(r.getAs[Double]("auc") >= 0.0 && r.getAs[Double]("auc") <= 1.0)
+    }
+  }
+
   test("x197: skew stats match a driver recompute for every audited key column") {
     val rows = run("x197_skew_audit").collect()
     assert(rows.length == 5)
