@@ -4870,6 +4870,42 @@ object ExtensionQueries {
       }
       perFold.reduce(_ unionAll _).orderBy(col("fold"))
     }),
+    // x202: split-leakage audit — QUANTIFIES the eval contamination the
+    // x44/x46 group-aware split exists to prevent: of the banded
+    // near-dup pairs (the production x46 pair source), how many straddle
+    // train/val/test under a naive id-keyed split vs the group-keyed
+    // split (which must be exactly 0 — a straddling pair would mean a
+    // test doc has a near-duplicate in train, the classic benchmark
+    // leak). Same md5 split arithmetic on both key choices, banded pairs
+    // staged so the oracle re-derives components and both splits
+    // independently. Scale: the pair source is the banded x46 path;
+    // splits are per-row md5s; the audit is two equi-joins + one
+    // aggregate to 4 scalars.
+    "x202_split_leakage" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val pairs = graft.engine.CacheScope.persistTracked(
+        Dedup.minhashPairs(d, "doc_id", "text", k = 3, threshold = 0.8))
+      Stage.write(pairs.select(col("id_a"), col("id_b")), dir, "x202_pairs")
+      val base = d.select(col("doc_id"))
+      val splits = Dedup.groupAwareSplit(base, "doc_id", pairs, splitWeights)
+        .select(col("doc_id"), col("split").as("gsplit"),
+          graft.operators.Sampling.assignSplit(col("doc_id"), splitWeights)
+            .as("nsplit"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("gsplit").as("ga"),
+          col("nsplit").as("na")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("gsplit").as("gb"),
+          col("nsplit").as("nb")), "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+            .as("n_straddle_naive"),
+          sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L))
+            .as("n_straddle_group"))
+        .select(col("n_pairs"), col("n_straddle_naive"),
+          col("n_straddle_group"),
+          graft.functions.EngineMath.roundAway(expr(LeakRateSql), 6)
+            .as("leak_rate_naive"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5522,6 +5558,11 @@ object ExtensionQueries {
     }
     blocks.mkString("", " UNION ALL ", " ORDER BY fold")
   }
+
+  /** x202's leak-rate read with the empty-pair-set guard. ONE string. */
+  private val LeakRateSql: String =
+    "CASE WHEN n_pairs = 0 THEN 0.0 " +
+      "ELSE CAST(n_straddle_naive AS DOUBLE) / n_pairs END"
 
   /** The audited join-key columns — ONE inventory builds both the Spark
     * union and the oracle's UNION ALL (x90's profileCols device).
@@ -8623,6 +8664,37 @@ object ExtensionQueries {
     // per fold: same md5-mod assignment, same staged weights → identical
     // 6-dp scores, x88's exact rank AUC, the SHARED guarded CvAucSql
     "x201_cv_auc" -> cvAucOracle,
+    // components + BOTH split arithmetics re-derived from the staged
+    // banded pairs (the x46 recursive-CC machinery); the group-split
+    // straddle count must be 0 by construction in both engines
+    "x202_split_leakage" ->
+      (s"""WITH RECURSIVE pr AS (SELECT id_a, id_b
+         |  FROM ${Stage.sqlRef("x202_pairs")}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id,
+         |    coalesce(comp.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+         |sp AS (SELECT doc_id, ${splitCaseOver("group_key")} AS gsplit,
+         |    ${splitCaseOver("doc_id")} AS nsplit FROM g),
+         |j AS (SELECT a.gsplit AS ga, b.gsplit AS gb, a.nsplit AS na,
+         |    b.nsplit AS nb
+         |  FROM pr p JOIN sp a ON a.doc_id = p.id_a
+         |  JOIN sp b ON b.doc_id = p.id_b),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_straddle_naive,
+         |    CAST(sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_straddle_group FROM j)
+         |SELECT n_pairs, n_straddle_naive, n_straddle_group,
+         |  round($LeakRateSql, 6) AS leak_rate_naive
+         |FROM t""".stripMargin.replace("\n", " ")),
     // same literal directions (ONE Scala constant), the x183 fold for
     // the projections, the x167 exact-integer W1 machinery partitioned
     // by slice, the SHARED W1Sql read

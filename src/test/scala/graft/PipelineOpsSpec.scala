@@ -1970,6 +1970,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x202: group split never straddles; naive straddles match a driver recompute") {
+    val r = run("x202_split_leakage").collect().head
+    assert(r.getAs[Long]("n_straddle_group") == 0L,
+      "a group-keyed split can never separate a near-dup pair")
+    assert(r.getAs[Long]("n_straddle_naive") >= 0L &&
+      r.getAs[Long]("n_straddle_naive") <= r.getAs[Long]("n_pairs"))
+    // driver recompute of the naive straddle count from the same pair
+    // source (public op) and the same md5 split arithmetic
+    val docs = Tables.table(spark, sf(), "documents")
+    val pairs = graft.operators.Dedup
+      .minhashPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // mirror of Sampling.assignSplit over 0.8/0.1/0.1 (cum 0.8, 0.9)
+    def split(key: Long): String = {
+      val t = md5hex(s"spl:$key").take(4)
+      if (t < "cccc") "train" else if (t < "e666") "val" else "test"
+    }
+    val straddle = pairs.count { case (a, b) => split(a) != split(b) }.toLong
+    assert(r.getAs[Long]("n_straddle_naive") == straddle,
+      s"naive straddles ${r.getAs[Long]("n_straddle_naive")} vs $straddle")
+    val want = if (pairs.isEmpty) 0.0
+      else straddle.toDouble / pairs.length
+    def away6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("leak_rate_naive") - away6(want)) < 1e-9)
+    graft.engine.CacheScope.drain()
+  }
+
   test("x197: skew stats match a driver recompute for every audited key column") {
     val rows = run("x197_skew_audit").collect()
     assert(rows.length == 5)
