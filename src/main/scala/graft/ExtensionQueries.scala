@@ -4906,6 +4906,41 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(expr(LeakRateSql), 6)
             .as("leak_rate_naive"))
     }),
+    // x203: quality-filter selection-bias audit — the disparate-impact
+    // readout a production filter needs BEFORE it curates ("does the
+    // model systematically downrank one source?"): per source, the
+    // selection rate at the GLOBAL top-quartile threshold (the p75
+    // order statistic of the 6-dp scores, picked via the value-grouped
+    // cumulative — a |distinct scores| frame, the x196 device; selected
+    // iff strictly above it). Rates are exact integer shares; the
+    // threshold is the same double in both engines (identical 6-dp
+    // scores, identical order statistic). A low min/max rate ratio
+    // across sources is the four-fifths-rule flag.
+    "x203_selection_bias" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = qlrScoredLab(s, dir, "x203_weights")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint() // consumers: total, threshold pick, rates
+      val tot = scored.agg(count(lit(1)).as("nn"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val thr = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wv))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr(SelThrRankSql))
+        .agg(min(col("score")).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > col("thr"), 1L).otherwise(0L))
+            .as("n_selected"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          graft.functions.EngineMath.roundAway(
+            col("n_selected").cast("double") / col("n_docs"), 6)
+            .as("sel_rate"))
+        .orderBy(col("source"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5563,6 +5598,12 @@ object ExtensionQueries {
   private val LeakRateSql: String =
     "CASE WHEN n_pairs = 0 THEN 0.0 " +
       "ELSE CAST(n_straddle_naive AS DOUBLE) / n_pairs END"
+
+  /** x203's top-quartile threshold rank: the ⌈0.75·N⌉-th smallest score
+    * (selection = strictly above it). ONE string.
+    */
+  private val SelThrRankSql: String =
+    "CAST(ceil(0.75 * nn) AS BIGINT)"
 
   /** The audited join-key columns — ONE inventory builds both the Spark
     * union and the oracle's UNION ALL (x90's profileCols device).
@@ -8664,6 +8705,28 @@ object ExtensionQueries {
     // per fold: same md5-mod assignment, same staged weights → identical
     // 6-dp scores, x88's exact rank AUC, the SHARED guarded CvAucSql
     "x201_cv_auc" -> cvAucOracle,
+    // same staged weights → identical 6-dp scores, the same
+    // value-grouped cumulative p75 pick (SHARED SelThrRankSql), exact
+    // integer selection shares
+    "x203_selection_bias" ->
+      (s"""${scoredLabCtes("x203_weights")},
+         |sc AS (SELECT lab.doc_id, lab.score, d.source
+         |  FROM lab JOIN documents d USING (doc_id)),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sc),
+         |v AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM sc
+         |  GROUP BY 1),
+         |cv AS (SELECT score, CAST(sum(c) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM v),
+         |q AS (SELECT min(score) AS thr FROM cv CROSS JOIN t
+         |  WHERE cum >= $SelThrRankSql)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN score > thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_selected,
+         |  round(CAST(sum(CASE WHEN score > thr THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS sel_rate
+         |FROM sc CROSS JOIN q GROUP BY 1
+         |ORDER BY 1""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

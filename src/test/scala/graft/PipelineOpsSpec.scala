@@ -2001,6 +2001,32 @@ class PipelineOpsSpec extends SparkSpec {
     graft.engine.CacheScope.drain()
   }
 
+  test("x203: selection rates match a driver recompute; threshold is the p75 order statistic") {
+    val rows = run("x203_selection_bias").collect()
+    val docs = Tables.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = scoredLab().map { case (id, score, _) => (id, score, docs(id)) }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored.length.toLong)
+    // threshold: the ceil(0.75 N)-th smallest score; selected = strictly above
+    val sortedScores = scored.map(_._2).sorted
+    val k = math.ceil(0.75 * scored.length).toLong
+    val thr = sortedScores((k - 1).toInt)
+    def away6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = scored.filter(_._3 == src)
+      val sel = mine.count(_._2 > thr).toLong
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong, s"$src docs")
+      assert(r.getAs[Long]("n_selected") == sel, s"$src selected")
+      assert(math.abs(r.getAs[Double]("sel_rate") -
+        away6(sel.toDouble / mine.length)) < 1e-9, s"$src rate")
+      assert(r.getAs[Double]("sel_rate") >= 0.0 && r.getAs[Double]("sel_rate") <= 1.0)
+    }
+    // strictly-above semantics: at most N - k docs can be selected overall
+    assert(rows.map(_.getAs[Long]("n_selected")).sum <= scored.length - k)
+  }
+
   test("x197: skew stats match a driver recompute for every audited key column") {
     val rows = run("x197_skew_audit").collect()
     assert(rows.length == 5)
