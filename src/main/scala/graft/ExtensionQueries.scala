@@ -1032,10 +1032,12 @@ object ExtensionQueries {
     }),
     // x63: quality-decile CURRICULUM map — documents ntile'd by the x03
     // quality score (total order: score, then doc_id), per-decile count,
-    // score range, token mass. The gate shape uses an exact global ntile
-    // (one-task sort — fine at verify SF); at 100 TB the same assignment
-    // comes from approx-quantile boundaries (the x26 GK path) + a
-    // broadcast CASE, trading exact decile edges for no global sort.
+    // score range, token mass. The exact ntile assignment is closed-form
+    // off a global rank (Ranks.ntileOfRank), and the rank itself is the
+    // x113 bucket-prefix-sum device keyed by floor(q·1024) — monotone in
+    // q, so bucket order ≡ score order and NO rows-scale one-task sort
+    // survives in the plan. The DuckDB oracle keeps the naive ntile(10),
+    // so the hash match proves the decomposition is lossless.
     "x63_quality_deciles" -> ((s, dir) => {
       val toks = graft.engine.CacheScope.persistTracked(
         table(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -1043,9 +1045,12 @@ object ExtensionQueries {
       val q = toks.select(col("doc_id"),
         TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"),
         size(col("ts")).as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("q").asc, col("doc_id").asc)
-      q.withColumn("decile", ntile(10).over(w).cast("long"))
+      graft.operators.Ranks.globalRowNumber(q,
+          floor(col("q") * lit(1024.0)),
+          Seq(col("q").asc, col("doc_id").asc), "rk")
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("nn"))))
+        .withColumn("decile",
+          graft.operators.Ranks.ntileOfRank("rk", "nn", 10).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("q")).as("q_lo"), max(col("q")).as("q_hi"),
@@ -2813,9 +2818,11 @@ object ExtensionQueries {
     // identically with no ntile semantics in play; probabilities
     // micro-quantize BEFORE the per-bin mean (the x101 device —
     // floor(·1e6+0.5) is also exp's last-ulp insurance), so the bin
-    // means are exact integer sums. The rank is a global window at
-    // verify SF; at 100 TB it rides the x113 bucket-prefix-sum rank
-    // (score quantized to micro-ints is a perfectly bucketable key).
+    // means are exact integer sums. The rank is the x113 bucket-prefix-
+    // sum device (Ranks.globalRowNumber keyed by floor(score·1024) —
+    // monotone in score, so bucket order ≡ score order): no rows-scale
+    // single-task sort anywhere in the plan; the DuckDB oracle keeps the
+    // naive global row_number, so the hash match is the losslessness gate.
     "x139_calibration" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val model = graft.operators.Fitted.getOrFit(s,
@@ -2825,9 +2832,7 @@ object ExtensionQueries {
           isTarget = col("source") === "src0")
       }
       Stage.write(model, dir, "x139_weights")
-      val wRank = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score"), col("doc_id"))
-      graft.operators.QualityFilter
+      val scored = graft.operators.QualityFilter
         .logits(docs, "doc_id", "text", model)
         .select(col("id").as("doc_id"),
           graft.functions.EngineMath.roundAway(col("logit"), 6).as("score"))
@@ -2836,7 +2841,9 @@ object ExtensionQueries {
         .withColumn("pm",
           floor(lit(1e6) / (lit(1.0) + exp(-col("score"))) + lit(0.5))
             .cast("long"))
-        .withColumn("rk", row_number().over(wRank).cast("long"))
+      graft.operators.Ranks.globalRowNumber(scored,
+          floor(col("score") * lit(1024.0)),
+          Seq(col("score").asc, col("doc_id").asc), "rk")
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
         .withColumn("bin", expr("((rk - 1) * 10) div nn"))
         .groupBy(col("bin"))
@@ -3572,43 +3579,69 @@ object ExtensionQueries {
     // x151: Gini concentration of the token-frequency mass — the
     // inequality diagnostic behind "is this corpus a few templates in a
     // trenchcoat". ENTIRELY integer: G·(n·T) = 2·Σ rk·c − (n+1)·T over
-    // the (c ASC, t ASC) rank, one final division. The rank is a global
-    // window at verify SF; at 100 TB it rides the x113 bucket-prefix-sum
-    // rank (counts are a bucketable key).
+    // the (c ASC, t ASC) rank, one final division. No per-token rank is
+    // ever materialized: tokens sharing count c occupy the CONTIGUOUS
+    // rank range (C−m, C] (C = inclusive cumulative vocab in c order),
+    // and within the range the t tie-break cannot move mass (every
+    // member has the same c), so Σ rk·c over the group is closed-form
+    // c·(C(C+1) − (C−m)(C−m+1))/2. The only window runs over the
+    // count-of-counts histogram — |distinct c| rows, O(√T) under Zipf —
+    // and the products ride DECIMAL(38,0) (C² is past BIGINT at corpus
+    // scale). The DuckDB oracle keeps the naive vocab-scale row_number;
+    // the hash match proves the rank-range algebra is lossless.
     "x151_gini_concentration" -> ((s, dir) => {
       val counts = table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val wR = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c"), col("t"))
-      counts.withColumn("rk", row_number().over(wR).cast("long"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("total"),
-          sum(col("rk") * col("c")).as("src"))
-        .select(col("n_tokens"), col("total"),
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // src2 ≡ 2·Σ rk·c (the doubled form needs no division; the rank-
+      // range sum C(C+1) − (C−m)(C−m+1) is exactly 2·Σ rk over the group)
+      counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        .withColumn("cc", sum(col("m")).over(wv))
+        .withColumn("src2g", expr(
+          "CAST(c AS DECIMAL(38,0)) * (CAST(cc AS DECIMAL(38,0)) * (cc + 1) " +
+            "- CAST(cc - m AS DECIMAL(38,0)) * (cc - m + 1))"))
+        .agg(sum(col("m")).as("n_tokens"),
+          sum(col("m").cast("decimal(38,0)") * col("c")).as("total_d"),
+          sum(col("src2g")).as("src2"))
+        .select(col("n_tokens"), col("total_d").cast("long").as("total"),
           graft.functions.EngineMath.roundAway(
-            expr("CAST(2 * src - (n_tokens + 1) * total AS DOUBLE) / " +
-              "CAST(n_tokens * total AS DOUBLE)"), 6).as("gini"))
+            expr("CAST(src2 - CAST(n_tokens + 1 AS DECIMAL(38,0)) * " +
+              "CAST(total_d AS DECIMAL(38,0)) AS DOUBLE) / " +
+              "CAST(CAST(n_tokens AS DECIMAL(38,0)) * " +
+              "CAST(total_d AS DECIMAL(38,0)) AS DOUBLE)"), 6).as("gini"))
     }),
     // x152: vocabulary coverage curve — token-mass share captured by the
     // top-k vocabulary at k ∈ {10, 50, 100, 1000}: the "how big a vocab
-    // do we actually need" planning curve. Integer rank-gated sums per
-    // bounded k; one shared division string; the rank is the same
-    // bucket-swappable global window as x151.
+    // do we actually need" planning curve. No vocab-scale rank: which
+    // PARTICULAR tokens of an equal-count tie group make the top-k
+    // cannot change the captured MASS (every member weighs the same c),
+    // so the curve reads off the count-of-counts histogram — per k, a
+    // group with cb tokens strictly ahead of it contributes
+    // min(m, k − cb) tokens and that many · c mass. The only window is
+    // the histogram's exclusive prefix (|distinct c| rows, O(√T) under
+    // Zipf); per-k rows are ≤ k. DuckDB keeps the naive vocab-scale
+    // row_number; the hash match proves the tie-group algebra lossless.
     "x152_coverage_curve" -> ((s, dir) => {
       val counts = table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val wR = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("t"))
-      val ranked = counts
-        .withColumn("rk", row_number().over(wR).cast("long"))
-      val tot = ranked.agg(sum(col("c")).as("total"))
-      ranked.crossJoin(broadcast(tot))
-        .select(explode(typedlit(CoverageKs)).as("k"), col("rk"),
-          col("c"), col("total"))
-        .filter(col("rk") <= col("k"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        .withColumn("cb", coalesce(sum(col("m")).over(wDesc), lit(0L)))
+      val tot = hist.agg(sum(col("m") * col("c")).as("total"))
+      hist.crossJoin(broadcast(tot))
+        .select(explode(typedlit(CoverageKs)).as("k"), col("c"), col("m"),
+          col("cb"), col("total"))
+        .filter(col("cb") < col("k"))
+        .withColumn("take", least(col("m"), col("k") - col("cb")))
         .groupBy(col("k"), col("total"))
-        .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("mass"))
+        .agg(sum(col("take")).as("n_vocab"),
+          sum(col("take") * col("c")).as("mass"))
         .select(col("k"), col("n_vocab"), col("mass"),
           graft.functions.EngineMath.roundAway(
             expr("CAST(mass AS DOUBLE) / CAST(total AS DOUBLE)"), 6)
@@ -3799,27 +3832,25 @@ object ExtensionQueries {
     // β/ln k come from closed-form OLS on nano-quantized ln coordinates:
     // all five sufficient statistics are exact integers (products ride
     // DECIMAL(38,0)), one double read each (HeapsBetaSql). The prefix
-    // cumsums are a doc_id-ordered window — exact small-data form; at
-    // 100 TB the same two cumsums run on the x113 bucket-prefix-sum
-    // spine (checkpointed doc-count buckets), nothing else changes.
+    // cumsums ride the x113 bucket-prefix-sum spine (Ranks.globalCumSums
+    // keyed by doc_id div 4096 — monotone by construction): within-bucket
+    // running sums, per-bucket totals prefix-summed over a #buckets frame
+    // — no rows-scale one-task window; the DuckDB oracle keeps the naive
+    // global cumsum, so the hash match is the losslessness gate.
     "x170_heaps_law" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val wCum = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
       val nty = docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(min(col("doc_id")).as("fdoc"))
         .groupBy(col("fdoc")).agg(count(lit(1)).as("nty"))
-      docs.select(col("doc_id"),
+      val perDoc = docs.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("ntk"))
         .join(nty, col("doc_id") === col("fdoc"), "left")
         .select(col("doc_id"), col("ntk"),
           coalesce(col("nty"), lit(0L)).as("nty"))
-        .withColumn("nk", sum(col("ntk")).over(wCum))
-        .withColumn("vk", sum(col("nty")).over(wCum))
+      graft.operators.Ranks.globalCumSums(perDoc,
+          expr("doc_id div 4096"), Seq(col("doc_id").asc),
+          Seq("ntk" -> "nk", "nty" -> "vk"))
         .filter(col("nk") > 0 && col("vk") > 0)
         .select(
           floor(log(col("nk").cast("double")) * 1e9 + lit(0.5))
@@ -4567,15 +4598,20 @@ object ExtensionQueries {
     // that turns x88/x192's scalar AUCs into an actionable spend curve.
     // Deciles = ntile(10) over (score DESC, doc_id) — deterministic
     // because doc_id totalizes the order; capture and lift are ONE shared
-    // string each over exact integer counts. The ntile window is the one
-    // rows-scale stage (same contract as x63's quality deciles; at 100 TB
-    // swap in x98's bucket-prefix-sum global rank — the decile boundary
-    // only needs the score histogram, not a total order).
+    // string each over exact integer counts. The ntile assignment is
+    // closed-form (Ranks.ntileOfRank) off the x113 bucket-prefix-sum rank
+    // keyed by −floor(score·1024) — monotone non-decreasing as score
+    // DESCENDS, so bucket order ≡ the descending score order and the plan
+    // carries no rows-scale one-task sort. DuckDB keeps the naive
+    // ntile(10); the hash match is the losslessness gate.
     "x193_gains" -> ((s, dir) => {
       val lab = qlrScoredLab(s, dir, "x193_weights")
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id").asc)
-      val d = lab.withColumn("decile", ntile(10).over(w).cast("long"))
+      val d = graft.operators.Ranks.globalRowNumber(lab,
+          -floor(col("score") * lit(1024.0)),
+          Seq(col("score").desc, col("doc_id").asc), "rk")
+        .crossJoin(broadcast(lab.agg(count(lit(1)).as("nn"))))
+        .withColumn("decile",
+          graft.operators.Ranks.ntileOfRank("rk", "nn", 10).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
       val wCum = org.apache.spark.sql.expressions.Window
@@ -5469,14 +5505,18 @@ object ExtensionQueries {
     * precision over the exact cumulative integers (tp, fp) at this
     * threshold and (tpp, fpp) at the previous (0, 0 at the anchor, where
     * precision is 1.0 by convention), p = total positives. ONE string —
-    * both engines sum identical integers.
+    * both engines sum identical integers. Zero-positive corpora (p = 0)
+    * have no PR curve: every term is pinned to 0 (⇒ pr_auc 0.0 on both
+    * engines) instead of Spark's non-ANSI NULL vs DuckDB's /0 error —
+    * the same explicit single-class guard convention as CvAucSql.
     */
   private val PrTermSql: String =
-    "CAST(floor((CAST(tp - tpp AS DOUBLE) / p) * " +
+    "CASE WHEN p = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(floor((CAST(tp - tpp AS DOUBLE) / p) * " +
       "((CAST(tp AS DOUBLE) / (tp + fp) + " +
       "CASE WHEN tpp + fpp = 0 THEN 1.0 " +
       "ELSE CAST(tpp AS DOUBLE) / (tpp + fpp) END) / 2.0) " +
-      "* 1e12 + 0.5) AS BIGINT)"
+      "* 1e12 + 0.5) AS BIGINT) END"
 
   /** x193's gains reads over exact integer counts: cumulative positive
     * capture and per-decile lift vs the base rate. ONE string each.

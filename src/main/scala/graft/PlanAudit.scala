@@ -59,6 +59,49 @@ object PlanAudit {
     "x49_stream_incr_dedup", "x77_stream_funnel", "x84_stream_interval_join",
     "x93_stream_enrich")
 
+  /** Appendix: every UNPARTITIONED ordered window in main (the one plan
+    * shape that cannot scale when its frame is rows-sized), classified by
+    * the frame it actually runs over. Maintained by hand against the
+    * sweep `Window\b(...chains...)` with no `.partitionBy` (round 11);
+    * adding a NEW unpartitioned window over a rows-scale frame is a
+    * regression — ride `operators/Ranks` (globalRowNumber /
+    * globalCumSums / ntileOfRank) instead, as x63/x139/x193/x170 do.
+    */
+  val WindowAuditAppendix: String =
+    """
+      |## Appendix: unpartitioned-window audit (frame bounds)
+      |
+      |Every `Window.orderBy` with NO `partitionBy` in `src/main`, and the
+      |bound on the frame it sorts. "value-grouped" = the window input is a
+      |`groupBy` on a quantized value, so the frame is |distinct values|
+      |(bounded by the quantization, not by rows). Rows-scale ranks and
+      |cumsums ride the `Ranks` bucket-prefix-sum device (RanksSpec pins
+      |device ≡ naive window; the DuckDB oracles keep the naive forms, so
+      |every hash match re-proves losslessness).
+      |
+      || site | frame the window sorts | bound | verdict |
+      ||---|---|---|---|
+      || Ranks.globalRowNumber / globalCumSums offsets | per-bucket counts | #buckets (caller-chosen, ≪ rows) | safe |
+      || Shards.epochShards offsets | (priority × ticket-prefix) counts | bands × 16^hexChars | safe |
+      || x63 / x139 / x193 rank (via Ranks) | — replaced by device | no global sort | safe |
+      || x170 cumsums (via Ranks.globalCumSums) | — replaced by device | no global sort | safe |
+      || x88 / x162 / x192 / x201 / x203 cum | groupBy(score) | distinct 6-dp scores (quantization-bounded) | safe |
+      || x134 / x166 / x167 cum | groupBy(micro-quantized value) | distinct micro-ints | safe |
+      || x196 q̂ cum | groupBy(nano-quantized nonconformity) | distinct values | safe |
+      || x151 / x152 histogram prefix | count-of-counts | distinct counts, O(√T) under Zipf | safe |
+      || x197 p99 cum + daily cums | count-of-counts; per-day | distinct counts; #days | safe |
+      || x191 / x198 risk-set cums | death times | #distinct days | safe |
+      || x113 offsets | n_chars div 64 buckets | max doc len / 64 | safe |
+      || x127 retention | funnel stages | 5 | safe |
+      || x128 quota remainders | per-source rows | #sources | safe |
+      || x142 Zipf rank / x153 Hill | top-100 / top-51 cut upstream | ≤ 100 / ≤ 51 | safe |
+      || x169 HITS rank | top-10 cut upstream (TakeOrderedAndProject) | ≤ 10 | safe |
+      || x171 BH rank | per-source χ² rows | #sources | safe |
+      || x193 decile cum | decile aggregates | 10 | safe |
+      |
+      |No unpartitioned window in main sorts a rows-scale frame.
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("PLANS.md")
@@ -126,6 +169,7 @@ object PlanAudit {
         s"${a.sortMergeJoins} | ${a.nestedLoopJoins} | ${a.cartesian} | " +
         s"${a.codegenSpans} | ${a.scansWithPushdown}/${a.scans} |\n"
     }
+    sb ++= WindowAuditAppendix
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out (${rows.size} queries)")
     spark.stop()

@@ -557,6 +557,13 @@ object Multimodal {
   def synthesizeWav(text: String): Array[Byte] = {
     val bytes = text.getBytes("UTF-8")
     require(bytes.nonEmpty, "synthesizeWav needs a nonempty payload")
+    // the x187 DuckDB oracle re-derives these samples indexing the text
+    // by CHARACTER (substr/ord); this side consumes UTF-8 BYTES — the
+    // two agree only for ASCII. Fail loudly on a non-ASCII corpus
+    // instead of silently desynchronizing generation from the oracle.
+    require(bytes.length == text.length && text.forall(_ < 128),
+      "synthesizeWav payload must be ASCII: the DuckDB oracle indexes " +
+        "characters while this side indexes UTF-8 bytes")
     val n = 256 + (bytes.length % 256) * 8
     val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -733,7 +733,8 @@ object Dedup {
       if (maxBucket == Int.MaxValue) chunkedRaw
       else {
         val w = Window.partitionBy(col("chunk"), col("v1"), col("v2"))
-        chunkedRaw.withColumn("__bn", count(lit(1)).over(w))
+        BucketCapMetrics.observed(
+            chunkedRaw.withColumn("__bn", count(lit(1)).over(w)), maxBucket)
           .filter(col("__bn") <= maxBucket).drop("__bn")
       }
     // A pair within the bound shares MANY buckets, so the bucket join
@@ -1097,4 +1098,60 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.EngineMath.roundAway(col("cos"), 4).as("cos"))
   }
+}
+
+/** Observability for the banding bucket cap: `maxBucket` drops oversized
+  * buckets BY DESIGN (see [[Dedup.simhashPairsOf]]'s scaladoc), and the
+  * drop is invisible at oracle-checked SFs where no bucket exceeds the
+  * cap — at unchecked scale a biting cap would silently shrink the pair
+  * set. `observed` piggybacks a named `Dataset.observe` on the capped
+  * frame (computed inside the existing exchange — zero extra passes, no
+  * hot-path UDF), and a once-per-session QueryExecutionListener logs a
+  * WARNING whenever the cap actually dropped rows: the "no silent caps"
+  * convention the rest of the engine follows.
+  */
+object BucketCapMetrics {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.bucketcap")
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Attach drop metrics to a frame carrying `__bn` (its bucket's size).
+    * Names are sequence-suffixed so several capped joins can share one
+    * query plan (observation names must be unique per execution).
+    */
+  def observed(withBucketSize: DataFrame, maxBucket: Int): DataFrame = {
+    ensureListener(withBucketSize.sparkSession)
+    withBucketSize.observe(s"graft.bucket_cap.${seq.incrementAndGet()}",
+      sum(when(col("__bn") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_sig_rows"),
+      max(col("__bn")).as("max_bucket_size"),
+      lit(maxBucket.toLong).as("cap"))
+  }
+
+  private def ensureListener(s: org.apache.spark.sql.SparkSession): Unit =
+    if (registered.add(s)) {
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.bucket_cap.")) {
+                val dropped = Option(row.getAs[java.lang.Long]("dropped_sig_rows"))
+                  .map(_.longValue()).getOrElse(0L)
+                if (dropped > 0L)
+                  log.warn(s"[$name] bucket cap ${row.getAs[Any]("cap")} dropped " +
+                    s"$dropped signature rows (largest bucket " +
+                    s"${row.getAs[Any]("max_bucket_size")}): the banded pair set " +
+                    "is incomplete for boilerplate-shaped content at this scale")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      ()
+    }
 }
