@@ -63,11 +63,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** One cheap representative per memoized fit family (Fitted.key algo):
-    * qlr → x88, qlrcv (5 folds) → x201, ivf → x13, pq/ivfpq → x51/x52.
-    * Run untimed before pass 1 so no suite query pays a family's fit.
+    * qlr → x88, qlrcv (5 folds) → x201, ivf → x13, pq/ivfpq → x51/x52,
+    * pca → x204. Run untimed before pass 1 so no suite query pays a
+    * family's fit.
     */
   val FitWarmers: Seq[String] = Seq("x88_model_auc", "x201_cv_auc",
-    "x13_knn_ivf", "x51_knn_pq", "x52_knn_ivfpq")
+    "x13_knn_ivf", "x51_knn_pq", "x52_knn_ivfpq", "x204_pca_whitening")
 
   /** Ambient (non-bench) CPU, in cores, above which a query's timing is
     * considered contested and re-run once at the end of the suite.

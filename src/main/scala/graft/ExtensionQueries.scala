@@ -1364,11 +1364,15 @@ object ExtensionQueries {
       scored.groupBy(col("score"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
         .withColumn("cb", coalesce(sum(col("n")).over(byScore), lit(0L)))
-        .agg(sum(col("np") * (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
+        // rank products pre-widen to decimal(38,0): np·(2cb+n+1) and
+        // p·(p+1) pass 2^63 near ~3e9 rows — BIGINT would wrap silently,
+        // decimal overflows loudly (NULL); DuckDB's HUGEINT sums match
+        .agg(sum(col("np").cast("decimal(38,0)") *
+            (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
           sum(col("np")).as("p"), sum(col("n")).as("tot"))
         .select(col("p").as("n_pos"), (col("tot") - col("p")).as("n_neg"),
-          ((col("s2") - col("p") * (col("p") + lit(1))).cast("double") /
-            (lit(2) * col("p") * (col("tot") - col("p"))).cast("double"))
+          expr("CAST(s2 - CAST(p AS DECIMAL(38,0)) * (p + 1) AS DOUBLE) / " +
+            "CAST(2 * CAST(p AS DECIMAL(38,0)) * (tot - p) AS DOUBLE)")
             .as("auc"))
     }),
     // x89: PMI collocations — pointwise mutual information over adjacent
@@ -4899,7 +4903,9 @@ object ExtensionQueries {
         scored.groupBy(col("score"))
           .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
           .withColumn("cb", coalesce(sum(col("n")).over(byScore), lit(0L)))
-          .agg(sum(col("np") * (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
+          // pre-widened like x88: the rank products pass 2^63 at scale
+          .agg(sum(col("np").cast("decimal(38,0)") *
+              (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
             sum(col("np")).as("p"), sum(col("n")).as("tot"))
           .select(lit(f.toLong).as("fold"), col("tot").as("n_test"),
             col("p").as("n_pos"), expr(CvAucSql).as("auc"))
@@ -4975,6 +4981,101 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(
             col("n_selected").cast("double") / col("n_docs"), 6)
             .as("sel_rate"))
+        .orderBy(col("source"))
+    }),
+    // x204: PCA whitening report over the embedding corpus — top-4
+    // principal components (eigenvalue, measured projected variance,
+    // explained share): the decorrelation step before IVF/PQ indexing
+    // (correlated dims waste codebook bits) and the "how many dims carry
+    // the variance" datacard read. Rows-scale work is ONE moment pass
+    // (d(d+1)/2 map-side-combined cells) + one projection scan; the
+    // eigendecomposition is driver-side deterministic Jacobi over the
+    // collected 64×64 covariance (operators/Pca — the "fit is tiny, data
+    // is not" split), staged with mean + trace so the oracle re-derives
+    // every projection independently (the x13 staged-model contract).
+    // Projections use graft_dot (sequential fold ≡ DuckDB's
+    // list_dot_product) on the centered vector and micro-quantize before
+    // the variance sums, so both engines aggregate identical integers.
+    "x204_pca_whitening" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embeddingsD(s, dir)
+      val model = graft.operators.Fitted.getOrFit(s,
+        graft.operators.Fitted.key(dir, "pca", "k" -> 4)) {
+        graft.operators.Pca.fit(e, "vec", k = 4)
+      }
+      Stage.write(model, dir, "x204_rotation")
+      e.crossJoin(broadcast(model))
+        .withColumn("p", call_function("graft_dot",
+          zip_with(col("vec"), col("mu"), (a, b) => a - b), col("w")))
+        .withColumn("pm", floor(col("p") * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
+          sum(col("pm").cast("decimal(38,0)") * col("pm")).as("spp"),
+          max(col("eigval")).as("ev"), max(col("trace")).as("tr"))
+        .select(col("comp"), col("n"),
+          graft.functions.EngineMath.roundAway(expr(PcaVarSql), 6)
+            .as("var_proj"),
+          graft.functions.EngineMath.roundAway(col("ev"), 6).as("eigval"),
+          graft.functions.EngineMath.roundAway(expr("ev / tr"), 6)
+            .as("explained_share"))
+        .orderBy(col("comp"))
+    }),
+    // x205: leave-one-source-out AUC ablation — the data-valuation read
+    // on the quality model ("which source props up / drags down the
+    // scorer's separability"): for each source, the tie-averaged
+    // Mann-Whitney AUC over every doc EXCEPT that source's, as a delta
+    // against the full-corpus AUC. ONE scoring pass: the per-(source,
+    // score) histogram subtracts from the global per-score histogram
+    // (ablation = histogram arithmetic, never a re-scan per source), and
+    // each ablated AUC runs the x88 grouped-rank algebra on a window
+    // PARTITIONED by the excluded source — |sources| × |distinct scores|
+    // frames, never rows. Excluding src0 removes every positive: the
+    // CvAucSql single-class guard pins that row to 0.5 by convention.
+    "x205_source_ablation" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lab = qlrScoredLab(s, dir, "x205_weights")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .localCheckpoint() // consumers: global hist + per-source hist
+      val g = lab.groupBy(col("score"))
+        .agg(count(lit(1)).as("gn"), sum(col("pos")).as("gnp"))
+        .localCheckpoint() // consumers: per-source subtraction + full AUC
+      val per = lab.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("sn"), sum(col("pos")).as("snp"))
+      val sub = g
+        .crossJoin(broadcast(docs.select(col("source")).distinct()))
+        .join(per, Seq("source", "score"), "left")
+        .select(col("source"), col("score"),
+          (col("gn") - coalesce(col("sn"), lit(0L))).as("n"),
+          (col("gnp") - coalesce(col("snp"), lit(0L))).as("np"))
+        .filter(col("n") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val aucExcl = sub
+        .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .groupBy(col("source"))
+        .agg(sum(col("np").cast("decimal(38,0)") *
+            (lit(2) * col("cb") + col("n") + lit(1))).as("s2"),
+          sum(col("np")).as("p"), sum(col("n")).as("tot"))
+        .select(col("source"), col("tot").as("n_kept"),
+          expr(CvAucSql).as("auc_excl"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val full = g
+        .withColumn("cb", coalesce(sum(col("gn")).over(wg), lit(0L)))
+        .agg(sum(col("gnp").cast("decimal(38,0)") *
+            (lit(2) * col("cb") + col("gn") + lit(1))).as("s2"),
+          sum(col("gnp")).as("p"), sum(col("gn")).as("tot"))
+        .select(expr(CvAucSql).as("auc_full"))
+      aucExcl.crossJoin(broadcast(full))
+        .select(col("source"), col("n_kept"),
+          graft.functions.EngineMath.roundAway(col("auc_excl"), 6)
+            .as("auc_excl"),
+          graft.functions.EngineMath.roundAway(col("auc_full"), 6)
+            .as("auc_full"),
+          graft.functions.EngineMath.roundAway(
+            expr("auc_excl - auc_full"), 6).as("delta"))
         .orderBy(col("source"))
     }),
     // x197: join-key skew audit over the schema's join graph — the
@@ -5597,8 +5698,16 @@ object ExtensionQueries {
     */
   private val CvAucSql: String =
     "CASE WHEN p = 0 OR p = tot THEN 0.5 " +
-      "ELSE CAST(s2 - p * (p + 1) AS DOUBLE) " +
-      "/ CAST(2 * p * (tot - p) AS DOUBLE) END"
+      "ELSE CAST(s2 - CAST(p AS DECIMAL(38,0)) * (p + 1) AS DOUBLE) " +
+      "/ CAST(2 * CAST(p AS DECIMAL(38,0)) * (tot - p) AS DOUBLE) END"
+
+  /** x204's projected variance off exact integer micro-sums (n, sp = Σpm,
+    * spp = Σpm²): population variance in the same fixed operand order on
+    * both engines. ONE string.
+    */
+  private val PcaVarSql: String =
+    "(CAST(spp AS DOUBLE) / 1e12 - " +
+      "(CAST(sp AS DOUBLE) / 1e6) * (CAST(sp AS DOUBLE) / 1e6) / n) / n"
 
   /** x201's oracle: per fold, the x106 md5-mod fold assignment, the
     * staged per-fold weights applied to the re-derived quality features
@@ -8767,6 +8876,63 @@ object ExtensionQueries {
          |    AS DOUBLE) / count(*), 6) AS sel_rate
          |FROM sc CROSS JOIN q GROUP BY 1
          |ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // staged rotation (comp, eigval, trace, mu, w) consumed verbatim;
+    // every projection re-derived independently — centered indexed-
+    // comprehension + list_dot_product ≡ Spark's zip_with + graft_dot
+    // (the cosSql sequential-fold equivalence), micro-quantized before
+    // the variance sums so both engines aggregate identical integers
+    "x204_pca_whitening" ->
+      (s"""WITH m AS (SELECT comp, eigval, trace, mu, w
+         |  FROM ${Stage.sqlRef("x204_rotation")}),
+         |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (SELECT m.comp, m.eigval, m.trace,
+         |  CAST(floor(list_dot_product(
+         |    [v[i] - mu[i] for i in range(1, len(v) + 1)], w) * 1e6 + 0.5)
+         |    AS BIGINT) AS pm
+         |  FROM e CROSS JOIN m),
+         |g AS (SELECT comp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pm) AS BIGINT) AS sp,
+         |  sum(CAST(pm AS HUGEINT) * pm) AS spp,
+         |  max(eigval) AS ev, max(trace) AS tr FROM pr GROUP BY 1)
+         |SELECT comp, n, round($PcaVarSql, 6) AS var_proj,
+         |  round(ev, 6) AS eigval, round(ev / tr, 6) AS explained_share
+         |FROM g ORDER BY comp""".stripMargin.replace("\n", " ")),
+    // same scored-lab CTEs as x88/x203; ablation re-derived as the same
+    // histogram subtraction + per-excluded-source grouped-rank algebra
+    // (the shared CvAucSql guard); deltas computed from UNROUNDED aucs
+    "x205_source_ablation" ->
+      (s"""${scoredLabCtes("x205_weights")},
+         |ls AS (SELECT lab.doc_id, lab.score, lab.pos, d.source
+         |  FROM lab JOIN documents d USING (doc_id)),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS gn,
+         |  CAST(sum(pos) AS BIGINT) AS gnp FROM ls GROUP BY 1),
+         |per AS (SELECT source, score, CAST(count(*) AS BIGINT) AS sn,
+         |  CAST(sum(pos) AS BIGINT) AS snp FROM ls GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |sub AS (SELECT s.source, g.score,
+         |  g.gn - coalesce(p.sn, 0) AS n, g.gnp - coalesce(p.snp, 0) AS np
+         |  FROM srcs s CROSS JOIN g
+         |  LEFT JOIN per p ON p.source = s.source AND p.score = g.score),
+         |cum AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY source
+         |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cb FROM sub WHERE n > 0),
+         |ae AS (SELECT source, sum(np * (2 * cb + n + 1)) AS s2,
+         |  CAST(sum(np) AS BIGINT) AS p, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM cum GROUP BY 1),
+         |aexcl AS (SELECT source, tot AS n_kept, $CvAucSql AS auc_excl
+         |  FROM ae),
+         |gc AS (SELECT *, coalesce(sum(gn) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM g),
+         |af AS (SELECT sum(gnp * (2 * cb + gn + 1)) AS s2,
+         |  CAST(sum(gnp) AS BIGINT) AS p, CAST(sum(gn) AS BIGINT) AS tot
+         |  FROM gc),
+         |fu AS (SELECT $CvAucSql AS auc_full FROM af)
+         |SELECT a.source, a.n_kept, round(a.auc_excl, 6) AS auc_excl,
+         |  round(f.auc_full, 6) AS auc_full,
+         |  round(a.auc_excl - f.auc_full, 6) AS delta
+         |FROM aexcl a CROSS JOIN fu f
+         |ORDER BY a.source""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

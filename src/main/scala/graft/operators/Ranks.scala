@@ -40,7 +40,13 @@ object Ranks {
     */
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       out: String): DataFrame = {
-    val b = df.withColumn("__bkt", bucket.cast("long"))
+    // both passes (per-bucket counts, local ranks) consume the bucketed
+    // frame in ONE plan — a persist would lose cache substitution on the
+    // second occurrence (the a17 DeduplicateRelations trap, see
+    // x196/PlanSpec), so the device localCheckpoints: the caller's
+    // upstream (often an expensive scoring projection) is computed once,
+    // and what materializes is only the narrow (order cols + payload) row
+    val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
     val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
     // offsets need only per-bucket COUNTS — no window, one hash agg
     val wOff = Window.orderBy(col("__bkt"))
@@ -64,7 +70,9 @@ object Ranks {
     */
   def globalCumSums(df: DataFrame, bucket: Column, order: Seq[Column],
       sums: Seq[(String, String)]): DataFrame = {
-    val b = df.withColumn("__bkt", bucket.cast("long"))
+    // localCheckpoint for the same two-consumers-one-plan reason as
+    // globalRowNumber
+    val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
     val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wOff = Window.orderBy(col("__bkt"))
