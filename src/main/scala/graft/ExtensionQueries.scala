@@ -5078,6 +5078,84 @@ object ExtensionQueries {
             expr("auc_excl - auc_full"), 6).as("delta"))
         .orderBy(col("source"))
     }),
+    // x206: weight-proportional SYSTEMATIC resampling — the zero-RNG
+    // resampler importance-weighted pipelines use (draws at positions
+    // (2j+1)·W/(2N) over the weight cumsum, j = 0..N−1): doc i's
+    // resample count = #draws inside its cumulative-weight interval, a
+    // closed integer form off the x170 bucket-prefix-sum cumsum — no
+    // rows-scale sort, no RNG, reproducible under ANY partitioning, and
+    // the counts telescope to exactly N. Engine and oracle use mirrored
+    // integer floor-div forms (Spark `div` ≡ DuckDB `//` on the
+    // guaranteed-nonnegative numerator); per-source report: resampled
+    // mass vs exact weight share — the resampler's bias readout.
+    "x206_systematic_resample" -> ((s, dir) => {
+      val perDoc = table(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextFunctions.tokenCount(col("text")).cast("long")
+          .as("wt"))
+      val cum = graft.operators.Ranks.globalCumSums(perDoc,
+        expr("doc_id div 4096"), Seq(col("doc_id").asc), Seq("wt" -> "cw"))
+      val tot = perDoc.agg(sum(col("wt")).as("ww"), count(lit(1)).as("nn"))
+      def draws(cwExpr: String): String =
+        s"CASE WHEN 2 * CAST($cwExpr AS DECIMAL(38,0)) * nn < ww THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST((2 * CAST($cwExpr AS DECIMAL(38,0)) * nn - ww) div " +
+          s"(2 * CAST(ww AS DECIMAL(38,0))) AS BIGINT) + 1 END"
+      cum.crossJoin(broadcast(tot))
+        .withColumn("cnt", expr(draws("cw")) - expr(draws("(cw - wt)")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wt")).as("tokens"),
+          sum(col("cnt")).as("n_resampled"), max(col("cnt")).as("max_per_doc"),
+          max(col("ww")).as("__ww"), max(col("nn")).as("__nn"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          col("n_resampled"), col("max_per_doc"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n_resampled AS DOUBLE) / __nn"), 6)
+            .as("resample_share"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(tokens AS DOUBLE) / __ww"), 6).as("weight_share"))
+        .orderBy(col("source"))
+    }),
+    // x207: DeLong confidence interval for the quality model's AUC —
+    // the eval statistic x88's point estimate needs before scores gate
+    // data ("is 0.74 vs 0.71 even distinguishable?"). DeLong placements
+    // are CONSTANT within a score tie-group, so both placement moment
+    // sums (positives' V10, negatives' V01) come off the |distinct
+    // scores| histogram with one ascending window — exact integers
+    // (doubled placements: 2·below + ties) widened to decimal until the
+    // ONE shared fixed-order double chain (DlAucSql/DlSeSql); single-
+    // class and degenerate (<2 per class) corpora ride explicit guards.
+    "x207_delong_auc_ci" -> ((s, dir) => {
+      val lab = qlrScoredLab(s, dir, "x207_weights")
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wIncl = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = lab.agg(sum(col("pos")).as("mpos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+      lab.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .withColumn("ng", col("n") - col("np"))
+        .withColumn("cnb", coalesce(sum(col("ng")).over(wAsc), lit(0L)))
+        .withColumn("cpi", sum(col("np")).over(wIncl))
+        .crossJoin(broadcast(tot))
+        .withColumn("p10", lit(2) * col("cnb") + col("ng"))
+        .withColumn("p01", lit(2) * (col("mpos") - col("cpi")) + col("np"))
+        .agg(max(col("mpos")).as("mpos"), max(col("nneg")).as("nneg"),
+          sum(col("np").cast("decimal(38,0)") * col("p10")).as("s1"),
+          sum(col("np").cast("decimal(38,0)") *
+            col("p10").cast("decimal(38,0)") * col("p10")).as("s2"),
+          sum(col("ng").cast("decimal(38,0)") * col("p01")).as("s1p"),
+          sum(col("ng").cast("decimal(38,0)") *
+            col("p01").cast("decimal(38,0)") * col("p01")).as("s2p"))
+        .select(col("mpos").as("n_pos"), col("nneg").as("n_neg"),
+          graft.functions.EngineMath.roundAway(expr(DlAucSql), 6).as("auc"),
+          graft.functions.EngineMath.roundAway(expr(DlSeSql), 6).as("se"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"($DlAucSql) - 1.96 * ($DlSeSql)"), 6).as("ci_lo"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"($DlAucSql) + 1.96 * ($DlSeSql)"), 6).as("ci_hi"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5708,6 +5786,23 @@ object ExtensionQueries {
   private val PcaVarSql: String =
     "(CAST(spp AS DOUBLE) / 1e12 - " +
       "(CAST(sp AS DOUBLE) / 1e6) * (CAST(sp AS DOUBLE) / 1e6) / n) / n"
+
+  /** x207's DeLong reads off exact integer placement moments. Placements
+    * are stored DOUBLED (2·opposite-class-below + ties), so s1 = Σ w·p,
+    * s2 = Σ w·p² carry no halves; auc = s1/(2·n·m) and the sample
+    * variances divide by (2·n)² / (2·m)² respectively. ONE string each,
+    * fixed operand order; single-class → auc 0.5, degenerate (<2 per
+    * class) → se 0.
+    */
+  private val DlAucSql: String =
+    "CASE WHEN mpos = 0 OR nneg = 0 THEN 0.5 " +
+      "ELSE CAST(s1 AS DOUBLE) / (2.0 * CAST(nneg AS DOUBLE) * mpos) END"
+  private val DlSeSql: String =
+    "CASE WHEN mpos < 2 OR nneg < 2 THEN 0.0 ELSE sqrt(" +
+      "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / mpos) " +
+      "/ (mpos - 1) / (4.0 * CAST(nneg AS DOUBLE) * nneg)) / mpos + " +
+      "((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE) / nneg) " +
+      "/ (nneg - 1) / (4.0 * CAST(mpos AS DOUBLE) * mpos)) / nneg) END"
 
   /** x201's oracle: per fold, the x106 md5-mod fold assignment, the
     * staged per-fold weights applied to the re-derived quality features
@@ -8933,6 +9028,60 @@ object ExtensionQueries {
          |  round(a.auc_excl - f.auc_full, 6) AS delta
          |FROM aexcl a CROSS JOIN fu f
          |ORDER BY a.source""".stripMargin.replace("\n", " ")),
+    // naive global cumsum + the HUGEINT mirror of the engine's decimal
+    // floor-div draw count (Spark `div` ≡ DuckDB `//` — nonneg numerator
+    // by the CASE guard, so truncation ≡ floor on both)
+    "x206_systematic_resample" ->
+      (s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS wt FROM documents),
+         |c AS (SELECT *, CAST(sum(wt) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cw FROM d),
+         |t AS (SELECT CAST(sum(wt) AS BIGINT) AS ww,
+         |    CAST(count(*) AS BIGINT) AS nn FROM d),
+         |k AS (SELECT source, wt,
+         |  (CASE WHEN 2 * CAST(cw AS HUGEINT) * nn < ww THEN 0
+         |   ELSE CAST((2 * CAST(cw AS HUGEINT) * nn - ww) //
+         |     (2 * CAST(ww AS HUGEINT)) AS BIGINT) + 1 END) -
+         |  (CASE WHEN 2 * CAST(cw - wt AS HUGEINT) * nn < ww THEN 0
+         |   ELSE CAST((2 * CAST(cw - wt AS HUGEINT) * nn - ww) //
+         |     (2 * CAST(ww AS HUGEINT)) AS BIGINT) + 1 END) AS cnt,
+         |  ww, nn FROM c CROSS JOIN t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(wt) AS BIGINT) AS tokens,
+         |  CAST(sum(cnt) AS BIGINT) AS n_resampled,
+         |  CAST(max(cnt) AS BIGINT) AS max_per_doc,
+         |  round(CAST(sum(cnt) AS DOUBLE) / max(nn), 6) AS resample_share,
+         |  round(CAST(sum(wt) AS DOUBLE) / max(ww), 6) AS weight_share
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same scored-lab CTEs; placements re-derived from the same
+    // |distinct scores| histogram (HUGEINT moments), shared Dl* reads
+    "x207_delong_auc_ci" ->
+      (s"""${scoredLabCtes("x207_weights")},
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pos) AS BIGINT) AS np FROM lab GROUP BY 1),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS mpos,
+         |  CAST(sum(n - np) AS BIGINT) AS nneg FROM g),
+         |wh AS (SELECT g.*, n - np AS ng,
+         |  coalesce(sum(n - np) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb,
+         |  sum(np) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpi
+         |  FROM g),
+         |pm AS (SELECT wh.*, t.mpos, t.nneg,
+         |  2 * cnb + ng AS p10, 2 * (t.mpos - cpi) + np AS p01
+         |  FROM wh CROSS JOIN t),
+         |agg AS (SELECT max(mpos) AS mpos, max(nneg) AS nneg,
+         |  sum(CAST(np AS HUGEINT) * p10) AS s1,
+         |  sum(CAST(np AS HUGEINT) * CAST(p10 AS HUGEINT) * p10) AS s2,
+         |  sum(CAST(ng AS HUGEINT) * p01) AS s1p,
+         |  sum(CAST(ng AS HUGEINT) * CAST(p01 AS HUGEINT) * p01) AS s2p
+         |  FROM pm)
+         |SELECT mpos AS n_pos, nneg AS n_neg,
+         |  round($DlAucSql, 6) AS auc, round($DlSeSql, 6) AS se,
+         |  round(($DlAucSql) - 1.96 * ($DlSeSql), 6) AS ci_lo,
+         |  round(($DlAucSql) + 1.96 * ($DlSeSql), 6) AS ci_hi
+         |FROM agg""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

@@ -97,11 +97,23 @@ object EventAnalytics {
     val convs = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("user_id"), col(tsCol).as("c_ts"),
         col(idCol).as("c_id"), col(valueCol).as("value"))
+    // pair through the bucketized interval join, NOT a bare per-user
+    // join + window filter: the bare join materializes every (conv,
+    // touch) pair in the user's WHOLE history before the 72 h filter —
+    // at production time ranges that is years of touches per conversion.
+    // Bucket width = the lookback, so each conversion's window spans ≤ 2
+    // buckets and pairing work is bounded by in-window density (the
+    // workload-inherent candidate count), not by history length. Strict
+    // t_ts < c_ts becomes hi = c_micros − 1 (timestamps are integral
+    // micros, so the closed bound is exact).
+    val lookbackMicros = lookbackHours * 3600000000L
     val cand = graft.engine.CacheScope.persistTracked(
-      convs.join(touches, Seq("user_id"))
-        .filter(col("t_ts") < col("c_ts") &&
-          unix_micros(col("t_ts")) >=
-            unix_micros(col("c_ts")) - lookbackHours * 3600000000L))
+      RangeJoin.intervalJoin(
+        touches.withColumn("__p", unix_micros(col("t_ts"))),
+        convs.withColumn("__lo", unix_micros(col("c_ts")) - lookbackMicros)
+          .withColumn("__hi", unix_micros(col("c_ts")) - 1L),
+        Seq("user_id"), "__p", "__lo", "__hi", bucketWidth = lookbackMicros)
+        .drop("__p", "__lo", "__hi"))
     // order-independent accumulation: round each credit half-away to 6
     // digits, sum as DECIMAL(18,6)
     def dec(c: Column): Column =

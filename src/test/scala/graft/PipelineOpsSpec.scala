@@ -2072,4 +2072,35 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("blocked") == (hits.toDouble > toks.length.toDouble * 0.1))
     }
   }
+
+  test("x206: systematic resample counts telescope to exactly N; " +
+      "resampled mass tracks the weight share") {
+    val rows = run("x206_systematic_resample").collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val resampled = rows.map(_.getAs[Long]("n_resampled")).sum
+    assert(resampled == nDocs,
+      s"systematic draws must telescope: $resampled vs $nDocs")
+    val shares = rows.map(r => (r.getAs[Double]("resample_share"),
+      r.getAs[Double]("weight_share")))
+    assert(math.abs(shares.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(shares.map(_._2).sum - 1.0) < 1e-4)
+    // systematic sampling error per stratum is < 1 draw either way per
+    // boundary; with per-source masses ≫ 1 draw, shares track closely
+    shares.foreach { case (rs, ws) =>
+      assert(math.abs(rs - ws) < 0.02, s"resample $rs vs weight $ws")
+    }
+  }
+
+  test("x207: DeLong CI brackets the AUC and agrees with x88's point estimate") {
+    val r = run("x207_delong_auc_ci").collect().head
+    val auc = r.getAs[Double]("auc")
+    val se = r.getAs[Double]("se")
+    assert(se > 0.0, "two-class corpus must have positive SE")
+    assert(r.getAs[Double]("ci_lo") <= auc && auc <= r.getAs[Double]("ci_hi"))
+    assert(math.abs(r.getAs[Double]("ci_hi") - auc - 1.96 * se) <= 2e-6)
+    // same staged weights, same scores → DeLong's point estimate must
+    // equal x88's tie-averaged Mann-Whitney AUC to rounding
+    val x88 = run("x88_model_auc").collect().head.getAs[Double]("auc")
+    assert(math.abs(auc - x88) <= 2e-6, s"DeLong $auc vs x88 $x88")
+  }
 }
