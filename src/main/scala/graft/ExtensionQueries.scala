@@ -5156,6 +5156,77 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(
             expr(s"($DlAucSql) + 1.96 * ($DlSeSql)"), 6).as("ci_hi"))
     }),
+    // x208: Good-Turing frequency smoothing over the word-TRIGRAM
+    // frequency histogram — the LM-side "how much probability mass
+    // belongs to UNSEEN types" estimate (p0 = N₁/T) plus the smoothed
+    // counts r* = (r+1)·N_{r+1}/N_r for r = 1..5: the classic smoother
+    // and still the standard coverage diagnostic before an LM/vocab
+    // freeze. Trigrams, not unigrams: this corpus's closed token
+    // vocabulary has no rare tail (min unigram count 26), while the
+    // trigram histogram is properly Zipf (9 424 hapax at sf0.01) — the
+    // granularity where GT smoothing actually operates. Everything
+    // reads off the count-of-counts histogram (|distinct c| rows); the
+    // r ↔ r+1 lookup is a self-join on the tiny histogram; ratios are
+    // one fixed-order double chain each, NULL where N_{r+1} = 0 (the
+    // shared both-engines convention).
+    "x208_good_turing" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(explode(expr("transform(sequence(1, size(ts) - 2), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), " +
+          "' ', element_at(ts, i + 2)))")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        .localCheckpoint() // consumers: totals + the r/r+1 self-join
+      val tot = hist.agg(
+        sum(col("m").cast("decimal(38,0)") * col("c")).cast("long").as("tt"),
+        sum(col("m")).as("vocab"),
+        sum(when(col("c") === 1, col("m")).otherwise(0L)).as("n1"))
+      val rs = hist.filter(col("c") <= 5)
+        .join(hist.select((col("c") - 1).as("c"), col("m").as("m_next")),
+          Seq("c"), "left")
+      rs.crossJoin(broadcast(tot))
+        .select(col("c").as("r"), col("m").as("n_r"),
+          coalesce(col("m_next"), lit(0L)).as("n_r_next"),
+          graft.functions.EngineMath.roundAway(expr(GtStarSql), 6)
+            .as("r_star"), // GtStarSql reads the pre-alias c/m/m_next
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n1 AS DOUBLE) / tt"), 6).as("p0"),
+          col("vocab"), col("tt").as("n_tokens"))
+        .orderBy(col("r"))
+    }),
+    // x209: semantic decontamination probe — the embedding-space
+    // companion to x40's exact n-gram scan: each corpus vector's MAX
+    // cosine against the benchmark slice (vec_id % 50 = 0, the x40
+    // split), bucketed into 0.1-wide bins. The benchmark side is
+    // FIXED-SIZE at any corpus scale, so the scan is one broadcast pass
+    // (the x10 shape — no shuffle on the corpus side); max-cos
+    // quantizes to 4 dp BEFORE the per-vector max and the bin floor, so
+    // both engines bucket identical integers. The histogram output
+    // stays non-empty at every SF (a flagged-pairs list would be empty
+    // on a clean corpus and prove nothing).
+    "x209_semantic_decon" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = embeddingsD(s, dir)
+      val bench = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("bench_id"), col("vec").as("bvec"))
+      val corpus = graft.operators.Dedup.widen(
+        e.filter(col("vec_id") % 50 =!= 0))
+        .select(col("vec_id"), col("vec"))
+      val dot = (x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) => call_function("graft_dot", x, y)
+      corpus.crossJoin(broadcast(bench))
+        .withColumn("cosq",
+          floor(dot(col("vec"), col("bvec")) /
+            (sqrt(dot(col("vec"), col("vec"))) *
+              sqrt(dot(col("bvec"), col("bvec")))) * lit(1e4) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("vec_id")).agg(max(col("cosq")).as("mq"))
+        .withColumn("bin", expr("CAST(floor(CAST(mq AS DOUBLE) / 1e3) AS BIGINT)"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("bin"))
+    }),
     // x197: join-key skew audit over the schema's join graph — the
     // measurement that DECIDES between the plain shuffle join and the
     // salted path (x33/x34): per key column, row/key counts, the hottest
@@ -5794,6 +5865,14 @@ object ExtensionQueries {
     * fixed operand order; single-class → auc 0.5, degenerate (<2 per
     * class) → se 0.
     */
+  /** x208's Good-Turing smoothed count r* = (r+1)·N_{r+1}/N_r over the
+    * count-of-counts histogram columns (c, m, m_next); NULL where no
+    * (r+1)-count types exist — the shared both-engines convention.
+    */
+  private val GtStarSql: String =
+    "CASE WHEN coalesce(m_next, 0) = 0 THEN NULL " +
+      "ELSE CAST(c + 1 AS DOUBLE) * m_next / m END"
+
   private val DlAucSql: String =
     "CASE WHEN mpos = 0 OR nneg = 0 THEN 0.5 " +
       "ELSE CAST(s1 AS DOUBLE) / (2.0 * CAST(nneg AS DOUBLE) * mpos) END"
@@ -9082,6 +9161,44 @@ object ExtensionQueries {
          |  round(($DlAucSql) - 1.96 * ($DlSeSql), 6) AS ci_lo,
          |  round(($DlAucSql) + 1.96 * ($DlSeSql), 6) AS ci_hi
          |FROM agg""".stripMargin.replace("\n", " ")),
+    // same tokenizer + x15-style trigram construction (non-distinct
+    // multiset), same count-of-counts histogram, shared GtStarSql (NULL
+    // convention included) and the same fixed-order p0 read
+    "x208_good_turing" ->
+      (s"""WITH sq AS (SELECT $toks AS s FROM documents),
+         |tk AS (SELECT unnest(
+         |  [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])
+         |  AS t FROM sq WHERE len(s) >= 3),
+         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         |h AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+         |tt AS (SELECT CAST(sum(m * c) AS BIGINT) AS tt,
+         |  CAST(sum(m) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS n1
+         |  FROM h),
+         |j AS (SELECT h.c, h.m, hn.m AS m_next
+         |  FROM h LEFT JOIN h hn ON hn.c = h.c + 1 WHERE h.c <= 5)
+         |SELECT c AS r, m AS n_r,
+         |  CAST(coalesce(m_next, 0) AS BIGINT) AS n_r_next,
+         |  round($GtStarSql, 6) AS r_star,
+         |  round(CAST(n1 AS DOUBLE) / tt, 6) AS p0, vocab,
+         |  tt AS n_tokens
+         |FROM j CROSS JOIN tt ORDER BY r""".stripMargin.replace("\n", " ")),
+    // same x40 benchmark split over embeddings, same 4-dp cosine
+    // quantization BEFORE the per-vector max and the 0.1 bin floor
+    "x209_semantic_decon" ->
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+         |p AS (SELECT c.vec_id,
+         |  CAST(floor(list_dot_product(c.v, b.bv) /
+         |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+         |    * 1e4 + 0.5) AS BIGINT) AS cosq
+         |  FROM c CROSS JOIN b),
+         |mx AS (SELECT vec_id, max(cosq) AS mq FROM p GROUP BY 1),
+         |bn AS (SELECT CAST(floor(CAST(mq AS DOUBLE) / 1e3) AS BIGINT) AS bin
+         |  FROM mx)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM bn GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

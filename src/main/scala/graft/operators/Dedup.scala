@@ -33,7 +33,7 @@ object Dedup {
     * a real cluster the input already has ≥ target partitions and this is
     * a no-op (no shuffle inserted).
     */
-  private[operators] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

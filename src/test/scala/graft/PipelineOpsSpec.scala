@@ -2091,6 +2091,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("x208: Good-Turing histogram accounting and smoothing identities") {
+    val rows = run("x208_good_turing").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val byR = rows.map(r => r.getAs[Long]("r") -> r).toMap
+    assert(byR.contains(1L), "a Zipf trigram tail must have hapax mass")
+    rows.foreach { r =>
+      val nr = r.getAs[Long]("n_r"); val nn = r.getAs[Long]("n_r_next")
+      assert(nr > 0)
+      // adjacent-count consistency: n_r_next here == n_r of the r+1 row
+      byR.get(r.getAs[Long]("r") + 1).foreach { next =>
+        assert(next.getAs[Long]("n_r") == nn)
+      }
+      Option(r.getAs[java.lang.Double]("r_star")).foreach { rs =>
+        val expect = (r.getAs[Long]("r") + 1).toDouble * nn / nr
+        assert(math.abs(rs - expect) <= 2e-6)
+      }
+      val p0 = r.getAs[Double]("p0")
+      assert(p0 > 0 && p0 < 1)
+      assert(math.abs(p0 - byR(1L).getAs[Long]("n_r").toDouble /
+        r.getAs[Long]("n_tokens")) <= 2e-6)
+    }
+  }
+
+  test("x209: semantic-decon bins partition the corpus side exactly") {
+    val rows = run("x209_semantic_decon").collect()
+    assert(rows.nonEmpty)
+    val e = Tables.table(spark, sf(), "embeddings")
+    val nCorpus = e.filter(col("vec_id") % 50 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nCorpus,
+      "every corpus vector lands in exactly one max-cos bin")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= -10 && b <= 10, s"cos bin $b outside [-10, 10]")
+    }
+  }
+
   test("x207: DeLong CI brackets the AUC and agrees with x88's point estimate") {
     val r = run("x207_delong_auc_ci").collect().head
     val auc = r.getAs[Double]("auc")
