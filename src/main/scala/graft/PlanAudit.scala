@@ -61,11 +61,14 @@ object PlanAudit {
 
   /** Appendix: every UNPARTITIONED ordered window in main (the one plan
     * shape that cannot scale when its frame is rows-sized), classified by
-    * the frame it actually runs over. Maintained by hand against the
-    * sweep `Window\b(...chains...)` with no `.partitionBy` (round 11);
-    * adding a NEW unpartitioned window over a rows-scale frame is a
-    * regression — ride `operators/Ranks` (globalRowNumber /
-    * globalCumSums / ntileOfRank) instead, as x63/x139/x193/x170 do.
+    * the frame it actually runs over. The sweep is AUTOMATED since round
+    * 12: WindowSweepSpec scans src/main on every build (comments/strings
+    * stripped), labels each bare `Window.orderBy` by its enclosing query,
+    * and fails if the multiset drifts from its audited list — adding a
+    * NEW unpartitioned window over a rows-scale frame breaks `sbt test`
+    * until the author rides `operators/Ranks` (globalRowNumber /
+    * globalCumSums / ntileOfRank) instead, as x63/x139/x193/x170 do, or
+    * classifies the new site's frame bound both there and here.
     */
   val WindowAuditAppendix: String =
     """

@@ -1113,9 +1113,14 @@ object Dedup {
 object BucketCapMetrics {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.bucketcap")
   private val seq = new java.util.concurrent.atomic.AtomicLong()
+  // Keyed WEAKLY: a strong SparkSession set would pin every session ever
+  // seen (test suites / repeated restarts churn sessions). The listener
+  // itself is registered ON the session (the session references us, not
+  // the reverse), so once the session is collected both sides go away.
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** Attach drop metrics to a frame carrying `__bn` (its bucket's size).
     * Names are sequence-suffixed so several capped joins can share one

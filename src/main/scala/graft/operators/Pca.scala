@@ -85,10 +85,22 @@ object Pca {
       order.map(j => Array.tabulate(d)(i => v(i)(j))).toArray)
   }
 
+  /** Fixed-point scale for the moment sums: products/components are
+    * quantized to 1e-9 and summed as exact DECIMAL(38,0) integers, so the
+    * accumulated moments are independent of partition order and count —
+    * a plain `sum(double)` can flip last-ulp bits between JVM runs, and a
+    * single ulp at a micro-quantization boundary would change staged-
+    * rotation hashes across otherwise-identical rounds. Integer sums are
+    * associative exactly; the only (deterministic) approximation is the
+    * 1e-9 quantization of each term.
+    */
+  private val MomentScale = 1e9
+
   /** Fit the top-`k` principal components of `vecCol` (array<double>,
     * uniform length). Returns the k-row artifact frame
     * (comp 1-based, eigval, trace, mu array, w array) — stage it for the
-    * oracle; memoize it with [[Fitted]].
+    * oracle; memoize it with [[Fitted]]. Deterministic ACROSS runs for a
+    * given corpus (not just within one): see [[MomentScale]].
     */
   def fit(e: DataFrame, vecCol: String, k: Int): DataFrame = {
     val spark = e.sparkSession
@@ -97,23 +109,27 @@ object Pca {
     val pairs = e.select(explode(expr(
         s"flatten(transform($vecCol, (vi, i) -> " +
           s"transform(slice($vecCol, i + 1, size($vecCol) - i), " +
-          "(vj, j) -> struct(i AS i, i + j AS j, vi * vj AS p))))")).as("t"))
+          s"(vj, j) -> struct(i AS i, i + j AS j, CAST(floor(vi * vj * " +
+          s"${MomentScale.toLong}D + 0.5D) AS DECIMAL(38,0)) AS p))))")).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("spp"), count(lit(1)).as("n"))
       .collect()
     val sums = e.select(posexplode(col(vecCol)).as(Seq("i", "v")))
-      .groupBy(col("i")).agg(sum(col("v")).as("sv"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .groupBy(col("i"))
+      .agg(sum(expr(s"CAST(floor(v * ${MomentScale.toLong}D + 0.5D) " +
+        "AS DECIMAL(38,0))")).as("sv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
     val d = sums.size
     require(d > 0 && k >= 1 && k <= d, s"bad pca dims d=$d k=$k")
     val n = pairs.collectFirst { case r if r.getInt(0) == 0 && r.getInt(1) == 0 =>
       r.getLong(3) }.getOrElse(0L)
     require(n > 1, s"pca needs > 1 vectors, got $n")
-    val mu = Array.tabulate(d)(i => sums(i) / n)
+    val mu = Array.tabulate(d)(i => sums(i) / MomentScale / n)
     val cov = Array.ofDim[Double](d, d)
     pairs.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
-      val c = r.getDouble(2) / n - mu(i) * mu(j)
+      val c = r.getDecimal(2).doubleValue() / MomentScale / n - mu(i) * mu(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
     val (evals, evecs) = jacobiEigen(cov)

@@ -40,6 +40,7 @@ object Ranks {
     */
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       out: String): DataFrame = {
+    requireTempColsFree(df)
     // both passes (per-bucket counts, local ranks) consume the bucketed
     // frame in ONE plan — a persist would lose cache substitution on the
     // second occurrence (the a17 DeduplicateRelations trap, see
@@ -48,7 +49,9 @@ object Ranks {
     // and what materializes is only the narrow (order cols + payload) row
     val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
     val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
-    // offsets need only per-bucket COUNTS — no window, one hash agg
+    // the offset pass reduces to per-bucket COUNTS first (one hash agg),
+    // so the exclusive prefix-sum window below runs over #buckets rows
+    // (thousands), never over rows
     val wOff = Window.orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
@@ -70,6 +73,7 @@ object Ranks {
     */
   def globalCumSums(df: DataFrame, bucket: Column, order: Seq[Column],
       sums: Seq[(String, String)]): DataFrame = {
+    requireTempColsFree(df)
     // localCheckpoint for the same two-consumers-one-plan reason as
     // globalRowNumber
     val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
@@ -92,6 +96,18 @@ object Ranks {
         case (d, (c, out)) => d.withColumn(out, col(out) + col(s"__o_$c"))
       }
       .drop("__bkt" +: sums.map { case (c, _) => s"__o_$c" }: _*)
+  }
+
+  /** The device's scratch columns would silently shadow (and be dropped
+    * with) caller columns of the same name — fail loudly instead.
+    */
+  private def requireTempColsFree(df: DataFrame): Unit = {
+    val clash = df.columns.filter(c =>
+      c == "__bkt" || c == "__lr" || c == "__off" ||
+        c.startsWith("__o_") || c.startsWith("__t_") || c == "__n")
+    require(clash.isEmpty,
+      s"Ranks device scratch column(s) ${clash.mkString(", ")} already " +
+        "exist in the input — rename them before calling the device")
   }
 
   /** Exact `ntile(k)` bucket for a row with global rank `rk` (1-based)
