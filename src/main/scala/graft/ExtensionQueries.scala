@@ -5261,6 +5261,213 @@ object ExtensionQueries {
         .reduce(_ unionAll _)
         .orderBy(col("key_col"))
     }),
+    // x210: within-document repetition — the degenerate-text filter every
+    // pretraining pipeline runs (looping/boilerplate text shows as a high
+    // repeated-trigram fraction). Per doc: 1 − distinct/total trigrams,
+    // micro-quantized to a long BEFORE the per-source aggregation so both
+    // engines sum identical integers (no double summation-order drift);
+    // per source: doc count, avg/max repetition, docs over the 0.5 flag.
+    // Scale shape: one trigram explode + a map-side-combined (doc, term)
+    // agg — the same rows-scale pass as x179/x208; everything after is
+    // |docs|→|sources| sized.
+    "x210_repetition" -> ((s, dir) => {
+      val tri = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), " +
+            "' ', element_at(ts, i + 2)))")).as("t"))
+      val per = tri.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n3"), countDistinct(col("t")).as("d3"))
+        .withColumn("repq",
+          floor((col("n3") - col("d3")).cast("double") / col("n3") * lit(1e6)
+            + lit(0.5)).cast("long"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("repq")).as("srq"),
+          max(col("repq")).as("mrq"),
+          sum(when(col("repq") > 500000, lit(1L)).otherwise(lit(0L)))
+            .as("n_flagged"))
+        .select(col("source"), col("n_docs"),
+          graft.functions.EngineMath.roundAway(
+            col("srq").cast("double") / col("n_docs") / lit(1e6), 6)
+            .as("avg_rep"),
+          graft.functions.EngineMath.roundAway(
+            col("mrq").cast("double") / lit(1e6), 6).as("max_rep"),
+          col("n_flagged"))
+        .orderBy(col("source"))
+    }),
+    // x211: Theil–Sen robust trend over the daily event counts — the
+    // monitoring slope estimate outliers can't drag (median of all
+    // pairwise day slopes), the robust companion to the Mann–Kendall
+    // test. Scale shape: ONE rows-scale day aggregate (30 groups at any
+    // SF — days are calendar-bounded); the #days² pair join, the rank
+    // window, and the median read all run on aggregate-bounded frames.
+    // The median is an explicit rank read ((nn+1)/2, (nn+2)/2 averaged)
+    // so both engines pick identical elements under ties.
+    "x211_theil_sen" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        .select(datediff(col("day"), lit("2024-01-01")).cast("long").as("d"),
+          col("c"))
+      val pairs = daily.as("a").join(broadcast(daily.as("b")),
+          col("b.d") > col("a.d"))
+        .select(((col("b.c") - col("a.c")).cast("double") /
+          (col("b.d") - col("a.d")).cast("double")).as("slope"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("slope"))
+      val tot = pairs.agg(count(lit(1)).as("nn"))
+      val dd = daily.agg(count(lit(1)).as("n_days"))
+      pairs.withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(dd))
+        // integer div (Spark's `/` on longs is DOUBLE division — an even
+        // nn would make (nn+1)/2 a .5 no row ever equals)
+        .filter(col("rn") === expr("(nn + 1) div 2") ||
+          col("rn") === expr("(nn + 2) div 2"))
+        .groupBy(col("n_days"), col("nn"))
+        .agg((sum(col("slope")) / count(lit(1))).as("m"))
+        .select(col("n_days"), col("nn").as("n_pairs"),
+          graft.functions.EngineMath.roundAway(col("m"), 6)
+            .as("theil_sen_slope"))
+    }),
+    // x212: pairwise Jensen–Shannon divergence between source unigram
+    // distributions over the global top-300 terms — the mixture-design
+    // read ("which sources are near-duplicates distributionally, which
+    // add diversity") behind reweighting decisions. Scale shape: ONE
+    // rows-scale term explode + (source, term) agg; the top-300 cut,
+    // the |sources|×300 grid, the pair join (|sources|²×300) and the
+    // per-pair fold are all aggregate-bounded and broadcast. Per-term
+    // contributions fold in sorted term order on both engines (the x96
+    // device), so the double sum carries no order drift.
+    "x212_jsd_matrix" -> ((s, dir) => {
+      val per = table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text")))
+          .as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: global top-300 + the selected join
+      val top = per.groupBy(col("t")).agg(sum(col("c")).as("g"))
+        .orderBy(col("g").desc, col("t").asc).limit(300).select(col("t"))
+      val sel = per.join(broadcast(top), "t")
+      val tots = sel.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+      val cells = tots.crossJoin(broadcast(top))
+        .join(sel, Seq("source", "t"), "left")
+        .select(col("source"), col("t"), coalesce(col("c"), lit(0L)).as("c"),
+          col("tot"))
+      cells.as("a").join(broadcast(cells.as("b")),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.t").as("t"), col("a.c").as("ca"), col("a.tot").as("ta"),
+          col("b.c").as("cb"), col("b.tot").as("tb"))
+        .withColumn("contrib", expr(JsdTermSql))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sort_array(collect_list(struct(col("t"), col("contrib"))))
+          .as("cs"))
+        .select(col("src_a"), col("src_b"),
+          graft.functions.EngineMath.roundAway(
+            expr("aggregate(cs, 0.0d, (acc, x) -> acc + x.contrib)"), 6)
+            .as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    // x213: token-budget allocation across sources — greedy knapsack by
+    // quality density (distinct-trigram ratio): spend a 50%-of-corpus
+    // token budget on the highest-quality sources first, fractionally at
+    // the boundary. The capacity planner behind "which sources fit the
+    // next training run". Scale shape: one rows-scale token/trigram pass
+    // (map-side combined); the ranking cumsum runs over #sources rows.
+    // All allocation arithmetic is exact integers; only the output
+    // ratios touch doubles.
+    "x213_budget_alloc" -> ((s, dir) => {
+      val m = table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("ts"))
+      val nTok = m.groupBy(col("source"))
+        .agg(sum(size(col("ts")).cast("long")).as("n1"))
+      val tri = m.filter(size(col("ts")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), " +
+            "' ', element_at(ts, i + 2)))")).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n3"), countDistinct(col("t")).as("d3"))
+      val q = nTok.join(tri, Seq("source"), "left")
+        .select(col("source"), col("n1"),
+          coalesce(floor(col("d3").cast("double") / col("n3") * lit(1e6)
+            + lit(0.5)).cast("long"), lit(0L)).as("qq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("qq").desc, col("source").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = q.agg((sum(col("n1")) / 2).cast("long").as("budget"))
+      q.withColumn("cum", sum(col("n1")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          greatest(lit(0L), least(col("n1"),
+            col("budget") - (col("cum") - col("n1")))))
+        .select(col("source"), col("n1").as("n_tokens"),
+          graft.functions.EngineMath.roundAway(
+            col("qq").cast("double") / lit(1e6), 6).as("quality"),
+          col("alloc").as("alloc_tokens"),
+          graft.functions.EngineMath.roundAway(
+            col("alloc").cast("double") / col("n1"), 6).as("alloc_frac"))
+        .orderBy(col("source"))
+    }),
+    // x214: seasonality profile of the event stream — day-of-week and
+    // hour-of-day load shares vs uniform, the drift-monitoring
+    // companion that separates expected periodic swing from genuine
+    // distribution change before a CUSUM/KS alarm is trusted. One
+    // rows-scale pass per unit (map-side combined into 7 + 24 groups);
+    // everything downstream is constant-sized.
+    "x214_seasonality" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      def profile(unit: String, bucket: org.apache.spark.sql.Column,
+          k: Int): DataFrame = {
+        val d = e.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_events"))
+        val tt = d.agg(sum(col("n_events")).as("tt"))
+        d.crossJoin(broadcast(tt))
+          .select(lit(unit).as("unit"), col("bucket"), col("n_events"),
+            graft.functions.EngineMath.roundAway(
+              col("n_events").cast("double") / col("tt"), 6).as("share"),
+            graft.functions.EngineMath.roundAway(
+              col("n_events").cast("double") * k / col("tt"), 6)
+              .as("ratio_to_uniform"))
+      }
+      profile("dow", (dayofweek(col("ts")) - 1).cast("long"), 7)
+        .unionAll(profile("hour", hour(col("ts")).cast("long"), 24))
+        .orderBy(col("unit"), col("bucket"))
+    }),
+    // x215: exact two-sided 5% trimmed mean of l_extendedprice per
+    // return flag — the robust cost statistic that survives fat-tailed
+    // outliers. NO per-group sort of rows: prices quantize losslessly to
+    // cents (they carry 2 decimals), the per-(flag, cent) histogram is
+    // one map-side-combined pass, and the trim is interval arithmetic on
+    // the histogram's cumulative counts — the window frame is |distinct
+    // cents| (price-range-bounded, ~10M ceiling regardless of rows), the
+    // same value-grouped class as x134. Kept mass sums exactly in
+    // DECIMAL, so both engines emit identical means.
+    "x215_trimmed_mean" -> ((s, dir) => {
+      val h = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tots = h.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      h.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .join(broadcast(tots), "l_returnflag")
+        .withColumn("k", floor(col("n").cast("double") * 0.05).cast("long"))
+        .withColumn("kept",
+          greatest(lit(0L), least(col("cb") + col("c"), col("n") - col("k"))
+            - greatest(col("cb"), col("k"))))
+        .filter(col("kept") > 0)
+        .groupBy(col("l_returnflag"), col("n"), col("k"))
+        .agg(sum(col("kept")).as("n_kept"),
+          sum(col("kept").cast("decimal(38,0)") * col("cents")).as("sw"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("k").as("n_trimmed_each"), col("n_kept"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sw AS DOUBLE) / n_kept / 100.0"), 6)
+            .as("trimmed_mean_price"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -5872,6 +6079,22 @@ object ExtensionQueries {
   private val GtStarSql: String =
     "CASE WHEN coalesce(m_next, 0) = 0 THEN NULL " +
       "ELSE CAST(c + 1 AS DOUBLE) * m_next / m END"
+
+  /** x212's per-term Jensen–Shannon contribution over the exact integer
+    * columns (ca, ta, cb, tb): 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))
+    * with the zero-count sides dropping out — ONE string, identical
+    * operand order on both engines (the per-PAIR sum then folds in
+    * sorted term order, the x96 device).
+    */
+  private val JsdTermSql: String =
+    "CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta) * " +
+      "ln(2.0 * (CAST(ca AS DOUBLE) / ta) / " +
+      "((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb))) " +
+      "ELSE 0.0 END + " +
+      "CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb) * " +
+      "ln(2.0 * (CAST(cb AS DOUBLE) / tb) / " +
+      "((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb))) " +
+      "ELSE 0.0 END"
 
   private val DlAucSql: String =
     "CASE WHEN mpos = 0 OR nneg = 0 THEN 0.5 " +
@@ -9199,6 +9422,131 @@ object ExtensionQueries {
          |  FROM mx)
          |SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM bn GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same trigram comprehension, same per-doc micro-quantization BEFORE
+    // the per-source aggregation (integer sums — no summation-order drift)
+    "x210_repetition" ->
+      (s"""WITH m AS (SELECT doc_id, source, $toks AS s FROM documents),
+         |tri AS (SELECT doc_id, source, unnest(
+         |  [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])
+         |  AS t FROM m WHERE len(s) >= 3),
+         |per AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n3,
+         |  CAST(count(DISTINCT t) AS BIGINT) AS d3 FROM tri GROUP BY 1, 2),
+         |pq AS (SELECT source, CAST(floor(CAST(n3 - d3 AS DOUBLE) / n3 * 1e6
+         |  + 0.5) AS BIGINT) AS repq FROM per)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(repq) AS DOUBLE) / count(*) / 1e6, 6) AS avg_rep,
+         |  round(CAST(max(repq) AS DOUBLE) / 1e6, 6) AS max_rep,
+         |  CAST(sum(CASE WHEN repq > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged
+         |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same pairwise day slopes, same explicit ((nn+1)/2, (nn+2)/2)
+    // rank-median read (ties resolve to the identical multiset element)
+    "x211_theil_sen" ->
+      ("""WITH daily AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+         |    CAST(ts AS DATE)) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+         |p AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+         |  AS slope FROM daily a JOIN daily b ON b.d > a.d),
+         |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p),
+         |dd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+         |SELECT n_days, nn AS n_pairs,
+         |  round(sum(slope) / count(*), 6) AS theil_sen_slope
+         |FROM r CROSS JOIN t CROSS JOIN dd
+         |WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+    // same top-300 cut (count desc, term asc), same renormalized grid,
+    // same per-term contribution string folded in sorted term order
+    "x212_jsd_matrix" ->
+      (s"""WITH per AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($toks) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT t FROM (SELECT t, sum(c) AS g FROM per GROUP BY 1)
+         |  ORDER BY g DESC, t ASC LIMIT 300),
+         |sel AS (SELECT per.source, per.t, per.c FROM per
+         |  JOIN top ON per.t = top.t),
+         |tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+         |  FROM sel GROUP BY 1),
+         |cells AS (SELECT g.source, g.t,
+         |    CAST(coalesce(s.c, 0) AS BIGINT) AS c, g.tot
+         |  FROM (SELECT tots.source, tots.tot, top.t
+         |        FROM tots CROSS JOIN top) g
+         |  LEFT JOIN sel s ON s.source = g.source AND s.t = g.t),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b, a.t AS t,
+         |    a.c AS ca, a.tot AS ta, b.c AS cb, b.tot AS tb
+         |  FROM cells a JOIN cells b
+         |  ON a.t = b.t AND a.source < b.source),
+         |ct AS (SELECT src_a, src_b, t, $JsdTermSql AS contrib FROM pr),
+         |g2 AS (SELECT src_a, src_b, list(contrib ORDER BY t) AS cs
+         |  FROM ct GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |  round(list_reduce(list_prepend(0.0, cs), (x, y) -> x + y), 6)
+         |    AS jsd
+         |FROM g2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+    // same quality quantization, same greedy cumulative-token knapsack
+    // (exact integers; ratios touch doubles only at the output)
+    "x213_budget_alloc" ->
+      (s"""WITH m AS (SELECT source, $toks AS s FROM documents),
+         |ntok AS (SELECT source, CAST(sum(len(s)) AS BIGINT) AS n1
+         |  FROM m GROUP BY 1),
+         |tri AS (SELECT source, unnest(
+         |  [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])
+         |  AS t FROM m WHERE len(s) >= 3),
+         |tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n3,
+         |  CAST(count(DISTINCT t) AS BIGINT) AS d3 FROM tri GROUP BY 1),
+         |q AS (SELECT ntok.source, n1,
+         |  CAST(coalesce(floor(CAST(d3 AS DOUBLE) / n3 * 1e6 + 0.5), 0)
+         |    AS BIGINT) AS qq
+         |  FROM ntok LEFT JOIN tr ON ntok.source = tr.source),
+         |t AS (SELECT CAST(sum(n1) // 2 AS BIGINT) AS budget FROM q),
+         |cumq AS (SELECT source, n1, qq, sum(n1) OVER (ORDER BY qq DESC,
+         |  source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS cum FROM q)
+         |SELECT source, n1 AS n_tokens,
+         |  round(CAST(qq AS DOUBLE) / 1e6, 6) AS quality,
+         |  CAST(greatest(0, least(n1, budget - (cum - n1))) AS BIGINT)
+         |    AS alloc_tokens,
+         |  round(CAST(greatest(0, least(n1, budget - (cum - n1)))
+         |    AS DOUBLE) / n1, 6) AS alloc_frac
+         |FROM cumq CROSS JOIN t ORDER BY source""".stripMargin
+        .replace("\n", " ")),
+    // same dow (0=Sunday) / hour buckets, same share arithmetic
+    "x214_seasonality" ->
+      ("""WITH d AS (SELECT 'dow' AS unit, CAST(dayofweek(ts) AS BIGINT)
+         |    AS bucket, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 2),
+         |h AS (SELECT 'hour' AS unit, CAST(hour(ts) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 2),
+         |u AS (SELECT *, 7 AS k FROM d UNION ALL SELECT *, 24 AS k FROM h),
+         |tt AS (SELECT unit, CAST(sum(n_events) AS BIGINT) AS tt
+         |  FROM u GROUP BY 1)
+         |SELECT u.unit AS unit, bucket, n_events,
+         |  round(CAST(n_events AS DOUBLE) / tt, 6) AS share,
+         |  round(CAST(n_events AS DOUBLE) * k / tt, 6) AS ratio_to_uniform
+         |FROM u JOIN tt ON u.unit = tt.unit
+         |ORDER BY unit, bucket""".stripMargin.replace("\n", " ")),
+    // same lossless cent quantization, same histogram-interval trim
+    // arithmetic, same exact DECIMAL kept-mass sum
+    "x215_trimmed_mean" ->
+      ("""WITH h AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+         |w AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY l_returnflag
+         |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+         |    PRECEDING), 0) AS cb FROM h),
+         |tots AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+         |  FROM h GROUP BY 1),
+         |k AS (SELECT w.*, n, CAST(floor(CAST(n AS DOUBLE) * 0.05)
+         |    AS BIGINT) AS k FROM w JOIN tots USING (l_returnflag)),
+         |kept AS (SELECT l_returnflag, n, k, cents,
+         |    greatest(0, least(cb + c, n - k) - greatest(cb, k)) AS kept
+         |  FROM k)
+         |SELECT l_returnflag, n AS n_rows, k AS n_trimmed_each,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CAST(kept AS DECIMAL(38,0)) * cents) AS DOUBLE)
+         |    / CAST(sum(kept) AS BIGINT) / 100.0, 6) AS trimmed_mean_price
+         |FROM kept WHERE kept > 0 GROUP BY 1, 2, 3
+         |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

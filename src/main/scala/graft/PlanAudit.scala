@@ -99,6 +99,8 @@ object PlanAudit {
       || x128 quota remainders | per-source rows | #sources | safe |
       || x142 Zipf rank / x153 Hill | top-100 / top-51 cut upstream | ≤ 100 / ≤ 51 | safe |
       || x169 HITS rank | top-10 cut upstream (TakeOrderedAndProject) | ≤ 10 | safe |
+      || x211 slope rank | pairwise day slopes | #days² (calendar-bounded) | safe |
+      || x213 budget cumsum | per-source token totals | #sources | safe |
       || x171 BH rank | per-source χ² rows | #sources | safe |
       || x193 decile cum | decile aggregates | 10 | safe |
       |

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Adversarial (oracle-independent) checks for the round-12 robust-stats
+  * and corpus-profile operators: each query's scale-safe formulation is
+  * re-derived NAIVELY on the driver from the collected base data at
+  * sf0.001, so a histogram/rank-arithmetic bug cannot hide behind a
+  * DuckDB oracle that mirrors the same arithmetic.
+  */
+class RobustStatsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf()).collect()
+
+  test("x215 trimmed mean ≡ naive sort-and-trim (to the cent)") {
+    val rows = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1)
+    val expected = rows.map { case (flag, fs) =>
+      val cents = fs.map(_._2).sorted
+      val k = math.floor(cents.length * 0.05).toInt
+      val kept = cents.slice(k, cents.length - k)
+      flag -> (cents.length.toLong, k.toLong, kept.length.toLong,
+        kept.map(BigInt(_)).sum.toDouble / kept.length / 100.0)
+    }
+    val got = q("x215_trimmed_mean")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (flag, (n, k, nk, mean)) =>
+      val (gn, gk, gnk, gmean) = got(flag)
+      assert(gn == n && gk == k && gnk == nk, s"counts differ for $flag")
+      assert(math.abs(gmean - mean) < 1e-6,
+        s"trimmed mean for $flag: got $gmean, naive $mean")
+    }
+  }
+
+  test("x211 Theil–Sen slope ≡ brute-force pairwise-slope median") {
+    val daily = spark.read.parquet(sf() + "/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+      (daily(j)._1 - daily(i)._1).toDouble).sorted
+    val nn = slopes.length
+    val median = (slopes((nn + 1) / 2 - 1) + slopes((nn + 2) / 2 - 1)) / 2
+    val Array(r) = q("x211_theil_sen")
+    assert(r.getLong(0) == daily.length.toLong, "n_days")
+    assert(r.getLong(1) == nn.toLong, "n_pairs")
+    assert(math.abs(r.getDouble(2) - median) < 1e-6,
+      s"slope: got ${r.getDouble(2)}, naive $median")
+  }
+
+  test("x212 JSD is in [0, ln 2], covers every source pair once") {
+    val rows = q("x212_jsd_matrix")
+    val sources = spark.read.parquet(sf() + "/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == sources * (sources - 1) / 2, "pair count")
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9,
+        s"jsd out of range: ${r.getString(0)}/${r.getString(1)} = $j")
+      assert(r.getString(0) < r.getString(1), "upper triangle only")
+    }
+  }
+
+  test("x213 allocation telescopes to the budget and respects caps") {
+    val rows = q("x213_budget_alloc").map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    assert(rows.map(_._4).sum == budget,
+      s"allocated ${rows.map(_._4).sum} != budget $budget")
+    rows.foreach { case (src, n, _, a) =>
+      assert(a >= 0 && a <= n, s"$src alloc $a outside [0, $n]")
+    }
+    // greedy prefix property: in quality-desc (source-asc) order, every
+    // source before the boundary is fully funded, everything after is 0
+    val ordered = rows.sortBy { case (src, _, qq, _) => (-qq, src) }
+    val fracs = ordered.map { case (_, n, _, a) =>
+      if (a == n) 2 else if (a > 0) 1 else 0 }
+    assert(fracs.sliding(2).forall(p => p(0) >= p(1)),
+      s"allocation is not a greedy prefix: ${ordered.mkString(", ")}")
+  }
+
+  test("x210 repetition stats are consistent with a driver recount") {
+    val got = q("x210_repetition")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2).trim.split("\\s+")
+        .filter(_.nonEmpty)))
+      .filter(_._2.length >= 3)
+    val repqs = docs.map { case (src, ts) =>
+      val tris = ts.sliding(3).map(_.mkString(" ")).toSeq
+      val repq = math.floor(
+        (tris.size - tris.distinct.size).toDouble / tris.size * 1e6 + 0.5)
+        .toLong
+      (src, repq)
+    }.groupBy(_._1)
+    assert(got.keySet == repqs.keySet)
+    repqs.foreach { case (src, xs) =>
+      val (nDocs, avg, mx, flagged) = got(src)
+      assert(nDocs == xs.length.toLong, s"$src n_docs")
+      assert(math.abs(avg - xs.map(_._2).sum.toDouble / xs.length / 1e6) < 1e-6)
+      assert(math.abs(mx - xs.map(_._2).max / 1e6) < 1e-6)
+      assert(flagged == xs.count(_._2 > 500000).toLong, s"$src n_flagged")
+    }
+  }
+
+  test("x214 shares sum to 1 per unit; buckets stay in range") {
+    val rows = q("x214_seasonality")
+    val byUnit = rows.groupBy(_.getString(0))
+    assert(byUnit.keySet == Set("dow", "hour"))
+    byUnit.foreach { case (unit, rs) =>
+      val hi = if (unit == "dow") 7L else 24L
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0L && r.getLong(1) < hi, s"$unit bucket")
+      }
+      val share = rs.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$unit shares sum to $share")
+    }
+  }
+}

@@ -81,8 +81,12 @@ class WindowSweepSpec extends AnyFunSuite {
     val sitePat = java.util.regex.Pattern.compile("\\bWindow\\s*\\.\\s*orderBy")
     val keyPat = java.util.regex.Pattern.compile(
       "\"([a-z][0-9a-z_]*)\"\\s*->\\s*\\(\\(")
+    // top-level object members ONLY (2-space indent): intermediate vals
+    // inside query lambdas must not shadow the query-key label, and the
+    // map's own `def queries` line is the fallback for sites inside it
     val defPat = java.util.regex.Pattern.compile(
-      "(?:def|val)\\s+([A-Za-z0-9_]+)")
+      "(?m)^  (?:private(?:\\[\\w+\\])?\\s+)?(?:final\\s+)?(?:lazy\\s+)?" +
+        "(?:def|val)\\s+([A-Za-z0-9_]+)")
     val counts = scala.collection.mutable.Map.empty[String, Int]
     for (f <- files.sortBy(_.toString)) {
       val src = java.nio.file.Files.readString(f)
@@ -90,22 +94,25 @@ class WindowSweepSpec extends AnyFunSuite {
       val m = sitePat.matcher(code)
       while (m.find()) {
         val file = root.relativize(f).toString
-        // in the query registries the meaningful enclosure is the QUERY
-        // KEY (a site's own `val w = Window...` name tells a reviewer
-        // nothing); elsewhere it's the nearest enclosing member
-        val isRegistry = file.endsWith("ExtensionQueries.scala") ||
-          file.endsWith("EtlQueries.scala")
-        val label = if (isRegistry) {
-          val km = keyPat.matcher(src.substring(0, m.start()))
-          var lastKey: String = "?"
-          while (km.find()) lastKey = km.group(1)
-          lastKey
-        } else {
-          val dm = defPat.matcher(code.substring(0, m.start()))
-          var lastDef: String = "?"
-          while (dm.find()) lastDef = dm.group(1)
-          lastDef
-        }
+        // label = the CLOSEST preceding enclosure: a query key ("x63_…" ->)
+        // when the site is inside a query lambda, else the nearest `def`
+        // (helper defs defined after the query map would otherwise inherit
+        // whatever key happens to be last in the map — unstable). The
+        // site's own one-letter window val (`val w = Window…`) never wins
+        // because the defPat match for it sits AFTER keyPat candidates
+        // only when it genuinely encloses — and `val w`/`val wOff` style
+        // names are excluded below so the label stays meaningful.
+        val km = keyPat.matcher(src.substring(0, m.start()))
+        var lastKey = "?"; var lastKeyAt = -1
+        while (km.find()) { lastKey = km.group(1); lastKeyAt = km.start() }
+        val dm = defPat.matcher(code.substring(0, m.start()))
+        var lastDef = "?"; var lastDefAt = -1
+        while (dm.find()) { lastDef = dm.group(1); lastDefAt = dm.start() }
+        // closest enclosure wins: a site inside a query lambda labels by
+        // its key (the last top-level def is `queries` itself, further
+        // away); a site in a helper defined after the map labels by that
+        // helper's name instead of whatever key happens to be last
+        val label = if (lastKeyAt >= lastDefAt) lastKey else lastDef
         val key = s"$file!$label"
         counts(key) = counts.getOrElse(key, 0) + 1
       }
@@ -136,9 +143,10 @@ class WindowSweepSpec extends AnyFunSuite {
     */
   private val Audited: Map[String, Int] = Map(
     // the shared rank device's own offset windows: #buckets-rows frames
-    "graft/operators/Ranks.scala!wOff" -> 2,
+    "graft/operators/Ranks.scala!globalRowNumber" -> 1,
+    "graft/operators/Ranks.scala!globalCumSums" -> 1,
     // epoch-shard offsets: (priority band × ticket prefix) counts
-    "graft/operators/Shards.scala!offsets" -> 1,
+    "graft/operators/Shards.scala!ranked" -> 1,
     // value-grouped cums: frame = |distinct quantized values|
     "graft/ExtensionQueries.scala!x88_model_auc" -> 1,
     "graft/ExtensionQueries.scala!x134_ks_drift" -> 1,
@@ -152,12 +160,18 @@ class WindowSweepSpec extends AnyFunSuite {
     // count-of-counts histogram prefixes: O(distinct counts)
     "graft/ExtensionQueries.scala!x151_gini_concentration" -> 1,
     "graft/ExtensionQueries.scala!x152_coverage_curve" -> 1,
-    "graft/ExtensionQueries.scala!x197_skew_audit" -> 4,
+    "graft/ExtensionQueries.scala!x197_skew_audit" -> 1,
+    // shared helpers: count-of-counts / per-day frames (x151/x152/x197
+    // and the daily-CUSUM family ride these)
+    "graft/ExtensionQueries.scala!w1OverCounts" -> 1,
+    "graft/ExtensionQueries.scala!cusumOverDaily" -> 2,
     // aggregate-bounded frames (stages / sources / days / top-k cuts)
     "graft/ExtensionQueries.scala!x113_quantile_normalize" -> 1,
     "graft/ExtensionQueries.scala!x127_pipeline_funnel" -> 1,
     "graft/ExtensionQueries.scala!x128_quota_sample" -> 1,
     "graft/ExtensionQueries.scala!x142_zipf_fit" -> 1,
+    "graft/ExtensionQueries.scala!x211_theil_sen" -> 1,
+    "graft/ExtensionQueries.scala!x213_budget_alloc" -> 1,
     "graft/ExtensionQueries.scala!x153_hill_tail" -> 1,
     "graft/ExtensionQueries.scala!x169_hits" -> 1,
     "graft/ExtensionQueries.scala!x171_bh_fdr" -> 1,
