@@ -5468,6 +5468,142 @@ object ExtensionQueries {
             .as("trimmed_mean_price"))
         .orderBy(col("l_returnflag"))
     }),
+    // x216: HyperLogLog distinct-text estimate per source — the
+    // mergeable-sketch cardinality read a 100 TB pipeline keeps instead
+    // of exact distincts (registers are 512 small ints per source,
+    // mergeable across shards/days by register-max; the exact column
+    // here exists to measure the sketch's error). Register build is
+    // engine-specific (xxhash64) and STAGES (the x46 hand-off); the
+    // estimate arithmetic is exact INTEGER register mass — Σ2^(56−M)
+    // in DECIMAL (powers of two are exact, decimal sums are
+    // order-free) — then one fixed-order double read (shared
+    // HllEstSql), so both engines derive identical estimates from the
+    // staged registers.
+    "x216_hll_distinct" -> ((s, dir) => {
+      val p = 9; val m = 1 << p
+      val regs = table(s, dir, "documents")
+        .select(col("source"), xxhash64(col("text")).as("h"))
+        .select(col("source"),
+          expr(s"shiftrightunsigned(h, ${64 - p})").as("bucket"),
+          expr(s"h & ${(1L << (64 - p)) - 1}").as("w"))
+        .withColumn("mreg",
+          when(col("w") === 0, lit(64 - p + 1))
+            .otherwise(lit(64 - p + 1) - length(expr("bin(w)")))
+          .cast("long"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(col("mreg")).as("mreg"))
+        .localCheckpoint() // consumers: the stage dump + the estimate
+      Stage.write(regs, dir, "x216_regs")
+      val est = regs.groupBy(col("source"))
+        .agg(count(lit(1)).as("present"),
+          sum(pow(lit(2.0), lit(64 - p + 1) - col("mreg"))
+            .cast("decimal(38,0)")).as("mass"))
+        .select(col("source"), lit(m.toLong).as("m"),
+          (lit(m.toLong) - col("present")).as("zeros"),
+          (col("mass") + (lit(m.toLong) - col("present"))
+            .cast("decimal(38,0)") * lit(1L << (64 - p + 1))
+            .cast("decimal(38,0)")).as("sumscaled"))
+        .withColumn("hll_est_raw", expr(HllEstSql(m)))
+      val exact = table(s, dir, "documents").groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("m"), col("n_exact"),
+          graft.functions.EngineMath.roundAway(col("hll_est_raw"), 2)
+            .as("hll_est"),
+          graft.functions.EngineMath.roundAway(
+            (col("hll_est_raw") - col("n_exact").cast("double")) /
+              col("n_exact"), 6).as("rel_err"))
+        .orderBy(col("source"))
+    }),
+    // x217: Spearman vs Pearson correlation between document length
+    // (n_chars) and token count — the "is this quality signal just
+    // length in disguise" datacard read. NO rows-scale rank sort:
+    // tie-averaged ranks come from the two VALUE histograms (doubled to
+    // integers: r2 = 2·smaller + equal + 1, frame = |distinct values|,
+    // bounded by the length range), broadcast back onto one scan, and
+    // both correlations reduce to exact DECIMAL moment sums read out in
+    // one fixed-order double expression (shared CorrSql).
+    "x217_spearman" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("y"))
+        .localCheckpoint() // consumers: two value hists + the moment scan
+      def rankMap(c: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .select(col("v").as(c), (lit(2L) * col("cb") + col("cnt") + 1L)
+            .as(s"r2$c"))
+      }
+      d.join(broadcast(rankMap("x")), "x")
+        .join(broadcast(rankMap("y")), "y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+          sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+          sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+          sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"),
+          sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)")).as("rsx"),
+          sum(col("y").cast("decimal(38,0)")).as("rsy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("rsxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("rsyy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("rsxy"))
+        .select(col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr(CorrSql("sx", "sy", "sxx", "syy", "sxy")), 6)
+            .as("spearman_rho"),
+          graft.functions.EngineMath.roundAway(
+            expr(CorrSql("rsx", "rsy", "rsxx", "rsyy", "rsxy")), 6)
+            .as("pearson_r"))
+    }),
+    // x218: median + MAD (median absolute deviation) of l_extendedprice
+    // per return flag — the robust location/scale pair that survives the
+    // fat tails the mean/stddev don't. Built ENTIRELY on the x215 cent
+    // histogram: the median is doubled-rank interval arithmetic on
+    // cumulative counts, and the |2·cents − med2| deviation histogram is
+    // a RE-AGGREGATION of the cent histogram (never a second rows-scale
+    // scan) whose median reads the same way. Every intermediate is an
+    // exact integer; doubles appear only in the final /200, /400 reads.
+    "x218_mad" -> ((s, dir) => {
+      val hist = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: median read + deviation re-agg
+      val tots = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      def median2(h: DataFrame, vCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col(vCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        h.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+          .join(broadcast(tots), "l_returnflag")
+          .withColumn("r1", expr("(n + 1) div 2"))
+          .withColumn("r2", expr("(n + 2) div 2"))
+          .select(col("l_returnflag"), col("n"),
+            when(col("cb") < col("r1") && col("r1") <= col("cb") + col("c"),
+              col(vCol)).as("v1"),
+            when(col("cb") < col("r2") && col("r2") <= col("cb") + col("c"),
+              col(vCol)).as("v2"))
+          .groupBy(col("l_returnflag"), col("n"))
+          .agg((max(col("v1")) + max(col("v2"))).as("med2"))
+      }
+      val med = median2(hist, "cents")
+      val dev = hist.join(broadcast(med.select(col("l_returnflag"),
+          col("med2"))), "l_returnflag")
+        .groupBy(col("l_returnflag"),
+          abs(lit(2L) * col("cents") - col("med2")).as("ad"))
+        .agg(sum(col("c")).as("c"))
+      val mad = median2(dev, "ad")
+        .select(col("l_returnflag"), col("med2").as("mad4"))
+      med.join(mad, "l_returnflag")
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          graft.functions.EngineMath.roundAway(
+            col("med2").cast("double") / 200.0, 6).as("median_price"),
+          graft.functions.EngineMath.roundAway(
+            col("mad4").cast("double") / 400.0, 6).as("mad_price"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -6095,6 +6231,38 @@ object ExtensionQueries {
       "ln(2.0 * (CAST(cb AS DOUBLE) / tb) / " +
       "((CAST(ca AS DOUBLE) / ta) + (CAST(cb AS DOUBLE) / tb))) " +
       "ELSE 0.0 END"
+
+  /** x216's HLL estimate read over (m, zeros, sumscaled): the raw
+    * harmonic-mean estimate α·m²·2⁵⁶/Σ2^(56−M) (the register mass is an
+    * exact DECIMAL integer — order-free), with the standard small-range
+    * linear-counting correction. α is a Scala-computed double embedded
+    * via its shortest round-trip literal, so both engines parse the
+    * identical value. ONE string, fixed operand order.
+    */
+  private def HllEstSql(m: Int): String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = s"($alpha * CAST(m AS DOUBLE) * m * 72057594037927936.0 " +
+      "/ CAST(sumscaled AS DOUBLE))"
+    s"CASE WHEN $raw <= 2.5 * m AND zeros > 0 " +
+      "THEN CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE) / zeros) " +
+      s"ELSE $raw END"
+  }
+
+  /** x217's correlation read over exact DECIMAL moment sums (n, Σx, Σy,
+    * Σx², Σy², Σxy): each moment casts to double ONCE, then a fixed
+    * operand order both engines share; zero variance pins to 0.0 by
+    * convention (correlation with a constant is undefined).
+    */
+  private def CorrSql(sx: String, sy: String, sxx: String, syy: String,
+      sxy: String): String = {
+    val den = s"(sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) - " +
+      s"CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) * " +
+      s"sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) - " +
+      s"CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))"
+    s"CASE WHEN $den = 0 THEN 0.0 ELSE " +
+      s"(CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) - " +
+      s"CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) / $den END"
+  }
 
   private val DlAucSql: String =
     "CASE WHEN mpos = 0 OR nneg = 0 THEN 0.5 " +
@@ -9546,6 +9714,95 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(kept AS DECIMAL(38,0)) * cents) AS DOUBLE)
          |    / CAST(sum(kept) AS BIGINT) / 100.0, 6) AS trimmed_mean_price
          |FROM kept WHERE kept > 0 GROUP BY 1, 2, 3
+         |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+    // estimate re-derived from the STAGED registers (xxhash64 is the
+    // engine-specific half; register mass is exact decimal both sides)
+    "x216_hll_distinct" ->
+      (s"""WITH regs AS (SELECT source, bucket, mreg
+         |  FROM ${Stage.sqlRef("x216_regs")}),
+         |est AS (SELECT source, CAST(count(*) AS BIGINT) AS present,
+         |  sum(CAST(power(2.0, 56 - mreg) AS DECIMAL(38,0))) AS mass
+         |  FROM regs GROUP BY 1),
+         |e2 AS (SELECT source, CAST(512 AS BIGINT) AS m,
+         |  CAST(512 - present AS BIGINT) AS zeros,
+         |  mass + CAST(512 - present AS DECIMAL(38,0)) *
+         |    CAST(72057594037927936 AS DECIMAL(38,0)) AS sumscaled
+         |  FROM est),
+         |e3 AS (SELECT source, m, zeros, ${HllEstSql(512)} AS hll_est_raw
+         |  FROM e2),
+         |ex AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT)
+         |  AS n_exact FROM documents GROUP BY 1)
+         |SELECT e3.source AS source, m, n_exact,
+         |  round(hll_est_raw, 2) AS hll_est,
+         |  round((hll_est_raw - CAST(n_exact AS DOUBLE)) / n_exact, 6)
+         |    AS rel_err
+         |FROM e3 JOIN ex ON e3.source = ex.source
+         |ORDER BY source""".stripMargin.replace("\n", " ")),
+    // same doubled tie-averaged ranks off the value histograms, same
+    // decimal moments, shared CorrSql fixed-order reads
+    "x217_spearman" ->
+      (s"""WITH d AS (SELECT n_chars AS x, CAST(len($toks) AS BIGINT) AS y
+         |  FROM documents),
+         |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+         |rx AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+         |  AS r2x FROM hx),
+         |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+         |ry AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+         |  AS r2y FROM hy),
+         |j AS (SELECT d.x, d.y, r2x, r2y FROM d
+         |  JOIN rx ON d.x = rx.x JOIN ry ON d.y = ry.y),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(r2x AS DECIMAL(38,0))) AS sx,
+         |  sum(CAST(r2y AS DECIMAL(38,0))) AS sy,
+         |  sum(CAST(r2x AS DECIMAL(38,0)) * r2x) AS sxx,
+         |  sum(CAST(r2y AS DECIMAL(38,0)) * r2y) AS syy,
+         |  sum(CAST(r2x AS DECIMAL(38,0)) * r2y) AS sxy,
+         |  sum(CAST(x AS DECIMAL(38,0))) AS rsx,
+         |  sum(CAST(y AS DECIMAL(38,0))) AS rsy,
+         |  sum(CAST(x AS DECIMAL(38,0)) * x) AS rsxx,
+         |  sum(CAST(y AS DECIMAL(38,0)) * y) AS rsyy,
+         |  sum(CAST(x AS DECIMAL(38,0)) * y) AS rsxy FROM j)
+         |SELECT n,
+         |  round(${CorrSql("sx", "sy", "sxx", "syy", "sxy")}, 6)
+         |    AS spearman_rho,
+         |  round(${CorrSql("rsx", "rsy", "rsxx", "rsyy", "rsxy")}, 6)
+         |    AS pearson_r
+         |FROM mo""".stripMargin.replace("\n", " ")),
+    // same cent histogram, same doubled-rank interval-median reads, same
+    // deviation RE-AGGREGATION of the histogram (no second row scan)
+    "x218_mad" ->
+      ("""WITH hist AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+         |tots AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+         |  FROM hist GROUP BY 1),
+         |w1 AS (SELECT h.*, coalesce(sum(c) OVER (PARTITION BY l_returnflag
+         |  ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  0) AS cb FROM hist h),
+         |m1 AS (SELECT w1.l_returnflag, n,
+         |  max(CASE WHEN cb < (n+1)//2 AND (n+1)//2 <= cb + c
+         |    THEN cents END) +
+         |  max(CASE WHEN cb < (n+2)//2 AND (n+2)//2 <= cb + c
+         |    THEN cents END) AS med2
+         |  FROM w1 JOIN tots USING (l_returnflag) GROUP BY 1, 2),
+         |dev AS (SELECT hist.l_returnflag, abs(2 * cents - med2) AS ad,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM hist JOIN m1 USING (l_returnflag) GROUP BY 1, 2),
+         |w2 AS (SELECT d.*, coalesce(sum(c) OVER (PARTITION BY l_returnflag
+         |  ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  0) AS cb FROM dev d),
+         |m2 AS (SELECT w2.l_returnflag,
+         |  max(CASE WHEN cb < (n+1)//2 AND (n+1)//2 <= cb + c
+         |    THEN ad END) +
+         |  max(CASE WHEN cb < (n+2)//2 AND (n+2)//2 <= cb + c
+         |    THEN ad END) AS mad4
+         |  FROM w2 JOIN tots USING (l_returnflag) GROUP BY 1)
+         |SELECT m1.l_returnflag AS l_returnflag, n AS n_rows,
+         |  round(CAST(med2 AS DOUBLE) / 200.0, 6) AS median_price,
+         |  round(CAST(mad4 AS DOUBLE) / 400.0, 6) AS mad_price
+         |FROM m1 JOIN m2 USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split

@@ -101,6 +101,7 @@ object PlanAudit {
       || x169 HITS rank | top-10 cut upstream (TakeOrderedAndProject) | ≤ 10 | safe |
       || x211 slope rank | pairwise day slopes | #days² (calendar-bounded) | safe |
       || x213 budget cumsum | per-source token totals | #sources | safe |
+      || x217 rank maps | value histograms | distinct lengths (range-bounded) | safe |
       || x171 BH rank | per-source χ² rows | #sources | safe |
       || x193 decile cum | decile aggregates | 10 | safe |
       |

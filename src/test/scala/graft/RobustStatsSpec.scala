@@ -115,6 +115,75 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("x218 median and MAD ≡ naive per-flag sort computation") {
+    val rows = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1)
+    def med2Of(xs: Array[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val got = q("x218_mad").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    rows.foreach { case (flag, fs) =>
+      val cents = fs.map(_._2)
+      val med2 = med2Of(cents)
+      val mad4 = med2Of(cents.map(c => math.abs(2 * c - med2)))
+      val (n, gmed, gmad) = got(flag)
+      assert(n == cents.length.toLong)
+      assert(math.abs(gmed - med2 / 200.0) < 1e-6, s"$flag median")
+      assert(math.abs(gmad - mad4 / 400.0) < 1e-6, s"$flag mad")
+    }
+  }
+
+  test("x217 Spearman/Pearson ≡ naive driver computation") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select("n_chars", "text").collect()
+      .map(r => (r.getLong(0).toDouble,
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toDouble))
+    def pearson(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = xs.length
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      num / den
+    }
+    def avgRanks(v: Array[Double]): Array[Double] = {
+      val groups = v.zipWithIndex.groupBy(_._1)
+      val out = new Array[Double](v.length)
+      var below = 0L
+      groups.toSeq.sortBy(_._1).foreach { case (_, g) =>
+        val r = below + (g.length + 1) / 2.0
+        g.foreach { case (_, i) => out(i) = r }
+        below += g.length
+      }
+      out
+    }
+    val Array(r) = q("x217_spearman")
+    assert(r.getLong(0) == d.length.toLong)
+    val rho = pearson(avgRanks(d.map(_._1)), avgRanks(d.map(_._2)))
+    val pr = pearson(d.map(_._1), d.map(_._2))
+    assert(math.abs(r.getDouble(1) - rho) < 1e-6,
+      s"spearman: got ${r.getDouble(1)}, naive $rho")
+    assert(math.abs(r.getDouble(2) - pr) < 1e-6,
+      s"pearson: got ${r.getDouble(2)}, naive $pr")
+  }
+
+  test("x216 HLL estimate lands within sketch error of the exact count") {
+    val rows = q("x216_hll_distinct")
+    rows.foreach { r =>
+      val (exact, est, relErr) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // p=9 → 512 registers → σ ≈ 1.04/√512 ≈ 4.6%; 4σ bound with room
+      assert(math.abs(relErr) < 0.20,
+        s"${r.getString(0)}: est $est vs exact $exact (rel $relErr)")
+      // est is rounded to 2 dp and rel_err to 6 dp — allow both slacks
+      assert(math.abs(est / exact - 1.0 - relErr) < 0.005 / exact + 1e-6,
+        "rel_err consistency")
+    }
+  }
+
   test("x214 shares sum to 1 per unit; buckets stay in range") {
     val rows = q("x214_seasonality")
     val byUnit = rows.groupBy(_.getString(0))

@@ -172,6 +172,7 @@ class WindowSweepSpec extends AnyFunSuite {
     "graft/ExtensionQueries.scala!x142_zipf_fit" -> 1,
     "graft/ExtensionQueries.scala!x211_theil_sen" -> 1,
     "graft/ExtensionQueries.scala!x213_budget_alloc" -> 1,
+    "graft/ExtensionQueries.scala!x217_spearman" -> 1,
     "graft/ExtensionQueries.scala!x153_hill_tail" -> 1,
     "graft/ExtensionQueries.scala!x169_hits" -> 1,
     "graft/ExtensionQueries.scala!x171_bh_fdr" -> 1,
