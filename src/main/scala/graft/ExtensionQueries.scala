@@ -5604,6 +5604,78 @@ object ExtensionQueries {
             col("mad4").cast("double") / 400.0, 6).as("mad_price"))
         .orderBy(col("l_returnflag"))
     }),
+    // x219: language-ID confusion matrix — the heuristic classifier
+    // (x02's marker-count langIdOf) evaluated against the stored lang
+    // labels: per (truth, guess) cell counts and the within-truth share.
+    // The measurement that decides whether the cheap n-gram heuristic is
+    // good enough to gate a 100 TB ingest or a model-based ID is needed.
+    // One rows-scale pass (classify + count into ≤ |langs|² cells).
+    "x219_langid_eval" -> ((s, dir) => {
+      val cells = table(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // consumers: cells + per-truth totals
+      val tots = cells.groupBy(col("lang")).agg(sum(col("n")).as("nt"))
+      cells.join(broadcast(tots), "lang")
+        .select(col("lang"), col("lang_guess"), col("n"),
+          graft.functions.EngineMath.roundAway(
+            col("n").cast("double") / col("nt"), 6).as("share_of_lang"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+    // x220: robust outlier gate — modified z-score |0.6745·(x−med)/MAD|
+    // > 3.5 (the Iglewicz–Hoban rule) per return flag, the filter that
+    // survives the fat tails a mean/stddev z-score is dragged by. Rides
+    // x218's machinery end-to-end on the cent HISTOGRAM: the comparison
+    // clears denominators into exact integers (13490·|2c−med2| >
+    // 35000·mad4), so the outlier count is histogram mass — no doubles
+    // anywhere except the output rate.
+    "x220_robust_outliers" -> ((s, dir) => {
+      val hist = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: median read + dev re-agg + gate
+      val tots = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      def median2(h: DataFrame, vCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col(vCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        h.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+          .join(broadcast(tots), "l_returnflag")
+          .select(col("l_returnflag"), col("n"),
+            when(col("cb") < expr("(n + 1) div 2") &&
+              expr("(n + 1) div 2") <= col("cb") + col("c"), col(vCol))
+              .as("v1"),
+            when(col("cb") < expr("(n + 2) div 2") &&
+              expr("(n + 2) div 2") <= col("cb") + col("c"), col(vCol))
+              .as("v2"))
+          .groupBy(col("l_returnflag"), col("n"))
+          .agg((max(col("v1")) + max(col("v2"))).as("med2"))
+      }
+      val med = median2(hist, "cents")
+      val dev = hist.join(broadcast(med.select(col("l_returnflag"),
+          col("med2"))), "l_returnflag")
+        .groupBy(col("l_returnflag"),
+          abs(lit(2L) * col("cents") - col("med2")).as("ad"))
+        .agg(sum(col("c")).as("c"))
+      val mad = median2(dev, "ad")
+        .select(col("l_returnflag"), col("med2").as("mad4"))
+      hist.join(broadcast(med.select(col("l_returnflag"), col("n"),
+          col("med2"))), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(sum(when(lit(13490L) * abs(lit(2L) * col("cents") - col("med2"))
+          > lit(35000L) * col("mad4"), col("c")).otherwise(lit(0L)))
+          .as("n_outliers"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          col("n_outliers"),
+          graft.functions.EngineMath.roundAway(
+            col("n_outliers").cast("double") / col("n"), 6)
+            .as("outlier_rate"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -9803,6 +9875,64 @@ object ExtensionQueries {
          |  round(CAST(med2 AS DOUBLE) / 200.0, 6) AS median_price,
          |  round(CAST(mad4 AS DOUBLE) / 400.0, 6) AS mad_price
          |FROM m1 JOIN m2 USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+    // same marker-count guess as x02, same truth join and shares
+    "x219_langid_eval" ->
+      (s"""WITH m AS (SELECT lang, $toks AS ts FROM documents),
+         |s AS (SELECT lang, ${markers("en")} AS en, ${markers("de")} AS de,
+         |  ${markers("fr")} AS fr, ${markers("es")} AS es FROM m),
+         |g AS (SELECT lang, CASE WHEN greatest(en, de, fr, es) <= 0
+         |  THEN 'und'
+         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |  WHEN es = greatest(en, de, fr, es) THEN 'es'
+         |  ELSE 'und' END AS lang_guess FROM s),
+         |cells AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+         |  FROM g GROUP BY 1, 2),
+         |tots AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt
+         |  FROM cells GROUP BY 1)
+         |SELECT cells.lang AS lang, lang_guess, n,
+         |  round(CAST(n AS DOUBLE) / nt, 6) AS share_of_lang
+         |FROM cells JOIN tots ON cells.lang = tots.lang
+         |ORDER BY lang, lang_guess""".stripMargin.replace("\n", " ")),
+    // x218's histogram/median CTEs plus the integer-cleared
+    // Iglewicz–Hoban gate summed as histogram mass
+    "x220_robust_outliers" ->
+      ("""WITH hist AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+         |tots AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+         |  FROM hist GROUP BY 1),
+         |w1 AS (SELECT h.*, coalesce(sum(c) OVER (PARTITION BY l_returnflag
+         |  ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  0) AS cb FROM hist h),
+         |m1 AS (SELECT w1.l_returnflag, n,
+         |  max(CASE WHEN cb < (n+1)//2 AND (n+1)//2 <= cb + c
+         |    THEN cents END) +
+         |  max(CASE WHEN cb < (n+2)//2 AND (n+2)//2 <= cb + c
+         |    THEN cents END) AS med2
+         |  FROM w1 JOIN tots USING (l_returnflag) GROUP BY 1, 2),
+         |dev AS (SELECT hist.l_returnflag, abs(2 * cents - med2) AS ad,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM hist JOIN m1 USING (l_returnflag) GROUP BY 1, 2),
+         |w2 AS (SELECT d.*, coalesce(sum(c) OVER (PARTITION BY l_returnflag
+         |  ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  0) AS cb FROM dev d),
+         |m2 AS (SELECT w2.l_returnflag,
+         |  max(CASE WHEN cb < (n+1)//2 AND (n+1)//2 <= cb + c
+         |    THEN ad END) +
+         |  max(CASE WHEN cb < (n+2)//2 AND (n+2)//2 <= cb + c
+         |    THEN ad END) AS mad4
+         |  FROM w2 JOIN tots USING (l_returnflag) GROUP BY 1),
+         |g AS (SELECT hist.l_returnflag,
+         |  CAST(sum(CASE WHEN 13490 * abs(2 * cents - med2) >
+         |    35000 * mad4 THEN c ELSE 0 END) AS BIGINT) AS n_outliers
+         |  FROM hist JOIN m1 USING (l_returnflag)
+         |  JOIN m2 USING (l_returnflag) GROUP BY 1)
+         |SELECT g.l_returnflag AS l_returnflag, n AS n_rows, n_outliers,
+         |  round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_rate
+         |FROM g JOIN m1 USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split

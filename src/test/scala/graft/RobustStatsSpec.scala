@@ -184,6 +184,42 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("x220 robust outlier counts ≡ naive modified-z rule") {
+    val rows = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1)
+    def med2Of(xs: Array[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val got = q("x220_robust_outliers")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (flag, fs) =>
+      val cents = fs.map(_._2)
+      val med2 = med2Of(cents)
+      val mad4 = med2Of(cents.map(c => math.abs(2 * c - med2)))
+      val out = cents.count(c => 13490L * math.abs(2 * c - med2) > 35000L * mad4)
+      val (n, gout) = got(flag)
+      assert(n == cents.length.toLong && gout == out.toLong,
+        s"$flag: got $gout outliers of $n, naive $out")
+    }
+  }
+
+  test("x219 confusion cells partition each truth language") {
+    val rows = q("x219_langid_eval")
+    val perLang = spark.read.parquet(sf() + "/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byTruth = rows.groupBy(_.getString(0))
+    assert(byTruth.keySet == perLang.keySet)
+    byTruth.foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sum == perLang(lang), s"$lang cell sum")
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+        s"$lang shares")
+    }
+  }
+
   test("x214 shares sum to 1 per unit; buckets stay in range") {
     val rows = q("x214_seasonality")
     val byUnit = rows.groupBy(_.getString(0))
