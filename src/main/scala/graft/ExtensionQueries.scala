@@ -5596,7 +5596,7 @@ object ExtensionQueries {
         .agg(sum(col("c")).as("c"))
       val mad = median2(dev, "ad")
         .select(col("l_returnflag"), col("med2").as("mad4"))
-      med.join(mad, "l_returnflag")
+      med.join(broadcast(mad), "l_returnflag")
         .select(col("l_returnflag"), col("n").as("n_rows"),
           graft.functions.EngineMath.roundAway(
             col("med2").cast("double") / 200.0, 6).as("median_price"),
