@@ -5676,6 +5676,34 @@ object ExtensionQueries {
             .as("outlier_rate"))
         .orderBy(col("l_returnflag"))
     }),
+    // x221: span-level PII redaction + per-source datacard — the
+    // first-class transform x38's scan only accounts for (r11 verdict
+    // item 4). The corpus carries no PII, so deterministic markers are
+    // synthesized in-query (the b20/x38 precedent): email on doc_id%7,
+    // phone on %11, IPv4 on %13, SSN on %17 — multiples of products
+    // exercise multi-family docs. Scale shape: ONE projection scan of
+    // codegen'd regexp builtins, then a map-side-combined groupBy
+    // producing |sources| rows; rule order and count-on-current-text
+    // semantics are the published operators/Redact contract, mirrored
+    // by the oracle's staged regexp_replace CTE chain.
+    "x221_pii_redact" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" call 555-123-4567 today")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".25 logged"))).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" ssn 987-65-4321 on file")).otherwise(lit("")))
+      val base = table(s, dir, "documents")
+        .select(col("source"), t.as("t"))
+      graft.operators.Redact.datacard(
+          graft.operators.Redact.redact(base, "t"), "source", "t")
+        .orderBy(col("source"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -9934,6 +9962,55 @@ object ExtensionQueries {
          |  round(CAST(n_outliers AS DOUBLE) / n, 6) AS outlier_rate
          |FROM g JOIN m1 USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+    // same synthesized markers, same rule ORDER, same count-on-current-
+    // text semantics: each staged CTE counts on the text as the previous
+    // rules left it — the Redact.DefaultRules constants feed BOTH
+    // engines (patterns are spliced, not re-typed)
+    "x221_pii_redact" -> {
+      val Seq(em, ip, ssn, ph) = graft.operators.Redact.DefaultRules
+      (s"""WITH base AS (SELECT source, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.25 logged' ELSE '' END ||
+         |  CASE WHEN doc_id % 17 = 0 THEN ' ssn 987-65-4321 on file'
+         |    ELSE '' END AS t FROM documents),
+         |s0 AS (SELECT source, CAST(len(t) AS BIGINT) AS l0, t AS r
+         |  FROM base),
+         |s1 AS (SELECT source, l0,
+         |  CAST(len(regexp_extract_all(r, '${em.pattern}')) AS BIGINT)
+         |    AS n_email,
+         |  regexp_replace(r, '${em.pattern}', '${em.replacement}', 'g')
+         |    AS r FROM s0),
+         |s2 AS (SELECT source, l0, n_email,
+         |  CAST(len(regexp_extract_all(r, '${ip.pattern}')) AS BIGINT)
+         |    AS n_ip,
+         |  regexp_replace(r, '${ip.pattern}', '${ip.replacement}', 'g')
+         |    AS r FROM s1),
+         |s3 AS (SELECT source, l0, n_email, n_ip,
+         |  CAST(len(regexp_extract_all(r, '${ssn.pattern}')) AS BIGINT)
+         |    AS n_ssn,
+         |  regexp_replace(r, '${ssn.pattern}', '${ssn.replacement}', 'g')
+         |    AS r FROM s2),
+         |s4 AS (SELECT source, l0, n_email, n_ip, n_ssn,
+         |  CAST(len(regexp_extract_all(r, '${ph.pattern}')) AS BIGINT)
+         |    AS n_phone,
+         |  regexp_replace(r, '${ph.pattern}', '${ph.replacement}', 'g')
+         |    AS r FROM s3)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_ip + n_ssn + n_phone > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+         |  CAST(sum(n_email) AS BIGINT) AS n_email,
+         |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+         |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+         |  CAST(sum(n_email + n_ip + n_ssn + n_phone) AS BIGINT)
+         |    AS n_spans,
+         |  CAST(sum(CAST(len(r) AS BIGINT) - l0) AS BIGINT) AS chars_delta
+         |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))
+    },
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines
