@@ -5704,6 +5704,276 @@ object ExtensionQueries {
           graft.operators.Redact.redact(base, "t"), "source", "t")
         .orderBy(col("source"))
     }),
+    // x222: URL canonicalization + canonical-URL dedup — the web-corpus
+    // front gate (C4/RefinedWeb dedupe by canonical URL before any text
+    // pass). Documents carry no URL, so deterministic variants are
+    // synthesized from doc_id (host case, trailing slash, utm_* tracking
+    // params, mixed real+junk query, fragment). Canonical form:
+    // lowercase the scheme+host, strip the fragment, strip utm_* params
+    // (mid-string first, then the [?&]-prefixed tail — one non-capturing
+    // two-pass form shared verbatim with RE2; capture-group replacements
+    // differ between Java ($1) and RE2 (\1), so none are used), then
+    // collapse "/?"→"?" and the trailing slash. Scale shape: one
+    // projection of codegen'd regexp builtins, one (domain, curl)
+    // map-side-combined distinct-count, |domains| output rows.
+    "x222_url_canonical" -> ((s, dir) => {
+      val hosts = array(lit("Example.COM"), lit("news.example.com"),
+        lit("Blog.Example.org"), lit("cdn.example.net"))
+      val url = concat(lit("https://"),
+        element_at(hosts, (col("doc_id") % 4 + 1).cast("int")),
+        lit("/p/"), (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 15 === 0,
+          lit("?utm_source=feed&ref=home&utm_medium=rss"))
+          .when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_medium=rss"))
+          .when(col("doc_id") % 5 === 0, lit("?ref=home"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit("")))
+      val hostRe = "^[A-Za-z]+://[^/?#]+"
+      val lowered = concat(
+        lower(regexp_extract(col("u"), hostRe, 0)),
+        regexp_replace(col("u"), hostRe, ""))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(lowered,
+          "#.*", ""),
+          "utm_[a-z]+=[^&#?]*&", ""),
+          "[?&]utm_[a-z]+=[^&#?]*", ""),
+          "/\\?", "?"),
+          "/$", "")
+      table(s, dir, "documents").select(col("doc_id"), url.as("u"))
+        .select(col("doc_id"), canon.as("curl"))
+        .withColumn("domain",
+          regexp_extract(col("curl"), "^[a-z]+://([^/?#]+)", 1))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("curl")).as("n_canonical"))
+        .withColumn("n_dups", col("n_docs") - col("n_canonical"))
+        .withColumn("dup_rate", graft.functions.EngineMath.roundAway(
+          col("n_dups").cast("double") / col("n_docs"), 6))
+        .orderBy(col("domain"))
+    }),
+    // x223: Kendall τ-b rank correlation between quantity and discount —
+    // the tie-aware companion to x217's Spearman/Pearson, computed
+    // ENTIRELY on the (quantity, discount-cent) value grid: concordant/
+    // discordant mass is a broadcast grid self-join (|grid|² ≤ 550²
+    // cells, never rows²), tie terms come off the two marginal
+    // histograms, and nothing after the first scan grows with rows.
+    // Pair counts carry in BIGINT — exact to ~4.3e9 rows; the 100 TB
+    // variant widens the same algebra to DECIMAL(38,0).
+    "x223_kendall_tau" -> ((s, dir) => {
+      val g = table(s, dir, "lineitem")
+        .groupBy(floor(col("l_quantity") + lit(0.5)).cast("long").as("q"),
+          floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: pair join (both sides) + marginals
+      val cd = g.as("a").join(broadcast(g.as("b")), col("b.q") > col("a.q"))
+        .agg(
+          sum(when(col("b.d") > col("a.d"), col("a.c") * col("b.c"))
+            .otherwise(lit(0L))).as("conc"),
+          sum(when(col("b.d") < col("a.d"), col("a.c") * col("b.c"))
+            .otherwise(lit(0L))).as("disc"))
+      val tieQ = g.groupBy(col("q")).agg(sum(col("c")).as("nq"))
+        .agg(sum(expr("nq * (nq - 1) div 2")).as("tie_x"))
+      val tieD = g.groupBy(col("d")).agg(sum(col("c")).as("nd"))
+        .agg(sum(expr("nd * (nd - 1) div 2")).as("tie_y"))
+      val tot = g.agg(sum(col("c")).as("n"))
+        .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+      tot.crossJoin(broadcast(cd)).crossJoin(broadcast(tieQ))
+        .crossJoin(broadcast(tieD))
+        .select(col("n"), col("n_pairs"), col("conc"), col("disc"),
+          col("tie_x"), col("tie_y"),
+          graft.functions.EngineMath.roundAway(
+            (col("conc") - col("disc")).cast("double") /
+              (sqrt((col("n_pairs") - col("tie_x")).cast("double")) *
+                sqrt((col("n_pairs") - col("tie_y")).cast("double"))), 6)
+            .as("tau_b"))
+    }),
+    // x225: Neyman allocation — stratified sample-size allocation
+    // n_h ∝ N_h·σ_h (the variance-aware upgrade of x128's proportional
+    // quotas: high-variance strata get more of the measurement budget).
+    // σ_h comes off exact integer moments; the weight total folds in
+    // sorted source order (the x96 device) so the double sum carries no
+    // order drift; integers are assigned by largest-remainder (the x128
+    // device, telescoping to exactly T). Everything after the one
+    // rows-scale moment scan runs on |sources| rows.
+    "x225_neyman_alloc" -> ((s, dir) => {
+      val T = 10000L
+      val st = table(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_h"), sum(col("n_chars")).as("s1"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+            .as("s2"))
+        .withColumn("sd", sqrt(expr(NeymanVarSql)))
+        .withColumn("w", col("n_h").cast("double") * col("sd"))
+      val tot = st
+        .agg(sort_array(collect_list(struct(col("source"), col("w"))))
+          .as("ws"))
+        .select(expr(
+          "aggregate(transform(ws, x -> x.w), 0.0d, (acc, v) -> acc + v)")
+          .as("tw"))
+      val based = st.crossJoin(broadcast(tot))
+        .withColumn("share", expr(s"$T * w / tw"))
+        .withColumn("base", floor(col("share")).cast("long"))
+        .withColumn("rem", col("share") - floor(col("share")))
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source")) // |sources| rows
+      based
+        .crossJoin(broadcast(based.agg(sum(col("base")).as("sb"))))
+        .withColumn("rk", row_number().over(wRem).cast("long"))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= lit(T) - col("sb"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("n_h"),
+          graft.functions.EngineMath.roundAway(col("sd"), 6).as("sd"),
+          col("alloc"))
+        .orderBy(col("source"))
+    }),
+    // x226: A/B power readout — the pre-flight companion to x126's
+    // Welch t: from the same exact moment columns, the standard error
+    // of the mean difference and the minimum detectable effect at
+    // two-sided α=0.05 / power 0.8 ("how small a lift could this
+    // experiment even see"). One single-row moment agg; the z constants
+    // are shared literals, the SE/MDE chains one string for both
+    // engines.
+    "x226_ab_power_mde" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab1:"),
+            col("user_id").cast("string"))), 1, 4) < "8000", lit("b"))
+            .otherwise(lit("a")))
+        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+      ev.groupBy()
+        .agg(
+          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
+          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
+          sum(when(col("variant") === "a", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_a"),
+          sum(when(col("variant") === "b", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_b"))
+        .select(col("n_a"), col("n_b"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${WelchMean("a")})"), 6).as("mean_a"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${WelchMean("b")})"), 6).as("mean_b"),
+          graft.functions.EngineMath.roundAway(expr(AbSeSql), 6).as("se"),
+          graft.functions.EngineMath.roundAway(expr(AbMdeSql), 6)
+            .as("mde_abs"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"($AbMdeSql) / (${WelchMean("a")})"), 6).as("mde_rel"))
+    }),
+    // x224: isotonic (PAV) calibration of the quality model — the
+    // monotone recalibration x139's reliability bins only diagnose,
+    // via the minimax identity iso_i = max_{j≤i} min_{k≥i} avg(j,k)
+    // (weighted interval means of the positive rate), which needs no
+    // sequential pooling loop: on B=20 equal-frequency score bins the
+    // whole fit is B³ ≈ 8k interval cells of exact integer prefix
+    // arithmetic — constant in rows. The only rows-scale work is the
+    // scoring scan + the x139 bucket-prefix-sum rank; the oracle keeps
+    // the naive row_number + the same minimax CTEs.
+    "x224_isotonic" -> ((s, dir) => {
+      val scored = qlrScoredLab(s, dir, "x224_weights")
+        .withColumn("pm",
+          floor(lit(1e6) / (lit(1.0) + exp(-col("score"))) + lit(0.5))
+            .cast("long"))
+      val bins = graft.operators.Ranks.globalRowNumber(scored,
+          floor(col("score") * lit(1024.0)),
+          Seq(col("score").asc, col("doc_id").asc), "rk")
+        .crossJoin(broadcast(
+          table(s, dir, "documents").agg(count(lit(1)).as("nn"))))
+        .withColumn("bin", expr("((rk - 1) * 20) div nn"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
+          sum(col("pos")).as("np"))
+        .localCheckpoint() // consumers: prefix join + interval grid + out
+      val pre = bins.as("x")
+        .join(broadcast(bins.as("y")), col("y.bin") <= col("x.bin"))
+        .groupBy(col("x.bin").as("bin"))
+        .agg(sum(col("y.n")).as("cn"), sum(col("y.np")).as("cnp"))
+        .localCheckpoint() // consumers: interval grid (both sides)
+      // intervals [j, k]: j ≥ 1 pairs a k-prefix with the (j−1)-prefix;
+      // j = 0 intervals are the prefixes themselves (a left join's
+      // null-extension only fires when a k has NO smaller prefix at all)
+      val ivals = pre.as("k")
+        .join(broadcast(pre.as("j1")), col("j1.bin") < col("k.bin"))
+        .select((col("j1.bin") + 1).as("j"), col("k.bin").as("kk"),
+          ((col("k.cnp") - col("j1.cnp")).cast("double") /
+            (col("k.cn") - col("j1.cn")).cast("double")).as("a"))
+        .unionByName(pre.select(lit(0L).as("j"), col("bin").as("kk"),
+          (col("cnp").cast("double") / col("cn").cast("double")).as("a")))
+      val iso = ivals
+        .join(broadcast(bins.select(col("bin").as("i"))),
+          col("j") <= col("i") && col("i") <= col("kk"))
+        .groupBy(col("i"), col("j")).agg(min(col("a")).as("ma"))
+        .groupBy(col("i")).agg(max(col("ma")).as("iso"))
+      bins.join(broadcast(iso), col("bin") === col("i"))
+        .select(col("bin"), col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sp AS DOUBLE) / 1e6 / n"), 6).as("mean_pred"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(np AS DOUBLE) / n"), 6).as("frac_pos"),
+          graft.functions.EngineMath.roundAway(col("iso"), 6)
+            .as("iso_calibrated"))
+        .orderBy(col("bin"))
+    }),
+    // x227: Brier score + Murphy decomposition (reliability −
+    // resolution + uncertainty) of the quality model over x139-style
+    // equal-frequency deciles — the one-row scorecard that says WHERE
+    // calibration loss lives. The exact Brier term is an integer sum
+    // ((pm − pos·1e6)² per doc, decimal accumulation); the per-decile
+    // rel/res contributions are doubles folded in bin order (the x96
+    // device), so no summation-order drift anywhere; `residual` is the
+    // within-bin variance the binned identity leaves over.
+    "x227_brier_decomp" -> ((s, dir) => {
+      val scored = qlrScoredLab(s, dir, "x227_weights")
+        .withColumn("pm",
+          floor(lit(1e6) / (lit(1.0) + exp(-col("score"))) + lit(0.5))
+            .cast("long"))
+      val bins = graft.operators.Ranks.globalRowNumber(scored,
+          floor(col("score") * lit(1024.0)),
+          Seq(col("score").asc, col("doc_id").asc), "rk")
+        .crossJoin(broadcast(
+          table(s, dir, "documents").agg(count(lit(1)).as("nn"))))
+        .withColumn("bin", expr("((rk - 1) * 10) div nn"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("bn"), sum(col("pm")).as("sp"),
+          sum(col("pos")).as("np"),
+          sum(((col("pm") - col("pos") * lit(1000000L)) *
+            (col("pm") - col("pos") * lit(1000000L))).cast("decimal(38,0)"))
+            .as("bqk"))
+        .localCheckpoint() // ONE scoring pass; totals derive from bins
+      val tot = bins.agg(sum(col("bn")).as("n"), sum(col("np")).as("npos"),
+        sum(col("bqk")).as("bq"))
+      val folded = bins.crossJoin(broadcast(tot))
+        .agg(sort_array(collect_list(struct(col("bin"), col("bn"),
+          col("sp"), col("np"), col("n"), col("npos")))).as("bs"))
+        .select(
+          expr("aggregate(transform(bs, x -> " +
+            "(CAST(x.sp AS DOUBLE) / 1e6 - x.np) * " +
+            "(CAST(x.sp AS DOUBLE) / 1e6 - x.np) / x.bn), 0.0d, " +
+            "(acc, v) -> acc + v)").as("relsum"),
+          expr("aggregate(transform(bs, x -> " +
+            "(x.np - x.bn * (CAST(x.npos AS DOUBLE) / x.n)) * " +
+            "(x.np - x.bn * (CAST(x.npos AS DOUBLE) / x.n)) / x.bn), " +
+            "0.0d, (acc, v) -> acc + v)").as("ressum"))
+      tot.crossJoin(broadcast(folded))
+        .select(col("n"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(bq AS DOUBLE) / 1e12 / n"), 6).as("brier"),
+          graft.functions.EngineMath.roundAway(
+            expr("relsum / n"), 6).as("reliability"),
+          graft.functions.EngineMath.roundAway(
+            expr("ressum / n"), 6).as("resolution"),
+          graft.functions.EngineMath.roundAway(
+            expr("(CAST(npos AS DOUBLE) / n) * " +
+              "(1.0 - CAST(npos AS DOUBLE) / n)"), 6).as("uncertainty"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(bq AS DOUBLE) / 1e12 / n - (relsum / n - " +
+              "ressum / n + (CAST(npos AS DOUBLE) / n) * " +
+              "(1.0 - CAST(npos AS DOUBLE) / n))"), 6).as("residual"))
+    }),
   )
 
   /** x116's term blocklist — one constant feeds both engines' predicates
@@ -5891,6 +6161,24 @@ object ExtensionQueries {
   private val WelchTSql: String =
     s"((${WelchMean("b")}) - (${WelchMean("a")})) / " +
       s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+
+  /** x226's standard error / minimum-detectable-effect chains over the
+    * same exact moment columns as x126 — ONE string per quantity, both
+    * engines evaluate the identical IEEE tree. The z constants
+    * (two-sided α=0.05, power 0.8) are shared rounded literals so
+    * neither engine computes its own quantile.
+    */
+  private val AbSeSql: String =
+    s"sqrt(${WelchVar("a")} / n_a + ${WelchVar("b")} / n_b)"
+  private val AbMdeSql: String = s"(1.959964 + 0.841621) * ($AbSeSql)"
+
+  /** x225's per-stratum variance chain over (n_h, s1, s2) exact integer
+    * moments — one string, both engines, operand-identical.
+    */
+  private val NeymanVarSql: String =
+    "(CAST(n_h AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+      "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
+      "(CAST(n_h AS DOUBLE) * (n_h - 1))"
 
   /** x140's Cohen's kappa over the integer confusion columns
     * (n, n11, n10, n01, n00) — ONE string evaluated by both engines, so
@@ -10011,6 +10299,176 @@ object ExtensionQueries {
          |  CAST(sum(CAST(len(r) AS BIGINT) - l0) AS BIGINT) AS chars_delta
          |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))
     },
+    // same synthesized URL variants, same five-step canonical chain
+    // (host-lower, fragment, mid-utm, tail-utm, slash collapse) with
+    // the 'g' flag carrying RE2's global replace — no capture groups
+    // anywhere, so the patterns are engine-portable verbatim
+    "x222_url_canonical" ->
+      ("""WITH u0 AS (SELECT doc_id, 'https://' ||
+         |  (['Example.COM', 'news.example.com', 'Blog.Example.org',
+         |    'cdn.example.net'])[(doc_id % 4 + 1)] ||
+         |  '/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         |  CASE WHEN doc_id % 15 = 0
+         |    THEN '?utm_source=feed&ref=home&utm_medium=rss'
+         |    WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+         |    WHEN doc_id % 5 = 0 THEN '?ref=home' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS u
+         |  FROM documents),
+         |c0 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]+')) ||
+         |  regexp_replace(u, '^[A-Za-z]+://[^/?#]+', '') AS v FROM u0),
+         |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(v,
+         |  '#.*', '', 'g'),
+         |  'utm_[a-z]+=[^&#?]*&', '', 'g'),
+         |  '[?&]utm_[a-z]+=[^&#?]*', '', 'g'),
+         |  '/\?', '?', 'g'),
+         |  '/$', '', 'g') AS curl FROM c0),
+         |d AS (SELECT regexp_extract(curl, '^[a-z]+://([^/?#]+)', 1)
+         |  AS domain, curl FROM c1)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+         |  CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_dups,
+         |  round(CAST(count(*) - count(DISTINCT curl) AS DOUBLE)
+         |    / count(*), 6) AS dup_rate
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+    // same value grid, same strict-inequality pair mass, same marginal
+    // tie terms; τ-b's denominator multiplies the two sqrt factors in
+    // the same order on both sides
+    "x223_kendall_tau" ->
+      ("""WITH g AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+         |cd AS (SELECT CAST(sum(CASE WHEN b.d > a.d THEN a.c * b.c
+         |    ELSE 0 END) AS BIGINT) AS conc,
+         |  CAST(sum(CASE WHEN b.d < a.d THEN a.c * b.c ELSE 0 END)
+         |    AS BIGINT) AS disc
+         |  FROM g a JOIN g b ON b.q > a.q),
+         |tq AS (SELECT CAST(sum(nq * (nq - 1) // 2) AS BIGINT) AS tie_x
+         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS nq FROM g GROUP BY q)),
+         |td AS (SELECT CAST(sum(nd * (nd - 1) // 2) AS BIGINT) AS tie_y
+         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS nd FROM g GROUP BY d)),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1) // 2
+         |    AS BIGINT) AS n_pairs FROM g)
+         |SELECT n, n_pairs, conc, disc, tie_x, tie_y,
+         |  round(CAST(conc - disc AS DOUBLE) /
+         |    (sqrt(CAST(n_pairs - tie_x AS DOUBLE)) *
+         |     sqrt(CAST(n_pairs - tie_y AS DOUBLE))), 6) AS tau_b
+         |FROM t CROSS JOIN cd CROSS JOIN tq CROSS JOIN td"""
+        .stripMargin.replace("\n", " ")),
+    // same integer moments, same shared variance string, the SAME
+    // sorted-source list fold for the weight total, same
+    // largest-remainder integer assignment
+    "x225_neyman_alloc" ->
+      (s"""WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         |    CAST(sum(n_chars) AS BIGINT) AS s1,
+         |    CAST(sum(n_chars * n_chars) AS DECIMAL(38,0)) AS s2
+         |  FROM documents GROUP BY 1),
+         |sd AS (SELECT source, n_h, sqrt($NeymanVarSql) AS sd FROM st),
+         |w AS (SELECT source, n_h, sd, CAST(n_h AS DOUBLE) * sd AS w
+         |  FROM sd),
+         |tw AS (SELECT list_reduce(list_prepend(0.0,
+         |    list(w ORDER BY source)), (x, y) -> x + y) AS tw FROM w),
+         |b AS (SELECT source, n_h, sd, 10000 * w / tw AS share
+         |  FROM w CROSS JOIN tw),
+         |b2 AS (SELECT source, n_h, sd,
+         |    CAST(floor(share) AS BIGINT) AS base,
+         |    share - floor(share) AS rem FROM b),
+         |r AS (SELECT b2.*, CAST(row_number() OVER
+         |    (ORDER BY rem DESC, source) AS BIGINT) AS rk,
+         |  (SELECT CAST(sum(base) AS BIGINT) FROM b2) AS sb FROM b2)
+         |SELECT source, n_h, round(sd, 6) AS sd,
+         |  CAST(base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM r ORDER BY source""".stripMargin.replace("\n", " ")),
+    // x126's exact moment CTE verbatim, then the shared SE/MDE strings
+    "x226_ab_power_mde" ->
+      (s"""WITH e AS (SELECT CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |    < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+         |a AS (SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
+         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |  FROM e)
+         |SELECT n_a, n_b,
+         |  round((${WelchMean("a")}), 6) AS mean_a,
+         |  round((${WelchMean("b")}), 6) AS mean_b,
+         |  round($AbSeSql, 6) AS se,
+         |  round($AbMdeSql, 6) AS mde_abs,
+         |  round(($AbMdeSql) / (${WelchMean("a")}), 6) AS mde_rel
+         |FROM a""".stripMargin.replace("\n", " ")),
+    // x139's staged-weights scoring prefix (naive row_number rank — the
+    // hash match re-proves the Ranks device lossless), then the SAME
+    // prefix/interval/minimax CTEs: j ≥ 1 intervals off prefix pairs,
+    // j = 0 intervals are the prefixes, min over k ≥ i then max over
+    // j ≤ i
+    "x224_isotonic" ->
+      (s"$qualityCtes, " +
+        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x224_weights")}), " +
+        "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
+        "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
+        "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+        "FROM z JOIN documents d USING (doc_id)), " +
+        "q AS (SELECT CAST(floor(1e6 / (1.0 + exp(-score)) + 0.5) AS BIGINT) AS pm, pos, " +
+        "CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk, " +
+        "(SELECT count(*) FROM lab) AS nn FROM lab), " +
+        "b AS (SELECT ((rk - 1) * 20) // nn AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(pm) AS BIGINT) AS sp, CAST(sum(pos) AS BIGINT) AS np FROM q GROUP BY 1), " +
+        "pre AS (SELECT x.bin, CAST(sum(y.n) AS BIGINT) AS cn, " +
+        "CAST(sum(y.np) AS BIGINT) AS cnp FROM b x JOIN b y ON y.bin <= x.bin GROUP BY 1), " +
+        "iv AS (SELECT j1.bin + 1 AS j, k.bin AS kk, " +
+        "CAST(k.cnp - j1.cnp AS DOUBLE) / CAST(k.cn - j1.cn AS DOUBLE) AS a " +
+        "FROM pre k JOIN pre j1 ON j1.bin < k.bin " +
+        "UNION ALL SELECT 0, bin, CAST(cnp AS DOUBLE) / CAST(cn AS DOUBLE) FROM pre), " +
+        "mm AS (SELECT b.bin AS i, iv.j, min(iv.a) AS ma FROM b " +
+        "JOIN iv ON iv.j <= b.bin AND b.bin <= iv.kk GROUP BY 1, 2), " +
+        "iso AS (SELECT i, max(ma) AS iso FROM mm GROUP BY 1) " +
+        "SELECT CAST(b.bin AS BIGINT) AS bin, n, " +
+        "round(CAST(sp AS DOUBLE) / 1e6 / n, 6) AS mean_pred, " +
+        "round(CAST(np AS DOUBLE) / n, 6) AS frac_pos, " +
+        "round(iso, 6) AS iso_calibrated " +
+        "FROM b JOIN iso ON iso.i = b.bin ORDER BY bin"),
+    // same staged scoring, same decile bins carrying the exact integer
+    // Brier numerators, totals derived FROM the bins, the same two
+    // bin-ordered list folds for the rel/res sums
+    "x227_brier_decomp" ->
+      (s"$qualityCtes, " +
+        "f AS (SELECT doc_id, CAST(mk / n AS DOUBLE) AS f0, punct AS f1, mtl AS f2, " +
+        "least(CAST(n AS DOUBLE) / 100, 1.0) AS f3 FROM c), " +
+        s"w AS (SELECT weights, intercept FROM ${Stage.sqlRef("x227_weights")}), " +
+        "z AS (SELECT doc_id, round(intercept + weights[1] * f0 + weights[2] * f1 + " +
+        "weights[3] * f2 + weights[4] * f3, 6) AS score FROM f CROSS JOIN w), " +
+        "lab AS (SELECT z.doc_id, z.score, CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos " +
+        "FROM z JOIN documents d USING (doc_id)), " +
+        "q AS (SELECT CAST(floor(1e6 / (1.0 + exp(-score)) + 0.5) AS BIGINT) AS pm, pos, " +
+        "CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk, " +
+        "(SELECT count(*) FROM lab) AS nn FROM lab), " +
+        "b AS (SELECT ((rk - 1) * 10) // nn AS bin, CAST(count(*) AS BIGINT) AS bn, " +
+        "CAST(sum(pm) AS BIGINT) AS sp, CAST(sum(pos) AS BIGINT) AS np, " +
+        "CAST(sum((pm - pos * 1000000) * (pm - pos * 1000000)) AS DECIMAL(38,0)) AS bqk " +
+        "FROM q GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(bn) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS npos, " +
+        "CAST(sum(bqk) AS DECIMAL(38,0)) AS bq FROM b), " +
+        "fold AS (SELECT list_reduce(list_prepend(0.0, " +
+        "list((CAST(sp AS DOUBLE) / 1e6 - np) * (CAST(sp AS DOUBLE) / 1e6 - np) / bn " +
+        "ORDER BY bin)), (x, y) -> x + y) AS relsum, " +
+        "list_reduce(list_prepend(0.0, " +
+        "list((np - bn * (CAST(npos AS DOUBLE) / n)) * (np - bn * (CAST(npos AS DOUBLE) / n)) / bn " +
+        "ORDER BY bin)), (x, y) -> x + y) AS ressum FROM b CROSS JOIN t) " +
+        "SELECT n, round(CAST(bq AS DOUBLE) / 1e12 / n, 6) AS brier, " +
+        "round(relsum / n, 6) AS reliability, " +
+        "round(ressum / n, 6) AS resolution, " +
+        "round((CAST(npos AS DOUBLE) / n) * (1.0 - CAST(npos AS DOUBLE) / n), 6) AS uncertainty, " +
+        "round(CAST(bq AS DOUBLE) / 1e12 / n - (relsum / n - ressum / n + " +
+        "(CAST(npos AS DOUBLE) / n) * (1.0 - CAST(npos AS DOUBLE) / n)), 6) AS residual " +
+        "FROM t CROSS JOIN fold"),
     // components + BOTH split arithmetics re-derived from the staged
     // banded pairs (the x46 recursive-CC machinery); the group-split
     // straddle count must be 0 by construction in both engines

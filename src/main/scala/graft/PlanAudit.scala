@@ -97,6 +97,7 @@ object PlanAudit {
       || x113 offsets | n_chars div 64 buckets | max doc len / 64 | safe |
       || x127 retention | funnel stages | 5 | safe |
       || x128 quota remainders | per-source rows | #sources | safe |
+      || x225 Neyman remainders | per-source rows | #sources | safe |
       || x142 Zipf rank / x153 Hill | top-100 / top-51 cut upstream | ≤ 100 / ≤ 51 | safe |
       || x169 HITS rank | top-10 cut upstream (TakeOrderedAndProject) | ≤ 10 | safe |
       || x211 slope rank | pairwise day slopes | #days² (calendar-bounded) | safe |

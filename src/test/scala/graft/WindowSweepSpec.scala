@@ -178,5 +178,6 @@ class WindowSweepSpec extends AnyFunSuite {
     "graft/ExtensionQueries.scala!x171_bh_fdr" -> 1,
     "graft/ExtensionQueries.scala!x191_kaplan_meier" -> 2,
     "graft/ExtensionQueries.scala!x193_gains" -> 1,
-    "graft/ExtensionQueries.scala!x198_logrank" -> 1)
+    "graft/ExtensionQueries.scala!x198_logrank" -> 1,
+    "graft/ExtensionQueries.scala!x225_neyman_alloc" -> 1)
 }
