@@ -86,7 +86,8 @@ object Bench {
     "qlr" -> ("x88_model_auc", Set("x70_quality_model", "x71_curation_v2",
       "x88_model_auc", "x139_calibration", "x192_pr_auc", "x193_gains",
       "x196_conformal", "x203_selection_bias", "x205_source_ablation",
-      "x207_delong_auc_ci", "x224_isotonic", "x227_brier_decomp")),
+      "x207_delong_auc_ci", "x224_isotonic", "x227_brier_decomp",
+      "x229_equalized_odds", "x231_woe_iv")),
     "qlrcv" -> ("x201_cv_auc", Set("x201_cv_auc")),
     "ivf" -> ("x13_knn_ivf", Set("x13_knn_ivf", "x52_knn_ivfpq",
       "x54_semantic_pairs", "x67_stream_index", "x183_cluster_report",

@@ -5974,7 +5974,246 @@ object ExtensionQueries {
               "ressum / n + (CAST(npos AS DOUBLE) / n) * " +
               "(1.0 - CAST(npos AS DOUBLE) / n))"), 6).as("residual"))
     }),
+    // x228: CUPED variance reduction — the A/B readout x126/x226 run,
+    // with each user's PRE-period spend as the control covariate
+    // (Deng et al. 2013). One scan → per-user conditional sums (exact
+    // micro-longs) → ONE moment aggregate carrying pooled x/y moments
+    // AND per-variant splits; θ = cov/var and the adjusted lift are
+    // shared float strings, and the variance-reduction ratio uses the
+    // ρ² identity (1 − var(y−θx)/var(y) = cov²/(varx·vary)) so both
+    // engines evaluate the same closed form. Never materializes an
+    // adjusted per-user column — the whole adjustment is moment algebra.
+    "x228_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab1:"),
+            col("user_id").cast("string"))), 1, 4) < "8000", lit("b"))
+            .otherwise(lit("a")))
+        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("pre",
+          (unix_micros(col("ts")) < lit(CupedCutoffUs)).cast("long"))
+      val users = ev.groupBy(col("user_id"), col("variant"))
+        .agg(sum(when(col("pre") === 1L, col("vm")).otherwise(0L)).as("x"),
+          sum(when(col("pre") === 0L, col("vm")).otherwise(0L)).as("y"))
+      users.groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          // widen BEFORE the multiply: per-user period sums reach ~5e9
+          // micro-units at sf0.1, whose square overflows BIGINT
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "a", col("x")).otherwise(0L)).as("sx_a"),
+          sum(when(col("variant") === "b", col("x")).otherwise(0L)).as("sx_b"),
+          sum(when(col("variant") === "a", col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(col("variant") === "b", col("y")).otherwise(0L)).as("sy_b"))
+        .select(col("n"), col("n_a"), col("n_b"),
+          graft.functions.EngineMath.roundAway(expr(CupedThetaSql), 6)
+            .as("theta"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${CupedMeanSql("sy", "b")}) - (${CupedMeanSql("sy", "a")})"),
+            6).as("diff_raw"),
+          graft.functions.EngineMath.roundAway(expr(CupedDiffAdjSql), 6)
+            .as("diff_cuped"),
+          graft.functions.EngineMath.roundAway(expr(CupedVarRedSql), 6)
+            .as("var_reduction"))
+    }),
+    // x229: equalized-odds fairness eval of the quality model — per-lang
+    // TPR/FPR at the p ≥ 0.5 operating point (logit ≥ 0), plus the
+    // max−min gap across groups (the equalized-odds distance x203's
+    // selection-rate audit can't see: DI compares PREDICTIONS only,
+    // this conditions on the label). Integer confusion cells per lang
+    // until the two final divisions; the gaps subtract 6-dp-rounded
+    // doubles and re-round, identical on both engines.
+    "x229_equalized_odds" -> ((s, dir) => {
+      val g = qlrScoredLab(s, dir, "x229_weights")
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("pred", (col("score") >= 0.0).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("pos")).as("np"),
+          sum(lit(1L) - col("pos")).as("nn"),
+          sum(col("pred") * col("pos")).as("tp"),
+          sum(col("pred") * (lit(1L) - col("pos"))).as("fp"))
+        .withColumn("tpr", graft.functions.EngineMath.roundAway(
+          expr("CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np END"), 6))
+        .withColumn("fpr", graft.functions.EngineMath.roundAway(
+          expr("CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END"), 6))
+      g.crossJoin(broadcast(g.agg(
+          (max(col("tpr")) - min(col("tpr"))).as("tg"),
+          (max(col("fpr")) - min(col("fpr"))).as("fg"))))
+        .select(col("lang"), col("np").as("n_pos"), col("nn").as("n_neg"),
+          col("tpr"), col("fpr"),
+          graft.functions.EngineMath.roundAway(col("tg"), 6).as("tpr_gap"),
+          graft.functions.EngineMath.roundAway(col("fg"), 6).as("fpr_gap"))
+        .orderBy(col("lang"))
+    }),
+    // x230: average local clustering coefficient over the part
+    // co-purchase graph — the Watts–Strogatz statistic x87's global
+    // transitivity doesn't measure (per-vertex equal weighting vs
+    // wedge-count weighting). Same √m-bounded compact-forward machinery,
+    // corners exploded into one per-node aggregate
+    // (operators/Graph.localClusteringStats).
+    "x230_local_clustering" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      graft.operators.Graph.localClusteringStats(
+        po.as("a").join(po.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")),
+        "u", "v")
+    }),
+    // x231: weight-of-evidence / information value of the quality score —
+    // the credit-scoring-style feature report (how much does this score
+    // separate the classes, and in which score region). x227's
+    // equal-frequency bins (B = 10 via the bucket-prefix-sum rank), then
+    // per-bin Laplace-smoothed WOE and a bin-ordered IV fold — everything
+    // after the scoring scan is 10-cell arithmetic, constant in rows.
+    "x231_woe_iv" -> ((s, dir) => {
+      val scored = qlrScoredLab(s, dir, "x231_weights")
+      val bins = graft.operators.Ranks.globalRowNumber(scored,
+          floor(col("score") * lit(1024.0)),
+          Seq(col("score").asc, col("doc_id").asc), "rk")
+        .crossJoin(broadcast(
+          table(s, dir, "documents").agg(count(lit(1)).as("nn_docs"))))
+        .withColumn("bin", expr("((rk - 1) * 10) div nn_docs"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .withColumn("nn", col("n") - col("np"))
+        .localCheckpoint() // consumers: totals + per-bin read + IV fold
+      val tot = bins.agg(sum(col("np")).as("tnp"), sum(col("nn")).as("tnn"))
+      val withTot = bins.crossJoin(broadcast(tot))
+      val iv = withTot
+        .agg(sort_array(collect_list(struct(col("bin"), col("np"),
+          col("nn"), col("tnp"), col("tnn")))).as("bs"))
+        .select(expr("aggregate(transform(bs, x -> " +
+          s"${WoeIvTermSql("x.")}), 0.0d, (acc, v) -> acc + v)").as("iv"))
+      withTot
+        .select(col("bin"), col("n"), col("np").as("n_pos"),
+          graft.functions.EngineMath.roundAway(
+            expr(WoeSql("")), 6).as("woe"))
+        .crossJoin(broadcast(iv))
+        .withColumn("iv", graft.functions.EngineMath.roundAway(col("iv"), 6))
+        .orderBy(col("bin"))
+    }),
+    // x232: context-length fit report — per source, how much of the
+    // corpus fits a training context budget and how many tokens
+    // truncation would lose at each budget (the packing-planner's input:
+    // budget choice is a data question, not a guess). ONE tokenize scan,
+    // integer conditional sums; budgets are engine constants (real
+    // pipelines use 2k/8k/32k — the testdata's 10–99-token docs get
+    // proportionate 32/64/96 so every band is exercised).
+    "x232_context_fit" -> ((s, dir) => {
+      val n = size(TextFunctions.tokens(col("text"))).cast("long")
+      val perDoc = table(s, dir, "documents")
+        .select(col("source"), n.as("nt"))
+      val aggCols = Seq(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens")) ++
+        ContextBudgets.flatMap { b =>
+          Seq(sum((col("nt") <= b).cast("long")).as(s"fit_$b"),
+            sum(greatest(col("nt") - b, lit(0L))).as(s"lost_$b"))
+        }
+      perDoc.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+        .orderBy(col("source"))
+    }),
+    // x233: Johnson–Lindenstrauss distortion probe — project the
+    // embeddings through a deterministic ±1 (Achlioptas) sign matrix to
+    // k = 16 dims and measure the squared-distance ratio over the
+    // consecutive-id pair spine (one equi-join, O(n) pairs — never the
+    // all-pairs grid). The sign matrix is md5-derived ONCE in Scala and
+    // fed to both engines as a literal, so the projection is
+    // reproducible everywhere; per-pair ratios quantize to 1e-6 ticks
+    // before the global mean, min/max are exact tick selections.
+    "x233_jl_distortion" -> ((s, dir) => {
+      val proj = expr("transform(sequence(1, 16), j -> " +
+        "aggregate(sequence(1, 64), 0.0d, (acc, i) -> " +
+        "acc + element_at(element_at(S, j), i) * element_at(vec, i)) / 4.0)")
+      val e = embeddingsD(s, dir)
+        .withColumn("S", typedlit(JlSigns))
+        .select(col("vec_id"), col("vec"), proj.as("y"))
+      val pairs = e.as("a")
+        .join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(
+          expr("aggregate(zip_with(a.vec, b.vec, (p, q) -> (p - q) * (p - q)), " +
+            "0.0d, (acc, v) -> acc + v)").as("d2o"),
+          expr("aggregate(zip_with(a.y, b.y, (p, q) -> (p - q) * (p - q)), " +
+            "0.0d, (acc, v) -> acc + v)").as("d2p"))
+        .filter(col("d2o") > 0.0)
+        .select(expr("CAST(floor(d2p / d2o * 1e6 + 0.5) AS BIGINT)").as("rt"))
+      pairs.agg(count(lit(1)).as("n_pairs"), sum(col("rt")).as("srt"),
+          min(col("rt")).as("mnt"), max(col("rt")).as("mxt"))
+        .select(col("n_pairs"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(srt AS DOUBLE) / 1e6 / n_pairs"), 6).as("mean_ratio"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mnt AS DOUBLE) / 1e6"), 6).as("min_ratio"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mxt AS DOUBLE) / 1e6"), 6).as("max_ratio"))
+    }),
   )
+
+  /** x232's context budgets — ONE constant feeds the Spark conditional
+    * sums and the oracle's generated branches (testdata docs run 10–99
+    * tokens; production budgets would be 2048/8192/32768 with the same
+    * plan shape).
+    */
+  private[graft] val ContextBudgets = Seq(32L, 64L, 96L)
+
+  /** x233's deterministic ±1 Achlioptas sign matrix [k=16][d=64] —
+    * md5-derived once here, embedded as a literal in BOTH engines'
+    * plans, so the projection is identical under any partitioning.
+    */
+  private[graft] val JlSigns: Seq[Seq[Int]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$i:$j".getBytes("UTF-8"))
+        if ((h(0) & 0xff) < 128) 1 else -1
+      }
+    }
+
+  /** x231's Laplace-smoothed WOE over cells (np, nn) with totals
+    * (tnp, tnn) — one string, a column-prefix parameter so the same tree
+    * serves the per-bin projection ("") and the fold variable ("x.").
+    */
+  private def WoeSql(p: String): String =
+    s"ln(((CAST(${p}np AS DOUBLE) + 0.5) / (CAST(${p}tnp AS DOUBLE) + 5.0)) / " +
+      s"((CAST(${p}nn AS DOUBLE) + 0.5) / (CAST(${p}tnn AS DOUBLE) + 5.0)))"
+  private def WoeIvTermSql(p: String): String =
+    s"((CAST(${p}np AS DOUBLE) + 0.5) / (CAST(${p}tnp AS DOUBLE) + 5.0) - " +
+      s"(CAST(${p}nn AS DOUBLE) + 0.5) / (CAST(${p}tnn AS DOUBLE) + 5.0)) * " +
+      s"(${WoeSql(p)})"
+
+  /** x228's pre-period cutoff: 2024-01-16 00:00:00 UTC in epoch micros —
+    * the testdata events span 2024-01-01..30 at every SF, so the halves
+    * are non-degenerate everywhere. One literal feeds both engines
+    * (Spark `unix_micros`, DuckDB `epoch_us`).
+    */
+  private val CupedCutoffUs = 1705363200000000L
+
+  /** x228's CUPED float chains over the single moment row
+    * (n, sx, sy, sxx, sxy, syy, n_a, n_b, sx_a, sx_b, sy_a, sy_b) —
+    * ONE string per quantity, both engines evaluate the identical IEEE
+    * tree. Covariances/variances expand the raw-moment form
+    * (Σxy/1e12 − (Σx/1e6)(Σy/1e6)/n) inline so neither engine re-orders
+    * the operands.
+    */
+  private def CupedMomSql(sab: String, sa: String, sb: String): String =
+    s"(CAST($sab AS DOUBLE) / 1e12 - (CAST($sa AS DOUBLE) / 1e6) * " +
+      s"(CAST($sb AS DOUBLE) / 1e6) / n)"
+  private def CupedMeanSql(c: String, v: String): String =
+    s"(CAST(${c}_$v AS DOUBLE) / 1e6 / n_$v)"
+  private val CupedThetaSql: String =
+    s"(${CupedMomSql("sxy", "sx", "sy")} / ${CupedMomSql("sxx", "sx", "sx")})"
+  private val CupedDiffAdjSql: String =
+    s"((${CupedMeanSql("sy", "b")} - $CupedThetaSql * ${CupedMeanSql("sx", "b")}) - " +
+      s"(${CupedMeanSql("sy", "a")} - $CupedThetaSql * ${CupedMeanSql("sx", "a")}))"
+  private val CupedVarRedSql: String =
+    s"(${CupedMomSql("sxy", "sx", "sy")} * ${CupedMomSql("sxy", "sx", "sy")} / " +
+      s"(${CupedMomSql("sxx", "sx", "sx")} * ${CupedMomSql("syy", "sy", "sy")}))"
 
   /** x116's term blocklist — one constant feeds both engines' predicates
     * (each unit must stay a plain lowercase word: it is spliced into the
@@ -10733,6 +10972,136 @@ object ExtensionQueries {
          |SELECT term, df, CAST(sm AS BIGINT) AS tf,
          |  round(CAST(bn AS DOUBLE) / 1e6, 6) AS burstiness
          |FROM q ORDER BY bn DESC, term LIMIT 20""".stripMargin.replace("\n", " ")),
+    // x226's variant hash + exact micro-sums, split pre/post at the
+    // shared epoch-micros cutoff; then the same moment row and the same
+    // θ / adjusted-lift / ρ² strings the engine evaluates
+    "x228_cuped" ->
+      (s"""WITH e AS (SELECT user_id,
+         |  CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |    < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+         |  CASE WHEN epoch_us(ts) < $CupedCutoffUs THEN 1 ELSE 0 END AS pre
+         |  FROM events),
+         |u AS (SELECT user_id, variant,
+         |    CAST(sum(CASE WHEN pre = 1 THEN vm ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN pre = 0 THEN vm ELSE 0 END) AS BIGINT) AS y
+         |  FROM e GROUP BY 1, 2),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM u)
+         |SELECT n, n_a, n_b,
+         |  round($CupedThetaSql, 6) AS theta,
+         |  round((${CupedMeanSql("sy", "b")}) - (${CupedMeanSql("sy", "a")}), 6) AS diff_raw,
+         |  round($CupedDiffAdjSql, 6) AS diff_cuped,
+         |  round($CupedVarRedSql, 6) AS var_reduction
+         |FROM m""".stripMargin.replace("\n", " ")),
+    // staged-weights scoring prefix, lang joined back on, integer
+    // confusion cells per lang, the same guarded divisions and the same
+    // round-then-gap arithmetic
+    "x229_equalized_odds" ->
+      (s"${scoredLabCtes("x229_weights")}, " +
+        "gl AS (SELECT lab.score, lab.pos, d.lang FROM lab " +
+        "JOIN documents d USING (doc_id)), " +
+        "g AS (SELECT lang, CAST(sum(pos) AS BIGINT) AS np, " +
+        "CAST(sum(1 - pos) AS BIGINT) AS nn, " +
+        "CAST(sum(CASE WHEN score >= 0.0 THEN pos ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(sum(CASE WHEN score >= 0.0 THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp " +
+        "FROM gl GROUP BY 1), " +
+        "r AS (SELECT lang, np, nn, " +
+        "round(CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np END, 6) AS tpr, " +
+        "round(CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END, 6) AS fpr FROM g), " +
+        "gap AS (SELECT max(tpr) - min(tpr) AS tg, max(fpr) - min(fpr) AS fg FROM r) " +
+        "SELECT lang, np AS n_pos, nn AS n_neg, tpr, fpr, " +
+        "round(tg, 6) AS tpr_gap, round(fg, 6) AS fpr_gap " +
+        "FROM r CROSS JOIN gap ORDER BY lang"),
+    // x87's orientation CTEs verbatim, the closure join keeping all three
+    // corners, unnested into the per-node count; the same tick string
+    // quantizes each coefficient before the order-independent integer sum
+    "x230_local_clustering" ->
+      ("WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "und AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM po a " +
+        "JOIN po b ON a.ok = b.ok AND a.pk < b.pk), " +
+        "deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x), " +
+        "de AS MATERIALIZED (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+        "THEN u ELSE v END AS src, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) " +
+        "THEN v ELSE u END AS dst " +
+        "FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v), " +
+        "tt AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM de e1 " +
+        "JOIN de e2 ON e1.src = e2.src AND e1.dst < e2.dst " +
+        "JOIN und ON und.u = e1.dst AND und.v = e2.dst), " +
+        "tc AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM " +
+        "(SELECT unnest([a, b, c]) AS x FROM tt) GROUP BY x), " +
+        "pn AS (SELECT deg.d, coalesce(tc.t, 0) AS t FROM deg " +
+        "LEFT JOIN tc ON tc.x = deg.x WHERE deg.d >= 2), " +
+        s"q AS (SELECT d, t, ${graft.operators.Graph.LccTickSql} AS lq FROM pn) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed, " +
+        "round(CAST(sum(lq) AS DOUBLE) / 1e9 / count(*), 6) AS avg_lcc " +
+        "FROM q"),
+    // staged-weights scoring + x227's naive-rank deciles, then the same
+    // smoothed-WOE string and the same bin-ordered IV fold
+    "x231_woe_iv" ->
+      (s"${scoredLabCtes("x231_weights")}, " +
+        "q AS (SELECT pos, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk, " +
+        "(SELECT count(*) FROM lab) AS nn_docs FROM lab), " +
+        "b AS (SELECT ((rk - 1) * 10) // nn_docs AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(pos) AS BIGINT) AS np, " +
+        "CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM q GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(np) AS BIGINT) AS tnp, CAST(sum(nn) AS BIGINT) AS tnn FROM b), " +
+        "bt AS (SELECT * FROM b CROSS JOIN t), " +
+        "iv AS (SELECT list_reduce(list_prepend(0.0, " +
+        s"list((${WoeIvTermSql("")}) ORDER BY bin)), (x, y) -> x + y) AS iv FROM bt) " +
+        "SELECT bin, n, np AS n_pos, " +
+        s"round(${WoeSql("")}, 6) AS woe, round(iv, 6) AS iv " +
+        "FROM bt CROSS JOIN iv ORDER BY bin"),
+    // the shared tokenizer, then generated per-budget conditional sums
+    // from the SAME ContextBudgets constant the engine aggregates
+    "x232_context_fit" ->
+      (s"WITH m AS (SELECT source, CAST(len($toks) AS BIGINT) AS nt FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+        ContextBudgets.map(b =>
+          s"CAST(sum(CASE WHEN nt <= $b THEN 1 ELSE 0 END) AS BIGINT) AS fit_$b, " +
+            s"CAST(sum(greatest(nt - $b, 0)) AS BIGINT) AS lost_$b").mkString(", ") +
+        " FROM m GROUP BY source ORDER BY source"),
+    // the same literal sign matrix (one Scala constant renders both
+    // engines' plans), the same seeded left folds for projection and
+    // squared distances, the same 1e-6 tick quantization
+    "x233_jl_distortion" ->
+      (s"""WITH s0 AS (SELECT ${JlSigns.map(r =>
+            r.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS S),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, vec, list_transform(range(1, 17), j ->
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+         |      S[j][i] * vec[i])), (acc, v) -> acc + v) / 4.0) AS y
+         |  FROM e CROSS JOIN s0),
+         |pr AS (SELECT
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+         |      (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))),
+         |      (acc, v) -> acc + v) AS d2o,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17), i ->
+         |      (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))),
+         |      (acc, v) -> acc + v) AS d2p
+         |  FROM p a JOIN p b ON a.vec_id + 1 = b.vec_id),
+         |q AS (SELECT CAST(floor(d2p / d2o * 1e6 + 0.5) AS BIGINT) AS rt
+         |  FROM pr WHERE d2o > 0.0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(rt) AS DOUBLE) / 1e6 / count(*), 6) AS mean_ratio,
+         |  round(CAST(min(rt) AS DOUBLE) / 1e6, 6) AS min_ratio,
+         |  round(CAST(max(rt) AS DOUBLE) / 1e6, 6) AS max_ratio
+         |FROM q""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

@@ -114,6 +114,66 @@ object Graph {
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
 
+  /** Local (Watts–Strogatz) clustering summary — one row
+    * (n_nodes, n_closed, avg_lcc) over the undirected simple graph spanned
+    * by `edges`: n_nodes = vertices of degree ≥ 2 (the only ones with a
+    * defined coefficient), n_closed = those sitting on ≥ 1 triangle, and
+    * avg_lcc = mean of tri(v) / (d(v)·(d(v)−1)/2). Average local
+    * clustering is a DIFFERENT statistic from [[triangleStats]]'s global
+    * transitivity (3·tri/wedges): it weights every vertex equally instead
+    * of weighting hubs by their wedge count.
+    *
+    * Scale shape: the same √m-bounded compact-forward wedge join as
+    * [[triangleStats]], but the closure join keeps the triangle's three
+    * corners and explodes them (3 rows per triangle) into a per-node hash
+    * aggregate — no per-vertex d² enumeration anywhere. Per-node
+    * coefficients quantize to integer 1e-9 ticks before the global sum,
+    * so avg_lcc is order-independent and bit-exact across engines.
+    */
+  def localClusteringStats(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame = {
+    val und = graft.engine.CacheScope.persistTracked(
+      edges.select(least(col(uCol), col(vCol)).as("u"),
+          greatest(col(uCol), col(vCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = graft.engine.CacheScope.persistTracked(
+      und.select(col("u").as("x"))
+        .union(und.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val dE = graft.engine.CacheScope.persistTracked(und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst")))
+    val corners = dE.as("e1")
+      .join(dE.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(und, col("u") === col("b") && col("v") === col("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+    val tc = corners.groupBy(col("x")).agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(tc, Seq("x"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .withColumn("lq", expr(LccTickSql))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((col("t") > 0).cast("long")).as("n_closed"),
+        sum(col("lq")).as("slq"))
+      .select(col("n_nodes"), col("n_closed"),
+        EngineMath.roundAway(
+          expr("CAST(slq AS DOUBLE) / 1e9 / n_nodes"), 6).as("avg_lcc"))
+  }
+
+  /** The per-node coefficient tick over columns (t, d) — ONE string
+    * evaluated by both engines, so the IEEE divide/scale chain is
+    * operand-identical before the integer quantization.
+    */
+  val LccTickSql: String =
+    "CAST(floor(CAST(t AS DOUBLE) / (CAST(d AS DOUBLE) * (d - 1) / 2.0) " +
+      "* 1e9 + 0.5) AS BIGINT)"
+
   /** `iters` rounds of PageRank over the UNDIRECTED graph spanned by
     * `edges` (symmetrized + deduped here, so no dangling nodes and no
     * rank-mass leak). Returns (node, rank), rank quantized to 12 decimals.

@@ -205,4 +205,196 @@ class EvalOpsSpec extends SparkSpec {
       s"uncertainty $unc vs obar(1-obar) ${obar * (1 - obar)}")
     assert(r.getLong(0) == n, "doc totals agree across x224/x227")
   }
+
+  // ---- x228: two-pass (centered) covariance vs the moment chain ----
+
+  test("x228 CUPED ≡ two-pass covariance over driver-built user frames") {
+    val cutoff = 1705363200000000L
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+    val users = ev.groupBy(_.getLong(0)).map { case (uid, rows) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab1:$uid".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val variant = if (hex < "8000") "b" else "a"
+      def side(pre: Boolean) = rows
+        .filter(r => (r.getLong(2) < cutoff) == pre)
+        .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong).sum / 1e6
+      (variant, side(pre = true), side(pre = false))
+    }.toSeq
+    val n = users.length
+    val mx = users.map(_._2).sum / n
+    val my = users.map(_._3).sum / n
+    val cxy = users.map(u => (u._2 - mx) * (u._3 - my)).sum
+    val vx = users.map(u => (u._2 - mx) * (u._2 - mx)).sum
+    val vy = users.map(u => (u._3 - my) * (u._3 - my)).sum
+    val theta = cxy / vx
+    def m(vt: String, f: ((String, Double, Double)) => Double) = {
+      val v = users.filter(_._1 == vt); v.map(f).sum / v.length
+    }
+    val diffRaw = m("b", _._3) - m("a", _._3)
+    val diffAdj = (m("b", _._3) - theta * m("b", _._2)) -
+      (m("a", _._3) - theta * m("a", _._2))
+    val Array(r) = q("x228_cuped")
+    assert(r.getLong(0) == n.toLong, "n")
+    assert(r.getLong(1) + r.getLong(2) == n.toLong, "n_a + n_b = n")
+    assert(math.abs(r.getDouble(3) - theta) < 1e-5, "theta")
+    assert(math.abs(r.getDouble(4) - diffRaw) < 1e-5, "diff_raw")
+    assert(math.abs(r.getDouble(5) - diffAdj) < 1e-5, "diff_cuped")
+    val rho2 = cxy * cxy / (vx * vy)
+    assert(math.abs(r.getDouble(6) - rho2) < 1e-5, "var_reduction = rho^2")
+    assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1 + 1e-9,
+      "variance reduction is a squared correlation")
+    // the CUPED identity: adjusted lift = raw lift − θ·(pre-period lift)
+    val preDiff = m("b", _._2) - m("a", _._2)
+    assert(math.abs(r.getDouble(5) -
+      (r.getDouble(4) - r.getDouble(3) * preDiff)) < 2e-5, "CUPED identity")
+  }
+
+  // ---- x229: confusion cells re-derived via driver loops ----
+
+  test("x229 per-group TPR/FPR and gaps ≡ driver confusion arithmetic") {
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val model = graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+      isTarget = col("source") === "src0")
+    val scored = graft.operators.QualityFilter
+      .logits(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("logit"))
+      .join(docs.select(col("doc_id"), col("lang"),
+        (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+      .collect()
+    val byLang = scored.groupBy(_.getString(2)).map { case (lang, rows) =>
+      val pred = rows.map(r => (r6(r.getDouble(1)) >= 0.0, r.getLong(3) == 1L))
+      val np = pred.count(_._2).toLong
+      val nn = pred.count(!_._2).toLong
+      val tp = pred.count(p => p._1 && p._2).toLong
+      val fp = pred.count(p => p._1 && !p._2).toLong
+      lang -> (np, nn,
+        if (np > 0) Some(r6(tp.toDouble / np)) else None,
+        if (nn > 0) Some(r6(fp.toDouble / nn)) else None)
+    }
+    val tprs = byLang.values.flatMap(_._3)
+    val fprs = byLang.values.flatMap(_._4)
+    val tg = r6(tprs.max - tprs.min)
+    val fg = r6(fprs.max - fprs.min)
+    val rows = q("x229_equalized_odds")
+    assert(rows.length == byLang.size, "one row per lang")
+    rows.foreach { r =>
+      val (np, nn, tpr, fpr) = byLang(r.getString(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nn, s"cells ${r.getString(0)}")
+      assert(tpr.forall(t => math.abs(r.getDouble(3) - t) < 1e-9), "tpr")
+      assert(fpr.forall(f => math.abs(r.getDouble(4) - f) < 1e-9), "fpr")
+      assert(math.abs(r.getDouble(5) - tg) < 1e-9, "tpr_gap")
+      assert(math.abs(r.getDouble(6) - fg) < 1e-9, "fpr_gap")
+    }
+  }
+
+  // ---- x231: WOE/IV re-derived via driver rank/bin/fold loops ----
+
+  test("x231 WOE and IV ≡ driver binning over independent scoring") {
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val model = graft.operators.QualityFilter.fit(docs, "doc_id", "text",
+      isTarget = col("source") === "src0")
+    val scored = graft.operators.QualityFilter
+      .logits(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("logit"))
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src0").cast("long").as("pos")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r6(r.getDouble(1)), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val n = scored.length
+    val bins = scored.zipWithIndex
+      .groupBy { case (_, rk) => rk.toLong * 10 / n }
+      .map { case (b, rows) =>
+        b -> (rows.length.toLong, rows.map(_._1._3).sum)
+      }
+    val tnp = bins.values.map(_._2).sum.toDouble
+    val tnn = bins.values.map(v => v._1 - v._2).sum.toDouble
+    def woe(np: Long, nn: Long): Double =
+      math.log(((np + 0.5) / (tnp + 5.0)) / ((nn + 0.5) / (tnn + 5.0)))
+    val iv = bins.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (bn, np))) =>
+      acc + ((np + 0.5) / (tnp + 5.0) - (bn - np + 0.5) / (tnn + 5.0)) *
+        woe(np, bn - np)
+    }
+    val rows = q("x231_woe_iv")
+    assert(rows.length == 10, "ten deciles")
+    assert(rows.map(_.getLong(1)).sum == n.toLong, "bins partition the corpus")
+    rows.foreach { r =>
+      val (bn, np) = bins(r.getLong(0))
+      assert(r.getLong(1) == bn && r.getLong(2) == np,
+        s"bin ${r.getLong(0)} cells")
+      assert(math.abs(r.getDouble(3) - woe(np, bn - np)) < 1e-6, "woe")
+      assert(math.abs(r.getDouble(4) - iv) < 1e-5, "iv")
+    }
+    assert(rows.head.getDouble(4) >= -1e-9,
+      "IV is a sum of same-sign products, never negative")
+  }
+
+  // ---- x232: driver tokenizer + conditional sums ----
+
+  test("x232 context-fit ≡ driver tokenize/threshold arithmetic") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong))
+    val rows = q("x232_context_fit")
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length == bySource.size, "one row per source")
+    rows.foreach { r =>
+      val nts = bySource(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == nts.length.toLong, "n_docs")
+      assert(r.getLong(2) == nts.sum, "n_tokens")
+      ExtensionQueries.ContextBudgets.zipWithIndex.foreach { case (b, i) =>
+        assert(r.getLong(3 + 2 * i) == nts.count(_ <= b).toLong, s"fit_$b")
+        assert(r.getLong(4 + 2 * i) == nts.map(nt => math.max(nt - b, 0L)).sum,
+          s"lost_$b")
+      }
+    }
+  }
+
+  // ---- x233: driver projection loops + the JL mean-ratio property ----
+
+  test("x233 JL distortion ≡ driver ±1 projection; mean ratio near 1") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val s = ExtensionQueries.JlSigns.map(_.toArray).toArray
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until 16).map { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += s(j)(i) * v(i); i += 1 }
+        acc / 4.0
+      }.toArray
+    val byId = e.toMap
+    val ticks = e.flatMap { case (id, v) =>
+      byId.get(id + 1).flatMap { w =>
+        var d2o = 0.0
+        var d2p = 0.0
+        val (py, qy) = (proj(v), proj(w))
+        for (i <- 0 until 64) d2o += (v(i) - w(i)) * (v(i) - w(i))
+        for (i <- 0 until 16) d2p += (py(i) - qy(i)) * (py(i) - qy(i))
+        if (d2o > 0.0) Some(math.floor(d2p / d2o * 1e6 + 0.5).toLong) else None
+      }
+    }
+    val Array(r) = q("x233_jl_distortion")
+    assert(r.getLong(0) == ticks.length.toLong, "n_pairs")
+    val mean = math.floor(
+      ticks.sum.toDouble / 1e6 / ticks.length * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getDouble(1) - mean) < 1e-9, "mean_ratio")
+    assert(math.abs(r.getDouble(2) - ticks.min / 1e6) < 1e-9, "min_ratio")
+    assert(math.abs(r.getDouble(3) - ticks.max / 1e6) < 1e-9, "max_ratio")
+    // the JL property the probe exists to measure: E[ratio] = 1, and at
+    // k = 16 the per-pair spread stays within the (1 ± ~3/√k) envelope
+    assert(r.getDouble(1) > 0.7 && r.getDouble(1) < 1.3,
+      s"mean ratio ${r.getDouble(1)} should concentrate near 1")
+  }
 }

@@ -43,6 +43,53 @@ class GraphSpec extends SparkSpec {
     assert(r == ((4L, 1L, 1L)), s"(edges, wedges, triangles) = $r")
   }
 
+  test("localClusteringStats on a hand-checked fixture") {
+    // triangle 1-2-3 + pendant 4 off 3: lcc = (1, 1, 1/3), node 4 has
+    // no defined coefficient; ticks (1e9, 1e9, 333333333) → avg 0.777778
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (4L, 3L), (1L, 2L))
+      .toDF("u", "v")
+    val r = Graph.localClusteringStats(edges, "u", "v").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L,
+      s"(n_nodes, n_closed) = (${r.getLong(0)}, ${r.getLong(1)})")
+    assert(math.abs(r.getDouble(2) - 0.777778) < 1e-9,
+      s"avg_lcc = ${r.getDouble(2)}")
+  }
+
+  test("localClusteringStats ≡ driver adjacency enumeration (real graph)") {
+    val po = Tables.table(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = po.as("a").join(po.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val r = Graph.localClusteringStats(edges, "u", "v").head()
+    val es = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    es.foreach { case (u, v) => adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val nodes = adj.keys.filter(x => adj(x).size >= 2).toSeq
+    var slq = 0L
+    var closed = 0L
+    nodes.foreach { x =>
+      val ns = adj(x).toSeq
+      var t = 0L
+      for (i <- ns.indices; j <- i + 1 until ns.length)
+        if (adj(ns(i)).contains(ns(j))) t += 1
+      if (t > 0) closed += 1
+      val d = ns.length
+      // the operator's exact tick chain: t / (d·(d−1)/2) · 1e9, floored
+      slq += math.floor(t.toDouble /
+        (d.toDouble * (d - 1) / 2.0) * 1e9 + 0.5).toLong
+    }
+    val avg = math.floor(slq.toDouble / 1e9 / nodes.length * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(r.getLong(1) == closed, "n_closed")
+    assert(math.abs(r.getDouble(2) - avg) < 1e-9,
+      s"avg_lcc ${r.getDouble(2)} vs driver $avg")
+  }
+
   test("compact-forward triangle count equals the naive a<b<c enumeration") {
     val po = Tables.table(spark, sf(), "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
