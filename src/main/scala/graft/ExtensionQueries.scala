@@ -6153,7 +6153,222 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(
             expr("CAST(mxt AS DOUBLE) / 1e6"), 6).as("max_ratio"))
     }),
+    // x234: anytime-valid sequential A/B monitor (mSPRT, Johari et al.) —
+    // the always-valid p-value that lets an experimenter peek daily
+    // without alpha inflation, which x126's fixed-horizon Welch t cannot.
+    // One scan → per-(day, variant) exact micro-sums (≤ 31×2 cells);
+    // cumulative counts and the running max of ln Λ come from day-spine
+    // self-joins (bounded by the calendar, never by rows); σ² is the
+    // full-experiment pooled plug-in off the same x126 moment columns;
+    // ln Λ quantizes to 1e-9 ticks before the running max so the p path
+    // is order-independent.
+    "x234_msprt" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab1:"),
+            col("user_id").cast("string"))), 1, 4) < "8000", lit("b"))
+            .otherwise(lit("a")))
+        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+      val sig = ev.groupBy()
+        .agg(
+          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
+          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
+          sum(when(col("variant") === "a", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_a"),
+          sum(when(col("variant") === "b", (col("vm") * col("vm"))
+            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("q_b"))
+        .select(expr(s"(${WelchVar("a")} + ${WelchVar("b")}) / 2.0")
+          .as("sig2"))
+      val daily = ev
+        .withColumn("d",
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long") + 1)
+        .groupBy(col("d"))
+        .agg(sum(when(col("variant") === "a", 1L).otherwise(0L)).as("dna"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("dnb"),
+          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("dsa"),
+          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("dsb"))
+        .localCheckpoint() // day spine: both prefix self-joins read it
+      val cum = daily.as("t")
+        .join(daily.as("p"), col("p.d") <= col("t.d"))
+        .groupBy(col("t.d").as("d"))
+        .agg(sum(col("p.dna")).as("na"), sum(col("p.dnb")).as("nb"),
+          sum(col("p.dsa")).as("sa"), sum(col("p.dsb")).as("sb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .crossJoin(broadcast(sig))
+        .withColumn("lt",
+          expr(s"CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT)"))
+        .localCheckpoint() // consumers: self-join (both sides) + output
+      cum.as("t")
+        .join(cum.as("p").select(col("d").as("pd"), col("lt").as("plt")),
+          col("pd") <= col("d"))
+        .groupBy(col("d"), col("na"), col("nb"), col("sa"), col("sb"),
+          col("sig2"), col("lt"))
+        .agg(max(col("plt")).as("mx"))
+        .select(col("d"), col("na").as("n_a"), col("nb").as("n_b"),
+          graft.functions.EngineMath.roundAway(expr(MsprtThetaSql), 6)
+            .as("theta"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(lt AS DOUBLE) / 1e9"), 6).as("ln_lr"),
+          graft.functions.EngineMath.roundAway(expr(
+            "CASE WHEN mx > 0 THEN exp(-CAST(mx AS DOUBLE) / 1e9) " +
+              "ELSE 1.0 END"), 6).as("p_always_valid"),
+          expr("CAST(CASE WHEN (CASE WHEN mx > 0 THEN " +
+            "exp(-CAST(mx AS DOUBLE) / 1e9) ELSE 1.0 END) <= 0.05 " +
+            "THEN 1 ELSE 0 END AS BIGINT)").as("reject"))
+        .orderBy(col("d"))
+    }),
+    // x235: k-anonymity / l-diversity audit — the privacy-governance
+    // readout a corpus release needs before quasi-identifiers ship.
+    // ONE hash aggregate over the QI tuple (nation, segment, balance
+    // band) carrying size + distinct-sensitive per class; everything
+    // after is |classes|-sized (≤ |nations|×|segments|×|bands|), crossed
+    // with the k policy axis. Violation shares and the l-diversity
+    // floor/mean are exact integer arithmetic until the final divisions.
+    "x235_k_anonymity" -> ((s, dir) => {
+      val cls = table(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr(KAnonBandSql).as("band"),
+          // the testdata carries no sensitive column, so a deterministic
+          // md5 code (16 values) stands in — the audit arithmetic is the
+          // operator; a real deployment passes its sensitive column here
+          substring(md5(concat(lit("sens:"),
+            col("c_custkey").cast("string"))), 1, 1).as("sens"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+        .localCheckpoint() // consumers: totals + per-k violation sums
+      val tot = cls.agg(count(lit(1)).as("n_classes"), sum(col("n")).as("nr"),
+        min(col("l")).as("min_l"), sum(col("l")).as("sl"))
+      cls.crossJoin(broadcast(
+          s.range(1).select(explode(typedlit(KAnonKs)).as("k"))))
+        .groupBy(col("k"))
+        .agg(sum(when(col("n") < col("k"), 1L).otherwise(0L))
+            .as("n_viol_classes"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .as("n_viol_rows"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_classes"), col("n_viol_classes"),
+          col("n_viol_rows"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n_viol_rows AS DOUBLE) / nr"), 6).as("viol_share"),
+          col("min_l"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sl AS DOUBLE) / n_classes"), 6).as("avg_l"))
+        .orderBy(col("k"))
+    }),
+    // x236: retrieval eval — MRR and recall/precision@10 of the x10
+    // brute-force ranker against same-label relevance, the IR-metrics
+    // complement to x146's NDCG (which grades GRADED gains; MRR/recall
+    // grade binary relevance and first-hit latency). Reuses
+    // Similarity.bruteForceTopK (one broadcast of the query side);
+    // per-query metrics quantize to 1e-6 ticks before the means, and
+    // the relevant-corpus denominator is |same-label items| − 1.
+    "x236_mrr_recall" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val labels = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val top = Similarity.bruteForceTopK(e, "vec_id", "vec",
+          q, "vec_id", "vec", k = 10)
+        .join(broadcast(labels.select(col("vec_id").as("query_id"),
+          col("label").as("ql"))), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("item_id"),
+          col("label").as("il")), Seq("item_id"))
+        .withColumn("rel", (col("ql") === col("il")).cast("long"))
+      val relTot = labels.groupBy(col("label")).agg(count(lit(1)).as("nl"))
+      val perQ = top.groupBy(col("query_id"), col("ql"))
+        .agg(min(when(col("rel") === 1L, col("rank"))).as("fr"),
+          sum(col("rel")).as("hits"))
+        .join(broadcast(relTot.select(col("label").as("ql"),
+          (col("nl") - 1).as("nrel"))), Seq("ql"))
+        .select(
+          expr("CAST(floor(CASE WHEN fr IS NULL THEN 0.0 " +
+            "ELSE 1.0 / fr END * 1e6 + 0.5) AS BIGINT)").as("rrt"),
+          expr("CAST(floor(CASE WHEN nrel > 0 THEN CAST(hits AS DOUBLE) " +
+            "/ nrel ELSE 0.0 END * 1e6 + 0.5) AS BIGINT)").as("rct"),
+          expr("CAST(floor(CAST(hits AS DOUBLE) / 10.0 * 1e6 + 0.5) " +
+            "AS BIGINT)").as("pct"))
+      perQ.agg(count(lit(1)).as("n_queries"), sum(col("rrt")).as("srr"),
+          sum(col("rct")).as("src"), sum(col("pct")).as("spc"))
+        .select(col("n_queries"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(srr AS DOUBLE) / 1e6 / n_queries"), 6).as("mrr"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(src AS DOUBLE) / 1e6 / n_queries"), 6)
+            .as("recall_at_10"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(spc AS DOUBLE) / 1e6 / n_queries"), 6)
+            .as("precision_at_10"))
+    }),
+    // x237: Holt double-exponential smoothing of daily event volume —
+    // the trend-aware forecast x121's flat EWMA can't produce. Rows-scale
+    // work is ONE (type, day) count aggregate; the level/trend recursion
+    // folds the ≤ 31-element day series with a struct accumulator
+    // (Spark `aggregate` with a non-element-typed zero; the oracle runs
+    // the same recursion as a recursive CTE — a genuinely different
+    // evaluation strategy re-proving the fold).
+    "x237_holt" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("cs"))
+        .withColumn("vals", expr("transform(cs, c -> c.x)"))
+        .withColumn("h", expr(
+          "aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)), " +
+            "named_struct('l', element_at(vals, 2), " +
+            "'b', element_at(vals, 2) - element_at(vals, 1)), " +
+            s"(acc, x) -> named_struct('l', ${HoltLSql("acc.", "x")}, " +
+            s"'b', ${HoltBSql("acc.", "x")}))"))
+        .select(col("event_type"), size(col("vals")).cast("long")
+            .as("n_days"),
+          graft.functions.EngineMath.roundAway(expr("h.l"), 6).as("level"),
+          graft.functions.EngineMath.roundAway(expr("h.b"), 6).as("trend"),
+          graft.functions.EngineMath.roundAway(expr("h.l + h.b"), 6)
+            .as("fc_1"),
+          graft.functions.EngineMath.roundAway(expr("h.l + 7.0 * h.b"), 6)
+            .as("fc_7"))
+        .orderBy(col("event_type"))
+    }),
   )
+
+  /** x234's mSPRT chains over the cumulative row (na, nb, sa, sb) plus
+    * the broadcast plug-in variance sig2 — mixture N(0, τ²) with
+    * τ² = 0.01, V = σ²(1/n_a + 1/n_b):
+    * ln Λ = ½·ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)). One string per quantity,
+    * both engines evaluate the identical IEEE tree.
+    */
+  private val MsprtThetaSql: String =
+    "((CAST(sb AS DOUBLE) / 1e6) / nb - (CAST(sa AS DOUBLE) / 1e6) / na)"
+  private val MsprtVSql: String = "(sig2 * (1.0 / na + 1.0 / nb))"
+  private val MsprtLnLrSql: String =
+    s"(0.5 * ln($MsprtVSql / ($MsprtVSql + 0.01)) + " +
+      s"(($MsprtThetaSql) * ($MsprtThetaSql) * 0.01) / " +
+      s"(2.0 * $MsprtVSql * ($MsprtVSql + 0.01)))"
+
+  /** x235's quasi-identifier band + policy axis — shared constants. */
+  private val KAnonBandSql: String =
+    "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)"
+  private[graft] val KAnonKs = Seq(2L, 5L, 10L)
+
+  /** x237's Holt updates over the accumulator (prefix `p`: "acc." in the
+    * Spark fold, "h." in the oracle's recursive CTE) and the observation
+    * expression `x` — the level tree is spliced twice (the trend update
+    * re-evaluates it), so both engines see the identical IEEE tree in
+    * both positions. α = 0.3, β = 0.1; constants CAST so DuckDB doesn't
+    * parse them as DECIMAL.
+    */
+  private def HoltLSql(p: String, x: String): String =
+    s"CAST(0.3 AS DOUBLE) * $x + CAST(0.7 AS DOUBLE) * (${p}l + ${p}b)"
+  private def HoltBSql(p: String, x: String): String =
+    s"CAST(0.1 AS DOUBLE) * ((${HoltLSql(p, x)}) - ${p}l) + " +
+      s"CAST(0.9 AS DOUBLE) * ${p}b"
 
   /** x232's context budgets — ONE constant feeds the Spark conditional
     * sums and the oracle's generated branches (testdata docs run 10–99
@@ -11102,6 +11317,121 @@ object ExtensionQueries {
          |  round(CAST(min(rt) AS DOUBLE) / 1e6, 6) AS min_ratio,
          |  round(CAST(max(rt) AS DOUBLE) / 1e6, 6) AS max_ratio
          |FROM q""".stripMargin.replace("\n", " ")),
+    // the x226 variant hash + moment row for the pooled plug-in variance,
+    // the same day-spine prefix joins, the same ln Λ tick string
+    "x234_msprt" ->
+      (s"""WITH e AS (SELECT user_id,
+         |  CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |    < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+         |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS d
+         |  FROM events),
+         |sg0 AS (SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
+         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |  FROM e),
+         |sg AS (SELECT (${WelchVar("a")} + ${WelchVar("b")}) / 2.0 AS sig2 FROM sg0),
+         |dl AS (SELECT d,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS dna,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS dnb,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS dsa,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS dsb
+         |  FROM e GROUP BY 1),
+         |cum AS (SELECT t.d, CAST(sum(p.dna) AS BIGINT) AS na,
+         |    CAST(sum(p.dnb) AS BIGINT) AS nb, CAST(sum(p.dsa) AS BIGINT) AS sa,
+         |    CAST(sum(p.dsb) AS BIGINT) AS sb
+         |  FROM dl t JOIN dl p ON p.d <= t.d GROUP BY 1),
+         |ct AS (SELECT cum.*, sig2 FROM cum CROSS JOIN sg WHERE na > 0 AND nb > 0),
+         |lt AS (SELECT d, na, nb, sa, sb, sig2,
+         |    CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT) AS lt FROM ct),
+         |mx AS (SELECT t.d, t.na, t.nb, t.sa, t.sb, t.sig2, t.lt,
+         |    CAST(max(p.lt) AS BIGINT) AS mx
+         |  FROM lt t JOIN lt p ON p.d <= t.d GROUP BY 1, 2, 3, 4, 5, 6, 7)
+         |SELECT d, na AS n_a, nb AS n_b,
+         |  round($MsprtThetaSql, 6) AS theta,
+         |  round(CAST(lt AS DOUBLE) / 1e9, 6) AS ln_lr,
+         |  round(CASE WHEN mx > 0 THEN exp(-CAST(mx AS DOUBLE) / 1e9)
+         |    ELSE 1.0 END, 6) AS p_always_valid,
+         |  CAST(CASE WHEN (CASE WHEN mx > 0 THEN exp(-CAST(mx AS DOUBLE) / 1e9)
+         |    ELSE 1.0 END) <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS reject
+         |FROM mx ORDER BY d""".stripMargin.replace("\n", " ")),
+    // the same QI aggregate (band string shared), policy axis from the
+    // same KAnonKs constant, identical violation/diversity arithmetic
+    "x235_k_anonymity" ->
+      (s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, $KAnonBandSql AS band,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT substr(md5('sens:'||CAST(c_custkey AS VARCHAR)), 1, 1)) AS BIGINT) AS l
+         |  FROM customer GROUP BY 1, 2, 3),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         |    CAST(sum(n) AS BIGINT) AS nr, CAST(min(l) AS BIGINT) AS min_l,
+         |    CAST(sum(l) AS BIGINT) AS sl FROM cls),
+         |ks AS (SELECT unnest([${KAnonKs.mkString(", ")}]) AS k),
+         |v AS (SELECT k,
+         |    CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_classes,
+         |    CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows
+         |  FROM cls CROSS JOIN ks GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS k, n_classes, n_viol_classes, n_viol_rows,
+         |  round(CAST(n_viol_rows AS DOUBLE) / nr, 6) AS viol_share,
+         |  min_l, round(CAST(sl AS DOUBLE) / n_classes, 6) AS avg_l
+         |FROM v CROSS JOIN t ORDER BY k""".stripMargin.replace("\n", " ")),
+    // x10's cross-join ranking verbatim (cosSql, same tie-break), labels
+    // joined back, the same tick quantization per query before the means
+    "x236_mrr_recall" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |i AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |top AS (SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+         |  FROM i CROSS JOIN q WHERE item_id != query_id) WHERE rank <= 10),
+         |tl AS (SELECT t.query_id, t.rank,
+         |    CASE WHEN ql.label = il.label THEN 1 ELSE 0 END AS rel
+         |  FROM top t JOIN lb ql ON ql.vec_id = t.query_id
+         |  JOIN lb il ON il.vec_id = t.item_id),
+         |rt AS (SELECT label, CAST(count(*) AS BIGINT) AS nl FROM lb GROUP BY 1),
+         |pq AS (SELECT query_id, min(CASE WHEN rel = 1 THEN rank END) AS fr,
+         |    CAST(sum(rel) AS BIGINT) AS hits FROM tl GROUP BY 1),
+         |pq2 AS (SELECT pq.query_id, pq.fr, pq.hits, rt.nl - 1 AS nrel
+         |  FROM pq JOIN lb ON lb.vec_id = pq.query_id JOIN rt ON rt.label = lb.label),
+         |tk AS (SELECT
+         |    CAST(floor(CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END * 1e6 + 0.5) AS BIGINT) AS rrt,
+         |    CAST(floor(CASE WHEN nrel > 0 THEN CAST(hits AS DOUBLE) / nrel ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS rct,
+         |    CAST(floor(CAST(hits AS DOUBLE) / 10.0 * 1e6 + 0.5) AS BIGINT) AS pct
+         |  FROM pq2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(CAST(sum(rrt) AS DOUBLE) / 1e6 / count(*), 6) AS mrr,
+         |  round(CAST(sum(rct) AS DOUBLE) / 1e6 / count(*), 6) AS recall_at_10,
+         |  round(CAST(sum(pct) AS DOUBLE) / 1e6 / count(*), 6) AS precision_at_10
+         |FROM tk""".stripMargin.replace("\n", " ")),
+    // the same seeds and the same spliced level/trend trees, evaluated
+    // by a genuinely different strategy: a recursive CTE instead of the
+    // engine's array fold
+    "x237_holt" ->
+      (s"""WITH RECURSIVE dl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+         |dr AS (SELECT event_type, x,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd FROM dl),
+         |seed AS (SELECT r1.event_type, CAST(2 AS BIGINT) AS t,
+         |    r2.x AS l, r2.x - r1.x AS b
+         |  FROM dr r1 JOIN dr r2 ON r1.event_type = r2.event_type
+         |    AND r1.rn = 1 AND r2.rn = 2),
+         |h AS (SELECT * FROM seed
+         |  UNION ALL
+         |  SELECT h.event_type, h.t + 1,
+         |    ${HoltLSql("h.", "d.x")} AS l, ${HoltBSql("h.", "d.x")} AS b
+         |  FROM h JOIN dr d ON d.event_type = h.event_type AND d.rn = h.t + 1),
+         |fin AS (SELECT h.event_type, d2.nd, h.l, h.b FROM h
+         |  JOIN (SELECT DISTINCT event_type, nd FROM dr) d2
+         |    ON d2.event_type = h.event_type WHERE h.t = d2.nd)
+         |SELECT event_type, nd AS n_days, round(l, 6) AS level,
+         |  round(b, 6) AS trend, round(l + b, 6) AS fc_1,
+         |  round(l + 7.0 * b, 6) AS fc_7
+         |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
   )
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,

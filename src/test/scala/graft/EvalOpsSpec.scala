@@ -397,4 +397,161 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.7 && r.getDouble(1) < 1.3,
       s"mean ratio ${r.getDouble(1)} should concentrate near 1")
   }
+
+  // ---- x234: driver replay of the mSPRT recursion ----
+
+  test("x234 always-valid p ≡ driver day-loop replay; p never increases") {
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      .collect()
+      .map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ab1:${r.getLong(0)}".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        (if (hex < "8000") "b" else "a",
+          math.floor(r.getDouble(1) * 1e6 + 0.5).toLong,
+          r.getDate(2).toLocalDate.toEpochDay -
+            java.time.LocalDate.parse("2024-01-01").toEpochDay + 1)
+      }
+    def mom(vt: String) = {
+      val v = ev.filter(_._1 == vt).map(_._2 / 1e6)
+      val m = v.sum / v.length
+      v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+    }
+    val sig2 = (mom("a") + mom("b")) / 2.0
+    val days = ev.map(_._3).distinct.sorted
+    var runMax = Long.MinValue
+    val expect = days.map { d =>
+      val upTo = ev.filter(_._3 <= d)
+      val (na, nb) = (upTo.count(_._1 == "a").toLong,
+        upTo.count(_._1 == "b").toLong)
+      val (sa, sb) = (upTo.filter(_._1 == "a").map(_._2).sum,
+        upTo.filter(_._1 == "b").map(_._2).sum)
+      val theta = (sb / 1e6) / nb - (sa / 1e6) / na
+      val v = sig2 * (1.0 / na + 1.0 / nb)
+      val lnlr = 0.5 * math.log(v / (v + 0.01)) +
+        (theta * theta * 0.01) / (2.0 * v * (v + 0.01))
+      val lt = math.floor(lnlr * 1e9 + 0.5).toLong
+      runMax = math.max(runMax, lt)
+      val p = if (runMax > 0) math.exp(-runMax / 1e9) else 1.0
+      d -> (na, nb, r6(theta), r6(lt / 1e9), r6(p))
+    }.toMap
+    val rows = q("x234_msprt")
+    assert(rows.length == days.length, "one row per active day")
+    var prevP = 2.0
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val (na, nb, theta, lnlr, p) = expect(r.getLong(0))
+      assert(r.getLong(1) == na && r.getLong(2) == nb, s"day ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - theta) < 1e-9, "theta")
+      assert(math.abs(r.getDouble(4) - lnlr) < 1e-9, "ln_lr")
+      assert(math.abs(r.getDouble(5) - p) < 1e-9, "p")
+      assert(r.getDouble(5) <= prevP + 1e-12,
+        "always-valid p is non-increasing")
+      prevP = r.getDouble(5)
+      assert(r.getLong(6) == (if (p <= 0.05) 1L else 0L), "reject flag")
+    }
+  }
+
+  // ---- x235: driver class-size loops ----
+
+  test("x235 k-anonymity audit ≡ driver equivalence-class arithmetic") {
+    val cust = spark.read.parquet(sf() + "/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS nat",
+        "c_mktsegment", "CAST(c_acctbal AS DOUBLE) AS bal")
+      .collect()
+    val classes = cust.groupBy { r =>
+      (r.getLong(1), r.getString(2), math.floor(r.getDouble(3) / 1000.0).toLong)
+    }.iterator.map { case (_, rows) =>
+      val ls = rows.map { r =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"sens:${r.getLong(0)}".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.substring(0, 1)
+      }.toSet.size.toLong
+      (rows.length.toLong, ls)
+    }.toSeq
+    val nr = classes.map(_._1).sum
+    val rows = q("x235_k_anonymity")
+    assert(rows.length == 3, "one row per k policy")
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == classes.length.toLong, "n_classes")
+      assert(r.getLong(2) == classes.count(_._1 < k).toLong, "violating classes")
+      val vr = classes.filter(_._1 < k).map(_._1).sum
+      assert(r.getLong(3) == vr, "violating rows")
+      assert(math.abs(r.getDouble(4) - math.floor(
+        vr.toDouble / nr * 1e6 + 0.5) / 1e6) < 1e-9, "share")
+      assert(r.getLong(5) == classes.map(_._2).min, "min_l")
+    }
+  }
+
+  // ---- x236: brute-force retrieval metrics in driver loops ----
+
+  test("x236 MRR/recall@10 ≡ driver brute-force ranking") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = e.map(t => t._1 -> math.sqrt(dot(t._2, t._2))).toMap
+    val queries = e.filter(_._1 % 25 == 0)
+    val metrics = queries.map { case (qid, qv, ql) =>
+      val ranked = e.filter(_._1 != qid)
+        .map(t => (t._1, t._3, dot(t._2, qv) / (norms(t._1) * norms(qid))))
+        .sortBy(t => (-t._3, t._1)).take(10)
+      val fr = ranked.zipWithIndex.collectFirst {
+        case ((_, l, _), i) if l == ql => i + 1 }
+      val hits = ranked.count(_._2 == ql).toLong
+      val nrel = e.count(t => t._3 == ql && t._1 != qid).toLong
+      (math.floor(fr.map(1.0 / _).getOrElse(0.0) * 1e6 + 0.5).toLong,
+        math.floor((if (nrel > 0) hits.toDouble / nrel else 0.0) * 1e6 + 0.5).toLong,
+        math.floor(hits.toDouble / 10.0 * 1e6 + 0.5).toLong)
+    }
+    val n = metrics.length
+    val Array(r) = q("x236_mrr_recall")
+    assert(r.getLong(0) == n.toLong, "n_queries")
+    def m6(s: Long) = math.floor(s.toDouble / 1e6 / n * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getDouble(1) - m6(metrics.map(_._1).sum)) < 1e-9, "mrr")
+    assert(math.abs(r.getDouble(2) - m6(metrics.map(_._2).sum)) < 1e-9,
+      "recall@10")
+    assert(math.abs(r.getDouble(3) - m6(metrics.map(_._3).sum)) < 1e-9,
+      "precision@10")
+  }
+
+  // ---- x237: driver Holt recursion ----
+
+  test("x237 Holt level/trend ≡ driver recursion per event type") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDouble(2)))
+    val rows = q("x237_holt")
+    val byType = daily.groupBy(_._1)
+    assert(rows.length == byType.size, "one row per event type")
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) == xs.length.toLong, "n_days")
+      var l = xs(1)
+      var b = xs(1) - xs(0)
+      xs.drop(2).foreach { x =>
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * (l2 - l) + 0.9 * b
+        l = l2
+      }
+      def r6(x: Double) =
+        math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(2) - r6(l)) < 1e-9, "level")
+      assert(math.abs(r.getDouble(3) - r6(b)) < 1e-9, "trend")
+      assert(math.abs(r.getDouble(4) - r6(l + b)) < 1e-9, "fc_1")
+      assert(math.abs(r.getDouble(5) - r6(l + 7.0 * b)) < 1e-9, "fc_7")
+    }
+  }
 }
