@@ -6194,7 +6194,7 @@ object ExtensionQueries {
           sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("dsb"))
         .localCheckpoint() // day spine: both prefix self-joins read it
       val cum = daily.as("t")
-        .join(daily.as("p"), col("p.d") <= col("t.d"))
+        .join(broadcast(daily.as("p")), col("p.d") <= col("t.d"))
         .groupBy(col("t.d").as("d"))
         .agg(sum(col("p.dna")).as("na"), sum(col("p.dnb")).as("nb"),
           sum(col("p.dsa")).as("sa"), sum(col("p.dsb")).as("sb"))
@@ -6204,7 +6204,8 @@ object ExtensionQueries {
           expr(s"CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT)"))
         .localCheckpoint() // consumers: self-join (both sides) + output
       cum.as("t")
-        .join(cum.as("p").select(col("d").as("pd"), col("lt").as("plt")),
+        .join(broadcast(cum.as("p")
+            .select(col("d").as("pd"), col("lt").as("plt"))),
           col("pd") <= col("d"))
         .groupBy(col("d"), col("na"), col("nb"), col("sa"), col("sb"),
           col("sig2"), col("lt"))
