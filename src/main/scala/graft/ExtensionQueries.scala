@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -6162,67 +6164,17 @@ object ExtensionQueries {
     // full-experiment pooled plug-in off the same x126 moment columns;
     // ln Λ quantizes to 1e-9 ticks before the running max so the p path
     // is order-independent.
-    "x234_msprt" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .withColumn("variant",
-          when(substring(md5(concat(lit("ab1:"),
-            col("user_id").cast("string"))), 1, 4) < "8000", lit("b"))
-            .otherwise(lit("a")))
-        .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
-      val sig = ev.groupBy()
-        .agg(
-          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
-          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
-          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
-          sum(when(col("variant") === "a", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_a"),
-          sum(when(col("variant") === "b", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_b"))
-        .select(expr(s"(${WelchVar("a")} + ${WelchVar("b")}) / 2.0")
-          .as("sig2"))
-      val daily = ev
-        .withColumn("d",
-          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
-            .cast("long") + 1)
-        .groupBy(col("d"))
-        .agg(sum(when(col("variant") === "a", 1L).otherwise(0L)).as("dna"),
-          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("dnb"),
-          sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("dsa"),
-          sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("dsb"))
-        .localCheckpoint() // day spine: both prefix self-joins read it
-      val cum = daily.as("t")
-        .join(broadcast(daily.as("p")), col("p.d") <= col("t.d"))
-        .groupBy(col("t.d").as("d"))
-        .agg(sum(col("p.dna")).as("na"), sum(col("p.dnb")).as("nb"),
-          sum(col("p.dsa")).as("sa"), sum(col("p.dsb")).as("sb"))
-        .filter(col("na") > 0 && col("nb") > 0)
-        .crossJoin(broadcast(sig))
-        .withColumn("lt",
-          expr(s"CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT)"))
-        .localCheckpoint() // consumers: self-join (both sides) + output
-      cum.as("t")
-        .join(broadcast(cum.as("p")
-            .select(col("d").as("pd"), col("lt").as("plt"))),
-          col("pd") <= col("d"))
-        .groupBy(col("d"), col("na"), col("nb"), col("sa"), col("sb"),
-          col("sig2"), col("lt"))
-        .agg(max(col("plt")).as("mx"))
-        .select(col("d"), col("na").as("n_a"), col("nb").as("n_b"),
-          graft.functions.EngineMath.roundAway(expr(MsprtThetaSql), 6)
-            .as("theta"),
-          graft.functions.EngineMath.roundAway(
-            expr("CAST(lt AS DOUBLE) / 1e9"), 6).as("ln_lr"),
-          graft.functions.EngineMath.roundAway(expr(
-            "CASE WHEN mx > 0 THEN exp(-CAST(mx AS DOUBLE) / 1e9) " +
-              "ELSE 1.0 END"), 6).as("p_always_valid"),
-          expr("CAST(CASE WHEN (CASE WHEN mx > 0 THEN " +
-            "exp(-CAST(mx AS DOUBLE) / 1e9) ELSE 1.0 END) <= 0.05 " +
-            "THEN 1 ELSE 0 END AS BIGINT)").as("reject"))
-        .orderBy(col("d"))
-    }),
+    "x234_msprt" -> ((s, dir) =>
+      msprtOverDayCells(abDayCells(Tables.events(s, dir)))),
+    // x238: the STREAM-MAINTAINED twin of x234 — sequential monitoring is
+    // the production use of an always-valid p-value, and the per-(day,
+    // variant) cells it reads are ADDITIVE, so they accumulate in one
+    // stateful aggregate (StreamOps.abDayCellsStreaming, Complete mode);
+    // the non-additive mSPRT derivation stays the read-time fold shared
+    // verbatim with x234 (the x176/x177/x190 decomposition contract).
+    "x238_stream_msprt" -> ((s, dir) =>
+      msprtOverDayCells(graft.streaming.StreamOps
+        .abDayCellsStreaming(s, s"$dir/events.parquet"))),
     // x235: k-anonymity / l-diversity audit — the privacy-governance
     // readout a corpus release needs before quasi-identifiers ship.
     // ONE hash aggregate over the QI tuple (nation, segment, balance
@@ -6337,7 +6289,159 @@ object ExtensionQueries {
             .as("fc_7"))
         .orderBy(col("event_type"))
     }),
+    // x239: tokenizer fertility per language — pieces-per-word and
+    // letters-per-piece under the x99 fixed subword vocabulary, the
+    // standard multilingual-tokenizer equity report (a lang whose
+    // fertility runs high pays more context budget per word). ONE scan
+    // combining the x01 whitespace tokenizer with the x99 greedy
+    // encoder; integer sums per lang, two final divisions.
+    "x239_fertility" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+          size(regexp_extract_all(lower(col("text")),
+            lit(SubwordPattern), lit(0))).cast("long").as("np"),
+          length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("long").as("na"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("np")).as("n_pieces"), sum(col("na")).as("n_alpha"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_pieces"),
+          graft.functions.EngineMath.roundAway(
+            expr("CASE WHEN n_tokens > 0 THEN " +
+              "CAST(n_pieces AS DOUBLE) / n_tokens END"), 6)
+            .as("pieces_per_token"),
+          graft.functions.EngineMath.roundAway(
+            expr("CASE WHEN n_pieces > 0 THEN " +
+              "CAST(n_alpha AS DOUBLE) / n_pieces END"), 6)
+            .as("alpha_per_piece"))
+        .orderBy(col("lang"))
+    }),
+    // x240: difference-in-differences — the causal-inference companion to
+    // x228: same pre/post split and variant hash, but the estimand is the
+    // change-vs-change contrast with a user-level (clustered) Welch SE.
+    // Per-user pre/post micro-sums → per-user diff d = post − pre → the
+    // x126 moment row OVER d (so the SE/t chains are WelchVar/WelchTSql
+    // verbatim); pre-period means reported as the parallel-trends
+    // eyeball. One scan, one user aggregate, one moment row.
+    "x240_did" -> ((s, dir) => {
+      val users = abDayProject(Tables.events(s, dir))
+        .withColumn("pre",
+          (unix_micros(col("ts")) < lit(CupedCutoffUs)).cast("long"))
+        .groupBy(col("user_id"), col("variant"))
+        .agg(sum(when(col("pre") === 1L, col("vm")).otherwise(0L)).as("x"),
+          sum(when(col("pre") === 0L, col("vm")).otherwise(0L)).as("y"))
+        .withColumn("dd", col("y") - col("x"))
+      users.groupBy()
+        .agg(
+          sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "a", col("dd")).otherwise(0L)).as("s_a"),
+          sum(when(col("variant") === "b", col("dd")).otherwise(0L)).as("s_b"),
+          // widen BEFORE the square: per-user period sums reach ~5e9
+          // micro-units at sf0.1 (the x228 lesson)
+          sum(when(col("variant") === "a",
+            col("dd").cast("decimal(38,0)") * col("dd"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+          sum(when(col("variant") === "b",
+            col("dd").cast("decimal(38,0)") * col("dd"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"),
+          sum(when(col("variant") === "a", col("x")).otherwise(0L)).as("px_a"),
+          sum(when(col("variant") === "b", col("x")).otherwise(0L)).as("px_b"))
+        .select(col("n_a"), col("n_b"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(CAST(px_a AS DOUBLE) / 1e6) / n_a"), 6).as("pre_a"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(CAST(px_b AS DOUBLE) / 1e6) / n_b"), 6).as("pre_b"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${WelchMean("b")}) - (${WelchMean("a")})"), 6).as("did"),
+          graft.functions.EngineMath.roundAway(expr(AbSeSql), 6).as("se"),
+          graft.functions.EngineMath.roundAway(expr(WelchTSql), 6).as("t"))
+    }),
   )
+
+  /** The x234/x238 shared A/B day projection: variant hash, micro-tick
+    * value, day index — ONE definition for the batch scan and the
+    * streaming source, so the experiment definition cannot drift between
+    * the two engine halves.
+    */
+  private[graft] def abDayProject(ev: DataFrame): DataFrame = ev
+    .withColumn("variant",
+      when(substring(md5(concat(lit("ab1:"),
+        col("user_id").cast("string"))), 1, 4) < "8000", lit("b"))
+        .otherwise(lit("a")))
+    .withColumn("vm", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+    .withColumn("d",
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long") + 1)
+
+  /** The ADDITIVE per-day cell table (d, dna, dnb, dsa, dsb, dqa, dqb)
+    * both mSPRT halves read — counts, micro-sums, and decimal
+    * sum-of-squares per variant. Additivity is what makes the monitor
+    * stream-maintainable: one stateful aggregate holds ≤ |days| rows.
+    */
+  private[graft] def abDayCellAggs: Seq[Column] = Seq(
+    sum(when(col("variant") === "a", 1L).otherwise(0L)).as("dna"),
+    sum(when(col("variant") === "b", 1L).otherwise(0L)).as("dnb"),
+    sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("dsa"),
+    sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("dsb"),
+    sum(when(col("variant") === "a", (col("vm") * col("vm"))
+      .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+      .as("dqa"),
+    sum(when(col("variant") === "b", (col("vm") * col("vm"))
+      .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+      .as("dqb"))
+
+  private def abDayCells(ev: DataFrame): DataFrame =
+    abDayProject(ev).groupBy(col("d"))
+      .agg(abDayCellAggs.head, abDayCellAggs.tail: _*)
+
+  /** The read-time mSPRT derivation over the bounded day-cell table —
+    * shared verbatim by batch x234 and stream x238, so the statistic
+    * cannot drift between them. σ² is the pooled plug-in re-derived from
+    * the cells' integer sums (identical to a full-scan moment row, since
+    * integer addition is associative); cumulative stats and the running
+    * max of ln Λ are calendar-bounded broadcast prefix joins.
+    */
+  private def msprtOverDayCells(cellsIn: DataFrame): DataFrame = {
+    val daily = cellsIn
+      .localCheckpoint() // day spine: sig + both prefix joins read it
+    val sig = daily.agg(
+        sum(col("dna")).as("n_a"), sum(col("dnb")).as("n_b"),
+        sum(col("dsa")).as("s_a"), sum(col("dsb")).as("s_b"),
+        sum(col("dqa")).as("q_a"), sum(col("dqb")).as("q_b"))
+      .select(expr(s"(${WelchVar("a")} + ${WelchVar("b")}) / 2.0")
+        .as("sig2"))
+    val cum = daily.as("t")
+      .join(broadcast(daily.as("p")), col("p.d") <= col("t.d"))
+      .groupBy(col("t.d").as("d"))
+      .agg(sum(col("p.dna")).as("na"), sum(col("p.dnb")).as("nb"),
+        sum(col("p.dsa")).as("sa"), sum(col("p.dsb")).as("sb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .crossJoin(broadcast(sig))
+      .withColumn("lt",
+        expr(s"CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT)"))
+      .localCheckpoint() // consumers: self-join (both sides) + output
+    cum.as("t")
+      .join(broadcast(cum.as("p")
+          .select(col("d").as("pd"), col("lt").as("plt"))),
+        col("pd") <= col("d"))
+      .groupBy(col("d"), col("na"), col("nb"), col("sa"), col("sb"),
+        col("sig2"), col("lt"))
+      .agg(max(col("plt")).as("mx"))
+      .select(col("d"), col("na").as("n_a"), col("nb").as("n_b"),
+        graft.functions.EngineMath.roundAway(expr(MsprtThetaSql), 6)
+          .as("theta"),
+        graft.functions.EngineMath.roundAway(
+          expr("CAST(lt AS DOUBLE) / 1e9"), 6).as("ln_lr"),
+        graft.functions.EngineMath.roundAway(expr(
+          "CASE WHEN mx > 0 THEN exp(-CAST(mx AS DOUBLE) / 1e9) " +
+            "ELSE 1.0 END"), 6).as("p_always_valid"),
+        expr("CAST(CASE WHEN (CASE WHEN mx > 0 THEN " +
+          "exp(-CAST(mx AS DOUBLE) / 1e9) ELSE 1.0 END) <= 0.05 " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("reject"))
+      .orderBy(col("d"))
+  }
 
   /** x234's mSPRT chains over the cumulative row (na, nb, sa, sb) plus
     * the broadcast plug-in variance sig2 — mixture N(0, τ²) with
@@ -11318,8 +11422,59 @@ object ExtensionQueries {
          |  round(CAST(min(rt) AS DOUBLE) / 1e6, 6) AS min_ratio,
          |  round(CAST(max(rt) AS DOUBLE) / 1e6, 6) AS max_ratio
          |FROM q""".stripMargin.replace("\n", " ")),
-    // the x226 variant hash + moment row for the pooled plug-in variance,
-    // the same day-spine prefix joins, the same ln Λ tick string
+    // the x01 tokenizer + the x99 greedy encoder pattern, spliced from
+    // the same constants; same guarded divisions
+    "x239_fertility" ->
+      (s"""WITH m AS (SELECT lang, CAST(len($toks) AS BIGINT) AS nt,
+         |    CAST(len(regexp_extract_all(lower(text), '$SubwordPattern')) AS BIGINT) AS np,
+         |    CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS na
+         |  FROM documents),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(na) AS BIGINT) AS n_alpha
+         |  FROM m GROUP BY 1)
+         |SELECT lang, n_docs, n_tokens, n_pieces,
+         |  round(CASE WHEN n_tokens > 0 THEN CAST(n_pieces AS DOUBLE) / n_tokens END, 6) AS pieces_per_token,
+         |  round(CASE WHEN n_pieces > 0 THEN CAST(n_alpha AS DOUBLE) / n_pieces END, 6) AS alpha_per_piece
+         |FROM g ORDER BY lang""".stripMargin.replace("\n", " ")),
+    // the x228 user frame, per-user diff, then x126's moment row over the
+    // diff so SE/t reuse the shared Welch strings verbatim
+    "x240_did" ->
+      (s"""WITH e AS (SELECT user_id,
+         |  CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |    < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+         |  CASE WHEN epoch_us(ts) < $CupedCutoffUs THEN 1 ELSE 0 END AS pre
+         |  FROM events),
+         |u AS (SELECT user_id, variant,
+         |    CAST(sum(CASE WHEN pre = 0 THEN vm ELSE 0 END) -
+         |      sum(CASE WHEN pre = 1 THEN vm ELSE 0 END) AS BIGINT) AS dd,
+         |    CAST(sum(CASE WHEN pre = 1 THEN vm ELSE 0 END) AS BIGINT) AS x
+         |  FROM e GROUP BY 1, 2),
+         |m AS (SELECT
+         |    CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN dd ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN dd ELSE 0 END) AS BIGINT) AS s_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS DECIMAL(38,0)) AS q_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN x ELSE 0 END) AS BIGINT) AS px_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN x ELSE 0 END) AS BIGINT) AS px_b
+         |  FROM u)
+         |SELECT n_a, n_b,
+         |  round((CAST(px_a AS DOUBLE) / 1e6) / n_a, 6) AS pre_a,
+         |  round((CAST(px_b AS DOUBLE) / 1e6) / n_b, 6) AS pre_b,
+         |  round((${WelchMean("b")}) - (${WelchMean("a")}), 6) AS did,
+         |  round($AbSeSql, 6) AS se,
+         |  round($WelchTSql, 6) AS t
+         |FROM m""".stripMargin.replace("\n", " ")),
+    // the x234/x238 SHARED oracle (x238 aliases this entry below the
+    // map): the x226 variant hash + moment row for the pooled plug-in
+    // variance, the same day-spine prefix joins, the same ln Λ tick
+    // string. One SQL text gates both the batch scan and the streaming
+    // drain (AvailableNow over the same parquet produces the same
+    // additive cells — the x176/x177 stream-twin contract).
     "x234_msprt" ->
       (s"""WITH e AS (SELECT user_id,
          |  CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
@@ -11433,7 +11588,10 @@ object ExtensionQueries {
          |  round(b, 6) AS trend, round(l + b, 6) AS fc_1,
          |  round(l + 7.0 * b, 6) AS fc_7
          |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
-  )
+  ).pipe(m =>
+    // the stream twin drains the same parquet into the same additive day
+    // cells, so the batch oracle gates it bit-for-bit
+    m + ("x238_stream_msprt" -> m("x234_msprt")))
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
     * day) argmax, one final division.

@@ -382,6 +382,39 @@ object StreamOps {
     spark.table(queryName).localCheckpoint()
   }
 
+  /** Stream-maintained per-day A/B experiment cells for the x238 mSPRT
+    * read: counts, micro-sums, and decimal sums-of-squares per variant
+    * are ADDITIVE, so the whole sequential monitor's rows-scale input
+    * accumulates in one stateful aggregate (≤ |days| state rows); the
+    * always-valid p derivation is read-time, shared verbatim with the
+    * batch x234 (ExtensionQueries.msprtOverDayCells). Same decomposition
+    * contract as [[qualityBinCountsStreaming]] — and the natural
+    * production shape: events stream in, the monitor is re-read daily.
+    */
+  def abDayCellsStreaming(spark: SparkSession, eventsDir: String,
+      queryName: String = "msprt_day_cells",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val dir = streamableDir(eventsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
+    val aggs = graft.ExtensionQueries.abDayCellAggs
+    val q = graft.ExtensionQueries.abDayProject(src)
+      .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onFinish(q)
+    // bounded (≤ |days| rows); checkpointed for the same multi-reference
+    // reason as [[qualityBinCountsStreaming]]
+    spark.table(queryName).localCheckpoint()
+  }
+
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
     * aggregate; the exact-integer cumsum/numerator derivation is

@@ -554,4 +554,88 @@ class EvalOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - r6(l + 7.0 * b)) < 1e-9, "fc_7")
     }
   }
+
+  // ---- x239: driver tokenizer + greedy encoder loops ----
+
+  test("x239 fertility ≡ driver whitespace/greedy-subword counting") {
+    val vocab = ExtensionQueries.SubwordVocab
+    def encode(text: String): Long = {
+      val s = text.toLowerCase
+      var i = 0
+      var n = 0L
+      while (i < s.length) {
+        if (s(i) >= 'a' && s(i) <= 'z') {
+          // greedy longest-match: longer units precede in the vocab
+          val hit = vocab.find(u => s.regionMatches(i, u, 0, u.length))
+          i += hit.map(_.length).getOrElse(1)
+          n += 1
+        } else i += 1
+      }
+      n
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = q("x239_fertility")
+    val byLang = docs.groupBy(_._1)
+    assert(rows.length == byLang.size, "one row per lang")
+    rows.foreach { r =>
+      val ds = byLang(r.getString(0))
+      val nt = ds.map(d =>
+        d._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+      val np = ds.map(d => encode(d._2)).sum
+      val na = ds.map(_._2.toLowerCase.count(c => c >= 'a' && c <= 'z').toLong).sum
+      assert(r.getLong(1) == ds.length.toLong, "n_docs")
+      assert(r.getLong(2) == nt, "n_tokens")
+      assert(r.getLong(3) == np, "n_pieces (greedy regex ≡ hand scanner)")
+      def r6(x: Double) =
+        math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(4) - r6(np.toDouble / nt)) < 1e-9, "ppt")
+      assert(math.abs(r.getDouble(5) - r6(na.toDouble / np)) < 1e-9, "app")
+    }
+  }
+
+  // ---- x240: two-pass Welch over driver user diffs + DiD identity ----
+
+  test("x240 DiD ≡ two-pass Welch on user-level diff-of-diffs") {
+    val cutoff = 1705363200000000L
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+    val users = ev.groupBy(_.getLong(0)).iterator.map { case (uid, rows) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab1:$uid".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      def side(pre: Boolean) = rows
+        .filter(r => (r.getLong(2) < cutoff) == pre)
+        .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong).sum / 1e6
+      (if (hex < "8000") "b" else "a", side(pre = true), side(pre = false))
+    }.toSeq
+    def stats(vt: String) = {
+      val d = users.filter(_._1 == vt).map(u => u._3 - u._2)
+      val m = d.sum / d.length
+      (d.length.toLong, m,
+        d.map(x => (x - m) * (x - m)).sum / (d.length - 1))
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val did = mb - ma
+    val se = math.sqrt(va / na + vb / nb)
+    val Array(r) = q("x240_did")
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    def meanPre(vt: String) = {
+      val v = users.filter(_._1 == vt); v.map(_._2).sum / v.length
+    }
+    assert(math.abs(r.getDouble(2) - meanPre("a")) < 1e-5, "pre_a")
+    assert(math.abs(r.getDouble(3) - meanPre("b")) < 1e-5, "pre_b")
+    assert(math.abs(r.getDouble(4) - did) < 1e-5, "did")
+    assert(math.abs(r.getDouble(5) - se) < 1e-5, "se")
+    assert(math.abs(r.getDouble(6) - did / se) < 2e-4, "t = did/se")
+    // DiD consistency vs x228's frame: did = (post diff) − (pre diff)
+    val postDiff = users.filter(_._1 == "b").map(_._3).sum /
+      users.count(_._1 == "b") -
+      users.filter(_._1 == "a").map(_._3).sum / users.count(_._1 == "a")
+    assert(math.abs(did - (postDiff - (meanPre("b") - meanPre("a")))) < 1e-9,
+      "DiD identity")
+  }
 }

@@ -258,4 +258,23 @@ class StreamingSpec extends SparkSpec {
     val batch = StreamOps.sessionizeBatch(events, gapMinutes = 30)
     assert(batch.agg(sum("n_events")).collect().head.getLong(0) == events.count())
   }
+
+  test("stream-maintained mSPRT day cells across MULTIPLE micro-batches == batch cells (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-msprt-spec").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events-raw")
+    spark.read.parquet(s"$tmp/events-raw").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    var nBatches = 0
+    val streamed = StreamOps.abDayCellsStreaming(spark, s"$tmp/events",
+      queryName = "spec_msprt_cells", maxFilesPerTrigger = Some(1),
+      onFinish = q => nBatches = q.recentProgress.count(_.numInputRows > 0))
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    val aggs = ExtensionQueries.abDayCellAggs
+    val batch = ExtensionQueries.abDayProject(events)
+      .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
+    assert(streamed.count() > 0)
+    // a dropped or double-counted event shifts a count, a micro-sum, or
+    // a decimal sum-of-squares — all three cell families are checked
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
