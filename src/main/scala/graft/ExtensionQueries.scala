@@ -6358,7 +6358,46 @@ object ExtensionQueries {
           graft.functions.EngineMath.roundAway(expr(AbSeSql), 6).as("se"),
           graft.functions.EngineMath.roundAway(expr(WelchTSql), 6).as("t"))
     }),
+    // x241: compression-ratio quality signal — deflated bytes / raw
+    // bytes per doc via the native `graft_deflate_len` expression
+    // (functions/TextCompression.scala; generated code calls the static
+    // helper, so the scan stays in whole-stage codegen). The CCNet/
+    // Gopher-family degenerate-text proxy the n-gram signals (x03, x131)
+    // can't see: it catches ANY long-range repetition, not just fixed-k
+    // grams. Per-doc 1e-6 ratio ticks are STAGED (DuckDB has no deflate
+    // — the x08/x11 oracle contract); the per-source rollup is re-proved
+    // in SQL from the staged table.
+    "x241_compress_ratio" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val perDoc = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .filter(octet_length(col("text")) > 0)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(floor(CAST(graft_deflate_len(text) AS DOUBLE) / " +
+              "octet_length(text) * 1e6 + 0.5) AS BIGINT)").as("rt")))
+      Stage.write(perDoc, dir, "x241_ratios")
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("rt")).as("srt"),
+          min(col("rt")).as("mnt"),
+          sum(when(col("rt") < CompressLowTick, 1L).otherwise(0L))
+            .as("nlow"))
+        .select(col("source"), col("n_docs"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(srt AS DOUBLE) / 1e6 / n_docs"), 6).as("mean_ratio"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mnt AS DOUBLE) / 1e6"), 6).as("min_ratio"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(nlow AS DOUBLE) / n_docs"), 6).as("share_low"))
+        .orderBy(col("source"))
+    }),
   )
+
+  /** x241's repetitive-text gate: docs deflating below this ratio tick
+    * (0.40) are flagged — natural prose lands ~0.45-0.7 at these doc
+    * lengths, boilerplate/repetition far lower. One constant, both
+    * engines.
+    */
+  private val CompressLowTick = 400000L
 
   /** The x234/x238 shared A/B day projection: variant hash, micro-tick
     * value, day index — ONE definition for the batch scan and the
@@ -11588,6 +11627,17 @@ object ExtensionQueries {
          |  round(b, 6) AS trend, round(l + b, 6) AS fc_1,
          |  round(l + 7.0 * b, 6) AS fc_7
          |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // staged per-doc ratio ticks (DuckDB has no deflate); the rollup —
+    // counts, mean/min ticks, the CompressLowTick gate — re-derived in
+    // SQL from the staged table
+    "x241_compress_ratio" ->
+      (s"""WITH r AS (SELECT source, rt FROM ${Stage.sqlRef("x241_ratios")})
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(rt) AS DOUBLE) / 1e6 / count(*), 6) AS mean_ratio,
+         |  round(CAST(min(rt) AS DOUBLE) / 1e6, 6) AS min_ratio,
+         |  round(CAST(sum(CASE WHEN rt < $CompressLowTick THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS share_low
+         |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
   ).pipe(m =>
     // the stream twin drains the same parquet into the same additive day
     // cells, so the batch oracle gates it bit-for-bit

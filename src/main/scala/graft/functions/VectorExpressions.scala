@@ -76,7 +76,18 @@ object GraftFunctions {
         val cast = args.map(a =>
           if (a.dataType == target) a else Cast(a, target))
         DotProduct(cast.head, cast(1))
-      }))
+      }),
+      (
+        FunctionIdentifier("graft_deflate_len"),
+        new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_deflate_len takes exactly 1 argument")
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.StringType
+          val a = args.head
+          DeflateLength(
+            if (a.dataType == StringType) a else Cast(a, StringType))
+        }))
 
   /** Idempotent runtime registration on a session's function registry. */
   def ensureRegistered(spark: SparkSession): Unit =

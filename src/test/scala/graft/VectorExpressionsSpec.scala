@@ -54,4 +54,46 @@ class VectorExpressionsSpec extends SparkSpec {
       .embeddingPairs(e, "vec_id", "vec", threshold = 0.3).count()
     assert(viaExpr >= 0) // smoke: full pipeline executes with the native expr
   }
+
+  test("graft_deflate_len ≡ fresh-Deflater recompute; repetition compresses") {
+    GraftFunctions.ensureRegistered(spark)
+    // independent re-derivation with a FRESH Deflater per string — pins
+    // the ThreadLocal reset() correctness of the shared helper
+    def fresh(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var t = 0L
+      while (!d.finished()) t += d.deflate(buf)
+      d.end(); t
+    }
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Tables.table(spark, sf(), "documents")
+      .selectExpr("doc_id", "graft_deflate_len(text) AS dl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == fresh(text), s"deflate length mismatch at doc $id")
+    }
+    // the signal's point: heavy repetition deflates far below prose
+    val rep = "spark " * 200
+    val prose = docs.maxBy(_._2.length)._2.take(rep.length)
+    assert(fresh(rep).toDouble / rep.length <
+      0.5 * fresh(prose).toDouble / prose.length,
+      "repetitive text should compress much harder than prose")
+  }
+
+  test("graft_deflate_len stays in WholeStageCodegen") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.range(1, 2)
+      .selectExpr("concat('doc-', CAST(id AS STRING)) AS t")
+      .createOrReplaceTempView("vdl")
+    val q = spark.sql("SELECT graft_deflate_len(t) AS n FROM vdl")
+    assert(q.collect().head.getLong(0) > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_deflate_len") && l.trim.startsWith("*")),
+      s"expected graft_deflate_len inside a codegen stage:\n$plan")
+  }
 }
