@@ -6390,6 +6390,77 @@ object ExtensionQueries {
             expr("CAST(nlow AS DOUBLE) / n_docs"), 6).as("share_low"))
         .orderBy(col("source"))
     }),
+    // x242: high-entropy secret scan — the credential/API-key detector
+    // the x38/x221 PII REGEX rules structurally can't express (secrets
+    // have no fixed shape; their tell is length + mixed charset + near-
+    // uniform char distribution). One tokenize scan; only the rare
+    // ≥16-char mixed-alnum candidates explode to chars; per-token
+    // entropy is a sum of 1e-12-tick terms (order-independent), the
+    // rollup |sources|-sized. The testdata corpus carries no natural
+    // candidates, so deterministic hex secrets are planted on every 7th
+    // doc (the x222 synthesized-input contract — a real corpus drops the
+    // planting and the scan is unchanged).
+    "x242_secret_scan" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" sk_"),
+              md5(concat(lit("sk:"), col("doc_id").cast("string")))))
+            .otherwise(col("text")))
+      val cand = docs
+        .select(col("doc_id"), col("source"),
+          posexplode(TextFunctions.tokens(col("text2"))).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) >= SecretMinLen &&
+          col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]"))
+        .localCheckpoint() // consumers: candidate count + entropy explode
+      val ent = cand
+        .select(col("doc_id"), col("pos"), col("source"),
+          length(col("tok")).cast("long").as("n"),
+          explode(expr(
+            "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
+            .as("ch"))
+        .groupBy(col("doc_id"), col("pos"), col("source"), col("n"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("pos"), col("source"), col("n"))
+        .agg(sum(expr(SecretTermTickSql)).as("ht"))
+      cand.groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
+        .join(ent.filter(col("ht") >= SecretEntropyTicks)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_flagged"), sum(col("ht")).as("sht")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_candidates"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_candidates"), 6)
+            .as("flag_rate"),
+          graft.functions.EngineMath.roundAway(
+            expr("CASE WHEN coalesce(n_flagged, 0) > 0 THEN " +
+              "CAST(sht AS DOUBLE) / 1e12 / n_flagged END"), 6)
+            .as("mean_entropy_flagged"))
+        .orderBy(col("source"))
+    }),
+    // x243: robust per-dimension embedding scaling — median/IQR per dim,
+    // the outlier-immune normalization x204's PCA whitening (moment-
+    // based) is not. One posexplode scan shuffles (dim, value) into 64
+    // per-dim exact percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the x16/x94 equivalence); output is d rows
+    // regardless of corpus size — at 100 TB the scan dominates and the
+    // stats frame broadcasts back for the actual normalization.
+    "x243_robust_scale" -> ((s, dir) => {
+      embeddingsD(s, dir)
+        .select(posexplode(col("vec")).as(Seq("dim0", "v")))
+        .select((col("dim0") + 1).cast("long").as("dim"), col("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(v, 0.25)").as("q25"),
+          expr("percentile(v, 0.5)").as("q50"),
+          expr("percentile(v, 0.75)").as("q75"))
+        .select(col("dim"), col("n"),
+          graft.functions.EngineMath.roundAway(col("q50"), 6).as("median"),
+          graft.functions.EngineMath.roundAway(
+            col("q75") - col("q25"), 6).as("iqr"))
+        .orderBy(col("dim"))
+    }),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -6398,6 +6469,21 @@ object ExtensionQueries {
     * engines.
     */
   private val CompressLowTick = 400000L
+
+  /** x242's secret-candidate gates: tokens at least this long, mixing
+    * letters and digits, whose char-level Shannon entropy reaches the
+    * tick threshold (3.0 nats ≈ 20+ effective symbols — natural words
+    * sit near 2.2-2.8). Entropy accumulates as per-char integer 1e-12
+    * ticks (each (c/n)·ln(n/c) term quantized BEFORE the sum), so the
+    * per-token statistic is order-independent under any partitioning —
+    * the PageRank-contribution device applied to entropy.
+    */
+  private val SecretMinLen = 16
+  private val SecretEntropyTicks = 2500000000000L // 2.5 nats: above natural
+  // words (~2.2-2.4), below the hex-alphabet cap ln 16 ≈ 2.773
+  private val SecretTermTickSql: String =
+    "CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e12 " +
+      "+ 0.5) AS BIGINT)"
 
   /** The x234/x238 shared A/B day projection: variant hash, micro-tick
     * value, day index — ONE definition for the batch scan and the
@@ -11627,6 +11713,58 @@ object ExtensionQueries {
          |  round(b, 6) AS trend, round(l + b, 6) AS fc_1,
          |  round(l + 7.0 * b, 6) AS fc_7
          |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // the same planted-secret rewrite (text2 aliased back to `text` so
+    // the shared tokenizer splice applies), the same candidate gates,
+    // per-char 1e-12 entropy ticks, |sources| rollup
+    "x242_secret_scan" ->
+      (s"""WITH d2 AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' sk_' ||
+         |      md5('sk:'||CAST(doc_id AS VARCHAR)) ELSE text END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, $toks AS s FROM d2),
+         |ti AS (SELECT doc_id, source,
+         |    unnest([{'pos': i, 'tok': s[i]} for i in range(1, len(s) + 1)],
+         |      recursive := true)
+         |  FROM m),
+         |cand AS (SELECT doc_id, pos, source, tok FROM ti
+         |  WHERE len(tok) >= $SecretMinLen AND regexp_matches(tok, '[0-9]')
+         |    AND regexp_matches(tok, '[A-Za-z]')),
+         |ch AS (SELECT doc_id, pos, source, CAST(len(tok) AS BIGINT) AS n,
+         |    unnest([tok[i] for i in range(1, len(tok) + 1)]) AS ch
+         |  FROM cand),
+         |hist AS (SELECT doc_id, pos, source, n, ch,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ch GROUP BY 1, 2, 3, 4, 5),
+         |ent AS (SELECT doc_id, pos, source, n,
+         |    CAST(sum($SecretTermTickSql) AS BIGINT) AS ht
+         |  FROM hist GROUP BY 1, 2, 3, 4),
+         |cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1),
+         |fl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_flagged,
+         |    CAST(sum(ht) AS BIGINT) AS sht
+         |  FROM ent WHERE ht >= $SecretEntropyTicks GROUP BY 1)
+         |SELECT cc.source, cc.n_candidates,
+         |  coalesce(fl.n_flagged, 0) AS n_flagged,
+         |  round(CAST(coalesce(fl.n_flagged, 0) AS DOUBLE) / cc.n_candidates, 6)
+         |    AS flag_rate,
+         |  round(CASE WHEN coalesce(fl.n_flagged, 0) > 0 THEN
+         |    CAST(fl.sht AS DOUBLE) / 1e12 / fl.n_flagged END, 6)
+         |    AS mean_entropy_flagged
+         |FROM cc LEFT JOIN fl ON fl.source = cc.source
+         |ORDER BY cc.source""".stripMargin.replace("\n", " ")),
+    // dim-indexed unnest, quantile_cont ≡ percentile (the x16/x94
+    // equivalence), identical IQR subtraction
+    "x243_robust_scale" ->
+      ("""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |dv AS (SELECT unnest([{'dim': i, 'v': v[i]} for i in range(1, len(v) + 1)],
+         |    recursive := true) FROM e),
+         |g AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+         |    quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50,
+         |    quantile_cont(v, 0.75) AS q75
+         |  FROM dv GROUP BY 1)
+         |SELECT dim, n, round(q50, 6) AS median, round(q75 - q25, 6) AS iqr
+         |FROM g ORDER BY dim""".stripMargin.replace("\n", " ")),
     // staged per-doc ratio ticks (DuckDB has no deflate); the rollup —
     // counts, mean/min ticks, the CompressLowTick gate — re-derived in
     // SQL from the staged table

@@ -638,4 +638,77 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(did - (postDiff - (meanPre("b") - meanPre("a")))) < 1e-9,
       "DiD identity")
   }
+
+  // ---- x242: driver entropy loops over the planted-secret stream ----
+
+  test("x242 secret scan ≡ driver char-entropy arithmetic; plants flagged") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def entTicks(tok: String): Long = {
+      val n = tok.length
+      tok.groupBy(identity).values.map { g =>
+        val c = g.length
+        math.floor((c.toDouble / n) * math.log(n.toDouble / c) * 1e12 + 0.5)
+          .toLong
+      }.sum
+    }
+    val perSource = docs.groupBy(_._2).iterator.map { case (src, ds) =>
+      val cands = ds.flatMap { case (id, _, text) =>
+        val t2 = if (id % 7 == 0) text + " sk_" + md5hex(s"sk:$id") else text
+        t2.trim.split("\\s+").filter(_.nonEmpty).filter(t =>
+          t.length >= 16 && t.exists(_.isDigit) &&
+            t.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+      }
+      val flagged = cands.map(entTicks).filter(_ >= 2500000000000L)
+      src -> (cands.length.toLong, flagged.length.toLong, flagged.sum)
+    }.toMap
+    val rows = q("x242_secret_scan")
+    assert(rows.length == perSource.size, "one row per source with candidates")
+    var anyFlagged = 0L
+    rows.foreach { r =>
+      val (nc, nf, sht) = perSource(r.getString(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == nf,
+        s"cells for ${r.getString(0)}")
+      anyFlagged += nf
+      def r6(x: Double) =
+        math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(3) - r6(nf.toDouble / nc)) < 1e-9, "rate")
+      if (nf > 0)
+        assert(math.abs(r.getDouble(4) - r6(sht / 1e12 / nf)) < 1e-9, "mean H")
+    }
+    assert(anyFlagged > 0, "the planted hex secrets must be flagged")
+    // a long natural word stays under the threshold
+    assert(entTicks("internationalization") < 2500000000000L,
+      "natural words are below the entropy gate")
+  }
+
+  // ---- x243: driver quantile interpolation per dimension ----
+
+  test("x243 robust scale ≡ driver quantile_cont interpolation") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val rows = q("x243_robust_scale")
+    assert(rows.length == 64, "one row per dimension")
+    def r6(x: Double) =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt - 1
+      val xs = vecs.map(_(dim)).sorted
+      assert(r.getLong(1) == vecs.length.toLong, "n")
+      assert(math.abs(r.getDouble(2) - r6(qc(xs, 0.5))) < 1e-9, s"median d$dim")
+      assert(math.abs(r.getDouble(3) -
+        r6(qc(xs, 0.75) - qc(xs, 0.25))) < 1e-9, s"iqr d$dim")
+    }
+  }
 }
