@@ -6461,6 +6461,49 @@ object ExtensionQueries {
             col("q75") - col("q25"), 6).as("iqr"))
         .orderBy(col("dim"))
     }),
+    // x244: RFM segmentation — recency/frequency/monetary quintile codes
+    // per user (code 5 = best on each axis), rolled up to segment cells
+    // with mean spend: the classic activation/retention map. One event
+    // scan → per-user frame → THREE bucket-prefix-sum ranks (the Ranks
+    // device; quintiles are equal-frequency so ntile-style global ranks
+    // are required — the oracle keeps three naive row_numbers, so every
+    // hash match re-proves the device lossless three ways). Output is
+    // ≤ 125 cells.
+    "x244_rfm" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(datediff(lit("2024-01-31").cast("date"), max(to_date(col("ts"))))
+            .cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("mon"))
+      val withR = graft.operators.Ranks.globalRowNumber(users,
+        -col("rec"), Seq(col("rec").desc, col("user_id").asc), "rk_r")
+      val withF = graft.operators.Ranks.globalRowNumber(withR,
+        col("freq"), Seq(col("freq").asc, col("user_id").asc), "rk_f")
+      val withM = graft.operators.Ranks.globalRowNumber(withF,
+        expr("mon div 1000000"), Seq(col("mon").asc, col("user_id").asc),
+        "rk_m")
+      withM
+        .crossJoin(broadcast(users.agg(count(lit(1)).as("nn"))))
+        .select(expr("((rk_r - 1) * 5) div nn + 1").as("r_code"),
+          expr("((rk_f - 1) * 5) div nn + 1").as("f_code"),
+          expr("((rk_m - 1) * 5) div nn + 1").as("m_code"),
+          col("mon"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("sm"))
+        .select(col("r_code"), col("f_code"), col("m_code"), col("n_users"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(sm AS DOUBLE) / 1e6 / n_users"), 6)
+            .as("mean_monetary"))
+        .orderBy(col("r_code"), col("f_code"), col("m_code"))
+    }),
+    // x245: sequential association rules — "A then B within a session",
+    // the order-aware complement to x133's co-occurrence rules
+    // (operators/EventAnalytics.sequentialRules; x21's gap rule shared
+    // through sessionTagged so the session definition cannot drift).
+    "x245_seq_rules" -> ((s, dir) =>
+      graft.operators.EventAnalytics.sequentialRules(
+        Tables.events(s, dir), gapMinutes = 30, minSupport = 5, k = 20)),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -11752,6 +11795,62 @@ object ExtensionQueries {
          |    AS mean_entropy_flagged
          |FROM cc LEFT JOIN fl ON fl.source = cc.source
          |ORDER BY cc.source""".stripMargin.replace("\n", " ")),
+    // per-user frame, THREE naive row_number ranks (each hash match
+    // re-proves the Ranks device lossless), same code/rollup arithmetic
+    "x244_rfm" ->
+      ("""WITH u AS (SELECT user_id,
+         |    date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31') AS rec,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT mon,
+         |    CAST(row_number() OVER (ORDER BY rec DESC, user_id) AS BIGINT) AS rk_r,
+         |    CAST(row_number() OVER (ORDER BY freq, user_id) AS BIGINT) AS rk_f,
+         |    CAST(row_number() OVER (ORDER BY mon, user_id) AS BIGINT) AS rk_m,
+         |    (SELECT count(*) FROM u) AS nn
+         |  FROM u),
+         |c AS (SELECT ((rk_r - 1) * 5) // nn + 1 AS r_code,
+         |    ((rk_f - 1) * 5) // nn + 1 AS f_code,
+         |    ((rk_m - 1) * 5) // nn + 1 AS m_code, mon FROM r)
+         |SELECT CAST(r_code AS BIGINT) AS r_code, CAST(f_code AS BIGINT) AS f_code,
+         |  CAST(m_code AS BIGINT) AS m_code, CAST(count(*) AS BIGINT) AS n_users,
+         |  round(CAST(sum(mon) AS DOUBLE) / 1e6 / count(*), 6) AS mean_monetary
+         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")),
+    // x82's session CTE verbatim, per-(session, type) first occurrence
+    // via the same (ts, event_id) row_number, explicit tuple comparison,
+    // same support floor and confidence page
+    "x245_seq_rules" ->
+      ("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e),
+         |g AS (SELECT user_id, ts, event_id, event_type,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM f),
+         |fst AS (SELECT user_id, session_seq, event_type,
+         |    epoch_us(ts) AS fts, event_id AS fid
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq,
+         |      event_type ORDER BY ts, event_id) AS rn FROM g)
+         |  WHERE rn = 1),
+         |o AS (SELECT x.event_type AS antecedent, y.event_type AS consequent,
+         |    CAST(count(*) AS BIGINT) AS n_ordered
+         |  FROM fst x JOIN fst y ON x.user_id = y.user_id
+         |    AND x.session_seq = y.session_seq
+         |    AND x.event_type != y.event_type
+         |    AND (x.fts < y.fts OR (x.fts = y.fts AND x.fid < y.fid))
+         |  GROUP BY 1, 2),
+         |na AS (SELECT event_type AS antecedent, CAST(count(*) AS BIGINT) AS n_a
+         |  FROM fst GROUP BY 1)
+         |SELECT antecedent, consequent, n_a, n_ordered,
+         |  round(CAST(n_ordered AS DOUBLE) / n_a, 6) AS confidence
+         |FROM o JOIN na USING (antecedent)
+         |WHERE n_ordered >= 5
+         |ORDER BY confidence DESC, antecedent, consequent
+         |LIMIT 20""".stripMargin.replace("\n", " ")),
     // dim-indexed unnest, quantile_cont ≡ percentile (the x16/x94
     // equivalence), identical IQR subtraction
     "x243_robust_scale" ->

@@ -150,18 +150,8 @@ object EventAnalytics {
     */
   def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
       k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val flagged = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
-          1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("new_sess")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val paths = flagged.groupBy(col("user_id"), col("session_seq"))
+    val paths = sessionTagged(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("event_type")))),
@@ -170,6 +160,70 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
+  }
+
+  /** Events with the x21 gap-rule session id attached — the ONE session
+    * definition every sessionized operator shares (paths, sequential
+    * rules), so the gap semantics cannot drift between them. The window
+    * is user-partitioned; epoch-micros arithmetic (unix_timestamp would
+    * truncate sub-second gaps straddling the boundary).
+    */
+  def sessionTagged(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sequential association rules (A then B within a session): for each
+    * ordered type pair, the number of sessions where A's FIRST occurrence
+    * precedes B's, and the confidence against sessions containing A —
+    * the ORDER-aware complement to the co-occurrence rules (x133), which
+    * cannot distinguish "browse→buy" from "buy→browse".
+    *
+    * Scale shape: one session window, one (session, type) first-
+    * occurrence reduction (row_number, partitioned), then a per-session
+    * equi-join whose fan-out is bounded by |types|² per session — never
+    * event-pair quadratic. The type-pair result is |types|² cells; the
+    * antecedent totals broadcast.
+    */
+  def sequentialRules(events: DataFrame, gapMinutes: Int = 30,
+      minSupport: Long = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = graft.engine.CacheScope.persistTracked(
+      sessionTagged(events, gapMinutes)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("session_seq"),
+            col("event_type")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("session_seq"), col("event_type"),
+          unix_micros(col("ts")).as("fts"), col("event_id").as("fid")))
+    val ordered = firsts.as("x").join(firsts.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.session_seq") === col("y.session_seq") &&
+          col("x.event_type") =!= col("y.event_type") &&
+          (col("x.fts") < col("y.fts") ||
+            (col("x.fts") === col("y.fts") && col("x.fid") < col("y.fid"))))
+      .groupBy(col("x.event_type").as("antecedent"),
+        col("y.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_ordered"))
+    val na = firsts.groupBy(col("event_type").as("antecedent"))
+      .agg(count(lit(1)).as("n_a"))
+    ordered.join(broadcast(na), Seq("antecedent"))
+      .filter(col("n_ordered") >= minSupport)
+      .withColumn("confidence", graft.functions.EngineMath.roundAway(
+        expr("CAST(n_ordered AS DOUBLE) / n_a"), 6))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+      .select(col("antecedent"), col("consequent"), col("n_a"),
+        col("n_ordered"), col("confidence"))
   }
 
   /** Event-rate anomaly detection: bucket events per (type, hour), flag

@@ -711,4 +711,88 @@ class EvalOpsSpec extends SparkSpec {
         r6(qc(xs, 0.75) - qc(xs, 0.25))) < 1e-9, s"iqr d$dim")
     }
   }
+
+  // ---- x244: driver triple-rank quintile coding ----
+
+  test("x244 RFM cells ≡ driver sorts and quintile codes") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      .collect()
+    val anchor = java.time.LocalDate.parse("2024-01-31").toEpochDay
+    val users = ev.groupBy(_.getLong(0)).iterator.map { case (uid, rows) =>
+      (uid,
+        anchor - rows.map(_.getDate(2).toLocalDate.toEpochDay).max,
+        rows.length.toLong,
+        rows.map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong).sum)
+    }.toArray
+    val n = users.length
+    def codes(ranked: Array[Long]): Map[Long, Long] =
+      ranked.zipWithIndex.map { case (uid, i) =>
+        uid -> (i.toLong * 5 / n + 1)
+      }.toMap
+    val rc = codes(users.sortBy(u => (-u._2, u._1)).map(_._1))
+    val fc = codes(users.sortBy(u => (u._3, u._1)).map(_._1))
+    val mc = codes(users.sortBy(u => (u._4, u._1)).map(_._1))
+    val cells = users.groupBy(u => (rc(u._1), fc(u._1), mc(u._1)))
+      .view.mapValues(us => (us.length.toLong, us.map(_._4).sum)).toMap
+    val rows = q("x244_rfm")
+    assert(rows.length == cells.size, "cell count")
+    rows.foreach { r =>
+      val (nu, sm) = cells((r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r.getLong(3) == nu, s"n_users at ${(r.getLong(0), r.getLong(1), r.getLong(2))}")
+      def r6(x: Double) =
+        math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(4) - r6(sm.toDouble / 1e6 / nu)) < 1e-9,
+        "mean_monetary")
+    }
+    // quintiles are equal-frequency: each axis's code counts differ ≤ 1·⌈n/5⌉
+    val perR = users.map(u => rc(u._1)).groupBy(identity).view.mapValues(_.length)
+    assert(perR.values.max - perR.values.min <= 1, "balanced R quintiles")
+  }
+
+  // ---- x245: driver sessionize + ordered-pair loops + order fixture ----
+
+  test("x245 sequential rules ≡ driver session replay; order-aware") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val bySess = ev.groupBy(_._1).iterator.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { r =>
+        if (prev == Long.MinValue || r._2 - prev > 1800000000L) seq += 1
+        prev = r._2
+        ((uid, seq), r)
+      }
+    }.toSeq.groupBy(_._1).values
+    val firsts = bySess.map(_.map(_._2).sortBy(r => (r._2, r._3))
+      .distinctBy(_._4).map(r => (r._4, r._2, r._3)))
+    val nA = firsts.flatten.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ordered = firsts.flatMap { fs =>
+      for (a <- fs; b <- fs
+        if a._1 != b._1 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+        yield (a._1, b._1)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = ordered.filter(_._2 >= 5).toSeq.map { case ((a, b), no) =>
+      val conf = math.floor(no.toDouble / nA(a) * 1e6 + 0.5) / 1e6
+      (a, b, nA(a), no, conf)
+    }.sortBy(t => (-t._5, t._1, t._2)).take(20)
+    val rows = q("x245_seq_rules").map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length == expect.length, "page size")
+    rows.zip(expect).foreach { case (got, exp) =>
+      assert(got._1 == exp._1 && got._2 == exp._2 &&
+        got._3 == exp._3 && got._4 == exp._4, s"rule $got vs $exp")
+      assert(math.abs(got._5 - exp._5) < 1e-9, "confidence")
+    }
+    // order-awareness: A→B and B→A counts are independent cells
+    val ab = ordered.keySet
+    assert(ab.exists { case (a, b) =>
+      ordered.get((a, b)) != ordered.get((b, a)) },
+      "some pair must be asymmetric, or the data cannot distinguish order")
+  }
 }
