@@ -6504,6 +6504,32 @@ object ExtensionQueries {
     "x245_seq_rules" -> ((s, dir) =>
       graft.operators.EventAnalytics.sequentialRules(
         Tables.events(s, dir), gapMinutes = 30, minSupport = 5, k = 20)),
+    // x246: importance-weight diagnostics for the x68 DSIR weights —
+    // effective sample size (Kish: (Σu)²/Σu²) and max-weight share of
+    // the softmax'd log-weights. THE go/no-go gauge before importance
+    // resampling: a collapsed ESS means the weighted corpus is really a
+    // handful of documents. Max-shift (one broadcast scalar) keeps exp
+    // in range; u quantizes to 1e-9 ticks so the moment row is exact
+    // integers under any partitioning.
+    "x246_dsir_ess" -> ((s, dir) => {
+      val w = graft.engine.CacheScope.persistTracked(
+        graft.operators.Sampling.dsirWeights(table(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("source") === "src0", dim = 64))
+      val u = w.crossJoin(broadcast(w.agg(max(col("weight")).as("wmax"))))
+        .select(expr(
+          "CAST(floor(exp(weight - wmax) * 1e9 + 0.5) AS BIGINT)").as("ut"))
+      u.agg(count(lit(1)).as("n_docs"),
+          sum(col("ut").cast("decimal(38,0)")).as("su"),
+          sum(col("ut").cast("decimal(38,0)") * col("ut")).as("su2"),
+          max(col("ut")).as("mu"))
+        .select(col("n_docs"),
+          graft.functions.EngineMath.roundAway(expr(DsirEssSql), 6).as("ess"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"($DsirEssSql) / n_docs"), 6).as("ess_fraction"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(mu AS DOUBLE) / CAST(su AS DOUBLE)"), 6)
+            .as("max_share"))
+    }),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -6624,6 +6650,33 @@ object ExtensionQueries {
     s"(0.5 * ln($MsprtVSql / ($MsprtVSql + 0.01)) + " +
       s"(($MsprtThetaSql) * ($MsprtThetaSql) * 0.01) / " +
       s"(2.0 * $MsprtVSql * ($MsprtVSql + 0.01)))"
+
+  /** The x68/x246 shared DuckDB weight derivation: identical md5 buckets,
+    * full-spine add-1 smoothing, bucket-ordered per-doc fold — ends at
+    * the per-doc log-weight table `ws(doc_id, w)`.
+    */
+  private def dsirWsCtes: String =
+    s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
+       |bk AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT % 64 AS b FROM tk),
+       |sp AS (SELECT unnest(range(64)) AS b),
+       |ct AS (SELECT b, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY 1),
+       |cr AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+       |lr AS (SELECT sp.b,
+       |    ln((coalesce(ct.c, 0) + 1) / ((SELECT sum(c) FROM ct) + 64)) -
+       |    ln((coalesce(cr.c, 0) + 1) / ((SELECT sum(c) FROM cr) + 64)) AS ratio
+       |  FROM sp LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)),
+       |dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, list_reduce(list_prepend(0.0,
+       |      list(CAST(c AS DOUBLE) * ratio ORDER BY b)), (x, y) -> x + y) AS w
+       |  FROM dc JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** x246's ESS = (Σu)²/Σu² over the exact integer tick sums — one
+    * string, both engines.
+    */
+  private val DsirEssSql: String =
+    "((CAST(su AS DOUBLE) / 1e9) * (CAST(su AS DOUBLE) / 1e9) / " +
+      "(CAST(su2 AS DOUBLE) / 1e18))"
 
   /** x235's quasi-identifier band + policy axis — shared constants. */
   private val KAnonBandSql: String =
@@ -8637,24 +8690,27 @@ object ExtensionQueries {
         "SELECT doc_id, round(logit, 6) AS logit FROM sel ORDER BY doc_id"),
     "x68_dsir_weights" ->
       // identical md5 buckets, full-spine add-1 smoothing, bucket-ordered
-      // per-doc fold, same top-200 boundary
-      (s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
-         |bk AS (SELECT doc_id, source,
-         |    ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT % 64 AS b FROM tk),
-         |sp AS (SELECT unnest(range(64)) AS b),
-         |ct AS (SELECT b, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY 1),
-         |cr AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
-         |lr AS (SELECT sp.b,
-         |    ln((coalesce(ct.c, 0) + 1) / ((SELECT sum(c) FROM ct) + 64)) -
-         |    ln((coalesce(cr.c, 0) + 1) / ((SELECT sum(c) FROM cr) + 64)) AS ratio
-         |  FROM sp LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)),
-         |dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
-         |ws AS (SELECT doc_id, list_reduce(list_prepend(0.0,
-         |      list(CAST(c AS DOUBLE) * ratio ORDER BY b)), (x, y) -> x + y) AS w
-         |  FROM dc JOIN lr USING (b) GROUP BY doc_id),
+      // per-doc fold (the shared dsirWsCtes), same top-200 boundary
+      (s"""$dsirWsCtes,
          |sel AS (SELECT doc_id, w FROM ws ORDER BY w DESC, doc_id LIMIT 200)
          |SELECT doc_id, round(w, 4) AS weight FROM sel
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // the same shared weight CTEs, then max-shift, 1e-9 exp ticks, and
+    // the exact-integer moment row the shared ESS string reads
+    "x246_dsir_ess" ->
+      (s"""$dsirWsCtes,
+         |mxw AS (SELECT max(w) AS wmax FROM ws),
+         |u AS (SELECT CAST(floor(exp(w - wmax) * 1e9 + 0.5) AS BIGINT) AS ut
+         |  FROM ws CROSS JOIN mxw),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ut) AS DECIMAL(38,0)) AS su,
+         |    CAST(sum(CAST(ut AS HUGEINT) * ut) AS DECIMAL(38,0)) AS su2,
+         |    CAST(max(ut) AS BIGINT) AS mu
+         |  FROM u)
+         |SELECT n_docs, round($DsirEssSql, 6) AS ess,
+         |  round(($DsirEssSql) / n_docs, 6) AS ess_fraction,
+         |  round(CAST(mu AS DOUBLE) / CAST(su AS DOUBLE), 6) AS max_share
+         |FROM m""".stripMargin.replace("\n", " ")),
     "x58_temperature_mix" ->
       // same quota arithmetic (Σ n^α folded in source order — the one FP
       // sum — then floor per domain) and the same 16-bit md5 ticket rank

@@ -795,4 +795,30 @@ class EvalOpsSpec extends SparkSpec {
       ordered.get((a, b)) != ordered.get((b, a)) },
       "some pair must be asymmetric, or the data cannot distinguish order")
   }
+
+  // ---- x246: driver ESS arithmetic over the engine's weights ----
+
+  test("x246 ESS ≡ driver Kish arithmetic; bounds hold") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val w = graft.operators.Sampling.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("source") === "src0", dim = 64)
+      .select("weight").collect().map(_.getDouble(0))
+    val wmax = w.max
+    val ut = w.map(x => math.floor(math.exp(x - wmax) * 1e9 + 0.5).toLong)
+    val su = ut.map(BigInt(_)).sum
+    val su2 = ut.map(t => BigInt(t) * BigInt(t)).sum
+    val ess = (su.toDouble / 1e9) * (su.toDouble / 1e9) / (su2.toDouble / 1e18)
+    val Array(r) = q("x246_dsir_ess")
+    def r6(x: Double) =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == w.length.toLong, "n_docs")
+    assert(math.abs(r.getDouble(1) - r6(ess)) < 1e-9, "ess")
+    assert(math.abs(r.getDouble(2) - r6(ess / w.length)) < 1e-9, "fraction")
+    assert(math.abs(r.getDouble(3) -
+      r6(ut.max.toDouble / su.toDouble)) < 1e-9, "max_share")
+    // Kish bounds: 1 ≤ ESS ≤ n; the max weight's share is ≥ 1/n
+    assert(r.getDouble(1) >= 1.0 - 1e-6 &&
+      r.getDouble(1) <= w.length + 1e-6, "ESS in [1, n]")
+    assert(r.getDouble(3) >= 1.0 / w.length - 1e-9, "max share lower bound")
+  }
 }
