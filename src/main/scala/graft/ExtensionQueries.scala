@@ -6400,44 +6400,63 @@ object ExtensionQueries {
     // candidates, so deterministic hex secrets are planted on every 7th
     // doc (the x222 synthesized-input contract — a real corpus drops the
     // planting and the scan is unchanged).
-    "x242_secret_scan" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .withColumn("text2",
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" sk_"),
-              md5(concat(lit("sk:"), col("doc_id").cast("string")))))
-            .otherwise(col("text")))
-      val cand = docs
-        .select(col("doc_id"), col("source"),
-          posexplode(TextFunctions.tokens(col("text2"))).as(Seq("pos", "tok")))
-        .filter(length(col("tok")) >= SecretMinLen &&
-          col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]"))
-        .localCheckpoint() // consumers: candidate count + entropy explode
-      val ent = cand
-        .select(col("doc_id"), col("pos"), col("source"),
-          length(col("tok")).cast("long").as("n"),
-          explode(expr(
-            "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
-            .as("ch"))
-        .groupBy(col("doc_id"), col("pos"), col("source"), col("n"), col("ch"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("pos"), col("source"), col("n"))
-        .agg(sum(expr(SecretTermTickSql)).as("ht"))
-      cand.groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
-        .join(ent.filter(col("ht") >= SecretEntropyTicks)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_flagged"), sum(col("ht")).as("sht")),
-          Seq("source"), "left")
-        .select(col("source"), col("n_candidates"),
-          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+    "x242_secret_scan" -> ((s, dir) =>
+      secretRollup(secretTokens(table(s, dir, "documents"))
+        .groupBy(col("source")).agg(secretCellAggs.head,
+          secretCellAggs.tail: _*))),
+    // x247: the STREAM-MAINTAINED twin of x242 — governance scanning is
+    // a scan-on-ingest job, and since the per-token entropy is computed
+    // per ROW (HOF fold of integer ticks — no intermediate aggregate),
+    // the per-source cells are additive and accumulate in ONE stateful
+    // aggregate (StreamOps.secretCellsStreaming); the rollup division is
+    // read-time, shared verbatim with x242.
+    "x247_stream_secret_scan" -> ((s, dir) =>
+      secretRollup(graft.streaming.StreamOps
+        .secretCellsStreaming(s, s"$dir/documents.parquet"))),
+    // x248: robust (5%-trimmed-mean) A/B readout — the outlier-immune
+    // lift x126's raw means can't give: one whale user can't move it.
+    // x215's exact cent-histogram trim device, partitioned by variant:
+    // the window frame is |distinct cents| (range-bounded, never rows),
+    // the trim boundary arithmetic is exact integers, and the final
+    // lift/means are shared float strings over one conditional moment
+    // row.
+    "x248_robust_ab" -> ((s, dir) => {
+      val ev = abDayProject(Tables.events(s, dir))
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      val h = ev.groupBy(col("variant"), col("cents")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("variant")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tots = h.groupBy(col("variant")).agg(sum(col("c")).as("n"))
+      h.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .join(broadcast(tots), "variant")
+        .withColumn("k", floor(col("n").cast("double") * 0.05).cast("long"))
+        .withColumn("kept",
+          greatest(lit(0L), least(col("cb") + col("c"), col("n") - col("k"))
+            - greatest(col("cb"), col("k"))))
+        .filter(col("kept") > 0)
+        .groupBy()
+        .agg(
+          max(when(col("variant") === "a", col("n"))).as("n_a"),
+          max(when(col("variant") === "b", col("n"))).as("n_b"),
+          sum(when(col("variant") === "a", col("kept")).otherwise(0L))
+            .as("nk_a"),
+          sum(when(col("variant") === "b", col("kept")).otherwise(0L))
+            .as("nk_b"),
+          sum(when(col("variant") === "a",
+            col("kept").cast("decimal(38,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sw_a"),
+          sum(when(col("variant") === "b",
+            col("kept").cast("decimal(38,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sw_b"))
+        .select(col("n_a"), col("n_b"), col("nk_a"), col("nk_b"),
           graft.functions.EngineMath.roundAway(
-            expr("CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_candidates"), 6)
-            .as("flag_rate"),
+            expr(RobustTmSql("a")), 6).as("tm_a"),
           graft.functions.EngineMath.roundAway(
-            expr("CASE WHEN coalesce(n_flagged, 0) > 0 THEN " +
-              "CAST(sht AS DOUBLE) / 1e12 / n_flagged END"), 6)
-            .as("mean_entropy_flagged"))
-        .orderBy(col("source"))
+            expr(RobustTmSql("b")), 6).as("tm_b"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"(${RobustTmSql("b")}) - (${RobustTmSql("a")})"), 6)
+            .as("trimmed_lift"))
     }),
     // x243: robust per-dimension embedding scaling — median/IQR per dim,
     // the outlier-immune normalization x204's PCA whitening (moment-
@@ -6548,11 +6567,73 @@ object ExtensionQueries {
     * the PageRank-contribution device applied to entropy.
     */
   private val SecretMinLen = 16
-  private val SecretEntropyTicks = 2500000000000L // 2.5 nats: above natural
-  // words (~2.2-2.4), below the hex-alphabet cap ln 16 ≈ 2.773
-  private val SecretTermTickSql: String =
-    "CAST(floor((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c) * 1e12 " +
-      "+ 0.5) AS BIGINT)"
+  private[graft] val SecretEntropyTicks = 2500000000000L // 2.5 nats: above
+  // natural words (~2.2-2.4), below the hex-alphabet cap ln 16 ≈ 2.773
+
+  /** One entropy-term tick over a char count `c` and token length `n` —
+    * parameterized so the SAME formula text serves the engine's per-row
+    * HOF fold and the oracle's list comprehension.
+    */
+  private def SecretTermTick(c: String, n: String): String =
+    s"CAST(floor((CAST($c AS DOUBLE) / $n) * ln(CAST($n AS DOUBLE) / $c) " +
+      "* 1e12 + 0.5) AS BIGINT)"
+
+  /** The x242/x247 shared candidate-token frame: planted-secret rewrite
+    * (the testdata carries no natural candidates — x222's synthesized-
+    * input contract), tokenize, length/charset gates, and PER-ROW char
+    * entropy: integer 1e-12 ticks folded over the distinct chars — no
+    * intermediate aggregate, which is what makes the per-source cells
+    * additive and therefore stream-maintainable in one stateful
+    * aggregate. Tick addition is order-independent, so the fold order
+    * over distinct chars is irrelevant.
+    */
+  private[graft] def secretTokens(docsIn: DataFrame): DataFrame = {
+    val cnt = "size(filter(chs, x -> x = c))"
+    docsIn
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" sk_"),
+            md5(concat(lit("sk:"), col("doc_id").cast("string")))))
+          .otherwise(col("text")))
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text2"))).as("tok"))
+      .filter(length(col("tok")) >= SecretMinLen &&
+        col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]"))
+      .withColumn("chs", expr(
+        "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))"))
+      .withColumn("n", length(col("tok")).cast("long"))
+      .withColumn("ht", expr(
+        "aggregate(transform(array_distinct(chs), c -> " +
+          s"${SecretTermTick(cnt, "n")}), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)"))
+      .select(col("source"), col("ht"))
+  }
+
+  /** x248's trimmed mean over the conditional moment row — one string
+    * per variant, both engines evaluate the identical IEEE tree.
+    */
+  private def RobustTmSql(v: String): String =
+    s"(CAST(sw_$v AS DOUBLE) / nk_$v / 100.0)"
+
+  /** The ADDITIVE per-source cells both x242 halves read. */
+  private[graft] def secretCellAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_candidates"),
+    sum((col("ht") >= SecretEntropyTicks).cast("long")).as("n_flagged"),
+    sum(when(col("ht") >= SecretEntropyTicks, col("ht")).otherwise(0L))
+      .as("sht"))
+
+  /** Read-time rollup over the cells — shared verbatim by batch x242 and
+    * stream x247, so the statistic cannot drift between them.
+    */
+  private def secretRollup(cells: DataFrame): DataFrame = cells
+    .select(col("source"), col("n_candidates"), col("n_flagged"),
+      graft.functions.EngineMath.roundAway(
+        expr("CAST(n_flagged AS DOUBLE) / n_candidates"), 6).as("flag_rate"),
+      graft.functions.EngineMath.roundAway(
+        expr("CASE WHEN n_flagged > 0 THEN " +
+          "CAST(sht AS DOUBLE) / 1e12 / n_flagged END"), 6)
+        .as("mean_entropy_flagged"))
+    .orderBy(col("source"))
 
   /** The x234/x238 shared A/B day projection: variant hash, micro-tick
     * value, day index — ONE definition for the batch scan and the
@@ -11814,43 +11895,72 @@ object ExtensionQueries {
          |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " ")),
     // the same planted-secret rewrite (text2 aliased back to `text` so
     // the shared tokenizer splice applies), the same candidate gates,
-    // per-char 1e-12 entropy ticks, |sources| rollup
+    // PER-ROW entropy via the same parameterized tick over a list
+    // comprehension (order-free integer addition), same additive cells
+    // and rollup (x247 aliases this entry below the map)
     "x242_secret_scan" ->
       (s"""WITH d2 AS (SELECT doc_id, source,
          |    CASE WHEN doc_id % 7 = 0 THEN text || ' sk_' ||
          |      md5('sk:'||CAST(doc_id AS VARCHAR)) ELSE text END AS text
          |  FROM documents),
-         |m AS (SELECT doc_id, source, $toks AS s FROM d2),
-         |ti AS (SELECT doc_id, source,
-         |    unnest([{'pos': i, 'tok': s[i]} for i in range(1, len(s) + 1)],
-         |      recursive := true)
-         |  FROM m),
-         |cand AS (SELECT doc_id, pos, source, tok FROM ti
+         |tk AS (SELECT source, unnest($toks) AS tok FROM d2),
+         |cand AS (SELECT source, tok,
+         |    [tok[i] for i in range(1, len(tok) + 1)] AS chs,
+         |    CAST(len(tok) AS BIGINT) AS n
+         |  FROM tk
          |  WHERE len(tok) >= $SecretMinLen AND regexp_matches(tok, '[0-9]')
          |    AND regexp_matches(tok, '[A-Za-z]')),
-         |ch AS (SELECT doc_id, pos, source, CAST(len(tok) AS BIGINT) AS n,
-         |    unnest([tok[i] for i in range(1, len(tok) + 1)]) AS ch
-         |  FROM cand),
-         |hist AS (SELECT doc_id, pos, source, n, ch,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM ch GROUP BY 1, 2, 3, 4, 5),
-         |ent AS (SELECT doc_id, pos, source, n,
-         |    CAST(sum($SecretTermTickSql) AS BIGINT) AS ht
-         |  FROM hist GROUP BY 1, 2, 3, 4),
-         |cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates
-         |  FROM cand GROUP BY 1),
-         |fl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_flagged,
-         |    CAST(sum(ht) AS BIGINT) AS sht
-         |  FROM ent WHERE ht >= $SecretEntropyTicks GROUP BY 1)
-         |SELECT cc.source, cc.n_candidates,
-         |  coalesce(fl.n_flagged, 0) AS n_flagged,
-         |  round(CAST(coalesce(fl.n_flagged, 0) AS DOUBLE) / cc.n_candidates, 6)
-         |    AS flag_rate,
-         |  round(CASE WHEN coalesce(fl.n_flagged, 0) > 0 THEN
-         |    CAST(fl.sht AS DOUBLE) / 1e12 / fl.n_flagged END, 6)
+         |ent AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_distinct(chs), c ->
+         |      ${SecretTermTick("len(list_filter(chs, x -> x = c))", "n")})),
+         |    (a, b) -> a + b) AS ht FROM cand),
+         |cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(sum(CASE WHEN ht >= $SecretEntropyTicks THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged,
+         |    CAST(sum(CASE WHEN ht >= $SecretEntropyTicks THEN ht ELSE 0 END) AS BIGINT)
+         |      AS sht
+         |  FROM ent GROUP BY 1)
+         |SELECT source, n_candidates, n_flagged,
+         |  round(CAST(n_flagged AS DOUBLE) / n_candidates, 6) AS flag_rate,
+         |  round(CASE WHEN n_flagged > 0 THEN
+         |    CAST(sht AS DOUBLE) / 1e12 / n_flagged END, 6)
          |    AS mean_entropy_flagged
-         |FROM cc LEFT JOIN fl ON fl.source = cc.source
-         |ORDER BY cc.source""".stripMargin.replace("\n", " ")),
+         |FROM cells ORDER BY source""".stripMargin.replace("\n", " ")),
+    // x215's cent-histogram trim CTEs, partitioned by the x226 variant
+    // hash; same exact boundary integers and shared trimmed-mean strings
+    "x248_robust_ab" ->
+      (s"""WITH e AS (SELECT
+         |    CASE WHEN substr(md5('ab1:'||CAST(user_id AS VARCHAR)), 1, 4)
+         |      < '8000' THEN 'b' ELSE 'a' END AS variant,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |h AS (SELECT variant, cents, CAST(count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT variant, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cb AS (SELECT h.variant, h.cents, h.c, t.n,
+         |    CAST(coalesce(sum(h.c) OVER (PARTITION BY h.variant
+         |      ORDER BY h.cents ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM h JOIN t USING (variant)),
+         |kp AS (SELECT variant, cents, n,
+         |    greatest(0, least(cb + c, n - k) - greatest(cb, k)) AS kept
+         |  FROM (SELECT *, CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT) AS k
+         |    FROM cb)),
+         |m AS (SELECT
+         |    CAST(max(CASE WHEN variant = 'a' THEN n END) AS BIGINT) AS n_a,
+         |    CAST(max(CASE WHEN variant = 'b' THEN n END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN kept ELSE 0 END) AS BIGINT) AS nk_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN kept ELSE 0 END) AS BIGINT) AS nk_b,
+         |    CAST(sum(CASE WHEN variant = 'a' THEN CAST(kept AS HUGEINT) * cents ELSE 0 END)
+         |      AS DECIMAL(38,0)) AS sw_a,
+         |    CAST(sum(CASE WHEN variant = 'b' THEN CAST(kept AS HUGEINT) * cents ELSE 0 END)
+         |      AS DECIMAL(38,0)) AS sw_b
+         |  FROM kp WHERE kept > 0)
+         |SELECT n_a, n_b, nk_a, nk_b,
+         |  round(${RobustTmSql("a")}, 6) AS tm_a,
+         |  round(${RobustTmSql("b")}, 6) AS tm_b,
+         |  round((${RobustTmSql("b")}) - (${RobustTmSql("a")}), 6) AS trimmed_lift
+         |FROM m""".stripMargin.replace("\n", " ")),
     // per-user frame, THREE naive row_number ranks (each hash match
     // re-proves the Ranks device lossless), same code/rollup arithmetic
     "x244_rfm" ->
@@ -11932,9 +12042,10 @@ object ExtensionQueries {
          |    / count(*), 6) AS share_low
          |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
   ).pipe(m =>
-    // the stream twin drains the same parquet into the same additive day
-    // cells, so the batch oracle gates it bit-for-bit
-    m + ("x238_stream_msprt" -> m("x234_msprt")))
+    // the stream twins drain the same parquet into the same additive
+    // cells, so the batch oracles gate them bit-for-bit
+    m + ("x238_stream_msprt" -> m("x234_msprt")) +
+      ("x247_stream_secret_scan" -> m("x242_secret_scan")))
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
     * day) argmax, one final division.

@@ -415,6 +415,39 @@ object StreamOps {
     spark.table(queryName).localCheckpoint()
   }
 
+  /** Stream-maintained per-source secret-scan cells for the x247 read:
+    * because the per-token entropy is a PER-ROW HOF fold (integer
+    * ticks), the whole governance scan reduces to one stateful
+    * per-source aggregate over (candidates, flagged, entropy mass); the
+    * rollup division is read-time, shared verbatim with the batch x242
+    * (ExtensionQueries.secretRollup). Scan-on-ingest is the production
+    * shape for this job — documents stream in, the datacard is re-read
+    * on demand.
+    */
+  def secretCellsStreaming(spark: SparkSession, docsDir: String,
+      queryName: String = "secret_cells",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
+    val aggs = graft.ExtensionQueries.secretCellAggs
+    val q = graft.ExtensionQueries.secretTokens(src)
+      .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onFinish(q)
+    // bounded (|sources| rows); checkpointed for the same multi-reference
+    // reason as [[qualityBinCountsStreaming]]
+    spark.table(queryName).localCheckpoint()
+  }
+
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
     * aggregate; the exact-integer cumsum/numerator derivation is

@@ -821,4 +821,35 @@ class EvalOpsSpec extends SparkSpec {
       r.getDouble(1) <= w.length + 1e-6, "ESS in [1, n]")
     assert(r.getDouble(3) >= 1.0 / w.length - 1e-9, "max share lower bound")
   }
+
+  // ---- x248: driver sort-and-trim vs the histogram device ----
+
+  test("x248 trimmed A/B ≡ driver sort/trim per variant") {
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("value")).collect()
+      .map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ab1:${r.getLong(0)}".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        (if (hex < "8000") "b" else "a",
+          math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      }
+    def trim(vt: String): (Long, Long, Double) = {
+      val xs = ev.filter(_._1 == vt).map(_._2).sorted
+      val k = math.floor(xs.length * 0.05).toInt
+      val kept = xs.slice(k, xs.length - k)
+      (xs.length.toLong, kept.length.toLong,
+        kept.map(BigInt(_)).sum.toDouble / kept.length / 100.0)
+    }
+    val (na, nka, tma) = trim("a")
+    val (nb, nkb, tmb) = trim("b")
+    val Array(r) = q("x248_robust_ab")
+    def r6(x: Double) =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == na && r.getLong(1) == nb, "n per variant")
+    assert(r.getLong(2) == nka && r.getLong(3) == nkb, "kept per variant")
+    assert(math.abs(r.getDouble(4) - r6(tma)) < 1e-6, "tm_a")
+    assert(math.abs(r.getDouble(5) - r6(tmb)) < 1e-6, "tm_b")
+    assert(math.abs(r.getDouble(6) - r6(tmb - tma)) < 2e-6, "trimmed_lift")
+  }
 }

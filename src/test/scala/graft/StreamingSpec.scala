@@ -277,4 +277,22 @@ class StreamingSpec extends SparkSpec {
     // a decimal sum-of-squares — all three cell families are checked
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-maintained secret-scan cells across MULTIPLE micro-batches == batch cells (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-secret-spec").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/documents")
+    var nBatches = 0
+    val streamed = StreamOps.secretCellsStreaming(spark, s"$tmp/documents",
+      queryName = "spec_secret_cells", maxFilesPerTrigger = Some(1),
+      onFinish = q => nBatches = q.recentProgress.count(_.numInputRows > 0))
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    val aggs = ExtensionQueries.secretCellAggs
+    val batch = ExtensionQueries.secretTokens(docs)
+      .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    assert(streamed.count() > 0)
+    // a dropped or double-counted document shifts a candidate count, a
+    // flag count, or the flagged entropy mass
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
