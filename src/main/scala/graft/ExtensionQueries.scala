@@ -6458,6 +6458,26 @@ object ExtensionQueries {
             expr(s"(${RobustTmSql("b")}) - (${RobustTmSql("a")})"), 6)
             .as("trimmed_lift"))
     }),
+    // x249: per-type value SLO report — exact P50/P95/P99 and max of the
+    // event value per type, the latency-percentile-style scorecard ops
+    // teams pin dashboards to. One hash aggregate (`percentile` ≡
+    // DuckDB `quantile_cont`, the x16/x94 equivalence); at 100 TB the
+    // same report swaps in percentile_approx (x26's documented scale
+    // path) with identical shape.
+    "x249_value_slo" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"),
+          max(col("value")).as("mx"))
+        .select(col("event_type"), col("n"),
+          graft.functions.EngineMath.roundAway(col("p50"), 6).as("p50"),
+          graft.functions.EngineMath.roundAway(col("p95"), 6).as("p95"),
+          graft.functions.EngineMath.roundAway(col("p99"), 6).as("p99"),
+          graft.functions.EngineMath.roundAway(col("mx"), 6).as("max_value"))
+        .orderBy(col("event_type"))),
     // x243: robust per-dimension embedding scaling — median/IQR per dim,
     // the outlier-immune normalization x204's PCA whitening (moment-
     // based) is not. One posexplode scan shuffles (dim, value) into 64
@@ -11926,6 +11946,15 @@ object ExtensionQueries {
          |    CAST(sht AS DOUBLE) / 1e12 / n_flagged END, 6)
          |    AS mean_entropy_flagged
          |FROM cells ORDER BY source""".stripMargin.replace("\n", " ")),
+    // quantile_cont ≡ percentile, identical rounding
+    "x249_value_slo" ->
+      ("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  round(quantile_cont(value, 0.5), 6) AS p50,
+         |  round(quantile_cont(value, 0.95), 6) AS p95,
+         |  round(quantile_cont(value, 0.99), 6) AS p99,
+         |  round(max(value), 6) AS max_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type""".stripMargin.replace("\n", " ")),
     // x215's cent-histogram trim CTEs, partitioned by the x226 variant
     // hash; same exact boundary integers and shared trimmed-mean strings
     "x248_robust_ab" ->

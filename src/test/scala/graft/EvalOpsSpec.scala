@@ -852,4 +852,34 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - r6(tmb)) < 1e-6, "tm_b")
     assert(math.abs(r.getDouble(6) - r6(tmb - tma)) < 2e-6, "trimmed_lift")
   }
+
+  // ---- x249: driver quantile interpolation per event type ----
+
+  test("x249 value SLO ≡ driver percentile interpolation") {
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    def r6(x: Double) =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    val rows = q("x249_value_slo")
+    val byType = ev.groupBy(_._1)
+    assert(rows.length == byType.size, "one row per type")
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) == xs.length.toLong, "n")
+      assert(math.abs(r.getDouble(2) - r6(qc(xs, 0.5))) < 1e-9, "p50")
+      assert(math.abs(r.getDouble(3) - r6(qc(xs, 0.95))) < 1e-9, "p95")
+      assert(math.abs(r.getDouble(4) - r6(qc(xs, 0.99))) < 1e-9, "p99")
+      assert(math.abs(r.getDouble(5) - r6(xs.last)) < 1e-9, "max")
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-12 &&
+        r.getDouble(3) <= r.getDouble(4) + 1e-12 &&
+        r.getDouble(4) <= r.getDouble(5) + 1e-12, "monotone percentiles")
+    }
+  }
 }
