@@ -6509,12 +6509,15 @@ object ExtensionQueries {
     // hash match re-proves the device lossless three ways). Output is
     // ≤ 125 cells.
     "x244_rfm" -> ((s, dir) => {
-      val users = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(datediff(lit("2024-01-31").cast("date"), max(to_date(col("ts"))))
-            .cast("long").as("rec"),
-          count(lit(1)).as("freq"),
-          sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("mon"))
+      // persisted: the rank chain AND the count read it — without this
+      // the events aggregate runs twice
+      val users = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(datediff(lit("2024-01-31").cast("date"),
+              max(to_date(col("ts")))).cast("long").as("rec"),
+            count(lit(1)).as("freq"),
+            sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("mon")))
       val withR = graft.operators.Ranks.globalRowNumber(users,
         -col("rec"), Seq(col("rec").desc, col("user_id").asc), "rk_r")
       val withF = graft.operators.Ranks.globalRowNumber(withR,
