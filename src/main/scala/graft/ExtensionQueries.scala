@@ -6273,6 +6273,11 @@ object ExtensionQueries {
         .agg(sort_array(collect_list(struct(col("day"), col("x"))))
           .as("cs"))
         .withColumn("vals", expr("transform(cs, c -> c.x)"))
+        // Holt needs two seed observations: a type active on ONE day has
+        // no defined trend — dropped explicitly here, exactly as the
+        // oracle's rn=1 ⋈ rn=2 seed join drops it (engine/oracle parity
+        // for the 1-day edge)
+        .filter(size(col("vals")) >= 2)
         .withColumn("h", expr(
           "aggregate(slice(vals, 3, greatest(size(vals) - 2, 0)), " +
             "named_struct('l', element_at(vals, 2), " +
@@ -6424,6 +6429,8 @@ object ExtensionQueries {
       val ev = abDayProject(Tables.events(s, dir))
         .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
       val h = ev.groupBy(col("variant"), col("cents")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumers: totals + the trim chain — without
+      // this the events scan + histogram aggregate run twice
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("variant")).orderBy(col("cents"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -6583,11 +6590,12 @@ object ExtensionQueries {
 
   /** x242's secret-candidate gates: tokens at least this long, mixing
     * letters and digits, whose char-level Shannon entropy reaches the
-    * tick threshold (3.0 nats ≈ 20+ effective symbols — natural words
-    * sit near 2.2-2.8). Entropy accumulates as per-char integer 1e-12
-    * ticks (each (c/n)·ln(n/c) term quantized BEFORE the sum), so the
-    * per-token statistic is order-independent under any partitioning —
-    * the PageRank-contribution device applied to entropy.
+    * 2.5-nat tick threshold (e^2.5 ≈ 12 effective symbols — long
+    * natural words sit near 2.2-2.4; random hex caps at ln 16 ≈ 2.773,
+    * random base62 higher still). Entropy accumulates as per-char
+    * integer 1e-12 ticks (each (c/n)·ln(n/c) term quantized BEFORE the
+    * sum), so the per-token statistic is order-independent under any
+    * partitioning — the PageRank-contribution device applied to entropy.
     */
   private val SecretMinLen = 16
   private[graft] val SecretEntropyTicks = 2500000000000L // 2.5 nats: above
@@ -6601,23 +6609,31 @@ object ExtensionQueries {
     s"CAST(floor((CAST($c AS DOUBLE) / $n) * ln(CAST($n AS DOUBLE) / $c) " +
       "* 1e12 + 0.5) AS BIGINT)"
 
-  /** The x242/x247 shared candidate-token frame: planted-secret rewrite
-    * (the testdata carries no natural candidates — x222's synthesized-
-    * input contract), tokenize, length/charset gates, and PER-ROW char
-    * entropy: integer 1e-12 ticks folded over the distinct chars — no
-    * intermediate aggregate, which is what makes the per-source cells
-    * additive and therefore stream-maintainable in one stateful
-    * aggregate. Tick addition is order-independent, so the fold order
-    * over distinct chars is irrelevant.
+  /** The x242/x247 shared candidate-token frame: tokenize, length/
+    * charset gates, and PER-ROW char entropy — integer 1e-12 ticks
+    * folded over the distinct chars, no intermediate aggregate, which is
+    * what makes the per-source cells additive and therefore stream-
+    * maintainable in one stateful aggregate. Tick addition is
+    * order-independent, so the fold order over distinct chars is
+    * irrelevant.
+    *
+    * `plantSynthetic` (default true, used by the bench/verify harness)
+    * appends a deterministic hex secret to every 7th doc because the
+    * testdata carries no natural candidates (x222's synthesized-input
+    * contract); a real deployment passes false and the scan is
+    * otherwise unchanged.
     */
-  private[graft] def secretTokens(docsIn: DataFrame): DataFrame = {
+  private[graft] def secretTokens(docsIn: DataFrame,
+      plantSynthetic: Boolean = true): DataFrame = {
     val cnt = "size(filter(chs, x -> x = c))"
-    docsIn
-      .withColumn("text2",
+    val planted =
+      if (plantSynthetic) docsIn.withColumn("text2",
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" sk_"),
             md5(concat(lit("sk:"), col("doc_id").cast("string")))))
           .otherwise(col("text")))
+      else docsIn.withColumn("text2", col("text"))
+    planted
       .select(col("source"),
         explode(TextFunctions.tokens(col("text2"))).as("tok"))
       .filter(length(col("tok")) >= SecretMinLen &&

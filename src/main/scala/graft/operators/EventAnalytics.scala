@@ -197,14 +197,18 @@ object EventAnalytics {
   def sequentialRules(events: DataFrame, gapMinutes: Int = 30,
       minSupport: Long = 5, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val firsts = graft.engine.CacheScope.persistTracked(
-      sessionTagged(events, gapMinutes)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("session_seq"),
-            col("event_type")).orderBy(col("ts"), col("event_id"))))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("session_seq"), col("event_type"),
-          unix_micros(col("ts")).as("fts"), col("event_id").as("fid")))
+    // localCheckpoint, not persist: firsts appears THREE times in one
+    // plan (both self-join sides + the antecedent totals) and a persisted
+    // frame loses cache substitution on re-aliased occurrences
+    // (DeduplicateRelations — see Ranks.scala's note)
+    val firsts = sessionTagged(events, gapMinutes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_seq"),
+          col("event_type")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        unix_micros(col("ts")).as("fts"), col("event_id").as("fid"))
+      .localCheckpoint()
     val ordered = firsts.as("x").join(firsts.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.session_seq") === col("y.session_seq") &&

@@ -296,20 +296,41 @@ object StreamOps {
     * streaming decomposition at any scale.
     */
   def dailyCountsStreaming(spark: SparkSession, eventsDir: String,
-      queryName: String = "ewma_daily_counts"): DataFrame = {
-    val dir = streamableDir(eventsDir)
+      queryName: String = "ewma_daily_counts"): DataFrame =
+    drainCells(spark, eventsDir, queryName, None, normalizeTs = true,
+      _.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      _ => ())
+
+  /** The shared Complete-mode cell-drain scaffold every additive-cell
+    * stream twin rides: probe the parquet schema, open the (optionally
+    * rate-limited) file stream, apply the twin's ONE stateful aggregate,
+    * drain with AvailableNow into a memory sink, and hand back the
+    * bounded cell table. The result is localCheckpoint'd because a
+    * MemorySink view referenced more than once in one read-time plan
+    * trips analyzer attribute-conflict resolution — fixing the drain
+    * protocol HERE fixes every twin at once.
+    */
+  private def drainCells(spark: SparkSession, srcDir: String,
+      queryName: String, maxFilesPerTrigger: Option[Int],
+      normalizeTs: Boolean,
+      transform: DataFrame => DataFrame,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : DataFrame = {
+    val dir = streamableDir(srcDir)
     val schema = spark.read.parquet(dir).schema
-    val stream = graft.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(dir))
-    val q = stream
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    val reader = spark.readStream.schema(schema)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
+    val src = if (normalizeTs) graft.Tables.normalizeEventTs(raw) else raw
+    val q = transform(src)
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    onFinish(q)
+    spark.table(queryName).localCheckpoint()
   }
 
   /** Stream-maintained per-(source, quality-bin) counts for the x166 PSI
@@ -329,25 +350,12 @@ object StreamOps {
       queryName: String = "psi_bin_counts",
       maxFilesPerTrigger: Option[Int] = None,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
-    val dir = streamableDir(docsDir)
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
-    val src = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
-    val q = graft.ExtensionQueries.qualityBins(src)
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cc"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onFinish(q)
-    // bounded (|sources|×10) — checkpoint so the read-time derivation can
-    // reference it more than once (a MemorySink view referenced twice in
-    // one plan trips analyzer attribute-conflict resolution)
-    spark.table(queryName).localCheckpoint()
-  }
+        _ => ()): DataFrame =
+    drainCells(spark, docsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = false,
+      src => graft.ExtensionQueries.qualityBins(src)
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cc")),
+      onFinish)
 
   /** Stream-maintained (event_type, day) exact micro-tick daily value
     * sums for the x190 ACF read: the daily series is ADDITIVE (one
@@ -362,25 +370,12 @@ object StreamOps {
       queryName: String = "acf_daily_sums",
       maxFilesPerTrigger: Option[Int] = None,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
-    val dir = streamableDir(eventsDir)
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
-    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
-    val q = src
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onFinish(q)
-    // bounded (|types| × days); checkpointed for the same
-    // triple-reference reason as [[qualityBinCountsStreaming]]
-    spark.table(queryName).localCheckpoint()
-  }
+        _ => ()): DataFrame =
+    drainCells(spark, eventsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = true,
+      _.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm")),
+      onFinish)
 
   /** Stream-maintained per-day A/B experiment cells for the x238 mSPRT
     * read: counts, micro-sums, and decimal sums-of-squares per variant
@@ -395,25 +390,15 @@ object StreamOps {
       queryName: String = "msprt_day_cells",
       maxFilesPerTrigger: Option[Int] = None,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
-    val dir = streamableDir(eventsDir)
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
-    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
-    val aggs = graft.ExtensionQueries.abDayCellAggs
-    val q = graft.ExtensionQueries.abDayProject(src)
-      .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onFinish(q)
-    // bounded (≤ |days| rows); checkpointed for the same multi-reference
-    // reason as [[qualityBinCountsStreaming]]
-    spark.table(queryName).localCheckpoint()
-  }
+        _ => ()): DataFrame =
+    drainCells(spark, eventsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = true,
+      src => {
+        val aggs = graft.ExtensionQueries.abDayCellAggs
+        graft.ExtensionQueries.abDayProject(src)
+          .groupBy(col("d")).agg(aggs.head, aggs.tail: _*)
+      },
+      onFinish)
 
   /** Stream-maintained per-source secret-scan cells for the x247 read:
     * because the per-token entropy is a PER-ROW HOF fold (integer
@@ -427,26 +412,17 @@ object StreamOps {
   def secretCellsStreaming(spark: SparkSession, docsDir: String,
       queryName: String = "secret_cells",
       maxFilesPerTrigger: Option[Int] = None,
+      plantSynthetic: Boolean = true,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
-    val dir = streamableDir(docsDir)
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
-    val src = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
-    val aggs = graft.ExtensionQueries.secretCellAggs
-    val q = graft.ExtensionQueries.secretTokens(src)
-      .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onFinish(q)
-    // bounded (|sources| rows); checkpointed for the same multi-reference
-    // reason as [[qualityBinCountsStreaming]]
-    spark.table(queryName).localCheckpoint()
-  }
+        _ => ()): DataFrame =
+    drainCells(spark, docsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = false,
+      src => {
+        val aggs = graft.ExtensionQueries.secretCellAggs
+        graft.ExtensionQueries.secretTokens(src, plantSynthetic)
+          .groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      },
+      onFinish)
 
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
@@ -459,26 +435,14 @@ object StreamOps {
       queryName: String = "w1_value_counts",
       maxFilesPerTrigger: Option[Int] = None,
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
-    val dir = streamableDir(eventsDir)
-    val schema = spark.read.parquet(dir).schema
-    val reader = spark.readStream.schema(schema)
-    val src = graft.Tables.normalizeEventTs(maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir))
-    val q = graft.ExtensionQueries.valueCohorts(src)
-      .groupBy(col("vm"))
-      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onFinish(q)
-    // bounded by the distinct micro-value domain; checkpointed for the
-    // same double-reference reason as [[qualityBinCountsStreaming]]
-    spark.table(queryName).localCheckpoint()
-  }
+        _ => ()): DataFrame =
+    drainCells(spark, eventsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = true,
+      src => graft.ExtensionQueries.valueCohorts(src)
+        .groupBy(col("vm"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb")),
+      onFinish)
 
   /** Stream-STATIC enrichment join + aggregate: the streaming analogue of
     * the B5 broadcast dimension join — each micro-batch joins the live
