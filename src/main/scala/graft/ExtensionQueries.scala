@@ -6465,6 +6465,19 @@ object ExtensionQueries {
             expr(s"(${RobustTmSql("b")}) - (${RobustTmSql("a")})"), 6)
             .as("trimmed_lift"))
     }),
+    // x250: STREAM-MAINTAINED exact percentiles — P50/P95/P99 per type
+    // from the additive (type, micro-value) histogram
+    // (StreamOps.valueHistStreaming): a sort-requiring statistic made
+    // streamable because the histogram is the sufficient state and the
+    // quantile_cont interpolation is read-time arithmetic over cumsums
+    // (sloOverValueHist — the window frame is |distinct micro-values|,
+    // value-domain-bounded, the x177 contract). The oracle re-derives
+    // quantile_cont over the same micro-quantized values from the raw
+    // table — a genuinely different evaluation strategy (sort vs
+    // histogram walk) proving the interpolation exact.
+    "x250_stream_slo" -> ((s, dir) =>
+      sloOverValueHist(s, graft.streaming.StreamOps
+        .valueHistStreaming(s, s"$dir/events.parquet"))),
     // x249: per-type value SLO report — exact P50/P95/P99 and max of the
     // event value per type, the latency-percentile-style scorecard ops
     // teams pin dashboards to. One hash aggregate (`percentile` ≡
@@ -6653,6 +6666,51 @@ object ExtensionQueries {
     */
   private def RobustTmSql(v: String): String =
     s"(CAST(sw_$v AS DOUBLE) / nk_$v / 100.0)"
+
+  /** x250's percentile levels — one constant for the engine probes and
+    * the oracle's UNION branches.
+    */
+  private[graft] val SloPs = Seq(0.5, 0.95, 0.99)
+
+  /** x250's read-time exact-percentile derivation over the additive
+    * (event_type, vm, c) histogram: per-type cumsum ranges give the
+    * k-th order statistic by containment lookup; the interpolated value
+    * v₁ + (h − ⌊h⌋)·(v₂ − v₁) with h = (n−1)·p is quantile_cont's exact
+    * definition, evaluated on the same micro-quantized doubles as the
+    * oracle's sort-based computation. Both containment joins broadcast
+    * the |types|×|levels| probe side.
+    */
+  private def sloOverValueHist(s: SparkSession, cells: DataFrame): DataFrame = {
+    val hist = cells.localCheckpoint() // consumers: totals + two lookups
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("vm"))
+    val cum = hist
+      .withColumn("cumhi", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("cumlo", col("cumhi") - col("c") + 1)
+      .localCheckpoint() // both containment lookups read it
+    val probes = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      .crossJoin(s.range(1).select(explode(typedlit(SloPs)).as("p")))
+      .withColumn("h", expr("CAST(n - 1 AS DOUBLE) * p"))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("k1", col("lo") + 1)
+      .withColumn("k2", least(col("lo") + 2, col("n")))
+    val v1 = cum.join(broadcast(probes), Seq("event_type"))
+      .filter(col("k1") >= col("cumlo") && col("k1") <= col("cumhi"))
+      .select(col("event_type"), col("p"), col("n"), col("h"), col("lo"),
+        col("k2"), col("vm").as("v1"))
+    cum.select(col("event_type"), col("vm").as("v2"),
+        col("cumlo").as("l2"), col("cumhi").as("h2"))
+      .join(broadcast(v1), Seq("event_type"))
+      .filter(col("k2") >= col("l2") && col("k2") <= col("h2"))
+      .select(col("event_type"), col("p"), col("n"),
+        graft.functions.EngineMath.roundAway(expr(
+          "CAST(v1 AS DOUBLE) / 1e6 + (h - lo) * " +
+            "(CAST(v2 AS DOUBLE) / 1e6 - CAST(v1 AS DOUBLE) / 1e6)"), 6)
+          .as("slo_value"))
+      .orderBy(col("event_type"), col("p"))
+  }
 
   /** The ADDITIVE per-source cells both x242 halves read. */
   private[graft] def secretCellAggs: Seq[Column] = Seq(
@@ -11965,6 +12023,18 @@ object ExtensionQueries {
          |    CAST(sht AS DOUBLE) / 1e12 / n_flagged END, 6)
          |    AS mean_entropy_flagged
          |FROM cells ORDER BY source""".stripMargin.replace("\n", " ")),
+    // sort-based quantile_cont over the SAME micro-quantized doubles the
+    // engine's histogram walk interpolates — different evaluation
+    // strategy, identical definition h = (n−1)p, v₁ + frac·(v₂ − v₁)
+    "x250_stream_slo" ->
+      (s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events)
+         |""".stripMargin +
+        SloPs.map(p =>
+          s"SELECT event_type, CAST($p AS DOUBLE) AS p, CAST(count(*) AS BIGINT) AS n, " +
+            s"round(quantile_cont(CAST(vm AS DOUBLE) / 1e6, $p), 6) AS slo_value " +
+            "FROM e GROUP BY 1").mkString("", " UNION ALL ", " ") +
+        "ORDER BY event_type, p").replace("\n", " "),
     // quantile_cont ≡ percentile, identical rounding
     "x249_value_slo" ->
       ("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,

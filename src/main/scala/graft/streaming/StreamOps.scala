@@ -431,6 +431,25 @@ object StreamOps {
     * (ExtensionQueries.w1OverCounts). Same decomposition contract as
     * [[qualityBinCountsStreaming]].
     */
+  /** Stream-maintained (event_type, micro-value) histogram for the x250
+    * exact-percentile read: value counts are ADDITIVE, so exact P50/P95/
+    * P99 — normally a sort-requiring statistic — become stream-
+    * maintainable: one stateful aggregate holds the histogram (bounded
+    * by the value domain, the x177 contract) and the interpolation
+    * arithmetic is read-time (ExtensionQueries.sloOverValueHist).
+    */
+  def valueHistStreaming(spark: SparkSession, eventsDir: String,
+      queryName: String = "slo_value_hist",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    drainCells(spark, eventsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = true,
+      _.groupBy(col("event_type"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+        .agg(count(lit(1)).as("c")),
+      onFinish)
+
   def valueCohortCountsStreaming(spark: SparkSession, eventsDir: String,
       queryName: String = "w1_value_counts",
       maxFilesPerTrigger: Option[Int] = None,

@@ -882,4 +882,31 @@ class EvalOpsSpec extends SparkSpec {
         r.getDouble(4) <= r.getDouble(5) + 1e-12, "monotone percentiles")
     }
   }
+
+  // ---- x250: driver sort-based quantiles vs the histogram walk ----
+
+  test("x250 streamed percentiles ≡ driver sort-based interpolation") {
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6))
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    def r6(x: Double) =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    val rows = q("x250_stream_slo")
+    val byType = ev.groupBy(_._1)
+    assert(rows.length == byType.size * ExtensionQueries.SloPs.size,
+      "types x levels rows")
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(2) == xs.length.toLong, "n")
+      assert(math.abs(r.getDouble(3) - r6(qc(xs, r.getDouble(1)))) < 1e-9,
+        s"${r.getString(0)} p=${r.getDouble(1)}")
+    }
+  }
 }

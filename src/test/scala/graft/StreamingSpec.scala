@@ -295,4 +295,24 @@ class StreamingSpec extends SparkSpec {
     // flag count, or the flagged entropy mass
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-maintained value histogram across MULTIPLE micro-batches == batch histogram (exactly-once)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slo-spec").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events-raw")
+    spark.read.parquet(s"$tmp/events-raw").repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    var nBatches = 0
+    val streamed = StreamOps.valueHistStreaming(spark, s"$tmp/events",
+      queryName = "spec_slo_hist", maxFilesPerTrigger = Some(1),
+      onFinish = q => nBatches = q.recentProgress.count(_.numInputRows > 0))
+    assert(nBatches > 1, s"expected multiple micro-batches, got $nBatches")
+    val batch = events
+      .groupBy(col("event_type"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("vm"))
+      .agg(count(lit(1)).as("c"))
+    assert(streamed.count() > 0)
+    // any dropped/duplicated event shifts a histogram cell, and every
+    // percentile downstream of it
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
