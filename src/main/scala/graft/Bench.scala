@@ -90,8 +90,12 @@ object Bench {
       "x229_equalized_odds", "x231_woe_iv")),
     "qlrcv" -> ("x201_cv_auc", Set("x201_cv_auc")),
     "ivf" -> ("x13_knn_ivf", Set("x13_knn_ivf", "x52_knn_ivfpq",
-      "x54_semantic_pairs", "x67_stream_index", "x183_cluster_report",
+      "x67_stream_index", "x183_cluster_report",
       "x194_silhouette")),
+    // x54 fits at its own corpus-scaled K (SemDedup.scaledK) — only at
+    // sf0.01 does that coincide with the ivf family's k=8 fit, so it
+    // warms itself
+    "sem" -> ("x54_semantic_pairs", Set("x54_semantic_pairs")),
     "pq" -> ("x51_knn_pq", Set("x51_knn_pq", "x52_knn_ivfpq",
       "x67_stream_index")),
     "pca" -> ("x204_pca_whitening", Set("x204_pca_whitening")))

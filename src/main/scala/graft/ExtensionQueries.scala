@@ -32,9 +32,16 @@ object ExtensionQueries {
     * re-fit an index build would never do.
     */
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    semCentroids(s, dir, 8)
+
+  /** [[ivfCentroids]] at caller-chosen K — x54 scales K with the corpus
+    * ([[graft.operators.SemDedup.scaledK]]); at the sf0.01 gate that
+    * resolves to the same k=8 fit the ANN queries memoize.
+    */
+  private def semCentroids(s: SparkSession, dir: String, k: Int): DataFrame =
     graft.operators.Fitted.getOrFit(s,
-      graft.operators.Fitted.key(dir, "ivf", "k" -> 8, "maxIter" -> 5)) {
-      graft.operators.Ivf.fit(embeddingsD(s, dir), "vec", k = 8, maxIter = 5)
+      graft.operators.Fitted.key(dir, "ivf", "k" -> k, "maxIter" -> 5)) {
+      graft.operators.Ivf.fit(embeddingsD(s, dir), "vec", k = k, maxIter = 5)
     }
 
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
@@ -911,13 +918,21 @@ object ExtensionQueries {
     // (engine-specific half, STAGED as the assignment table) restrict the
     // quadratic cosine scan to within-cluster pairs; the oracle re-derives
     // every within-cluster pair + cosine from the staged assignments in
-    // DuckDB. The exact all-pairs twin is x09; this is its scale path
-    // (N²/K work instead of N², one shuffle on centroid_id).
+    // DuckDB. The exact all-pairs twin is x09; this is its scale path —
+    // and BOTH scale guards are wired: K ∝ N (SemDedup.scaledK, the
+    // published SemDeDup shape — fixed K would make the scan N²/K =
+    // quadratic on ANY corpus) and the over-dense-cluster cap
+    // (cappedAssignments, observe-logged drops). The STAGED frame is the
+    // capped assignment, so the oracle sees exactly the clusters the
+    // engine scanned. Work: N·target/2 pair candidates — linear in N.
     "x54_semantic_pairs" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
-      val centroids = ivfCentroids(s, dir)
+      val k = graft.operators.SemDedup.scaledK(e.count())
+      val centroids = semCentroids(s, dir, k)
       val assign = graft.engine.CacheScope.persistTracked(
-        graft.operators.SemDedup.assign(e, "vec_id", "vec", centroids))
+        graft.operators.SemDedup.cappedAssignments(
+          graft.operators.SemDedup.assign(e, "vec_id", "vec", centroids),
+          cap = graft.operators.SemDedup.defaultClusterCap))
       Stage.write(assign, dir, "x54_assign")
       graft.operators.SemDedup.semanticPairs(e, "vec_id", "vec", assign,
         threshold = 0.4)
@@ -2366,12 +2381,14 @@ object ExtensionQueries {
           sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
           sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
           sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
-          sum(when(col("variant") === "a", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_a"),
-          sum(when(col("variant") === "b", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_b"))
+          // widen BEFORE the multiply (the x228 rule): vm*vm in
+          // LongType would silently wrap past ~3e9 micro-units
+          sum(when(col("variant") === "a",
+            col("vm").cast("decimal(38,0)") * col("vm"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+          sum(when(col("variant") === "b",
+            col("vm").cast("decimal(38,0)") * col("vm"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
         .select(col("n_a"), col("n_b"),
           graft.functions.EngineMath.roundAway(
             expr(s"(${WelchMean("a")})"), 6).as("mean_a"),
@@ -5849,12 +5866,14 @@ object ExtensionQueries {
           sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"),
           sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("s_a"),
           sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("s_b"),
-          sum(when(col("variant") === "a", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_a"),
-          sum(when(col("variant") === "b", (col("vm") * col("vm"))
-            .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
-            .as("q_b"))
+          // widen BEFORE the multiply (the x228 rule): vm*vm in
+          // LongType would silently wrap past ~3e9 micro-units
+          sum(when(col("variant") === "a",
+            col("vm").cast("decimal(38,0)") * col("vm"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+          sum(when(col("variant") === "b",
+            col("vm").cast("decimal(38,0)") * col("vm"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
         .select(col("n_a"), col("n_b"),
           graft.functions.EngineMath.roundAway(
             expr(s"(${WelchMean("a")})"), 6).as("mean_a"),
@@ -6043,6 +6062,9 @@ object ExtensionQueries {
           expr("CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np END"), 6))
         .withColumn("fpr", graft.functions.EngineMath.roundAway(
           expr("CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END"), 6))
+        // two consumers (output + gap aggregate) of one scoring scan —
+        // cap it once, the x231/x235/x248 device
+        .localCheckpoint()
       g.crossJoin(broadcast(g.agg(
           (max(col("tpr")) - min(col("tpr"))).as("tg"),
           (max(col("fpr")) - min(col("fpr"))).as("fg"))))
@@ -6757,11 +6779,16 @@ object ExtensionQueries {
     sum(when(col("variant") === "b", 1L).otherwise(0L)).as("dnb"),
     sum(when(col("variant") === "a", col("vm")).otherwise(0L)).as("dsa"),
     sum(when(col("variant") === "b", col("vm")).otherwise(0L)).as("dsb"),
-    sum(when(col("variant") === "a", (col("vm") * col("vm"))
-      .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+    // widen BEFORE the multiply (the x228 rule): vm*vm in LongType
+    // would silently wrap past ~3e9 micro-units while the oracle's
+    // HUGEINT product stays exact
+    sum(when(col("variant") === "a",
+      col("vm").cast("decimal(38,0)") * col("vm"))
+      .otherwise(lit(0).cast("decimal(38,0)")))
       .as("dqa"),
-    sum(when(col("variant") === "b", (col("vm") * col("vm"))
-      .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+    sum(when(col("variant") === "b",
+      col("vm").cast("decimal(38,0)") * col("vm"))
+      .otherwise(lit(0).cast("decimal(38,0)")))
       .as("dqb"))
 
   private def abDayCells(ev: DataFrame): DataFrame =
@@ -9469,8 +9496,8 @@ object ExtensionQueries {
          |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
          |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
-         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
-         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |    sum(CASE WHEN variant = 'a' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_b
          |  FROM e)
          |SELECT n_a, n_b,
          |  round((${WelchMean("a")}), 6) AS mean_a,
@@ -11353,8 +11380,8 @@ object ExtensionQueries {
          |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
          |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
-         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
-         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |    sum(CASE WHEN variant = 'a' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_b
          |  FROM e)
          |SELECT n_a, n_b,
          |  round((${WelchMean("a")}), 6) AS mean_a,
@@ -11888,8 +11915,8 @@ object ExtensionQueries {
          |    CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          |    CAST(sum(CASE WHEN variant = 'a' THEN vm ELSE 0 END) AS BIGINT) AS s_a,
          |    CAST(sum(CASE WHEN variant = 'b' THEN vm ELSE 0 END) AS BIGINT) AS s_b,
-         |    sum(CASE WHEN variant = 'a' THEN vm * vm ELSE 0 END) AS q_a,
-         |    sum(CASE WHEN variant = 'b' THEN vm * vm ELSE 0 END) AS q_b
+         |    sum(CASE WHEN variant = 'a' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_a,
+         |    sum(CASE WHEN variant = 'b' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_b
          |  FROM e),
          |sg AS (SELECT (${WelchVar("a")} + ${WelchVar("b")}) / 2.0 AS sig2 FROM sg0),
          |dl AS (SELECT d,

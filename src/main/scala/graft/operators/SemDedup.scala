@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *     codegen'd argmin, NO shuffle of the vector side).
   *  3. cosine over pairs that share a centroid — a self-join keyed on
   *     `centroid_id`, so the quadratic blow-up is per-cluster (~(N/K)² per
-  *     bucket, K·(N/K)² = N²/K total) instead of corpus-wide N². At 100 TB
-  *     K scales with the corpus (SemDeDup uses K≈10⁵ for web scale), the
-  *     join shuffles both sides once on `centroid_id`, and a skewed
-  *     (over-dense) cluster caps via `maxClusterSize` — dropped LOUDLY as
-  *     a `dropped_clusters` count, never silently.
+  *     bucket, K·(N/K)² = N²/K total) instead of corpus-wide N². K MUST
+  *     scale with the corpus ([[scaledK]]; SemDeDup uses K≈10⁵ for web
+  *     scale) — at fixed K the scan is quadratic in N regardless of data.
+  *     The join shuffles both sides once on `centroid_id`, and a skewed
+  *     (over-dense) cluster caps via [[cappedAssignments]] /
+  *     `maxClusterSize` — dropped LOUDLY via `Dataset.observe`, never
+  *     silently.
   *
   * Cross-cluster near-duplicates are invisible by design — the published
   * trade-off (recall loss measured small at k-means granularity) that makes
@@ -31,6 +33,44 @@ object SemDedup {
 
   private def dot(x: Column, y: Column): Column =
     call_function("graft_dot", x, y)
+
+  /** SemDeDup runs K ∝ N (Abbas et al. use K≈10⁵ at web scale): with a
+    * FIXED K, within-cluster pair work is N²/K — quadratic in the corpus
+    * no matter how the clusters fall. Scaling K so the EXPECTED cluster
+    * size stays constant makes the pair scan N·target/2, linear in N.
+    * `minK` keeps tiny corpora clusterable; `maxK` bounds the broadcast
+    * centroid table (64k × dim doubles ≈ 32 MB at dim=64 — still a
+    * broadcast; beyond that shard the fit).
+    */
+  def scaledK(n: Long, targetClusterSize: Long = 64, minK: Int = 8,
+      maxK: Int = 65536): Int =
+    math.min(maxK.toLong,
+      math.max(minK.toLong, (n + targetClusterSize - 1) / targetClusterSize))
+      .toInt
+
+  /** The skew backstop that pairs with [[scaledK]]: even at K ∝ N an
+    * over-dense region can own one giant cluster whose pair fan-out is a
+    * quadratic straggler. Default = 8× the [[scaledK]] target — never
+    * bites on balanced clusterings, caps the pathological ones.
+    */
+  val defaultClusterCap: Long = 512L
+
+  /** Drop members of clusters larger than `cap` — LOUDLY: the cluster
+    * size is computed in the same centroid_id exchange the downstream
+    * pair self-join reuses, and a named `Dataset.observe` +
+    * once-per-session listener ([[BucketCapMetrics]]'s device)
+    * WARNs whenever the cap actually dropped rows. Stage THIS frame (not
+    * the raw assignment) when an external oracle re-derives pairs, so
+    * the oracle sees exactly the clusters the engine scanned.
+    */
+  def cappedAssignments(assignments: DataFrame, cap: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+    BucketCapMetrics.observed(
+        assignments.withColumn("__bn", count(lit(1)).over(w)),
+        if (cap > Int.MaxValue) Int.MaxValue else cap.toInt)
+      .filter(col("__bn") <= cap).drop("__bn")
+  }
 
   /** (id, centroid_id) nearest-centroid assignment — [[Ivf.assign]] re-export
     * so callers can stage the engine-specific half for an external oracle.

@@ -424,13 +424,6 @@ object StreamOps {
       },
       onFinish)
 
-  /** Stream-maintained per-micro-value cohort counts for the x167 W₁
-    * read: the additive (vm, ca, cb) table accumulates in one stateful
-    * aggregate; the exact-integer cumsum/numerator derivation is
-    * read-time, shared verbatim with the batch x167
-    * (ExtensionQueries.w1OverCounts). Same decomposition contract as
-    * [[qualityBinCountsStreaming]].
-    */
   /** Stream-maintained (event_type, micro-value) histogram for the x250
     * exact-percentile read: value counts are ADDITIVE, so exact P50/P95/
     * P99 — normally a sort-requiring statistic — become stream-
@@ -450,6 +443,13 @@ object StreamOps {
         .agg(count(lit(1)).as("c")),
       onFinish)
 
+  /** Stream-maintained per-micro-value cohort counts for the x167 W₁
+    * read: the additive (vm, ca, cb) table accumulates in one stateful
+    * aggregate; the exact-integer cumsum/numerator derivation is
+    * read-time, shared verbatim with the batch x167
+    * (ExtensionQueries.w1OverCounts). Same decomposition contract as
+    * [[qualityBinCountsStreaming]].
+    */
   def valueCohortCountsStreaming(spark: SparkSession, eventsDir: String,
       queryName: String = "w1_value_counts",
       maxFilesPerTrigger: Option[Int] = None,

@@ -638,4 +638,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
     assert(capped.intersect(over).isEmpty)
   }
+
+  test("scaledK holds expected cluster size constant; cappedAssignments drops exactly the oversized clusters") {
+    import graft.operators.{Ivf, SemDedup}
+    // K ∝ N at target 64: the sf0.01 gate (n=500) resolves to the minK=8
+    // floor (same fit the ANN queries memoize); 10× data → ~10× K, so
+    // within-cluster pair work stays N·target/2 — linear
+    assert(SemDedup.scaledK(500) == 8)
+    assert(SemDedup.scaledK(2000) == 32)
+    assert(SemDedup.scaledK(20000) == 313)
+    assert(SemDedup.scaledK(100L * 1000 * 1000 * 1000) == 65536)
+    val centroids = Ivf.fit(embs, "vec", k = 4, maxIter = 5)
+    val assign = SemDedup.assign(embs, "vec_id", "vec", centroids)
+    val sizes = assign.groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.max - 1
+    val keepClusters = sizes.filter(_._2 <= cap).keySet
+    val got = SemDedup.cappedAssignments(assign, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = assign.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => keepClusters(p._2)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < assign.count())
+  }
 }
