@@ -30,9 +30,19 @@ import org.apache.spark.sql.functions._
   *    vocabulary/length stats, no shared n-grams) and rep>0 embeddings
   *    are fresh hash-derived vectors — duplicate density stays CONSTANT,
   *    the realistic growth mode, so operator cost growth is attributable
-  *    to data volume alone.
+  *    to data volume alone;
+  *  - `dense`: `distinct` plus DENSITY-preserving event replication —
+  *    `distinct` replicates events verbatim (same user, same timestamp),
+  *    so per-user and per-instant densities grow with the factor and any
+  *    per-user/per-timestamp pair producer (attribution, sessionization,
+  *    interval joins) measures corpus construction, not its plan. Here
+  *    rep>0 events remap the user (users grow ×factor, events-per-user
+  *    constant — how a real bigger product grows) and jitter the
+  *    timestamp ±30 min (deterministic hash offset, clamped inside the
+  *    observation span so day spines / window specs stay valid). Growth
+  *    stamps for pair producers should be read off THIS mode.
   *
-  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [neardup|distinct].
+  * Usage: ScaleUp <srcSfDir> <dstDir> [factor=10] [neardup|distinct|dense].
   * The artifact consumer is `Bench` with SPARK_GRAFT_SF_DIR=<dstDir>.
   */
 object ScaleUp {
@@ -46,7 +56,11 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val distinct = args.length > 3 && args(3) == "distinct"
+    val mode = if (args.length > 3) args(3) else "neardup"
+    require(Seq("neardup", "distinct", "dense").contains(mode),
+      s"unknown mode $mode")
+    val distinct = mode != "neardup"
+    val dense = mode == "dense"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,9 +83,39 @@ object ScaleUp {
     write(rep(read("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") * factor + col("rep"))
       .drop("rep"), "lineitem")
-    write(rep(read("events"))
-      .withColumn("event_id", col("event_id") * factor + col("rep"))
-      .drop("rep"), "events")
+    // dense mode: rep>0 events get a fresh user (per-user density
+    // constant) and a ±30 min hash-jittered timestamp clamped inside the
+    // observation span (per-instant density constant, day spine intact).
+    // ts is normalized first (the source encoding varies by testdata
+    // vintage — Tables.normalizeEventTs); loaders branch on the
+    // observed type, so the rewritten TIMESTAMP column reads fine.
+    if (!dense)
+      write(rep(read("events"))
+        .withColumn("event_id", col("event_id") * factor + col("rep"))
+        .drop("rep"), "events")
+    else {
+      val ev0 = Tables.normalizeEventTs(read("events"))
+      val spanBounds = ev0
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect().head
+      val (tsLo, tsHi) = (spanBounds.getLong(0), spanBounds.getLong(1))
+      val jittered = timestamp_micros(
+        least(greatest(
+          unix_micros(col("ts")) +
+            (pmod(xxhash64(col("event_id"), col("rep"), lit("jit")),
+              lit(3600000000L)) - 1800000000L),
+          lit(tsLo)), lit(tsHi)))
+      write(rep(ev0)
+        .withColumn("event_id", col("event_id") * factor + col("rep"))
+        // remap rep=0 too: a conditional remap would collide replica ids
+        // with small original ids (u*factor+rep ≤ max original id),
+        // merging those replicas into existing users and inflating their
+        // density; the unconditional remap is a bijection per rep
+        .withColumn("user_id", col("user_id") * factor + col("rep"))
+        .withColumn("ts",
+          when(col("rep") === 0, col("ts")).otherwise(jittered))
+        .drop("rep"), "events")
+    }
     // distinct mode: every token gets a replica-id suffix — the token
     // MULTISET changes (vocabulary scales with the factor, as a real
     // bigger crawl's does), so replicas share nothing with their
