@@ -6614,6 +6614,84 @@ object ExtensionQueries {
             expr("CAST(mu AS DOUBLE) / CAST(su AS DOUBLE)"), 6)
             .as("max_share"))
     }),
+    // x251: the GATED scale swap for x114's exact uniqueness count —
+    // countDistinct(fp) shuffles every distinct fingerprint; the HLL
+    // sketch (approx_count_distinct, rsd 2%) is a fixed register array
+    // per group, map-side combined — the shape that survives 100 TB.
+    // The engine emits BOTH counts; the oracle recomputes the exact
+    // count in DuckDB, reads the STAGED sketch estimate, and keeps only
+    // rows inside the 5σ relative-error window — an out-of-bound
+    // estimate drops the oracle row and fails the row-count compare.
+    // This is the x26/x56/x81 tolerance-oracle pattern applied to the
+    // swap x114 only documented.
+    "x251_hll_unique" -> ((s, dir) => {
+      val fp = table(s, dir, "documents").select(col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val est = graft.engine.CacheScope.persistTracked(
+        fp.groupBy(col("source")).agg(
+          countDistinct(col("fp")).as("n_unique"),
+          approx_count_distinct(col("fp"), 0.02).as("n_unique_hll")))
+      Stage.write(est.select(col("source"), col("n_unique_hll")), dir,
+        "x251_est")
+      est.orderBy(col("source"))
+    }),
+    // x252: the GATED scale swap for x110/x218's exact medians — exact
+    // percentile materializes the full per-group value multiset;
+    // percentile_approx (Greenwald–Khanna, accuracy 100 ⇒ rank error
+    // ≤ n/100) is a bounded mergeable summary, the 100 TB shape. The
+    // oracle reads the STAGED estimate and verifies the GK theorem
+    // itself in DuckDB — the estimate's rank inside its group must lie
+    // in the guaranteed ±1% window — so a sketch violation drops the
+    // oracle row and fails the compare.
+    "x252_approx_median" -> ((s, dir) => {
+      val est = graft.engine.CacheScope.persistTracked(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            percentile_approx(col("value"), lit(0.5), lit(100))
+              .as("med_est")))
+      Stage.write(est, dir, "x252_est")
+      est.orderBy(col("event_type"))
+    }),
+    // x253: the GATED scale swap for x63's exact decile split — ntile
+    // wants a global rank (the Ranks device bounds the sort, but the
+    // split itself is still rows-scale bookkeeping); 9 approx_percentile
+    // boundaries (GK, accuracy 50) + one broadcast comparison pass is
+    // the 100 TB shape: one scan to sketch, one codegen'd pass to
+    // bucket. Bucket assignment from the STAGED boundaries replays
+    // identically in DuckDB (same q > b fold), so the report compares
+    // hash-exact; the oracle additionally checks each bucket count
+    // against the GK bound (2·n/accuracy, plus the largest q tie-class:
+    // a tie block straddling a boundary moves as one unit) — an
+    // out-of-bound bucket drops its oracle row. The bucket spine is
+    // explicit so an EMPTY bucket still surfaces (and fails the bound)
+    // instead of vanishing from both sides.
+    "x253_approx_deciles" -> ((s, dir) => {
+      val toks = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts")))
+      val q = toks.select(col("doc_id"),
+        TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"),
+        size(col("ts")).as("n_tokens"))
+      val bounds = graft.engine.CacheScope.persistTracked(
+        q.agg(percentile_approx(col("q"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(50)).as("bs")))
+      Stage.write(bounds, dir, "x253_bounds")
+      val spine = s.range(1, 11).select(col("id").as("bucket"))
+      val cells = q.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr(
+          "1 + aggregate(bs, 0, (acc, b) -> acc + " +
+            "CASE WHEN q > b THEN 1 ELSE 0 END)").cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q")).as("q_lo"), max(col("q")).as("q_hi"),
+          sum(col("n_tokens")).as("tokens_total"))
+      spine.join(cells, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          col("q_lo"), col("q_hi"),
+          coalesce(col("tokens_total"), lit(0L)).as("tokens_total"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -12186,6 +12264,56 @@ object ExtensionQueries {
          |  round(CAST(sum(CASE WHEN rt < $CompressLowTick THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS share_low
          |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+    // error-BOUND oracle (not equality): the exact count re-derives in
+    // DuckDB, the HLL estimate reads from the staged table, and the 5σ
+    // window (rsd 2% ⇒ 10%) FILTERS the oracle rows — an out-of-bound
+    // estimate makes the row counts diverge and fails the gate
+    "x251_hll_unique" ->
+      (s"""WITH est AS (SELECT source, n_unique_hll FROM ${Stage.sqlRef("x251_est")}),
+         |ex AS (SELECT source,
+         |    CAST(count(DISTINCT md5(lower(array_to_string($toks, ' ')))) AS BIGINT) AS n_unique
+         |  FROM documents GROUP BY 1)
+         |SELECT ex.source, ex.n_unique, est.n_unique_hll
+         |FROM ex JOIN est USING (source)
+         |WHERE abs(CAST(est.n_unique_hll AS DOUBLE) - n_unique) <= 0.10 * n_unique
+         |ORDER BY source""".stripMargin.replace("\n", " ")),
+    // GK-theorem oracle: the staged estimate's rank inside its group
+    // must sit in the guaranteed ±n/100 window (±1 rank tie slack);
+    // a violation drops the row and the compare fails
+    "x252_approx_median" ->
+      (s"""WITH s AS (SELECT event_type, n, med_est FROM ${Stage.sqlRef("x252_est")}),
+         |j AS (SELECT s.event_type, s.n, s.med_est,
+         |    CAST(count(*) AS BIGINT) AS n_chk,
+         |    CAST(sum(CASE WHEN e.value <= s.med_est THEN 1 ELSE 0 END) AS BIGINT) AS cle,
+         |    CAST(sum(CASE WHEN e.value < s.med_est THEN 1 ELSE 0 END) AS BIGINT) AS clt
+         |  FROM s JOIN events e ON e.event_type = s.event_type
+         |  GROUP BY 1, 2, 3)
+         |SELECT event_type, n, med_est FROM j
+         |WHERE n = n_chk AND cle >= floor(0.49 * n)
+         |  AND clt <= ceil(0.51 * n) + 1
+         |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+    // bucket assignment replayed from the staged boundaries (same q > b
+    // fold), so the report compares exactly; the WHERE is the GK bound
+    // 2·n/accuracy plus the largest tie-class — and the spine left join
+    // makes an empty bucket surface (engine side) with no surviving
+    // oracle row
+    "x253_approx_deciles" ->
+      (s"$qualityCtes, " +
+        s"g AS (SELECT doc_id, n, $qualityExprSql AS q FROM c), " +
+        s"b AS (SELECT bs FROM ${Stage.sqlRef("x253_bounds")}), " +
+        """a AS (SELECT g.doc_id, g.n, g.q,
+          |    CAST(1 + len(list_filter(b.bs, x -> g.q > x)) AS BIGINT) AS bucket
+          |  FROM g CROSS JOIN b),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(max(cnt) AS BIGINT) AS tmax
+          |  FROM (SELECT q, count(*) AS cnt FROM g GROUP BY 1)),
+          |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |    min(q) AS q_lo, max(q) AS q_hi,
+          |    CAST(sum(n) AS BIGINT) AS tokens_total
+          |  FROM a GROUP BY 1)
+          |SELECT bucket, n_docs, q_lo, q_hi, tokens_total
+          |FROM r CROSS JOIN t
+          |WHERE abs(n_docs - nn / 10.0) <= 2.0 * nn / 50.0 + tmax + 1
+          |ORDER BY bucket""".stripMargin.replace("\n", " ")),
   ).pipe(m =>
     // the stream twins drain the same parquet into the same additive
     // cells, so the batch oracles gate them bit-for-bit
