@@ -2,91 +2,50 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import graft.operators.AnnFrontier
 
-import graft.operators.{Ivf, Pq, Similarity}
-
-/** Measures recall@10 of every approximate ANN path against the exact
-  * brute-force top-10 (x10) at the production parameters the x11/x13/
-  * x51/x52 queries use, and publishes the numbers into COVERAGE.md — the
-  * ANN counterpart of the banding-recall artifact. The oracle rows prove
-  * each path computes ITS OWN contract exactly; this artifact records how
-  * much retrieval quality each speed/memory trade buys away.
+/** Measures the recall@10-vs-latency FRONTIER of every approximate ANN
+  * family against the exact brute-force top-10 (x10) — the production
+  * parameters the x11/x13/x51/x52 queries use PLUS the recall-targeted
+  * parameters ([[AnnFrontier]]) — and publishes the table into
+  * COVERAGE.md. The oracle rows prove each path computes ITS OWN
+  * contract exactly; this artifact records what retrieval quality each
+  * speed/memory trade buys, and pins that ≥0.8 recall@10 is REACHABLE
+  * in every family at documented cost (the r12 verdict's demand):
   *
-  * PQ distances are approximate (codebook reconstruction), so PQ/IVFxPQ
-  * recall is inherently below the candidate-restricted exact paths —
-  * the floor asserted here is "clearly above chance" (chance@10 over the
-  * corpus is ~2% at sf0.01), while LSH/IVF must clear a real bar.
+  *  - LSH: fewer planes (6) + more tables (16) — denser buckets, more
+  *    independent chances; cost ~2× the x11 point, recall ~1.0.
+  *  - IVF: K scaled with the corpus (SemDedup.scaledK) + nProbe = K/2 —
+  *    probes half the corpus; at sf0.1 the same latency as nProbe=3/8
+  *    because the per-bucket scans parallelize.
+  *  - PQ / IVF×PQ re-rank: m=8 codebooks (8 B/vec instead of 4) +
+  *    candidate pool C=1000 — the ADC ordering sharpens AND the re-rank
+  *    window widens; C is corpus-size-independent, so the cost is flat
+  *    at scale.
   */
 class AnnRecallSpec extends SparkSpec {
 
-  private final case class Row(sfName: String, method: String, recall: Double)
-
-  private def topkSet(df: DataFrame): Set[(Long, Long)] =
-    df.select(col("query_id").cast("long"), col("item_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-
-  private def measure(sfName: String): Seq[Row] = {
-    val dir = sf(sfName)
-    val e = Tables.table(spark, dir, "embeddings")
-      .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
-    val q = e.filter(col("vec_id") < 5)
-    val brute = topkSet(Similarity.bruteForceTopK(
-      e, "vec_id", "vec", q, "vec_id", "vec", k = 10))
-    val centroids = Ivf.fit(e, "vec", k = 8, maxIter = 5)
-    val cb = Pq.fit(e, "vec", dim = 64, m = 4, ksub = 16, maxIter = 5)
-    val codes = graft.engine.CacheScope.persistTracked(
-      Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
-    val cand = Ivf.assign(e, "vec_id", "vec", centroids)
-      .join(Ivf.assignProbes(q, "vec_id", "vec", centroids, nProbe = 3)
-        .select(col("query_id"), col("centroid_id")), Seq("centroid_id"))
-      .select(col("query_id"), col("id"))
-    def recallOf(approx: DataFrame): Double =
-      (topkSet(approx) & brute).size.toDouble / brute.size
-    val rows = Seq(
-      Row(sfName, "hyperplane LSH (x11)", recallOf(
-        Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
-          probeRadius = Similarity.adaptiveProbeRadius(e.count())))),
-      Row(sfName, "IVF nProbe=3/8 (x13)", recallOf(
-        Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
-          centroids, nProbe = 3))),
-      Row(sfName, "PQ ADC-only m=4 ksub=16", recallOf(
-        Pq.topK(codes, cb, q, "vec_id", "vec", k = 10, dim = 64, m = 4))),
-      Row(sfName, "PQ + exact re-rank (x51)", recallOf(
-        Pq.topKRerank(codes, cb, e, "vec_id", "vec", q, "vec_id", "vec",
-          k = 10, dim = 64, m = 4))),
-      Row(sfName, "IVF×PQ ADC-only", recallOf(
-        Pq.topKWithin(cand, codes, cb, q, "vec_id", "vec",
-          k = 10, dim = 64, m = 4))),
-      Row(sfName, "IVF×PQ + exact re-rank (x52)", recallOf(
-        Pq.topKWithinRerank(cand, codes, cb, e, "vec_id", "vec",
-          q, "vec_id", "vec", k = 10, dim = 64, m = 4))))
-    graft.engine.CacheScope.drain()
-    rows
-  }
-
-  test("ANN recall@10 vs brute force measured at sf0.01 and sf0.1; COVERAGE.md block refreshed") {
-    val rows = measure("sf0.01") ++ measure("sf0.1")
-    rows.foreach(r => info(f"${r.sfName} ${r.method}: recall@10 ${r.recall}%.2f"))
-    // floors calibrated to the measured regime on the synthetic (near-
-    // random) embeddings, where chance@10 is k/N = 0.02 (sf0.01) / 0.002
-    // (sf0.1): IVF must clear the DedupSimilaritySpec bar, LSH its sieve
-    // bar, and the PQ reconstruction-distance paths must beat chance by
-    // >10x — the artifact's value is the RECORDED numbers, the floors
-    // only catch a mechanism breaking
-    rows.foreach { r =>
-      // re-ranked paths are the shipping x51/x52 contract (bar 0.5);
-      // ADC-only rows record the compressed-domain floor for the memory
-      // trade; x52's re-rank is additionally capped by IVF's candidate
-      // recall (nProbe=3/8), so it shares IVF's bar rather than x51's
+  test("ANN recall@10 frontier vs brute force at sf0.01 + sf0.1; every family reaches >=0.8; COVERAGE.md block refreshed") {
+    val rows = AnnFrontier.sweep(spark, sf("sf0.01")).map(("sf0.01", _)) ++
+      AnnFrontier.sweep(spark, sf("sf0.1")).map(("sf0.1", _))
+    rows.foreach { case (sfName, r) =>
+      info(f"$sfName ${r.family} ${r.params}: recall@10 ${r.recall}%.2f " +
+        f"(${r.seconds}%.2fs)")
+    }
+    rows.foreach { case (sfName, r) =>
+      // targeted rows carry the r12-verdict bar; production rows keep
+      // the calibrated mechanism floors (chance@10 is k/N ≈ 0.02/0.002);
+      // ADC-only rows record the compressed-domain floor for the 64×
+      // memory trade
       val floor =
-        if (r.method.contains("x51")) 0.5
-        else if (r.method.contains("x52")) 0.4
-        else if (r.method.contains("ADC-only")) 0.05
-        else if (r.method.contains("LSH")) 0.25 else 0.4
+        if (r.targeted) 0.8
+        else if (r.params.contains("x51")) 0.5
+        else if (r.params.contains("x52")) 0.4
+        else if (r.family.contains("ADC-only")) 0.05
+        else if (r.family == "LSH") 0.25 else 0.4
       assert(r.recall >= floor,
-        f"${r.sfName} ${r.method}: recall ${r.recall}%.2f below floor $floor")
+        f"$sfName ${r.family} ${r.params}: recall ${r.recall}%.2f below " +
+          f"floor $floor")
     }
     val path = Paths.get("COVERAGE.md")
     val begin = "<!-- ann-recall:begin -->"
@@ -95,16 +54,22 @@ class AnnRecallSpec extends SparkSpec {
     // table pipe)
     val table =
       s"""$begin
-         |Measured by AnnRecallSpec against the exact brute-force top-10
-         |(x10) at the production parameters of each query. PQ rows rank by
-         |reconstruction distance, so their recall trades against the 64x
-         |memory compression; the candidate-restricted exact paths (LSH,
-         |IVF) trade only against pruning.
+         |Measured by AnnRecallSpec (AnnFrontier.sweep) against the exact
+         |brute-force top-10 (x10): production parameters of each query
+         |plus the recall-targeted parameters that make ≥0.8 recall@10
+         |reachable in every family (bold). Seconds are steady-state on
+         |the test session — comparable within the table only. PQ
+         |ADC-only rows rank by reconstruction distance, so their recall
+         |trades against the 64× memory compression; candidate-restricted
+         |exact paths trade only against pruning.
          |
-         || sf | method | recall@10 |
-         ||---|---|---|""".stripMargin + "\n" +
-        rows.map(r => f"| ${r.sfName} | ${r.method} | ${r.recall}%.2f |")
-          .mkString("\n") + s"\n$end"
+         || sf | family | parameters | recall@10 | seconds |
+         ||---|---|---|---|---|""".stripMargin + "\n" +
+        rows.map { case (sfName, r) =>
+          val b = if (r.targeted) "**" else ""
+          f"| $sfName | ${r.family} | $b${r.params}$b | $b${r.recall}%.2f$b " +
+            f"| ${r.seconds}%.2f |"
+        }.mkString("\n") + s"\n$end"
     val current = new String(Files.readAllBytes(path), "UTF-8")
     val updated =
       if (current.contains(begin))
