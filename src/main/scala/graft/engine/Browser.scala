@@ -256,16 +256,21 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     * over it are trivial; only the first action pays the scan+aggregate.
     * Caller MUST invoke `release()` after consuming the frames.
     */
-  final case class AggregateResponse(summary: DataFrame, cells: DataFrame,
-      totalCellCount: Long, release: () => Unit)
+  import Browser.{AggregateResponse, RolledFrame}
 
-  def aggregateResponse(q: CubeQuery, aggNames: Seq[String] = Nil): AggregateResponse = {
-    require(q.drilldown.nonEmpty, "aggregateResponse needs a drilldown")
-    val aggOrdered = q.after.nonEmpty && q.orders.nonEmpty
-    if (aggOrdered) require(
-      q.orders.size == 1 && model.aggregate(q.orders.head.key).isDefined,
-      "keyset pagination with order= takes exactly one AGGREGATE order key " +
-        "(dim-ordered pages use the plain drilldown-key token)")
+  /** The page-independent half of an aggregate response: the persisted
+    * two-level frame (cells + grand row) for (cuts, drilldown, aggNames),
+    * plus the unpaged cell count. A SERVER caches this handle across
+    * requests so page N+1 of the same drilldown pages the materialized
+    * cells instead of re-running the scan + aggregation (the per-request
+    * cost drops to a sort+limit over an InMemoryRelation). `release()`
+    * unpersists; an in-flight page over a just-released frame silently
+    * recomputes from the plan (correct, slower), so callers need no
+    * refcounting.
+    */
+
+  def rolledFrame(q: CubeQuery, aggNames: Seq[String] = Nil): RolledFrame = {
+    require(q.drilldown.nonEmpty, "rolledFrame needs a drilldown")
     val dimNames = q.drilldown.map(model.requireDimension(_).name)
     val dims = dimNames.map(col)
     val grand = (1L << dims.size) - 1
@@ -276,34 +281,59 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
     }.filter(col("grouping_level") === 0 || col("grouping_level") === grand)
       .persist()
     // anything failing between persist() and handing release() to the
-    // caller (e.g. an unresolvable order key in paginate) must not leak
-    // the pinned cache entry — a long-running server would accumulate one
-    // materialized frame per malformed request
+    // caller must not leak the pinned cache entry — a long-running server
+    // would accumulate one materialized frame per malformed request
     try {
       val total = rolled.filter(col("grouping_level") === 0).count()
-      val summaryDf = rolled.filter(col("grouping_level") === grand)
-        .drop("grouping_level").drop(dimNames: _*)
-      val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
-      val cellsLevel = rolled.filter(col("grouping_level") === 0)
-        .drop("grouping_level")
-      // `after=` keyset page over the CELLS (summary + total stay global):
-      // the response needs the full rollup anyway, so the token filters the
-      // tiny cached cell frame — depth-independent, no top-(offset+limit).
-      // With order=<aggregate> the token is (order value, key tuple) and
-      // the filter applies in that order instead of the drilldown-key one.
-      val cellsAfter = q.after match {
-        case Some(token) if aggOrdered => cellsLevel.filter(
-          aggOrderedAfterPred(cellsLevel, dimNames, q.orders.head, token))
-        case Some(token) => cellsLevel.filter(
-          keysetStrictlyAfter(dimNames, keyParts(token, dimNames.size)))
-        case None => cellsLevel
-      }
-      val cellsDf = paginate(cellsAfter, orderCols(q.orders) ++ tieBreak, q.page)
-      AggregateResponse(summaryDf, cellsDf, total,
+      RolledFrame(rolled, dimNames, grand, total,
         () => { rolled.unpersist(blocking = false); () })
     } catch {
       case e: Throwable =>
         rolled.unpersist(blocking = false)
+        throw e
+    }
+  }
+
+  /** One page over a [[RolledFrame]] — all per-request work (order,
+    * offset/keyset pagination, summary split); never re-aggregates. The
+    * returned `release` is a NO-OP: the frame's owner (the caller or a
+    * server-side cache) controls its lifetime.
+    */
+  def pageOf(rf: RolledFrame, q: CubeQuery): AggregateResponse = {
+    val aggOrdered = q.after.nonEmpty && q.orders.nonEmpty
+    if (aggOrdered) require(
+      q.orders.size == 1 && model.aggregate(q.orders.head.key).isDefined,
+      "keyset pagination with order= takes exactly one AGGREGATE order key " +
+        "(dim-ordered pages use the plain drilldown-key token)")
+    val summaryDf = rf.rolled.filter(col("grouping_level") === rf.grand)
+      .drop("grouping_level").drop(rf.dimNames: _*)
+    val tieBreak = q.drilldown.filterNot(d => q.orders.exists(_.key == d)).map(col(_).asc)
+    val cellsLevel = rf.rolled.filter(col("grouping_level") === 0)
+      .drop("grouping_level")
+    // `after=` keyset page over the CELLS (summary + total stay global):
+    // the response needs the full rollup anyway, so the token filters the
+    // tiny cached cell frame — depth-independent, no top-(offset+limit).
+    // With order=<aggregate> the token is (order value, key tuple) and
+    // the filter applies in that order instead of the drilldown-key one.
+    val cellsAfter = q.after match {
+      case Some(token) if aggOrdered => cellsLevel.filter(
+        aggOrderedAfterPred(cellsLevel, rf.dimNames, q.orders.head, token))
+      case Some(token) => cellsLevel.filter(
+        keysetStrictlyAfter(rf.dimNames, keyParts(token, rf.dimNames.size)))
+      case None => cellsLevel
+    }
+    val cellsDf = paginate(cellsAfter, orderCols(q.orders) ++ tieBreak, q.page)
+    AggregateResponse(summaryDf, cellsDf, rf.totalCellCount, () => ())
+  }
+
+  def aggregateResponse(q: CubeQuery, aggNames: Seq[String] = Nil): AggregateResponse = {
+    val rf = rolledFrame(q, aggNames)
+    try {
+      val page = pageOf(rf, q)
+      page.copy(release = rf.release)
+    } catch {
+      case e: Throwable =>
+        rf.release()
         throw e
     }
   }
@@ -442,9 +472,35 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
       if (pCols.nonEmpty) base.groupBy(preKeys: _*).agg(pCols.head, pCols.tail: _*)
       else base.select(preKeys: _*).distinct()
     val dims = dimNames.map(col)
-    val fCols = finals.result() :+
-      grouping_id(dims: _*).cast(LongType).as("grouping_level")
-    Some(pre.rollup(dims: _*).agg(fCols.head, fCols.tail: _*))
+    val fCols = finals.result()
+    // Both consumers (share, aggregateResponse) keep ONLY the cells and
+    // the grand row, so a ROLLUP computes n−1 levels that are thrown
+    // away AND pays Spark's Expand twice over the rows-scale pre frame
+    // (×2 for the levels, ×2 again to split the distinct aggregate from
+    // the mergeable ones — r13 profile: 23.1 s vs the union's 7.4 s on
+    // 10× data). Instead: one merge keyed by the dims (the cells), one
+    // global merge (the grand row), unioned in ONE plan — the pre
+    // aggregation ends in an exchange that appears identically under
+    // both branches, so ReusedExchange computes the scan + partial
+    // aggregation once and the snapshot stays atomic (single action).
+    // Merge arithmetic is order-free by construction here (decimal sums,
+    // exact counts), so cell values are bit-identical to the ROLLUP's.
+    val grand = (1L << dims.size) - 1
+    val cells = pre.groupBy(dims: _*)
+      .agg(fCols.head, fCols.tail: _*)
+      .withColumn("grouping_level", lit(0L))
+    val nullDims = dimNames.map(d =>
+      lit(null).cast(base.schema(base.schema.fieldIndex(d)).dataType).as(d))
+    val grandRow = pre.groupBy()
+      .agg((fCols :+ count(lit(1)).as("__pre_rows")).head,
+        (fCols :+ count(lit(1)).as("__pre_rows")).tail: _*)
+      // a global aggregate over EMPTY input still emits one (null-sum)
+      // row; ROLLUP does not — keep the established no-rows-no-summary
+      // contract (the server renders zero-count summaries from absence)
+      .filter(col("__pre_rows") > 0)
+      .select(nullDims ++ aggs.map(a => col(a.name)) :+
+        lit(grand).as("grouping_level"): _*)
+    Some(cells.unionByName(grandRow))
   }
 
   /** Percentage-of-total (SURVEY.md A17, YAML_STATIC_PART_APC:23-27): each
@@ -642,6 +698,17 @@ final class Browser(val model: CubeModel, val df: DataFrame) {
 }
 
 object Browser {
+
+  /** See [[Browser.aggregateResponse]]. Top-level (not path-dependent) so
+    * a server can hold frames from many Browser instances in one cache.
+    */
+  final case class AggregateResponse(summary: DataFrame, cells: DataFrame,
+      totalCellCount: Long, release: () => Unit)
+
+  /** See [[Browser.rolledFrame]]. Top-level for the same reason. */
+  final case class RolledFrame(rolled: DataFrame, dimNames: Seq[String],
+      grand: Long, totalCellCount: Long, release: () => Unit)
+
   /** Max drilldown groups [[Browser.aggregateWithShare]] will collect to
     * the driver before falling back to the persisted-rollup shape. Cells
     * are one narrow row per group (dims + a handful of aggregates), so

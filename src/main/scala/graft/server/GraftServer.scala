@@ -46,7 +46,13 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    frameCache.synchronized {
+      frameCache.values().forEach(_.release())
+      frameCache.clear()
+    }
+  }
   def boundPort: Int = server.getAddress.getPort
 
   // ---- response cache ---------------------------------------------------
@@ -82,6 +88,61 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
       // stamp with the generation read BEFORE the body was computed: a
       // reload that lands mid-computation leaves the entry already stale
       respCache.put(key, (gen, body, ct)): Unit
+    }
+
+  // ---- drilldown frame cache --------------------------------------------
+
+  /** LRU cache of PERSISTED two-level aggregate frames keyed by
+    * (generation, cube, cuts, drilldown): page N+1 of the same drilldown
+    * — any page=, pagesize=, order=, after= — pages the materialized
+    * cells instead of re-running the scan + aggregation, so deep
+    * dashboard paging costs a sort+limit over an InMemoryRelation
+    * instead of the cube aggregation. Response bytes are unchanged (the
+    * per-page work runs on exactly the frame the one-shot path builds).
+    * Entries pin one cells-sized cached frame each (bounded by the cap);
+    * eviction, stale generations, and `stop()` unpersist via
+    * `release()`. An in-flight page over a just-released frame silently
+    * recomputes from the plan — correct, slower — so no refcounting.
+    * `nocache=1` bypasses this cache too (the compute-path hatch).
+    */
+  private val FrameCacheCap = 16
+  private val frameCache =
+    new java.util.LinkedHashMap[String, graft.engine.Browser.RolledFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.engine.Browser.RolledFrame]): Boolean =
+        if (size() > FrameCacheCap) { e.getValue.release(); true } else false
+    }
+
+  private def rolledFor(cube: String, b: graft.engine.Browser,
+      q: graft.query.CubeQuery,
+      noCache: Boolean): (graft.engine.Browser.RolledFrame, () => Unit) =
+    if (noCache) { val rf = b.rolledFrame(q); (rf, rf.release) }
+    else {
+      val gen = registry.generation
+      val key = s"$gen|$cube|${q.cuts}|${q.drilldown}"
+      frameCache.synchronized(Option(frameCache.get(key))) match {
+        case Some(rf) => (rf, () => ())
+        case None =>
+          // built OUTSIDE the lock: concurrent first-pagers may race the
+          // same aggregation; the loser's frame is released, the winner's
+          // is shared — never a Spark job under the cache lock
+          val rf = b.rolledFrame(q)
+          val winner = frameCache.synchronized {
+            // sweep frames from older registry generations: unreachable
+            // (keys carry the generation) but still pinning memory
+            val it = frameCache.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (!e.getKey.startsWith(s"$gen|")) { e.getValue.release(); it.remove() }
+            }
+            Option(frameCache.get(key)) match {
+              case Some(existing) => existing
+              case None => frameCache.put(key, rf); rf
+            }
+          }
+          if (!(winner eq rf)) rf.release()
+          (winner, () => ())
+      }
     }
 
   // ---- routing ----------------------------------------------------------
@@ -216,8 +277,10 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
       val summary = b.summary(q).toJSON.collect().headOption.getOrElse("{}")
       s"""{"summary":$summary,"cells":[],"total_cell_count":1}"""
     } else {
-      val r = b.aggregateResponse(q)
+      val (rf, done) = rolledFor(cube, b, q,
+        params.get("nocache").contains("1"))
       try {
+        val r = b.pageOf(rf, q)
         // ROLLUP over zero matching rows emits no grand-total row; fall
         // back to the ungrouped aggregate (count=0 / null sums) for the
         // summary shape the no-drilldown path produces
@@ -227,7 +290,7 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
         val cells = r.cells.toJSON.collect()
         s"""{"summary":$summary,"cells":[${cells.mkString(",")}],""" +
           s""""total_cell_count":${r.totalCellCount}}"""
-      } finally r.release()
+      } finally done()
     }
   }
 
@@ -301,9 +364,12 @@ final class GraftServer(val registry: CubeRegistry, port: Int = 0,
           val s = b.summary(q)
           csvRender(s.columns, s.collect())
         } else {
-          val r = b.aggregateResponse(q)
-          try csvRender(r.cells.columns, r.cells.collect())
-          finally r.release()
+          val (rf, done) = rolledFor(cube, b, q,
+            params.get("nocache").contains("1"))
+          try {
+            val r = b.pageOf(rf, q)
+            csvRender(r.cells.columns, r.cells.collect())
+          } finally done()
         }
     }
   }

@@ -20,6 +20,9 @@ class BenchSpec extends AnyFunSuite {
 
   private val helperToFamily = Map(
     "ivfCentroids(" -> "ivf",
+    // x54's corpus-scaled K fit (ivfCentroids delegates here at k=8;
+    // that call site sits in helper territory and is skipped)
+    "semCentroids(" -> "sem",
     "pqCodebooks(" -> "pq",
     "qlrScoredLab(" -> "qlr")
 

@@ -70,20 +70,32 @@ class ServerThroughputSpec extends SparkSpec {
   test("gated throughput at 500-cell aggregate pages; COVERAGE.md block refreshed") {
     // l_orderkey drilldown at sf0.001 has ~1.4k groups; pagesize ~500 is
     // the reference record limit — a full slicer-sized page per request.
-    // Distinct pagesizes make distinct URLs: every request misses the
-    // response cache and pays the Spark job.
+    // THREE tiers: cold (nocache=1 — the full scan+aggregate per request),
+    // frame-cached (distinct page URLs over ONE drilldown — response cache
+    // misses, but the server reuses the persisted rolled frame, so each
+    // request is a sort+limit over the materialized cells), and the
+    // response-cache replay (repeat URL).
+    def cold(ps: Int) =
+      s"/cube/lineitem/aggregate?drilldown=l_orderkey&page=0&pagesize=$ps&nocache=1"
     def page(ps: Int) =
       s"/cube/lineitem/aggregate?drilldown=l_orderkey&page=0&pagesize=$ps"
-    (1 to 3).foreach(i => get(page(400 + i))) // warmup: codegen + plan cache
-    val uncachedPaths = (441 to 500).map(page)
-    val uncached = storm(uncachedPaths, total = 60, concurrency = 4)
-    get(page(500)) // prime the cache for the repeat-URL row
+    (1 to 3).foreach(i => get(cold(400 + i))) // warmup: codegen + plan cache
+    val coldM = storm((441 to 500).map(cold), total = 60, concurrency = 4)
+    get(page(440)) // build the shared frame once
+    val frameM = storm((441 to 500).map(page), total = 60, concurrency = 4)
+    get(page(500)) // prime the response cache for the repeat-URL row
     val cachedM = storm(Vector(page(500)), total = 200, concurrency = 4)
-    info(f"uncached: ${uncached.rps}%.1f req/s, p50 ${uncached.p50}%.0f ms, " +
-      f"p95 ${uncached.p95}%.0f ms")
-    info(f"cached:   ${cachedM.rps}%.1f req/s, p50 ${cachedM.p50}%.2f ms, " +
+    info(f"cold:    ${coldM.rps}%.1f req/s, p50 ${coldM.p50}%.0f ms, " +
+      f"p95 ${coldM.p95}%.0f ms")
+    info(f"frame:   ${frameM.rps}%.1f req/s, p50 ${frameM.p50}%.0f ms, " +
+      f"p95 ${frameM.p95}%.0f ms")
+    info(f"cached:  ${cachedM.rps}%.1f req/s, p50 ${cachedM.p50}%.2f ms, " +
       f"p95 ${cachedM.p95}%.2f ms")
-    assert(uncached.rps > 1.0, f"compute path collapsed: ${uncached.rps}%.2f req/s")
+    assert(coldM.rps > 1.0, f"compute path collapsed: ${coldM.rps}%.2f req/s")
+    // the r12 verdict's serving target: page N+1 of a drilldown must not
+    // re-run the aggregation — uncached (but frame-reusing) p95 < 500 ms
+    assert(frameM.p95 < 500.0,
+      f"frame-cache paging too slow: p95 ${frameM.p95}%.0f ms")
     assert(cachedM.rps > 50.0, f"cache path not serving: ${cachedM.rps}%.2f req/s")
 
     val begin = "<!-- server-throughput:begin -->"
@@ -92,14 +104,17 @@ class ServerThroughputSpec extends SparkSpec {
       s"""$begin
          |Measured by ServerThroughputSpec on the live HTTP facade over the
          |sf0.001 lineitem cube, concurrency 4, after 3 warmup requests:
-         |"uncached" = 60 distinct 500-cell aggregate pages (every request
-         |pays the Spark job — the reference record limit, slicer.ini:9);
-         |"cached" = 200 repeats of one URL (the generation-stamped
-         |response-cache replay path).
+         |"cold" = 60 distinct 500-cell aggregate pages with nocache=1
+         |(every request pays the scan + aggregation — the reference record
+         |limit, slicer.ini:9); "frame-cached" = the same 60 distinct URLs
+         |with the drilldown frame cache on (response-cache misses; each
+         |request pages the persisted rolled frame); "cached" = 200 repeats
+         |of one URL (the generation-stamped response-cache replay path).
          |
          || path | requests/sec | p50 | p95 | p99 |
          ||---|---|---|---|---|""".stripMargin + "\n" +
-        f"| uncached (compute) | ${uncached.rps}%.1f | ${uncached.p50}%.0f ms | ${uncached.p95}%.0f ms | ${uncached.p99}%.0f ms |%n" +
+        f"| cold (nocache=1 compute) | ${coldM.rps}%.1f | ${coldM.p50}%.0f ms | ${coldM.p95}%.0f ms | ${coldM.p99}%.0f ms |%n" +
+        f"| frame-cached paging | ${frameM.rps}%.1f | ${frameM.p50}%.0f ms | ${frameM.p95}%.0f ms | ${frameM.p99}%.0f ms |%n" +
         f"| cached (replay) | ${cachedM.rps}%.0f | ${cachedM.p50}%.2f ms | ${cachedM.p95}%.2f ms | ${cachedM.p99}%.2f ms |%n" +
         end
     val p = Paths.get("COVERAGE.md")
