@@ -6692,6 +6692,134 @@ object ExtensionQueries {
           coalesce(col("tokens_total"), lit(0L)).as("tokens_total"))
         .orderBy(col("bucket"))
     }),
+    // x255: per-source Gini of document lengths — the concentration
+    // statistic a mixture designer reads before weighting sources (a
+    // source whose token mass sits in a few giant docs packs/shards
+    // differently than a uniform one). Within-source ranks WITHOUT a
+    // per-source rows-scale window: one GLOBAL bucket-prefix-sum rank
+    // over (source, len, doc_id) — bucket = srcIdx·2⁴⁴ + len, monotone
+    // with the order — minus each source's broadcast prefix offset (the
+    // day-spine device over the 20-row source-count frame). The Gini
+    // numerator Σ rk·x is an exact decimal integer; divisions read-time.
+    "x255_source_gini" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("x"))
+      val srcIdx = d.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+      val idxCol = srcIdx.foldLeft(lit(-1L)) { case (acc, (src, i)) =>
+        when(col("source") === src, lit(i.toLong)).otherwise(acc)
+      }
+      val ranked = graft.operators.Ranks.globalRowNumber(
+        d.withColumn("__si", idxCol),
+        col("__si") * lit(1L << 44) + col("x"),
+        Seq(col("source").asc, col("x").asc, col("doc_id").asc), "rk")
+      val cnts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val offs = cnts.as("t")
+        .join(broadcast(cnts.as("p")), col("p.source") < col("t.source"), "left")
+        .groupBy(col("t.source").as("source"), col("t.n").as("n"))
+        .agg(coalesce(sum(col("p.n")), lit(0L)).as("off"))
+      ranked.join(broadcast(offs), Seq("source"))
+        .withColumn("rs", col("rk") - col("off"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), sum(col("x")).as("sx"),
+          sum(col("rs").cast("decimal(38,0)") * col("x")).as("srx"))
+        .select(col("source"), col("n_docs"), col("sx").as("tokens_total"),
+          graft.functions.EngineMath.roundAway(expr(GiniSql), 6).as("gini"))
+        .orderBy(col("source"))
+    }),
+    // x257: per-document n-gram novelty — the share of a doc's distinct
+    // 5-grams whose GLOBAL first occurrence (min doc_id) is this doc:
+    // the curriculum/dedup-adjacent signal separating originals from
+    // recombinations. Two hash aggregates (per-doc distinct grams,
+    // per-gram min doc) + one gram-keyed join back — the x60 span
+    // machinery pointed at origin instead of repetition.
+    "x257_gram_novelty" -> ((s, dir) => {
+      val k = 5
+      val grams = graft.engine.CacheScope.persistTracked(
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= k)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("ts")) - (k - 1)),
+            i => array_join(slice(col("ts"), i, lit(k)), " "))).as("gram"))
+          .distinct())
+      val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
+      grams.join(first, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          graft.functions.EngineMath.roundAway(
+            col("n_novel") / col("n_grams"), 4).as("novel_frac"))
+        .orderBy(col("doc_id"))
+    }),
+    // x254: ε-differentially-private release of per-source doc counts —
+    // the statistic a datacard publishes when the corpus manifest itself
+    // is sensitive. Laplace(1/ε) noise via the inverse CDF of an
+    // md5-ticket uniform (the engine's reproducible-randomness device,
+    // x27/x57): DETERMINISTIC noise makes the release gateable — the
+    // oracle re-derives the identical draw from the identical ticket, so
+    // the hash match proves the exact noise the budget promises was
+    // applied, not a lucky approximation. One count aggregate + a
+    // 2-budget broadcast explode; nothing rows-scale after the scan.
+    "x254_dp_counts" -> ((s, dir) => {
+      val eps = array(
+        struct(lit("e01").as("lab"), lit(0.1).as("eps")),
+        struct(lit("e10").as("lab"), lit(1.0).as("eps")))
+      table(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"), explode(eps).as("e"))
+        .select(col("source"), col("e.lab").as("lab"),
+          col("e.eps").as("eps"), col("n"))
+        .withColumn("ut", conv(substring(md5(concat(lit("dp1:"),
+          col("source"), lit(":"), col("lab"))), 1, 8), 16, 10)
+          .cast("long"))
+        .select(col("source"), col("eps"),
+          graft.functions.EngineMath.roundAway(
+            expr(s"CAST(n AS DOUBLE) + ($DpNoiseSql)"), 6).as("n_noised"))
+        .orderBy(col("source"), col("eps"))
+    }),
+    // x256: DOULION edge-sampled triangle estimate (Tsourakakis et al.)
+    // — the GATED 100 TB swap for x87's exact count: keep each canonical
+    // edge iff its md5 ticket lands in 1/4 of hash space (deterministic,
+    // so the estimate is reproducible and exactly re-derivable), count
+    // triangles on the sampled graph with the SAME √m-bounded
+    // compact-forward machinery at ~p² of the wedge work, and scale by
+    // p⁻³ = 64. The oracle re-derives the full pipeline in DuckDB AND
+    // keeps the row only when the estimate sits within 6σ of the exact
+    // count (σ² ≈ T·(p⁻³−1), the DOULION independence bound) — the
+    // x251-x253 error-bound-oracle pattern applied to a graph swap.
+    // Measured: rel err 3.8% at sf0.01, 0.3% at sf0.1 vs bounds 7%/3%.
+    "x256_approx_triangles" -> ((s, dir) => {
+      val po = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val und = graft.engine.CacheScope.persistTracked(
+        po.as("a").join(po.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
+      val sampled = und.filter(
+        conv(substring(md5(concat(col("u").cast("string"), lit(":"),
+          col("v").cast("string"))), 1, 8), 16, 10).cast("long") % 4 === 0)
+      val st = graft.operators.Graph.triangleStats(sampled, "u", "v")
+        .select(col("n_edges").as("n_sampled_edges"),
+          col("n_triangles").as("tri_sampled"))
+      st.crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+        .select(col("n_edges"), col("n_sampled_edges"), col("tri_sampled"),
+          (col("tri_sampled") * lit(64L)).as("tri_est"))
+    }),
+    // x258: the STREAM-MAINTAINED twin of x255 — source-concentration
+    // monitoring is the production use, and Gini is a SORT-requiring
+    // statistic: the additive per-(source, length) histogram is the
+    // sufficient state (one stateful aggregate, length-domain-bounded
+    // per the x177 contract) and the rank-block arithmetic is read-time
+    // (giniOverLengthHist). Gated bit-for-bit by x255's oracle — the
+    // x250 exact-percentile device applied to a Lorenz functional.
+    "x258_stream_gini" -> ((s, dir) =>
+      giniOverLengthHist(graft.streaming.StreamOps
+        .docLengthHistStreaming(s, s"$dir/documents.parquet"))),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -8063,6 +8191,46 @@ object ExtensionQueries {
       s"s AS (SELECT doc_id, text, ts, ${markers("en")} AS en, ${markers("de")} AS de, " +
       s"${markers("fr")} AS fr, ${markers("es")} AS es FROM m), " +
       s"l AS (SELECT doc_id, text, ts, $langCase AS lang FROM s)"
+
+  /** x255's shared Gini read over the (n_docs, sx, srx) row — the sorted
+    * formula G = (2·Σ r·x − (n+1)·Σx)/(n·Σx) with the exact decimal
+    * rank-weighted sum in the numerator.
+    */
+  private val GiniSql =
+    "(2.0 * CAST(srx AS DOUBLE) - (CAST(n_docs AS DOUBLE) + 1.0) * " +
+      "CAST(sx AS DOUBLE)) / (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+  /** The x258 read over the stream-maintained (source, x, c) length
+    * histogram: a block of c docs at length x occupies ranks
+    * cb+1 .. cb+c (cb = docs at smaller lengths), so the Gini numerator
+    * Σ r·x telescopes to Σ x·(c·cb + c(c+1)/2) — exact integers, no
+    * sort of the rows, identical to x255's per-doc ranks (intra-block
+    * order is irrelevant at constant x). The cumsum window runs over the
+    * BOUNDED histogram cells, not rows.
+    */
+  private[graft] def giniOverLengthHist(cells: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cells.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") *
+          (col("c") * col("cb") + col("c") * (col("c") + 1) / 2)).as("srx"))
+      .select(col("source"), col("n_docs"), col("sx").as("tokens_total"),
+        graft.functions.EngineMath.roundAway(expr(GiniSql), 6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** x254's shared Laplace(1/ε) inverse-CDF draw over a 32-bit md5
+    * ticket `ut` and budget `eps`: u = ut/2³², noise =
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|). One string, both engines — the
+    * deterministic draw is what makes the DP release hash-gateable.
+    */
+  private val DpNoiseSql =
+    "-(1.0 / eps) * (CASE WHEN ut >= 2147483648 THEN 1.0 ELSE -1.0 END) * " +
+      "ln(1.0 - 2.0 * abs(CAST(ut AS DOUBLE) / 4294967296.0 - 0.5))"
 
   def oracleSql: Map[String, String] = Map(
     "x24_clean_text" ->
@@ -12314,11 +12482,84 @@ object ExtensionQueries {
           |FROM r CROSS JOIN t
           |WHERE abs(n_docs - nn / 10.0) <= 2.0 * nn / 50.0 + tmax + 1
           |ORDER BY bucket""".stripMargin.replace("\n", " ")),
+    // naive per-source row_number vs the engine's global-rank-minus-
+    // broadcast-offset composite (the hash match proves the two-level
+    // device equals the partitioned window), same Gini string
+    "x255_source_gini" ->
+      (s"""WITH d AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS x
+         |  FROM documents),
+         |r AS (SELECT source, x, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY x, doc_id) AS BIGINT) AS rs FROM d),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(rs AS HUGEINT) * x) AS srx FROM r GROUP BY 1)
+         |SELECT source, n_docs, sx AS tokens_total, round($GiniSql, 6) AS gini
+         |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+    // identical positional 5-gram derivation (the x60 slices at k=5),
+    // per-gram min-doc origin, same join-back
+    "x257_gram_novelty" ->
+      (s"""WITH m AS (SELECT doc_id, $toks AS s FROM documents
+         |  WHERE len($toks) >= 5),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id,
+         |    unnest([array_to_string(list_slice(s, i, i + 4), ' ')
+         |      for i in range(1, len(s) - 3)]) AS gram FROM m)),
+         |f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1),
+         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM g JOIN f USING (gram) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novel_frac
+         |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    // identical md5 ticket, the SHARED inverse-CDF noise string — the
+    // hash match proves the exact promised Laplace draw was applied
+    "x254_dp_counts" ->
+      (s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |b AS (SELECT * FROM (VALUES ('e01', CAST(0.1 AS DOUBLE)),
+         |  ('e10', CAST(1.0 AS DOUBLE))) t(lab, eps)),
+         |u AS (SELECT source, eps, n,
+         |    ('0x' || substr(md5('dp1:' || source || ':' || lab), 1, 8))::BIGINT AS ut
+         |  FROM g CROSS JOIN b)
+         |SELECT source, eps, round(CAST(n AS DOUBLE) + ($DpNoiseSql), 6) AS n_noised
+         |FROM u ORDER BY source, eps""".stripMargin.replace("\n", " ")),
+    // x87's exact CTEs on BOTH the full and the hash-sampled edge set;
+    // the WHERE is the DOULION 6σ bound — an estimator outside it drops
+    // the single oracle row and fails the compare
+    "x256_approx_triangles" ->
+      ("""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |und AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM po a
+         |  JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+         |sm AS MATERIALIZED (SELECT u, v FROM und
+         |  WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 4 = 0),
+         |degf AS (SELECT x, count(*) AS d FROM
+         |  (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+         |def_ AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+         |  FROM und JOIN degf du ON du.x = und.u JOIN degf dv ON dv.x = und.v),
+         |trif AS (SELECT CAST(count(*) AS BIGINT) AS t FROM def_ e1
+         |  JOIN def_ e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN und ON und.u = e1.dst AND und.v = e2.dst),
+         |degs AS (SELECT x, count(*) AS d FROM
+         |  (SELECT u AS x FROM sm UNION ALL SELECT v FROM sm) GROUP BY x),
+         |des AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+         |  FROM sm JOIN degs du ON du.x = sm.u JOIN degs dv ON dv.x = sm.v),
+         |tris AS (SELECT CAST(count(*) AS BIGINT) AS t FROM des e1
+         |  JOIN des e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN sm ON sm.u = e1.dst AND sm.v = e2.dst),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_edges FROM sm)
+         |SELECT ne.n_edges, ns.n_sampled_edges, tris.t AS tri_sampled,
+         |  CAST(tris.t * 64 AS BIGINT) AS tri_est
+         |FROM ne CROSS JOIN ns CROSS JOIN trif CROSS JOIN tris
+         |WHERE abs(tris.t * 64.0 - trif.t) <= 6.0 * sqrt(63.0 * trif.t) + 64""".stripMargin.replace("\n", " ")),
   ).pipe(m =>
     // the stream twins drain the same parquet into the same additive
     // cells, so the batch oracles gate them bit-for-bit
     m + ("x238_stream_msprt" -> m("x234_msprt")) +
-      ("x247_stream_secret_scan" -> m("x242_secret_scan")))
+      ("x247_stream_secret_scan" -> m("x242_secret_scan")) +
+      ("x258_stream_gini" -> m("x255_source_gini")))
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
     * day) argmax, one final division.

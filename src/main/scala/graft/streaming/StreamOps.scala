@@ -443,6 +443,29 @@ object StreamOps {
         .agg(count(lit(1)).as("c")),
       onFinish)
 
+  /** Stream-maintained per-(source, doc-length) histogram for the x258
+    * Gini read: the length histogram is ADDITIVE, so a SORT-requiring
+    * concentration statistic (Gini needs ranks) becomes stream-
+    * maintainable — one stateful aggregate holds the histogram (bounded
+    * by the length domain, the x177 contract), and the rank-block
+    * arithmetic Σ r·x = Σ x·(c·cb + c(c+1)/2) is a read-time cumsum over
+    * the bounded cells (ExtensionQueries.giniOverLengthHist), gated by
+    * the batch x255's oracle — the x250 sort-statistic-via-histogram
+    * device applied to a Lorenz-curve functional.
+    */
+  def docLengthHistStreaming(spark: SparkSession, docsDir: String,
+      queryName: String = "gini_len_hist",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    drainCells(spark, docsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = false,
+      _.select(col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("x"))
+        .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c")),
+      onFinish)
+
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
     * aggregate; the exact-integer cumsum/numerator derivation is
