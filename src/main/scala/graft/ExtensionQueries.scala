@@ -6820,6 +6820,116 @@ object ExtensionQueries {
     "x258_stream_gini" -> ((s, dir) =>
       giniOverLengthHist(graft.streaming.StreamOps
         .docLengthHistStreaming(s, s"$dir/documents.parquet"))),
+    // x259: t-closeness audit over x235's QI classes (Li et al.) — the
+    // distributional privacy gate k-anonymity/l-diversity cannot see: a
+    // class can be large AND diverse while its sensitive distribution
+    // still leaks (t = ordered-domain EMD between the class's sensitive
+    // histogram and the global one). Same QI bands and sensitive code as
+    // x235; the EMD runs on a 16-value spine per class (bounded windows,
+    // never rows-scale), and the cumulative differences stay exact
+    // integers over the common denominator n·N until one division.
+    "x259_t_closeness" -> ((s, dir) => {
+      val rows = table(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr(KAnonBandSql).as("band"),
+          substring(md5(concat(lit("sens:"),
+            col("c_custkey").cast("string"))), 1, 1).as("sens"))
+      val cells = graft.engine.CacheScope.persistTracked(
+        rows.groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("sens")).agg(count(lit(1)).as("c")))
+      val classes = cells
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(sum(col("c")).as("n"))
+      val glob = cells.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+      val nn = cells.agg(sum(col("c")).as("nt"))
+      val spine = classes.join(broadcast(glob.crossJoin(nn)), lit(true))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .orderBy(col("sens"))
+      spine
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "band", "sens"),
+          "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        // cum(c·N − g·n) over the ordered 16-value domain — exact
+        .withColumn("cd", sum(col("c0").cast("decimal(38,0)") * col("nt")
+          - col("g").cast("decimal(38,0)") * col("n")).over(w))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("n"), col("nt"))
+        .agg(sum(abs(col("cd"))).as("sad"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("n").as("n_rows"),
+          graft.functions.EngineMath.roundAway(expr(TClosenessSql), 6)
+            .as("t_closeness"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+    }),
+    // x260: weighted reservoir sample WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES) — THE distributed/streaming-shaped sampler: each row
+    // gets key ln(u)/w from its own md5 ticket, and the sample is simply
+    // the global top-k by key — a mergeable TakeOrdered, no sequential
+    // reservoir state, identical under any partitioning. Token-count
+    // weights: long docs proportionally likelier, sampled AT MOST once —
+    // what x27/x128/x206's equal/quota/systematic tickets can't express.
+    "x260_weighted_reservoir" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("ut", conv(substring(md5(concat(lit("res1:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("skey", expr(ReservoirKeySql))
+        .orderBy(col("skey").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("w"),
+          graft.functions.EngineMath.roundAway(col("skey"), 9).as("skey"))
+    }),
+    // x261: linear-time MMD² drift test (Gretton et al.) — the KERNEL
+    // two-sample statistic complementing the projection family (x200
+    // sliced-W1, x134 KS, x166 PSI): sensitive to any moment, not just
+    // location. The O(n²) kernel matrix never materializes — the linear
+    // estimator pairs consecutive cohort rows (Ranks index join) and
+    // averages ONE h-term per 4-tuple, so the plan is two rank passes +
+    // two index equi-joins + a scan of m/2 rows. Both contrasts (the
+    // same-distribution split and a deterministic +0.5 first-component
+    // shift, the x222 synthesized-input contract) read the same
+    // checkpointed 4-tuple frame; every h quantizes to 1e-9 ticks via
+    // the SHARED kernel string before the order-free sum.
+    "x261_mmd_drift" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        call_function("graft_dot", x, y)
+      val e = embeddingsD(s, dir)
+      def ranked(par: Int) = graft.operators.Ranks.globalRowNumber(
+        e.filter(col("vec_id") % 2 === par)
+          .select(col("vec_id"), col("vec")),
+        col("vec_id"), Seq(col("vec_id").asc), "i")
+      val a = ranked(0).select(col("i"), col("vec").as("x"))
+      val b = ranked(1).select(col("i"), col("vec").as("y"))
+      val pairs = a.join(b, Seq("i"))
+      val odd = pairs.filter(col("i") % 2 === 1)
+        .select(expr("(i + 1) div 2").as("j"),
+          col("x").as("x1"), col("y").as("y1"))
+      val even = pairs.filter(col("i") % 2 === 0)
+        .select(expr("i div 2").as("j"),
+          col("x").as("x2"), col("y").as("y2"))
+      val q = odd.join(even, Seq("j")).localCheckpoint()
+      def sh(c: org.apache.spark.sql.Column) =
+        transform(c, (v, idx) => when(idx === 0, v + lit(0.5)).otherwise(v))
+      def contrast(label: String, y1: org.apache.spark.sql.Column,
+          y2: org.apache.spark.sql.Column): DataFrame = q
+        .select(dot(col("x1"), col("x1")).as("n11"),
+          dot(col("x2"), col("x2")).as("n22"),
+          dot(y1, y1).as("m11"), dot(y2, y2).as("m22"),
+          dot(col("x1"), col("x2")).as("dxx"), dot(y1, y2).as("dyy"),
+          dot(col("x1"), y2).as("dxy"), dot(col("x2"), y1).as("dyx"))
+        .select(expr(MmdTickSql).as("ht"))
+        .agg(count(lit(1)).as("m"), sum(col("ht")).as("st"))
+        .select(lit(label).as("contrast"), col("m").as("m_pairs"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(st AS DOUBLE) / 1e9 / m"), 6).as("mmd2"))
+      contrast("same", col("y1"), col("y2"))
+        .unionByName(contrast("shifted", sh(col("y1")), sh(col("y2"))))
+        .orderBy(col("contrast"))
+    }),
   )
 
   /** x241's repetitive-text gate: docs deflating below this ratio tick
@@ -8222,6 +8332,31 @@ object ExtensionQueries {
         graft.functions.EngineMath.roundAway(expr(GiniSql), 6).as("gini"))
       .orderBy(col("source"))
   }
+
+  /** x261's shared RBF h-term tick over the eight dot columns of one
+    * paired 4-tuple (x1,x2,y1,y2): k(a,b) = exp(−‖a−b‖²/2σ²) at σ² = 64
+    * (components ∈ [−1,1), d = 64 ⇒ E‖a−b‖² ≈ 43, so the kernel sits on
+    * its sensitive slope), h = k(x1,x2)+k(y1,y2)−k(x1,y2)−k(x2,y1).
+    */
+  private val MmdTickSql =
+    "CAST(floor((exp(-(n11 + n22 - 2.0 * dxx) / 128.0) " +
+      "+ exp(-(m11 + m22 - 2.0 * dyy) / 128.0) " +
+      "- exp(-(n11 + m22 - 2.0 * dxy) / 128.0) " +
+      "- exp(-(n22 + m11 - 2.0 * dyx) / 128.0)) * 1e9 + 0.5) AS BIGINT)"
+
+  /** x259's read over a class row (n, nt, sad): t = Σ|cum diffs| /
+    * (n·N·(m−1)) with m = 16 ordered sensitive values — the standard
+    * ordered-domain EMD normalization.
+    */
+  private val TClosenessSql =
+    "CAST(sad AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE) * 15.0)"
+
+  /** x260's shared A-ES key over a 32-bit ticket `ut` and weight `w`:
+    * u = (ut+1)/2³² ∈ (0,1], key = ln(u)/w — u^(1/w) ordering in the
+    * numerically-stable log domain.
+    */
+  private val ReservoirKeySql =
+    "ln((CAST(ut AS DOUBLE) + 1.0) / 4294967296.0) / CAST(w AS DOUBLE)"
 
   /** x254's shared Laplace(1/ε) inverse-CDF draw over a 32-bit md5
     * ticket `ut` and budget `eps`: u = ut/2³², noise =
@@ -12554,6 +12689,80 @@ object ExtensionQueries {
          |  CAST(tris.t * 64 AS BIGINT) AS tri_est
          |FROM ne CROSS JOIN ns CROSS JOIN trif CROSS JOIN tris
          |WHERE abs(tris.t * 64.0 - trif.t) <= 6.0 * sqrt(63.0 * trif.t) + 64""".stripMargin.replace("\n", " ")),
+    // same QI bands + sensitive code as x235, identical 16-value spine
+    // and integer cum-diff arithmetic, the SHARED t normalization
+    "x259_t_closeness" ->
+      (s"""WITH rws AS (SELECT c_nationkey, c_mktsegment, $KAnonBandSql AS band,
+         |    substr(md5('sens:' || CAST(c_custkey AS VARCHAR)), 1, 1) AS sens
+         |  FROM customer),
+         |cells AS (SELECT c_nationkey, c_mktsegment, band, sens,
+         |    CAST(count(*) AS BIGINT) AS c FROM rws GROUP BY 1, 2, 3, 4),
+         |cl AS (SELECT c_nationkey, c_mktsegment, band,
+         |    CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2, 3),
+         |gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+         |tn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM cells),
+         |sp AS (SELECT cl.c_nationkey, cl.c_mktsegment, cl.band, cl.n,
+         |    gl.sens, gl.g, tn.nt FROM cl CROSS JOIN gl CROSS JOIN tn),
+         |j AS (SELECT sp.c_nationkey, sp.c_mktsegment, sp.band, sp.n, sp.nt,
+         |    sp.sens, sp.g, coalesce(cells.c, 0) AS c0
+         |  FROM sp LEFT JOIN cells USING (c_nationkey, c_mktsegment, band, sens)),
+         |cd AS (SELECT c_nationkey, c_mktsegment, band, n, nt,
+         |    sum(CAST(c0 AS HUGEINT) * nt - CAST(g AS HUGEINT) * n)
+         |      OVER (PARTITION BY c_nationkey, c_mktsegment, band
+         |        ORDER BY sens) AS cd
+         |  FROM j),
+         |a AS (SELECT c_nationkey, c_mktsegment, band, n, nt,
+         |    sum(abs(cd)) AS sad FROM cd GROUP BY 1, 2, 3, 4, 5)
+         |SELECT c_nationkey, c_mktsegment, band, n AS n_rows,
+         |  round($TClosenessSql, 6) AS t_closeness
+         |FROM a ORDER BY c_nationkey, c_mktsegment, band"""
+        .stripMargin.replace("\n", " ")),
+    // identical ticket + SHARED log-domain key; top-50 by the unrounded
+    // key with the same tie-break
+    "x260_weighted_reservoir" ->
+      (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w
+         |  FROM documents WHERE len($toks) > 0),
+         |kd AS (SELECT doc_id, w,
+         |    ('0x' || substr(md5('res1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ut
+         |  FROM d),
+         |sk AS (SELECT doc_id, w, $ReservoirKeySql AS skey FROM kd)
+         |SELECT doc_id, w, round(skey, 9) AS skey FROM sk
+         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")),
+    // same rank pairing (naive row_number re-proves the device), same
+    // list_dot_product ≡ graft_dot dots, the SHARED kernel tick string,
+    // identical first-component shift
+    "x261_mmd_drift" ->
+      (s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS i,
+         |    vec AS x FROM ev WHERE vec_id % 2 = 0),
+         |b AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS i,
+         |    vec AS y FROM ev WHERE vec_id % 2 = 1),
+         |p AS (SELECT a.i, x, y FROM a JOIN b USING (i)),
+         |od AS (SELECT (i + 1) // 2 AS j, x AS x1, y AS y1 FROM p WHERE i % 2 = 1),
+         |ev2 AS (SELECT i // 2 AS j, x AS x2, y AS y2 FROM p WHERE i % 2 = 0),
+         |q AS (SELECT od.j, x1, y1, x2, y2 FROM od JOIN ev2 USING (j)),
+         |qs AS (SELECT j, x1, x2,
+         |    [y1[k] + CASE WHEN k = 1 THEN 0.5 ELSE 0.0 END
+         |      for k in range(1, len(y1) + 1)] AS y1,
+         |    [y2[k] + CASE WHEN k = 1 THEN 0.5 ELSE 0.0 END
+         |      for k in range(1, len(y2) + 1)] AS y2 FROM q),
+         |d1 AS (SELECT list_dot_product(x1, x1) AS n11, list_dot_product(x2, x2) AS n22,
+         |    list_dot_product(y1, y1) AS m11, list_dot_product(y2, y2) AS m22,
+         |    list_dot_product(x1, x2) AS dxx, list_dot_product(y1, y2) AS dyy,
+         |    list_dot_product(x1, y2) AS dxy, list_dot_product(x2, y1) AS dyx FROM q),
+         |d2 AS (SELECT list_dot_product(x1, x1) AS n11, list_dot_product(x2, x2) AS n22,
+         |    list_dot_product(y1, y1) AS m11, list_dot_product(y2, y2) AS m22,
+         |    list_dot_product(x1, x2) AS dxx, list_dot_product(y1, y2) AS dyy,
+         |    list_dot_product(x1, y2) AS dxy, list_dot_product(x2, y1) AS dyx FROM qs),
+         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum($MmdTickSql) AS BIGINT) AS st FROM d1),
+         |s2 AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum($MmdTickSql) AS BIGINT) AS st FROM d2)
+         |SELECT 'same' AS contrast, m AS m_pairs,
+         |  round(CAST(st AS DOUBLE) / 1e9 / m, 6) AS mmd2 FROM s1
+         |UNION ALL SELECT 'shifted' AS contrast, m AS m_pairs,
+         |  round(CAST(st AS DOUBLE) / 1e9 / m, 6) AS mmd2 FROM s2
+         |ORDER BY contrast""".stripMargin.replace("\n", " ")),
   ).pipe(m =>
     // the stream twins drain the same parquet into the same additive
     // cells, so the batch oracles gate them bit-for-bit

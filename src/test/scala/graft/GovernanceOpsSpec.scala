@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Oracle-independent checks for the round-13 batch x254–x258: each
+/** Oracle-independent checks for the round-13 batches x254–x261: each
   * statistic re-derived on the driver by a DIFFERENT algorithm (hand
   * md5/inverse-CDF arithmetic, brute per-source sorts, adjacency-set
-  * triangle counting, per-doc gram maps), so the engine arithmetic
+  * triangle counting, per-doc gram maps, per-class EMD loops, kernel pairing), so the engine arithmetic
   * cannot hide behind a DuckDB oracle that mirrors it.
   */
 class GovernanceOpsSpec extends SparkSpec {
@@ -105,6 +105,98 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(math.abs(r.getLong(3) - exact).toDouble <=
       6.0 * math.sqrt(63.0 * exact) + 64,
       s"estimate ${r.getLong(3)} vs exact $exact outside the DOULION bound")
+  }
+
+  test("x259 t-closeness ≡ brute per-class EMD over the 16-value sensitive domain") {
+    val rows = spark.read.parquet(sf() + "/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal", "c_custkey")
+      .collect().map { r =>
+        val band = math.floor(r.getDouble(2) / 1000.0).toLong
+        ((r.getInt(0), r.getString(1), band),
+          md5hex(s"sens:${r.getLong(3)}").substring(0, 1))
+      }
+    val domain = "0123456789abcdef".map(_.toString)
+    val glob = domain.map(d => rows.count(_._2 == d).toLong)
+    val nTot = rows.length.toLong
+    val expect = rows.groupBy(_._1).map { case (cls, members) =>
+      val n = members.length.toLong
+      val cs = domain.map(d => members.count(_._2 == d).toLong)
+      var cum = 0L
+      var sad = 0L
+      cs.zip(glob).foreach { case (c, g) =>
+        cum += c * nTot - g * n; sad += math.abs(cum)
+      }
+      cls -> (n, sad.toDouble / (n.toDouble * nTot * 15.0))
+    }
+    val got = q("x259_t_closeness").map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (cls, (n, t)) =>
+      assert(got(cls)._1 == n, s"$cls size")
+      assert(math.abs(got(cls)._2 - t) < 5e-7, s"$cls t: ${got(cls)._2} vs $t")
+    }
+    // the statistic must vary across classes (a leak-free corpus would
+    // make the audit vacuous)
+    assert(expect.values.map(_._2).toSet.size > 1)
+  }
+
+  test("x260 weighted reservoir ≡ hand A-ES top-50; long docs overrepresented") {
+    val all = docs().map { case (_, id, ts) => (id, ts.length.toLong) }
+      .filter(_._2 > 0)
+    val keyed = all.map { case (id, w) =>
+      val ut = java.lang.Long.parseLong(
+        md5hex(s"res1:$id").substring(0, 8), 16)
+      (id, w, math.log((ut.toDouble + 1.0) / 4294967296.0) / w)
+    }
+    val expect = keyed.sortBy(t => (-t._3, t._1)).take(50)
+    val got = q("x260_weighted_reservoir")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq)
+    got.zip(expect).foreach { case ((_, w, k), (_, ew, ek)) =>
+      assert(w == ew)
+      assert(math.abs(k - ek) < 5e-10)
+    }
+    // weighting bites: the sample's mean weight exceeds the corpus mean
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("x261 linear MMD² ≡ hand kernel pairing; the shifted contrast separates") {
+    val ev = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def mmd(shift: Boolean): (Long, Double) = {
+      val xs = ev.filter(_._1 % 2 == 0).map(_._2)
+      val ys0 = ev.filter(_._1 % 2 == 1).map(_._2)
+      val ys = if (!shift) ys0
+        else ys0.map(v => v.updated(0, v(0) + 0.5))
+      val m = math.min(xs.length, ys.length)
+      def k(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0
+        var i = 0
+        while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+        math.exp(-d / 128.0)
+      }
+      val hs = (0 until m / 2).map { j =>
+        val (x1, y1, x2, y2) = (xs(2 * j), ys(2 * j), xs(2 * j + 1), ys(2 * j + 1))
+        k(x1, x2) + k(y1, y2) - k(x1, y2) - k(x2, y1)
+      }
+      (hs.length.toLong, hs.map(h => math.floor(h * 1e9 + 0.5)).sum / 1e9 / hs.length)
+    }
+    val got = q("x261_mmd_drift")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((label, shift) <- Seq("same" -> false, "shifted" -> true)) {
+      val (m, v) = mmd(shift)
+      assert(got(label)._1 == m, s"$label pair count")
+      assert(math.abs(got(label)._2 - v) < 5e-7,
+        s"$label: ${got(label)._2} vs $v")
+    }
+    assert(got("shifted")._2 > got("same")._2 + 1e-4,
+      "the shifted contrast must separate from the null split")
   }
 
   test("x257 gram novelty ≡ per-doc gram maps with first-occurrence origin") {
