@@ -6764,23 +6764,19 @@ object ExtensionQueries {
     // the hash match proves the exact noise the budget promises was
     // applied, not a lucky approximation. One count aggregate + a
     // 2-budget broadcast explode; nothing rows-scale after the scan.
-    "x254_dp_counts" -> ((s, dir) => {
-      val eps = array(
-        struct(lit("e01").as("lab"), lit(0.1).as("eps")),
-        struct(lit("e10").as("lab"), lit(1.0).as("eps")))
-      table(s, dir, "documents")
-        .groupBy(col("source")).agg(count(lit(1)).as("n"))
-        .select(col("source"), col("n"), explode(eps).as("e"))
-        .select(col("source"), col("e.lab").as("lab"),
-          col("e.eps").as("eps"), col("n"))
-        .withColumn("ut", conv(substring(md5(concat(lit("dp1:"),
-          col("source"), lit(":"), col("lab"))), 1, 8), 16, 10)
-          .cast("long"))
-        .select(col("source"), col("eps"),
-          graft.functions.EngineMath.roundAway(
-            expr(s"CAST(n AS DOUBLE) + ($DpNoiseSql)"), 6).as("n_noised"))
-        .orderBy(col("source"), col("eps"))
-    }),
+    "x254_dp_counts" -> ((s, dir) =>
+      dpCountRelease(table(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n")))),
+    // x263: the STREAM-MAINTAINED twin of x254 — a privacy-preserving
+    // datacard maintained on ingest: per-source counts are the trivially
+    // ADDITIVE state (one stateful aggregate), and the ENTIRE DP
+    // mechanism (budget explode, ticket, inverse-CDF draw) is read-time,
+    // shared verbatim with the batch via dpCountRelease — so the
+    // released numbers cannot drift between engine halves, and x254's
+    // oracle gates the stream bit-for-bit.
+    "x263_stream_dp_counts" -> ((s, dir) =>
+      dpCountRelease(graft.streaming.StreamOps
+        .sourceCountsStreaming(s, s"$dir/documents.parquet"))),
     // x256: DOULION edge-sampled triangle estimate (Tsourakakis et al.)
     // — the GATED 100 TB swap for x87's exact count: keep each canonical
     // edge iff its md5 ticket lands in 1/4 of hash space (deterministic,
@@ -8357,6 +8353,30 @@ object ExtensionQueries {
     */
   private val ReservoirKeySql =
     "ln((CAST(ut AS DOUBLE) + 1.0) / 4294967296.0) / CAST(w AS DOUBLE)"
+
+  /** The x254/x263 shared DP release over a per-source count frame
+    * (source, n): explode the two budgets, draw the deterministic
+    * Laplace noise from the md5 ticket, round. ONE definition for the
+    * batch scan and the streaming drain — the released numbers cannot
+    * drift between the two engine halves (the x176/x177 decomposition
+    * contract applied to a privacy mechanism).
+    */
+  private def dpCountRelease(counts: DataFrame): DataFrame = {
+    val eps = array(
+      struct(lit("e01").as("lab"), lit(0.1).as("eps")),
+      struct(lit("e10").as("lab"), lit(1.0).as("eps")))
+    counts
+      .select(col("source"), col("n"), explode(eps).as("e"))
+      .select(col("source"), col("e.lab").as("lab"),
+        col("e.eps").as("eps"), col("n"))
+      .withColumn("ut", conv(substring(md5(concat(lit("dp1:"),
+        col("source"), lit(":"), col("lab"))), 1, 8), 16, 10)
+        .cast("long"))
+      .select(col("source"), col("eps"),
+        graft.functions.EngineMath.roundAway(
+          expr(s"CAST(n AS DOUBLE) + ($DpNoiseSql)"), 6).as("n_noised"))
+      .orderBy(col("source"), col("eps"))
+  }
 
   /** x254's shared Laplace(1/ε) inverse-CDF draw over a 32-bit md5
     * ticket `ut` and budget `eps`: u = ut/2³², noise =
@@ -12768,7 +12788,8 @@ object ExtensionQueries {
     // cells, so the batch oracles gate them bit-for-bit
     m + ("x238_stream_msprt" -> m("x234_msprt")) +
       ("x247_stream_secret_scan" -> m("x242_secret_scan")) +
-      ("x258_stream_gini" -> m("x255_source_gini")))
+      ("x258_stream_gini" -> m("x255_source_gini")) +
+      ("x263_stream_dp_counts" -> m("x254_dp_counts")))
 
   /** The x144/x149 shared oracle — integer S·D numerator, (|S·D| DESC,
     * day) argmax, one final division.

@@ -466,6 +466,21 @@ object StreamOps {
         .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c")),
       onFinish)
 
+  /** Stream-maintained per-source document counts for the x263 DP
+    * release: counts are the trivially additive state; the entire DP
+    * mechanism (budgets, tickets, Laplace draw) is read-time, shared
+    * verbatim with the batch x254 (ExtensionQueries.dpCountRelease).
+    */
+  def sourceCountsStreaming(spark: SparkSession, docsDir: String,
+      queryName: String = "dp_source_counts",
+      maxFilesPerTrigger: Option[Int] = None,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    drainCells(spark, docsDir, queryName, maxFilesPerTrigger,
+      normalizeTs = false,
+      _.groupBy(col("source")).agg(count(lit(1)).as("n")),
+      onFinish)
+
   /** Stream-maintained per-micro-value cohort counts for the x167 W₁
     * read: the additive (vm, ca, cb) table accumulates in one stateful
     * aggregate; the exact-integer cumsum/numerator derivation is

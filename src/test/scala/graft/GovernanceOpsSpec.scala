@@ -49,6 +49,11 @@ class GovernanceOpsSpec extends SparkSpec {
     }
     assert(moved.exists(_._1 > 0.5))
     assert(moved.map(_._1).sum > moved.map(_._2).sum)
+    // the stream twin maintains the additive counts and applies the SAME
+    // read-time mechanism — released rows must be identical
+    val streamed = q("x263_stream_dp_counts")
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(streamed == got, "stream DP release drifted from batch")
   }
 
   test("x255 per-source Gini ≡ brute per-source sort; x258 stream twin identical") {
