@@ -6878,6 +6878,79 @@ object ExtensionQueries {
         .select(col("doc_id"), col("w"),
           graft.functions.EngineMath.roundAway(col("skey"), 9).as("skey"))
     }),
+    // x264: inverse-probability-weighted ATE (Hájek, the self-normalized
+    // stabilized form practitioners ship — plain Horvitz–Thompson blows
+    // up under clustered per-user assignment at small n) under a
+    // synthesized CONFOUNDED design (the x222 contract): stratum
+    // g = user_id % 4 gets design propensity p = (g+1)/5, the outcome
+    // carries a g·100 shift (large against the value scale, so the bias
+    // is structural, not noise), so the naive treated-vs-control difference
+    // is biased by construction while the IPW estimate de-biases it —
+    // the design-weighting causal family x228 (CUPED) and x240 (DiD)
+    // don't cover. Weights 12/p and 12/(1−p) are INTEGERS for these
+    // propensities (60/(g+1), 60/(4−g)), so both weighted-outcome and
+    // weight-mass sums stay exact integers; two ratio reads at the end.
+    "x264_ipw_ate" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("value"))
+        .withColumn("g", pmod(col("user_id"), lit(4L)))
+        .withColumn("ut", conv(substring(md5(concat(lit("trt1:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("t", (col("ut").cast("double") / 4294967296.0 <
+          (col("g") + 1).cast("double") / 5.0).cast("long"))
+        .withColumn("ym",
+          floor((col("value") + col("g").cast("double") * 100.0) * 1e6
+            + lit(0.5)).cast("long"))
+        .withColumn("w12", expr(
+          "CASE WHEN t = 1 THEN 60 div (g + 1) ELSE 60 div (4 - g) END"))
+      e.agg(count(lit(1)).as("n"),
+          sum(col("t")).as("n_treated"),
+          sum(when(col("t") === 1, col("ym")).otherwise(0L)).as("sy_t"),
+          sum(when(col("t") === 0, col("ym")).otherwise(0L)).as("sy_c"),
+          sum(when(col("t") === 1, col("ym").cast("decimal(38,0)")
+            * col("w12")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("sw_t"),
+          sum(when(col("t") === 0, col("ym").cast("decimal(38,0)")
+            * col("w12")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("sw_c"),
+          sum(when(col("t") === 1, col("w12")).otherwise(0L)).as("swn_t"),
+          sum(when(col("t") === 0, col("w12")).otherwise(0L)).as("swn_c"))
+        .select(col("n"), col("n_treated"),
+          graft.functions.EngineMath.roundAway(expr(IpwNaiveSql), 6)
+            .as("naive_diff"),
+          graft.functions.EngineMath.roundAway(expr(IpwAteSql), 6)
+            .as("ipw_ate"))
+    }),
+    // x265: daily-count overdispersion per event type — the Poisson-fit
+    // parameter (index of dispersion D = var/mean over the 30-day spine,
+    // zero days included) a capacity planner or synthetic-feed screen
+    // reads; x83 flags anomalous WINDOWS, x174 audits digits — this is
+    // the distribution-shape audit of the arrival process itself. The
+    // spine is built from the observed min/max dates (bounded), counts
+    // are exact integers, and D's variance chain runs on the shared
+    // string over (nd, sc, sc2).
+    "x265_overdispersion" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val cells = graft.engine.CacheScope.persistTracked(
+        d.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c")))
+      val span = cells.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = cells.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(cells, Seq("event_type", "day"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c0")).as("n_events"),
+          sum(col("c0").cast("decimal(38,0)") * col("c0")).as("sc2"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          graft.functions.EngineMath.roundAway(
+            expr("CAST(n_events AS DOUBLE) / n_days"), 6).as("mean_daily"),
+          graft.functions.EngineMath.roundAway(expr(DispersionSql), 6)
+            .as("dispersion"))
+        .orderBy(col("event_type"))
+    }),
     // x261: linear-time MMD² drift test (Gretton et al.) — the KERNEL
     // two-sample statistic complementing the projection family (x200
     // sliced-W1, x134 KS, x166 PSI): sensitive to any moment, not just
@@ -8328,6 +8401,29 @@ object ExtensionQueries {
         graft.functions.EngineMath.roundAway(expr(GiniSql), 6).as("gini"))
       .orderBy(col("source"))
   }
+
+  /** x264's shared estimate strings over the exact moment row
+    * (n, n_treated, sy_t, sy_c, sw_t, sw_c, swn_t, swn_c): naive =
+    * treated mean − control mean; IPW = Hájek self-normalized contrast
+    * Σ T·y·w / Σ T·w − Σ(1−T)·y·w / Σ(1−T)·w with the known design
+    * weights, in micro-units until the two ratio reads.
+    */
+  private val IpwNaiveSql =
+    "(CAST(sy_t AS DOUBLE) / n_treated - CAST(sy_c AS DOUBLE) " +
+      "/ (n - n_treated)) / 1e6"
+  private val IpwAteSql =
+    "(CAST(sw_t AS DOUBLE) / CAST(swn_t AS DOUBLE) - " +
+      "CAST(sw_c AS DOUBLE) / CAST(swn_c AS DOUBLE)) / 1e6"
+
+  /** x265's shared dispersion read over (n_days, n_events, sc2):
+    * D = var/mean with the two-pass-free exact variance
+    * (nd·Σc² − (Σc)²) / (nd·(nd−1)) over integer daily counts.
+    */
+  private val DispersionSql =
+    "((CAST(n_days AS DOUBLE) * CAST(sc2 AS DOUBLE) - " +
+      "CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) / " +
+      "(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))) / " +
+      "(CAST(n_events AS DOUBLE) / n_days)"
 
   /** x261's shared RBF h-term tick over the eight dot columns of one
     * paired 4-tuple (x1,x2,y1,y2): k(a,b) = exp(−‖a−b‖²/2σ²) at σ² = 64
@@ -12748,6 +12844,54 @@ object ExtensionQueries {
          |sk AS (SELECT doc_id, w, $ReservoirKeySql AS skey FROM kd)
          |SELECT doc_id, w, round(skey, 9) AS skey FROM sk
          |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")),
+    // identical stratum/ticket/design arithmetic, integer weights, the
+    // SHARED estimate strings over the same exact moment row
+    "x264_ipw_ate" ->
+      (s"""WITH e AS (SELECT user_id % 4 AS g, value,
+         |    ('0x' || substr(md5('trt1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS ut
+         |  FROM events),
+         |t AS (SELECT g,
+         |    CASE WHEN CAST(ut AS DOUBLE) / 4294967296.0
+         |      < CAST(g + 1 AS DOUBLE) / 5.0 THEN 1 ELSE 0 END AS t,
+         |    CAST(floor((value + CAST(g AS DOUBLE) * 100.0) * 1e6 + 0.5) AS BIGINT) AS ym
+         |  FROM e),
+         |w AS (SELECT t, ym,
+         |    CASE WHEN t = 1 THEN 60 // (g + 1) ELSE 60 // (4 - g) END AS w12
+         |  FROM t),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(t) AS BIGINT) AS n_treated,
+         |    CAST(sum(CASE WHEN t = 1 THEN ym ELSE 0 END) AS BIGINT) AS sy_t,
+         |    CAST(sum(CASE WHEN t = 0 THEN ym ELSE 0 END) AS BIGINT) AS sy_c,
+         |    sum(CASE WHEN t = 1 THEN CAST(ym AS HUGEINT) * w12 ELSE 0 END) AS sw_t,
+         |    sum(CASE WHEN t = 0 THEN CAST(ym AS HUGEINT) * w12 ELSE 0 END) AS sw_c,
+         |    CAST(sum(CASE WHEN t = 1 THEN w12 ELSE 0 END) AS BIGINT) AS swn_t,
+         |    CAST(sum(CASE WHEN t = 0 THEN w12 ELSE 0 END) AS BIGINT) AS swn_c
+         |  FROM w)
+         |SELECT n, n_treated, round($IpwNaiveSql, 6) AS naive_diff,
+         |  round($IpwAteSql, 6) AS ipw_ate FROM a"""
+        .stripMargin.replace("\n", " ")),
+    // same observed-span day spine (zero days included), exact integer
+    // daily counts, the SHARED variance/dispersion chain
+    "x265_overdispersion" ->
+      (s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         |cells AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+         |  FROM d GROUP BY 1, 2),
+         |sp AS (SELECT min(day) AS lo, max(day) AS hi FROM cells),
+         |spine AS (SELECT et.event_type, CAST(gs.day AS DATE) AS day
+         |  FROM (SELECT DISTINCT event_type FROM cells) et
+         |  CROSS JOIN sp
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(sp.lo, sp.hi,
+         |    INTERVAL 1 DAY)) AS day) gs),
+         |j AS (SELECT spine.event_type, coalesce(cells.c, 0) AS c0
+         |  FROM spine LEFT JOIN cells USING (event_type, day)),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(c0) AS BIGINT) AS n_events,
+         |    sum(CAST(c0 AS HUGEINT) * c0) AS sc2
+         |  FROM j GROUP BY 1)
+         |SELECT event_type, n_days, n_events,
+         |  round(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_daily,
+         |  round($DispersionSql, 6) AS dispersion
+         |FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")),
     // same rank pairing (naive row_number re-proves the device), same
     // list_dot_product ≡ graft_dot dots, the SHARED kernel tick string,
     // identical first-component shift

@@ -204,6 +204,61 @@ class GovernanceOpsSpec extends SparkSpec {
       "the shifted contrast must separate from the null split")
   }
 
+  test("x264 IPW ≡ hand Horvitz–Thompson; the synthesized confounding biases naive, IPW de-biases") {
+    val ev = Tables.events(spark, sf())
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    var (n, nt, syT, syC) = (0L, 0L, 0L, 0L)
+    var (swT, swC) = (BigInt(0), BigInt(0))
+    var (swnT, swnC) = (0L, 0L)
+    ev.foreach { case (uid, v) =>
+      val g = (uid % 4).toInt
+      val ut = java.lang.Long.parseLong(
+        md5hex(s"trt1:$uid").substring(0, 8), 16)
+      val t = ut.toDouble / 4294967296.0 < (g + 1).toDouble / 5.0
+      val ym = math.floor((v + g * 100.0) * 1e6 + 0.5).toLong
+      val w12 = if (t) 60 / (g + 1) else 60 / (4 - g)
+      n += 1
+      if (t) { nt += 1; syT += ym; swT += BigInt(ym) * w12; swnT += w12 }
+      else { syC += ym; swC += BigInt(ym) * w12; swnC += w12 }
+    }
+    val naive = (syT.toDouble / nt - syC.toDouble / (n - nt)) / 1e6
+    val ipw = (swT.toDouble / swnT - swC.toDouble / swnC) / 1e6
+    val r = q("x264_ipw_ate").head
+    assert(r.getLong(0) == n && r.getLong(1) == nt)
+    assert(math.abs(r.getDouble(2) - naive) < 5e-7)
+    assert(math.abs(r.getDouble(3) - ipw) < 5e-7)
+    // the design's whole point: treatment skews toward high-g strata,
+    // the outcome carries a g shift, so the naive contrast is biased
+    // while the true effect is 0 — IPW must land much closer to 0
+    assert(math.abs(r.getDouble(3)) < math.abs(r.getDouble(2)) / 2,
+      s"IPW ${r.getDouble(3)} did not de-bias naive ${r.getDouble(2)}")
+  }
+
+  test("x265 dispersion ≡ hand day-spine variance; synthetic arrivals sit near Poisson") {
+    val ev = Tables.events(spark, sf())
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val days = ev.map(_._2)
+    val (lo, hi) = (days.min, days.max)
+    val spine = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    val got = q("x265_overdispersion").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      val perDay = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cs = spine.map(d => perDay.getOrElse(d, 0L))
+      val nd = cs.length.toDouble
+      val mean = cs.sum / nd
+      val varc = cs.map(c => (c - mean) * (c - mean)).sum / (nd - 1.0)
+      val (gd, ge, gdisp) = got(tpe)
+      assert(gd == cs.length.toLong && ge == cs.sum)
+      assert(math.abs(gdisp - varc / mean) < 5e-6, s"$tpe dispersion")
+      // uniform synthetic arrivals: D must sit in a sane Poisson band
+      assert(gdisp > 0.3 && gdisp < 3.0, s"$tpe D=$gdisp")
+    }
+  }
+
   test("x257 gram novelty ≡ per-doc gram maps with first-occurrence origin") {
     val grams = docs().filter(_._3.length >= 5).map { case (_, id, ts) =>
       id -> ts.sliding(5).map(_.mkString(" ")).toSet
