@@ -6762,11 +6762,15 @@ object ExtensionQueries {
     // x27/x57): DETERMINISTIC noise makes the release gateable — the
     // oracle re-derives the identical draw from the identical ticket, so
     // the hash match proves the exact noise the budget promises was
-    // applied, not a lucky approximation. One count aggregate + a
-    // 2-budget broadcast explode; nothing rows-scale after the scan.
+    // applied, not a lucky approximation. The fixed "dp1" salt is a
+    // TEST device only — ε is void if the salt is public; production
+    // passes a secret salt (see dpCountRelease's privacy caveat). One
+    // count aggregate + a 2-budget broadcast explode; nothing
+    // rows-scale after the scan.
     "x254_dp_counts" -> ((s, dir) =>
       dpCountRelease(table(s, dir, "documents")
-        .groupBy(col("source")).agg(count(lit(1)).as("n")))),
+        .groupBy(col("source")).agg(count(lit(1)).as("n")),
+        ticketSalt = "dp1")),
     // x263: the STREAM-MAINTAINED twin of x254 — a privacy-preserving
     // datacard maintained on ingest: per-source counts are the trivially
     // ADDITIVE state (one stateful aggregate), and the ENTIRE DP
@@ -6776,7 +6780,8 @@ object ExtensionQueries {
     // oracle gates the stream bit-for-bit.
     "x263_stream_dp_counts" -> ((s, dir) =>
       dpCountRelease(graft.streaming.StreamOps
-        .sourceCountsStreaming(s, s"$dir/documents.parquet"))),
+        .sourceCountsStreaming(s, s"$dir/documents.parquet"),
+        ticketSalt = "dp1")),
     // x256: DOULION edge-sampled triangle estimate (Tsourakakis et al.)
     // — the GATED 100 TB swap for x87's exact count: keep each canonical
     // edge iff its md5 ticket lands in 1/4 of hash space (deterministic,
@@ -8385,7 +8390,13 @@ object ExtensionQueries {
     * Σ r·x telescopes to Σ x·(c·cb + c(c+1)/2) — exact integers, no
     * sort of the rows, identical to x255's per-doc ranks (intra-block
     * order is irrelevant at constant x). The cumsum window runs over the
-    * BOUNDED histogram cells, not rows.
+    * BOUNDED histogram cells, not rows. The rank-block term stays in
+    * INTEGER arithmetic end-to-end (`DIV`, not `/` — Column./ is double
+    * division and would degrade srx to a lossy, order-dependent double
+    * sum past 2^53), then widens to decimal(38,0) before the multiply,
+    * exactly like the batch x255's rank-weighted sum that gates this
+    * bit-for-bit. (c·(c+1) DIV 2 is long-exact up to c ≈ 4.3e9 docs per
+    * (source, length) cell — far past any real histogram cell.)
     */
   private[graft] def giniOverLengthHist(cells: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -8396,7 +8407,8 @@ object ExtensionQueries {
       .agg(sum(col("c")).as("n_docs"),
         sum(col("c") * col("x")).as("sx"),
         sum(col("x").cast("decimal(38,0)") *
-          (col("c") * col("cb") + col("c") * (col("c") + 1) / 2)).as("srx"))
+          (col("c").cast("decimal(38,0)") * col("cb") +
+            expr("c * (c + 1) DIV 2").cast("decimal(38,0)"))).as("srx"))
       .select(col("source"), col("n_docs"), col("sx").as("tokens_total"),
         graft.functions.EngineMath.roundAway(expr(GiniSql), 6).as("gini"))
       .orderBy(col("source"))
@@ -8451,13 +8463,27 @@ object ExtensionQueries {
     "ln((CAST(ut AS DOUBLE) + 1.0) / 4294967296.0) / CAST(w AS DOUBLE)"
 
   /** The x254/x263 shared DP release over a per-source count frame
-    * (source, n): explode the two budgets, draw the deterministic
-    * Laplace noise from the md5 ticket, round. ONE definition for the
+    * (source, n): explode the two budgets, draw the Laplace noise from
+    * the md5 ticket under `ticketSalt`, round. ONE definition for the
     * batch scan and the streaming drain — the released numbers cannot
     * drift between the two engine halves (the x176/x177 decomposition
     * contract applied to a privacy mechanism).
+    *
+    * PRIVACY CAVEAT (the ε guarantee is conditional on the salt): the
+    * noise is a deterministic function of (ticketSalt, source, budget).
+    * An adversary who KNOWS the salt can re-derive every draw and strip
+    * the noise, voiding ε entirely — determinism is a VERIFICATION
+    * device, not part of the mechanism. The gated queries pass the
+    * fixed literal "dp1" precisely so the oracle can re-derive the
+    * identical draw and the hash match proves the exact noise the
+    * budget promises was applied; a production deployment MUST pass a
+    * salt drawn from a secret high-entropy source (and rotate it per
+    * release), at which point the md5-ticket uniform is
+    * computationally indistinguishable from fresh randomness and the
+    * standard Laplace(Δf/ε) analysis applies.
     */
-  private def dpCountRelease(counts: DataFrame): DataFrame = {
+  private[graft] def dpCountRelease(counts: DataFrame,
+      ticketSalt: String): DataFrame = {
     val eps = array(
       struct(lit("e01").as("lab"), lit(0.1).as("eps")),
       struct(lit("e10").as("lab"), lit(1.0).as("eps")))
@@ -8465,7 +8491,7 @@ object ExtensionQueries {
       .select(col("source"), col("n"), explode(eps).as("e"))
       .select(col("source"), col("e.lab").as("lab"),
         col("e.eps").as("eps"), col("n"))
-      .withColumn("ut", conv(substring(md5(concat(lit("dp1:"),
+      .withColumn("ut", conv(substring(md5(concat(lit(ticketSalt + ":"),
         col("source"), lit(":"), col("lab"))), 1, 8), 16, 10)
         .cast("long"))
       .select(col("source"), col("eps"),
@@ -12833,8 +12859,12 @@ object ExtensionQueries {
          |  round($TClosenessSql, 6) AS t_closeness
          |FROM a ORDER BY c_nationkey, c_mktsegment, band"""
         .stripMargin.replace("\n", " ")),
-    // identical ticket + SHARED log-domain key; top-50 by the unrounded
-    // key with the same tie-break
+    // identical ticket + SHARED log-domain key; top-50 by the UNROUNDED
+    // key with the same tie-break — the ORDER BY must be the QUALIFIED
+    // sk.skey: DuckDB resolves unqualified ORDER BY names to the SELECT
+    // output alias first, which here is round(skey, 9), and two keys
+    // agreeing to 9 decimals would tie-break by doc_id where the engine
+    // sorts by the raw key
     "x260_weighted_reservoir" ->
       (s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w
          |  FROM documents WHERE len($toks) > 0),
@@ -12843,7 +12873,8 @@ object ExtensionQueries {
          |  FROM d),
          |sk AS (SELECT doc_id, w, $ReservoirKeySql AS skey FROM kd)
          |SELECT doc_id, w, round(skey, 9) AS skey FROM sk
-         |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")),
+         |ORDER BY sk.skey DESC, doc_id LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
     // identical stratum/ticket/design arithmetic, integer weights, the
     // SHARED estimate strings over the same exact moment row
     "x264_ipw_ate" ->

@@ -54,6 +54,19 @@ class GovernanceOpsSpec extends SparkSpec {
     val streamed = q("x263_stream_dp_counts")
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     assert(streamed == got, "stream DP release drifted from batch")
+    // the ticket salt is LIVE: a different (production-secret-shaped)
+    // salt must re-draw the noise — if any released value survived a
+    // salt change, the draw wouldn't depend on the salt and the
+    // documented secret-salt production mode would be a no-op
+    val countsDf = spark.read.parquet(sf() + "/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val resalted = ExtensionQueries
+      .dpCountRelease(countsDf, ticketSalt = "prod-secret-3f9a")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(resalted.keySet == got.keySet)
+    assert(resalted.forall { case (k, v) => v != got(k) },
+      "a release value survived a salt change — salt not wired into the draw")
   }
 
   test("x255 per-source Gini ≡ brute per-source sort; x258 stream twin identical") {
