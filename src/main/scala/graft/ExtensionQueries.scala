@@ -45,12 +45,37 @@ object ExtensionQueries {
     }
 
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqCodebooksM(s, dir, 4)
+
+  /** [[pqCodebooks]] at caller-chosen sub-quantizer count. m=4 (16 dims
+    * per sub, 4 bytes/vec) is the max-compression point x53's streaming
+    * index maintains; m=8 (8 dims per sub, 8 bytes/vec) is the
+    * PRODUCTION retrieval point — the finer codebook sharpens the ADC
+    * ordering enough that, with the C=1000 re-rank pool, recall@10
+    * reaches 0.90 (AnnFrontier, COVERAGE.md) where m=4/C=300 sat at
+    * 0.5–0.7.
+    */
+  private def pqCodebooksM(s: SparkSession, dir: String, m: Int): DataFrame =
     graft.operators.Fitted.getOrFit(s,
       graft.operators.Fitted.key(dir, "pq",
-        "dim" -> 64, "m" -> 4, "ksub" -> 16, "maxIter" -> 5)) {
-      graft.operators.Pq.fit(embeddingsD(s, dir), "vec", dim = 64, m = 4,
+        "dim" -> 64, "m" -> m, "ksub" -> 16, "maxIter" -> 5)) {
+      graft.operators.Pq.fit(embeddingsD(s, dir), "vec", dim = 64, m = m,
         ksub = 16, maxIter = 5)
     }
+
+  /** The PRODUCTION IVF geometry (x13/x52): K ∝ N via
+    * [[graft.operators.SemDedup.scaledK]] (the x54 device — constant
+    * expected bucket size, so probe cost per query stays flat as the
+    * corpus grows) with nProbe = K/2 — the recall-targeted point the
+    * AnnFrontier sweep measured at 0.96 recall@10 (COVERAGE.md). At the
+    * sf0.01 gate scaledK resolves to the same k=8 fit the legacy point
+    * memoized; count() is parquet-metadata-cheap and the fit itself is
+    * [[graft.operators.Fitted]]-memoized per (JVM, corpus, K).
+    */
+  private def scaledIvf(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val k = graft.operators.SemDedup.scaledK(embeddingsD(s, dir).count())
+    (semCentroids(s, dir, k), math.max(4, k / 2))
+  }
 
   /** Sketch geometry + the shared x55/x61 candidate read: exact top-20
     * terms scored against a collected sketch — ONE definition so the
@@ -595,11 +620,19 @@ object ExtensionQueries {
         e.filter(col("vec_id") < 5), "vec_id", "vec", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
-    // x11: LSH-bucketed ANN. The per-table bucket assignments and the
-    // multi-probe set (the engine-specific hyperplane-sign half) are
-    // STAGED; the candidate join + exact-cosine top-k ranking over them
-    // is oracle-checked in DuckDB against the same embeddings (recall vs
-    // x10 additionally locked by DedupSimilaritySpec)
+    // x11: LSH-bucketed ANN at the PRODUCTION parameters (r14): planes=6
+    // tables=16 — shorter signatures double each neighbor's per-table
+    // collision odds and twice the tables double the independent chances
+    // (recall 1−(1−p^planes)^tables), measured 1.00 recall@10 at both
+    // SFs for ~12% extra cost over the old planes=8/tables=8 point
+    // (AnnFrontier sweep, COVERAGE.md — the old point stays in the
+    // frontier as the cheaper reference). The per-table bucket
+    // assignments and the multi-probe set (the engine-specific
+    // hyperplane-sign half) are STAGED; the candidate join +
+    // exact-cosine top-k ranking over them is oracle-checked in DuckDB
+    // against the same embeddings — the staged buckets carry the
+    // parameters, so the oracle is parameter-agnostic (recall vs x10
+    // additionally locked by DedupSimilaritySpec)
     "x11_knn_lsh" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -608,12 +641,13 @@ object ExtensionQueries {
       // the staged probe buckets carry the choice so the oracle's bucket
       // join is radius-agnostic
       val radius = Similarity.adaptiveProbeRadius(e.count())
-      Stage.write(Similarity.lshItemBuckets(e, "vec_id", "vec"),
-        dir, "x11_item_buckets")
+      Stage.write(Similarity.lshItemBuckets(e, "vec_id", "vec",
+        numPlanes = 6, numTables = 16), dir, "x11_item_buckets")
       Stage.write(Similarity.lshProbeBuckets(q, "vec_id", "vec",
-        probeRadius = radius), dir, "x11_probe_buckets")
+        numPlanes = 6, numTables = 16, probeRadius = radius),
+        dir, "x11_probe_buckets")
       Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
-        probeRadius = radius)
+        numPlanes = 6, numTables = 16, probeRadius = radius)
         .orderBy(col("query_id"), col("rank"))
     }),
     // x13: IVF ANN. The item→centroid assignments and the nProbe bucket
@@ -628,16 +662,23 @@ object ExtensionQueries {
     // vectors (IVFADC+R — compressed-domain ranks alone recall ~0.06 on
     // near-random embeddings). All float folds are sequential in a
     // defined order (dims, then subs) so DuckDB re-derives bit-exactly.
+    // r14: PRODUCTION parameters m=8 / C=1000 (was m=4 / C=300) — the
+    // finer codebook (8 dims per sub, still 16 centroids each) sharpens
+    // the ADC ordering and the bigger re-rank pool recovers neighbors
+    // the coarse ordering buried: measured 0.90 recall@10 (AnnFrontier,
+    // COVERAGE.md). C is corpus-size-independent, so the re-rank cost is
+    // FLAT at scale; the staged codebooks/codes carry m, and only the
+    // oracle's sub-slice width and pool cutoff mirror the two constants.
     "x51_knn_pq" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
-      val cb = pqCodebooks(s, dir)
+      val cb = pqCodebooksM(s, dir, 8)
       val codes = graft.engine.CacheScope.persistTracked(
-        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
+        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 8))
       Stage.write(cb, dir, "x51_codebooks")
       Stage.write(codes, dir, "x51_codes")
       graft.operators.Pq.topKRerank(codes, cb, e, "vec_id", "vec",
-        q, "vec_id", "vec", k = 10, dim = 64, m = 4)
+        q, "vec_id", "vec", k = 10, dim = 64, m = 8, candMult = 100)
         .withColumn("d2", graft.functions.EngineMath.roundAway(col("d2"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -646,41 +687,51 @@ object ExtensionQueries {
     // each query's probed buckets, scored by ADC over integer codes,
     // finalists re-scored on original vectors. All three engine-specific
     // tables staged; DuckDB re-derives the restricted ranking bit-exactly.
+    // r14: PRODUCTION parameters K ∝ N / nProbe = K/2 / m=8 / C=1000
+    // (was K=8 / nProbe=3 / m=4 / C=300) — measured 0.90 recall@10
+    // (AnnFrontier, COVERAGE.md). The staged candidate table carries the
+    // IVF geometry, codebooks/codes carry m; the oracle mirrors only the
+    // sub-slice width and pool cutoff.
     "x52_knn_ivfpq" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
-      val centroids = ivfCentroids(s, dir)
+      val (centroids, nProbe) = scaledIvf(s, dir)
       val cand = graft.engine.CacheScope.persistTracked(
         graft.operators.Ivf.assign(e, "vec_id", "vec", centroids)
           .join(graft.operators.Ivf
-            .assignProbes(q, "vec_id", "vec", centroids, nProbe = 3)
+            .assignProbes(q, "vec_id", "vec", centroids, nProbe = nProbe)
             .select(col("query_id"), col("centroid_id")), Seq("centroid_id"))
           .select(col("query_id"), col("id")))
-      val cb = pqCodebooks(s, dir)
+      val cb = pqCodebooksM(s, dir, 8)
       val codes = graft.engine.CacheScope.persistTracked(
-        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 4))
+        graft.operators.Pq.encode(e, "vec_id", "vec", cb, dim = 64, m = 8))
       Stage.write(cand, dir, "x52_cand")
       Stage.write(cb, dir, "x52_codebooks")
       Stage.write(codes, dir, "x52_codes")
       graft.operators.Pq.topKWithinRerank(cand, codes, cb, e, "vec_id",
-        "vec", q, "vec_id", "vec", k = 10, dim = 64, m = 4)
+        "vec", q, "vec_id", "vec", k = 10, dim = 64, m = 8, candMult = 100)
         .withColumn("d2", graft.functions.EngineMath.roundAway(col("d2"), 6))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // r14: PRODUCTION geometry K ∝ N / nProbe = K/2 (was K=8/nProbe=3):
+    // constant expected bucket size keeps the probed fraction's COST
+    // flat as the corpus grows while the finer partition stops splitting
+    // true neighborhoods — measured 0.96 recall@10 at sf0.1 (AnnFrontier,
+    // COVERAGE.md; the K=8 point stays in the frontier as reference).
+    // maxIter 5: converged enough for bucketing at ~40% of the fit cost.
+    // The staged assignment/probe tables carry the geometry, so the
+    // oracle is parameter-agnostic.
     "x13_knn_ivf" -> ((s, dir) => {
       val e = embeddingsD(s, dir)
       val q = e.filter(col("vec_id") < 5)
-      // maxIter 5: converged enough for bucketing (measured recall 0.70 vs
-      // 0.62 at 10 iters — fewer iterations leave coarser centroids that
-      // split fewer true neighborhoods) at ~40% of the fit cost
-      val centroids = ivfCentroids(s, dir)
+      val (centroids, nProbe) = scaledIvf(s, dir)
       Stage.write(graft.operators.Ivf.assign(e, "vec_id", "vec", centroids),
         dir, "x13_item_assign")
       Stage.write(graft.operators.Ivf
-        .assignProbes(q, "vec_id", "vec", centroids, nProbe = 3)
+        .assignProbes(q, "vec_id", "vec", centroids, nProbe = nProbe)
         .select(col("query_id"), col("centroid_id")), dir, "x13_probes")
       graft.operators.Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec",
-        k = 10, centroids, nProbe = 3)
+        k = 10, centroids, nProbe = nProbe)
         .orderBy(col("query_id"), col("rank"))
     }),
     // x12: multimodal binary-column pipeline — partition-batched decode
@@ -9651,14 +9702,15 @@ object ExtensionQueries {
       // ADC re-derived from the staged codebooks + codes: per-query
       // sub-distance table from the raw embeddings, lookups summed in
       // SUB ORDER (list_reduce ≡ the engine's sequential fold); the ADC
-      // top-C (C = 30·k) pool is then re-ranked by EXACT squared
+      // top-C (C = 100·k, the r14 production pool; sub-slice width 8 =
+      // dim/m at m=8) pool is then re-ranked by EXACT squared
       // distance folded in DIMENSION order — the engine's rerank stage
       (s"""WITH cb AS (SELECT sub, centroid_id, cvec FROM ${Stage.sqlRef("x51_codebooks")}),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id < 5),
          |qp AS (SELECT query_id, sub, centroid_id,
          |  list_reduce(list_prepend(0.0, list_transform(
-         |    list_zip(list_slice(qv, sub * 16 + 1, sub * 16 + 16), cvec),
+         |    list_zip(list_slice(qv, sub * 8 + 1, sub * 8 + 8), cvec),
          |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2p
          |  FROM q CROSS JOIN cb),
          |sc AS (SELECT qp.query_id, c.id, qp.sub, qp.d2p
@@ -9676,7 +9728,7 @@ object ExtensionQueries {
          |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2
          |  FROM r JOIN q ON q.query_id = r.query_id
          |  JOIN embeddings e ON e.vec_id = r.item_id
-         |  WHERE r.rank <= 300),
+         |  WHERE r.rank <= 1000),
          |rr AS (SELECT query_id, item_id, d2, row_number() OVER (
          |    PARTITION BY query_id ORDER BY d2, item_id) AS rank FROM ex)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,
@@ -9692,7 +9744,7 @@ object ExtensionQueries {
          |  FROM embeddings WHERE vec_id < 5),
          |qp AS (SELECT query_id, sub, centroid_id,
          |  list_reduce(list_prepend(0.0, list_transform(
-         |    list_zip(list_slice(qv, sub * 16 + 1, sub * 16 + 16), cvec),
+         |    list_zip(list_slice(qv, sub * 8 + 1, sub * 8 + 8), cvec),
          |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2p
          |  FROM q CROSS JOIN cb),
          |cand AS (SELECT query_id, id FROM ${Stage.sqlRef("x52_cand")}),
@@ -9713,7 +9765,7 @@ object ExtensionQueries {
          |    p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y) AS d2
          |  FROM r JOIN q ON q.query_id = r.query_id
          |  JOIN embeddings e ON e.vec_id = r.item_id
-         |  WHERE r.rank <= 300),
+         |  WHERE r.rank <= 1000),
          |rr AS (SELECT query_id, item_id, d2, row_number() OVER (
          |    PARTITION BY query_id ORDER BY d2, item_id) AS rank FROM ex)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id,

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Recall-vs-latency frontier for every ANN family (SURVEY.md §2.C) —
   * the parameter sweep that makes the retrieval quality of each
   * speed/memory trade a MEASURED, committed artifact instead of a fixed
-  * production point. Each family gets its production parameters (the
-  * x11/x13/x51/x52 contracts) plus recall-targeted parameters chosen so
-  * ≥0.8 recall@10 is reachable at documented cost:
+  * production point. Since r14 the recall-targeted parameters ARE the
+  * production points the gated x11/x13/x51/x52 queries run (each ≥0.84
+  * recall@10, AnnRecallSpec-floored at 0.8); the pre-r14 points stay in
+  * the sweep as the cheaper low-recall references so the cost of the
+  * recall is itself a committed number:
   *
   *  - LSH: more tables = more independent chances for a neighbor to
   *    share a bucket (recall 1−(1−p^planes)^tables); cost is linear in
@@ -62,40 +64,42 @@ object AnnFrontier {
 
     val radius = Similarity.adaptiveProbeRadius(n)
     val configs: Seq[(String, String, Boolean, () => DataFrame)] = Seq(
-      ("LSH", s"planes=8 tables=8 r=$radius (x11)", false, () =>
+      ("LSH", s"planes=8 tables=8 r=$radius (pre-r14 x11)", false, () =>
         Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           probeRadius = radius)),
-      ("LSH", s"planes=6 tables=16 r=$radius", true, () =>
+      ("LSH", s"planes=6 tables=16 r=$radius (x11 production)", true, () =>
         Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           numPlanes = 6, numTables = 16, probeRadius = radius)),
       ("LSH", s"planes=6 tables=32 r=$radius", false, () =>
         Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           numPlanes = 6, numTables = 32, probeRadius = radius)),
-      ("IVF", "K=8 nProbe=3 (x13)", false, () =>
+      ("IVF", "K=8 nProbe=3 (pre-r14 x13)", false, () =>
         Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           cent8, nProbe = 3)),
       ("IVF", s"K=$kScaled nProbe=${kScaled / 4}", false, () =>
         Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
           centS, nProbe = math.max(2, kScaled / 4))),
-      ("IVF", s"K=$kScaled nProbe=${kScaled / 2}", true, () =>
-        Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
-          centS, nProbe = math.max(4, kScaled / 2))),
+      ("IVF", s"K=$kScaled nProbe=${kScaled / 2} (x13 production)", true,
+        () =>
+          Ivf.topK(e, "vec_id", "vec", q, "vec_id", "vec", k = 10,
+            centS, nProbe = math.max(4, kScaled / 2))),
       ("PQ ADC-only", "m=4 (compressed domain)", false, () =>
         Pq.topK(codes4, cb4, q, "vec_id", "vec", k = 10, dim = 64, m = 4)),
       ("IVF×PQ ADC-only", "K=8 nProbe=3 m=4", false, () =>
         Pq.topKWithin(cand(cent8, 3), codes4, cb4, q, "vec_id", "vec",
           k = 10, dim = 64, m = 4)),
-      ("PQ+rerank", "m=4 C=300 (x51)", false, () =>
+      ("PQ+rerank", "m=4 C=300 (pre-r14 x51)", false, () =>
         Pq.topKRerank(codes4, cb4, e, "vec_id", "vec", q, "vec_id", "vec",
           k = 10, dim = 64, m = 4)),
-      ("PQ+rerank", "m=8 C=1000", true, () =>
+      ("PQ+rerank", "m=8 C=1000 (x51 production)", true, () =>
         Pq.topKRerank(codes8, cb8, e, "vec_id", "vec", q, "vec_id", "vec",
           k = 10, dim = 64, m = 8, candMult = 100)),
-      ("IVF×PQ+rerank", "K=8 nProbe=3 m=4 C=300 (x52)", false, () =>
+      ("IVF×PQ+rerank", "K=8 nProbe=3 m=4 C=300 (pre-r14 x52)", false, () =>
         Pq.topKWithinRerank(cand(cent8, 3), codes4, cb4, e, "vec_id", "vec",
           q, "vec_id", "vec", k = 10, dim = 64, m = 4)),
-      ("IVF×PQ+rerank", s"K=$kScaled nProbe=${kScaled / 2} m=8 C=1000", true,
-        () =>
+      ("IVF×PQ+rerank",
+        s"K=$kScaled nProbe=${kScaled / 2} m=8 C=1000 (x52 production)",
+        true, () =>
           Pq.topKWithinRerank(cand(centS, math.max(4, kScaled / 2)), codes8,
             cb8, e, "vec_id", "vec", q, "vec_id", "vec", k = 10, dim = 64,
             m = 8, candMult = 100)))

@@ -55,9 +55,10 @@ class AnnRecallSpec extends SparkSpec {
     val table =
       s"""$begin
          |Measured by AnnRecallSpec (AnnFrontier.sweep) against the exact
-         |brute-force top-10 (x10): production parameters of each query
-         |plus the recall-targeted parameters that make ≥0.8 recall@10
-         |reachable in every family (bold). Seconds are steady-state on
+         |brute-force top-10 (x10). Bold rows are the PRODUCTION points
+         |the gated x11/x13/x51/x52 queries run since r14 (each ≥0.8
+         |recall@10, spec-floored); the pre-r14 rows stay as the cheaper
+         |low-recall references. Seconds are steady-state on
          |the test session — comparable within the table only. PQ
          |ADC-only rows rank by reconstruction distance, so their recall
          |trades against the 64× memory compression; candidate-restricted
