@@ -459,12 +459,57 @@ object StreamOps {
       onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _ => ()): DataFrame =
     drainCells(spark, docsDir, queryName, maxFilesPerTrigger,
-      normalizeTs = false,
-      _.select(col("source"),
-          size(graft.functions.TextFunctions.tokens(col("text")))
-            .cast("long").as("x"))
-        .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c")),
-      onFinish)
+      normalizeTs = false, docLengthCells, onFinish)
+
+  /** The x255/x258 shared cell transform: per-(source, token-length)
+    * counts — ONE definition so the drained twin and the checkpointed
+    * maintained variant aggregate the identical state shape.
+    */
+  private def docLengthCells(src: DataFrame): DataFrame =
+    src.select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+
+  /** Fault-tolerant MAINTAINED form of [[docLengthHistStreaming]]: the
+    * same one-stateful-aggregate histogram, CHECKPOINTED, each trigger
+    * publishing the full updated cell table to `snapshotDir` (Complete
+    * mode hands foreachBatch the whole aggregate; the overwrite is
+    * idempotent, so a replayed trigger republishes identical bytes).
+    * Unlike the memory-sink drain — which is a verification read that
+    * rebuilds state per run — this is the production shape: the state
+    * store + offset log under `checkpointDir` survive a crash, and a
+    * restarted query RESUMES from the last committed micro-batch's
+    * state instead of rescanning history (the 100 TB operational
+    * requirement; StreamingSpec kills one mid-stream and proves the
+    * restarted release is bit-identical to batch x255). `onBatch` fires
+    * at the start of each foreachBatch — observability plus the
+    * fault-injection point the crash-recovery spec throws from.
+    */
+  def docLengthHistMaintained(spark: SparkSession, docsDir: String,
+      checkpointDir: String, snapshotDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      onBatch: Long => Unit = _ => ()): Unit = {
+    val dir = streamableDir(docsDir)
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
+    val q = docLengthCells(raw)
+      .writeStream
+      .foreachBatch { (cells: DataFrame, batchId: Long) =>
+        onBatch(batchId)
+        // materialize before the write: the snapshot overwrite must not
+        // observe its own target (same discipline as mergeCubeBatch)
+        cells.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(snapshotDir)
+      }
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** Stream-maintained per-source document counts for the x263 DP
     * release: counts are the trivially additive state; the entire DP
@@ -758,7 +803,8 @@ object StreamOps {
     * keeps each partition at (groups × 2) rows, not (groups × batches).
     */
   def incrementalCubeMaintenance(spark: SparkSession, eventsDir: String,
-      cubeDir: String, checkpointDir: String): Unit = {
+      cubeDir: String, checkpointDir: String,
+      onMerged: Long => Unit = _ => ()): Unit = {
     val dir = streamableDir(eventsDir)
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema)
@@ -769,6 +815,11 @@ object StreamOps {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeCubeBatch(batch, batchId, cubeDir)
+        // fires AFTER the merge committed but BEFORE Spark writes the
+        // batch's checkpoint commit — the fault-injection point for the
+        // torn-state crash the replay guard exists for (StreamingSpec
+        // kills here and proves the replayed merge dedupes)
+        onMerged(batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -315,4 +315,83 @@ class StreamingSpec extends SparkSpec {
     // percentile downstream of it
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  /** Walk a failure's cause chain looking for the injected marker. */
+  private def causedBy(t: Throwable, marker: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+      .exists(e => Option(e.getMessage).exists(_.contains(marker)))
+
+  private def committedBatches(ckpt: String): Set[String] =
+    Option(new java.io.File(s"$ckpt/commits").listFiles)
+      .map(_.map(_.getName).filterNot(_.startsWith(".")).toSet)
+      .getOrElse(Set.empty)
+
+  test("CRASH RECOVERY: x258 histogram killed mid-stream resumes from checkpointed state; restarted release == batch x255 bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash1").toString
+    spark.read.parquet(s"${sf()}/documents.parquet").repartition(4)
+      .write.parquet(s"$tmp/docs")
+    // run 1: kill at the START of micro-batch 1 — batch 0's state-store
+    // delta and commit are durable, batch 1 is not
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamOps.docLengthHistMaintained(spark, s"$tmp/docs",
+        s"$tmp/ckpt", s"$tmp/snap", maxFilesPerTrigger = Some(1),
+        onBatch = id => if (id == 1) sys.error("injected crash r14"))
+    }
+    assert(causedBy(ex, "injected crash r14"), s"unexpected failure: $ex")
+    assert(committedBatches(s"$tmp/ckpt") == Set("0"),
+      "crash landed wrong: exactly micro-batch 0 should be committed")
+    // run 2: restart the SAME production entry point on the SAME
+    // checkpoint — it must RESUME (first processed batch is the replayed
+    // id 1, never 0: state recovered, history not rescanned)
+    var replayed = List.empty[Long]
+    StreamOps.docLengthHistMaintained(spark, s"$tmp/docs",
+      s"$tmp/ckpt", s"$tmp/snap", maxFilesPerTrigger = Some(1),
+      onBatch = id => replayed = replayed :+ id)
+    assert(replayed.nonEmpty && replayed.head == 1L,
+      s"restart did not resume from the checkpoint (processed $replayed)")
+    assert(committedBatches(s"$tmp/ckpt").size > 1)
+    // the released statistic off the recovered state is bit-identical to
+    // the batch x255 release (the stream-twin contract, post-crash)
+    val streamRelease = ExtensionQueries
+      .giniOverLengthHist(spark.read.parquet(s"$tmp/snap"))
+      .collect().map(_.toSeq)
+    val batchRelease = SparkEntry.queries("x255_source_gini")(spark, sf())
+      .collect().map(_.toSeq)
+    assert(streamRelease.nonEmpty)
+    assert(streamRelease.toSeq == batchRelease.toSeq,
+      "post-crash stream release drifted from the batch statistic")
+  }
+
+  test("CRASH RECOVERY: incremental cube killed AFTER a merge commits but BEFORE its checkpoint commit; restart dedupes the replayed batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash2").toString
+    events.repartition(4).write.parquet(s"$tmp/src")
+    // run 1: kill right after micro-batch 1's merge lands in the cube —
+    // the sink is now AHEAD of the checkpoint (the torn state the
+    // batch_id replay guard exists for)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamOps.incrementalCubeMaintenance(spark, s"$tmp/src",
+        s"$tmp/cube", s"$tmp/ckpt",
+        onMerged = id => if (id == 1) sys.error("injected torn state r14"))
+    }
+    assert(causedBy(ex, "injected torn state r14"), s"unexpected failure: $ex")
+    assert(committedBatches(s"$tmp/ckpt") == Set("0"))
+    // the tear is REAL: the cube already holds batch 1's partials
+    assert(spark.read.parquet(s"$tmp/cube")
+      .filter(col("batch_id") === 1L).count() > 0,
+      "fault injection missed — batch 1 partials absent, nothing torn")
+    // run 2: plain restart. Spark replays batch 1 from the offset log;
+    // mergeCubeBatch first drops the batch_id=1 rows the dead attempt
+    // committed, so the re-merge cannot double-count
+    StreamOps.incrementalCubeMaintenance(spark, s"$tmp/src",
+      s"$tmp/cube", s"$tmp/ckpt")
+    val cube = StreamOps.readCube(spark, s"$tmp/cube")
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("value_sum"), 4).as("value_sum"))
+    val batch = events.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum"))
+    assert(cube.count() == batch.count())
+    assert(cube.exceptAll(batch).isEmpty && batch.exceptAll(cube).isEmpty,
+      "post-crash cube drifted from the full batch rebuild")
+  }
 }
