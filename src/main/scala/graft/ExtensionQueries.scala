@@ -6822,6 +6822,44 @@ object ExtensionQueries {
       dpCountRelease(table(s, dir, "documents")
         .groupBy(col("source")).agg(count(lit(1)).as("n")),
         ticketSalt = "dp1")),
+    // x262: ANN recall CERTIFICATION of the production retrieval point —
+    // makes "the index is good enough to ship" a hash-verified fact
+    // instead of a spec assertion: per query vector, the exact
+    // brute-force top-10 (the x10 machinery) against the production-LSH
+    // top-10 (x11's planes=6/tables=16 point), recall = |∩|/10. The
+    // engine emits EVERY query's row; the oracle re-derives BOTH sides
+    // (brute force from the raw embeddings, candidates from the staged
+    // buckets) and keeps a row only when recall ≥ 0.8 — in integer form
+    // n_hit·10 ≥ n_true·8, no float boundary — so a sub-floor query
+    // diverges row counts and fails the gate: the x251-x253
+    // error-bound-oracle pattern applied to retrieval quality. Cost is
+    // the brute baseline (one broadcast cross join over the 5-query
+    // panel) — a certification you run per index build, not per query.
+    "x262_ann_recall_cert" -> ((s, dir) => {
+      val e = embeddingsD(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val radius = Similarity.adaptiveProbeRadius(e.count())
+      Stage.write(Similarity.lshItemBuckets(e, "vec_id", "vec",
+        numPlanes = 6, numTables = 16), dir, "x262_item_buckets")
+      Stage.write(Similarity.lshProbeBuckets(q, "vec_id", "vec",
+        numPlanes = 6, numTables = 16, probeRadius = radius),
+        dir, "x262_probe_buckets")
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "vec",
+        q, "vec_id", "vec", k = 10)
+        .select(col("query_id"), col("item_id"))
+      val ann = Similarity.lshTopK(e, "vec_id", "vec", q, "vec_id", "vec",
+        k = 10, numPlanes = 6, numTables = 16, probeRadius = radius)
+        .select(col("query_id"), col("item_id"))
+      val hits = brute.join(ann, Seq("query_id", "item_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          graft.functions.EngineMath.roundAway(expr(RecallSql), 4))
+        .orderBy(col("query_id"))
+    }),
     // x263: the STREAM-MAINTAINED twin of x254 — a privacy-preserving
     // datacard maintained on ingest: per-source counts are the trivially
     // ADDITIVE state (one stateful aggregate), and the ENTIRE DP
@@ -8426,6 +8464,13 @@ object ExtensionQueries {
       s"s AS (SELECT doc_id, text, ts, ${markers("en")} AS en, ${markers("de")} AS de, " +
       s"${markers("fr")} AS fr, ${markers("es")} AS es FROM m), " +
       s"l AS (SELECT doc_id, text, ts, $langCase AS lang FROM s)"
+
+  /** x262's shared recall read over a certification row (n_true, n_hit):
+    * both engines compute the identical integer counts, so the one
+    * division cannot drift.
+    */
+  private val RecallSql =
+    "CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)"
 
   /** x255's shared Gini read over the (n_docs, sx, srx) row — the sorted
     * formula G = (2·Σ r·x − (n+1)·Σx)/(n·Σx) with the exact decimal
@@ -12926,6 +12971,43 @@ object ExtensionQueries {
          |sk AS (SELECT doc_id, w, $ReservoirKeySql AS skey FROM kd)
          |SELECT doc_id, w, round(skey, 9) AS skey FROM sk
          |ORDER BY sk.skey DESC, doc_id LIMIT 50"""
+        .stripMargin.replace("\n", " ")),
+    // both halves re-derived independently: brute force from the raw
+    // embeddings (the x10 derivation), the LSH side from the STAGED
+    // bucket tables (the x11 derivation), identical (cos DESC, item_id)
+    // tie-breaks — then the ERROR-BOUND filter: a row survives only at
+    // recall ≥ 0.8 (integer form, no float boundary), so a sub-floor
+    // production index diverges row counts and fails the gate
+    "x262_ann_recall_cert" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |i AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS iv FROM embeddings),
+         |br AS (SELECT query_id, item_id FROM (
+         |  SELECT query_id, item_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, item_id) AS rank
+         |  FROM i CROSS JOIN q WHERE item_id != query_id) WHERE rank <= 10),
+         |it AS (SELECT id AS item_id, t, sig FROM ${Stage.sqlRef("x262_item_buckets")}),
+         |pr AS (SELECT DISTINCT id AS query_id, t, sig FROM ${Stage.sqlRef("x262_probe_buckets")}),
+         |cand AS (SELECT DISTINCT b.query_id, a.item_id FROM it a
+         |  JOIN pr b ON a.t = b.t AND a.sig = b.sig
+         |  WHERE a.item_id != b.query_id),
+         |ar AS (SELECT query_id, item_id FROM (
+         |  SELECT c.query_id, c.item_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY $cosSql DESC, c.item_id) AS rank
+         |  FROM cand c JOIN i ON i.item_id = c.item_id
+         |  JOIN q ON q.query_id = c.query_id) WHERE rank <= 10),
+         |tr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM br GROUP BY 1),
+         |ht AS (SELECT br.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM br JOIN ar ON ar.query_id = br.query_id
+         |    AND ar.item_id = br.item_id GROUP BY 1),
+         |f AS (SELECT tr.query_id, n_true,
+         |    CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit
+         |  FROM tr LEFT JOIN ht ON ht.query_id = tr.query_id)
+         |SELECT query_id, n_true, n_hit, round($RecallSql, 4) AS recall
+         |FROM f WHERE n_hit * 10 >= n_true * 8 ORDER BY query_id"""
         .stripMargin.replace("\n", " ")),
     // identical stratum/ticket/design arithmetic, integer weights, the
     // SHARED estimate strings over the same exact moment row

@@ -14,6 +14,46 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val embs = Tables.table(spark, sf(), "embeddings")
     .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
 
+  test("x262 recall certification ≡ hand brute-force intersection; production floor holds") {
+    val rows = SparkEntry.queries("x262_ann_recall_cert")(spark, sf())
+      .collect().sortBy(_.getAs[Long]("query_id"))
+    assert(rows.length == 5)
+    // the brute half re-derived on the driver: plain double loops, no
+    // Spark (the LSH half is mechanism-locked by the tests below; here
+    // we prove the CERTIFICATION arithmetic over the two sides)
+    val vecs = embs.select("vec_id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lsh = Similarity.lshTopK(embs, "vec_id", "vec",
+      embs.filter(col("vec_id") < 5), "vec_id", "vec", k = 10,
+      numPlanes = 6, numTables = 16,
+      probeRadius = Similarity.adaptiveProbeRadius(vecs.size.toLong))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("item_id"))).toSet
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val brute = vecs.keysIterator.filter(_ != qid).toSeq
+        .map(id => (id, cos(vecs(id), vecs(qid))))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      assert(r.getAs[Long]("n_true") == 10L)
+      val nHit = brute.count(id => lsh.contains((qid, id)))
+      assert(r.getAs[Long]("n_hit") == nHit.toLong,
+        s"query $qid: engine n_hit ${r.getAs[Long]("n_hit")} vs hand $nHit")
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(nHit / 10.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the bound the oracle enforces by row-dropping, asserted directly
+      assert(nHit * 10 >= 80,
+        s"query $qid below the 0.8 certification floor on the gated corpus")
+    }
+  }
+
   test("exactDeduplicate keeps exactly one row per content, smallest id") {
     import spark.implicits._
     val withDups = docs.select("doc_id", "text").unionByName(
