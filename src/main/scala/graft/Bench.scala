@@ -89,15 +89,19 @@ object Bench {
       "x207_delong_auc_ci", "x224_isotonic", "x227_brier_decomp",
       "x229_equalized_odds", "x231_woe_iv")),
     "qlrcv" -> ("x201_cv_auc", Set("x201_cv_auc")),
-    "ivf" -> ("x13_knn_ivf", Set("x13_knn_ivf", "x52_knn_ivfpq",
-      "x67_stream_index", "x183_cluster_report",
-      "x194_silhouette")),
-    // x54 fits at its own corpus-scaled K (SemDedup.scaledK) — only at
-    // sf0.01 does that coincide with the ivf family's k=8 fit, so it
-    // warms itself
-    "sem" -> ("x54_semantic_pairs", Set("x54_semantic_pairs")),
-    "pq" -> ("x51_knn_pq", Set("x51_knn_pq", "x52_knn_ivfpq",
-      "x67_stream_index")),
+    // the fixed k=8 coarse fit (x53/x67's streaming index keeps the
+    // max-compression geometry; the diagnostics read the same fit)
+    "ivf" -> ("x183_cluster_report", Set("x67_stream_index",
+      "x183_cluster_report", "x194_silhouette")),
+    // the corpus-scaled K fit (SemDedup.scaledK): since r14 the
+    // production x13/x52 geometry IS x54's fit — one family, warmed by
+    // its cheapest member
+    "sem" -> ("x13_knn_ivf", Set("x13_knn_ivf", "x52_knn_ivfpq",
+      "x54_semantic_pairs")),
+    // m=4 codebooks (the streaming index's max-compression point)
+    "pq" -> ("x67_stream_index", Set("x67_stream_index")),
+    // m=8 codebooks (the r14 production retrieval point)
+    "pq8" -> ("x51_knn_pq", Set("x51_knn_pq", "x52_knn_ivfpq")),
     "pca" -> ("x204_pca_whitening", Set("x204_pca_whitening")))
 
   /** Back-compat view for readers of the JSON stamp. */

@@ -20,40 +20,61 @@ class BenchSpec extends AnyFunSuite {
 
   private val helperToFamily = Map(
     "ivfCentroids(" -> "ivf",
-    // x54's corpus-scaled K fit (ivfCentroids delegates here at k=8;
-    // that call site sits in helper territory and is skipped)
+    // the corpus-scaled K fit: shared by x54 (semCentroids at scaledK)
+    // and, since r14, the production x13/x52 geometry (scaledIvf) —
+    // ivfCentroids/pqCodebooks delegate from helper territory and are
+    // skipped
     "semCentroids(" -> "sem",
+    "scaledIvf(" -> "sem",
     "pqCodebooks(" -> "pq",
+    "pqCodebooksM(" -> "pq8",
     "qlrScoredLab(" -> "qlr")
 
+  /** The split query files (r14): the family traits plus the base — the
+    * fit sweep walks all of them, labeling each site by the enclosing
+    * query key WITHIN ITS FILE (helper-territory sites stay "?").
+    */
+  private def queryFiles: Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get("src/main/scala/graft")
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("Ext") ||
+          p.getFileName.toString == "ExtensionQueries.scala")
+        .toSeq.sortBy(_.toString)
+    } finally s.close()
+  }
+
   private def derived(): Map[String, Set[String]] = {
-    val src = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("src/main/scala/graft/ExtensionQueries.scala"))
     val keyPat = java.util.regex.Pattern.compile(
       "\"([a-z][0-9a-z_]*)\"\\s*->\\s*\\(\\(")
-    def enclosing(offset: Int): String = {
-      val m = keyPat.matcher(src.substring(0, offset))
-      var last = "?"
-      while (m.find()) last = m.group(1)
-      last
-    }
     val fams = scala.collection.mutable.Map.empty[String, Set[String]]
       .withDefaultValue(Set.empty)
-    // direct Fitted.key sites
-    val direct = java.util.regex.Pattern.compile(
-      "Fitted\\.key\\(dir,\\s*\"([a-z]+)\"").matcher(src)
-    while (direct.find()) {
-      val q = enclosing(direct.start())
-      if (q != "?") fams(direct.group(1)) = fams(direct.group(1)) + q
-    }
-    // helper call sites (the helper defs own the Fitted.key; consumers
-    // own the cost when the artifact is cold)
-    for ((needle, fam) <- helperToFamily) {
-      var i = src.indexOf(needle)
-      while (i >= 0) {
-        val q = enclosing(i)
-        if (q != "?") fams(fam) = fams(fam) + q
-        i = src.indexOf(needle, i + 1)
+    for (f <- queryFiles) {
+      val src = java.nio.file.Files.readString(f)
+      def enclosing(offset: Int): String = {
+        val m = keyPat.matcher(src.substring(0, offset))
+        var last = "?"
+        while (m.find()) last = m.group(1)
+        last
+      }
+      // direct Fitted.key sites
+      val direct = java.util.regex.Pattern.compile(
+        "Fitted\\.key\\(dir,\\s*\"([a-z]+)\"").matcher(src)
+      while (direct.find()) {
+        val q = enclosing(direct.start())
+        if (q != "?") fams(direct.group(1)) = fams(direct.group(1)) + q
+      }
+      // helper call sites (the helper defs own the Fitted.key; consumers
+      // own the cost when the artifact is cold)
+      for ((needle, fam) <- helperToFamily) {
+        var i = src.indexOf(needle)
+        while (i >= 0) {
+          val q = enclosing(i)
+          if (q != "?") fams(fam) = fams(fam) + q
+          i = src.indexOf(needle, i + 1)
+        }
       }
     }
     fams.toMap

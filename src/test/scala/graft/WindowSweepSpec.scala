@@ -148,36 +148,36 @@ class WindowSweepSpec extends AnyFunSuite {
     // epoch-shard offsets: (priority band × ticket prefix) counts
     "graft/operators/Shards.scala!ranked" -> 1,
     // value-grouped cums: frame = |distinct quantized values|
-    "graft/ExtensionQueries.scala!x88_model_auc" -> 1,
-    "graft/ExtensionQueries.scala!x134_ks_drift" -> 1,
-    "graft/ExtensionQueries.scala!x162_optimal_threshold" -> 1,
-    "graft/ExtensionQueries.scala!x192_pr_auc" -> 2,
-    "graft/ExtensionQueries.scala!x196_conformal" -> 1,
-    "graft/ExtensionQueries.scala!x201_cv_auc" -> 1,
-    "graft/ExtensionQueries.scala!x203_selection_bias" -> 1,
-    "graft/ExtensionQueries.scala!x205_source_ablation" -> 1,
-    "graft/ExtensionQueries.scala!x207_delong_auc_ci" -> 2,
+    "graft/ExtTextQueries.scala!x88_model_auc" -> 1,
+    "graft/ExtAnnQueries.scala!x134_ks_drift" -> 1,
+    "graft/ExtAnnQueries.scala!x162_optimal_threshold" -> 1,
+    "graft/ExtAnnQueries.scala!x192_pr_auc" -> 2,
+    "graft/ExtAnnQueries.scala!x196_conformal" -> 1,
+    "graft/ExtTextQueries.scala!x201_cv_auc" -> 1,
+    "graft/ExtTextQueries.scala!x203_selection_bias" -> 1,
+    "graft/ExtTextStatsQueries.scala!x205_source_ablation" -> 1,
+    "graft/ExtTextStatsQueries.scala!x207_delong_auc_ci" -> 2,
     // count-of-counts histogram prefixes: O(distinct counts)
-    "graft/ExtensionQueries.scala!x151_gini_concentration" -> 1,
-    "graft/ExtensionQueries.scala!x152_coverage_curve" -> 1,
-    "graft/ExtensionQueries.scala!x197_skew_audit" -> 1,
+    "graft/ExtTextStatsQueries.scala!x151_gini_concentration" -> 1,
+    "graft/ExtTextStatsQueries.scala!x152_coverage_curve" -> 1,
+    "graft/ExtAnalyticsQueries.scala!x197_skew_audit" -> 1,
     // shared helpers: count-of-counts / per-day frames (x151/x152/x197
     // and the daily-CUSUM family ride these)
-    "graft/ExtensionQueries.scala!w1OverCounts" -> 1,
-    "graft/ExtensionQueries.scala!cusumOverDaily" -> 2,
+    "graft/ExtQueriesBase.scala!w1OverCounts" -> 1,
+    "graft/ExtQueriesBase.scala!cusumOverDaily" -> 2,
     // aggregate-bounded frames (stages / sources / days / top-k cuts)
-    "graft/ExtensionQueries.scala!x113_quantile_normalize" -> 1,
-    "graft/ExtensionQueries.scala!x127_pipeline_funnel" -> 1,
-    "graft/ExtensionQueries.scala!x128_quota_sample" -> 1,
-    "graft/ExtensionQueries.scala!x142_zipf_fit" -> 1,
-    "graft/ExtensionQueries.scala!x211_theil_sen" -> 1,
-    "graft/ExtensionQueries.scala!x213_budget_alloc" -> 1,
-    "graft/ExtensionQueries.scala!x217_spearman" -> 1,
-    "graft/ExtensionQueries.scala!x153_hill_tail" -> 1,
-    "graft/ExtensionQueries.scala!x169_hits" -> 1,
-    "graft/ExtensionQueries.scala!x171_bh_fdr" -> 1,
-    "graft/ExtensionQueries.scala!x191_kaplan_meier" -> 2,
-    "graft/ExtensionQueries.scala!x193_gains" -> 1,
-    "graft/ExtensionQueries.scala!x198_logrank" -> 1,
-    "graft/ExtensionQueries.scala!x225_neyman_alloc" -> 1)
+    "graft/ExtTextQueries.scala!x113_quantile_normalize" -> 1,
+    "graft/ExtDedupQueries.scala!x127_pipeline_funnel" -> 1,
+    "graft/ExtTextQueries.scala!x128_quota_sample" -> 1,
+    "graft/ExtAnnQueries.scala!x142_zipf_fit" -> 1,
+    "graft/ExtAnalyticsQueries.scala!x211_theil_sen" -> 1,
+    "graft/ExtTextStatsQueries.scala!x213_budget_alloc" -> 1,
+    "graft/ExtTextStatsQueries.scala!x217_spearman" -> 1,
+    "graft/ExtAnnQueries.scala!x153_hill_tail" -> 1,
+    "graft/ExtGraphQueries.scala!x169_hits" -> 1,
+    "graft/ExtTextQueries.scala!x171_bh_fdr" -> 1,
+    "graft/ExtAnnQueries.scala!x191_kaplan_meier" -> 2,
+    "graft/ExtTextQueries.scala!x193_gains" -> 1,
+    "graft/ExtAnnQueries.scala!x198_logrank" -> 1,
+    "graft/ExtAnalyticsQueries.scala!x225_neyman_alloc" -> 1)
 }
