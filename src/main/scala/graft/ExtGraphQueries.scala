@@ -109,8 +109,11 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
     // smallest label. Per-round cost is one edge-keyed shuffle + one
     // node aggregate (the x86 iteration shape); the oracle unrolls both
     // rounds.
+    // localCheckpoint (r14): labelPropagate's symmetrizing union references
+    // its input twice in one plan — handing it a lazy self-join would
+    // compute the co-purchase build twice.
     "x145_label_prop" -> ((s, dir) =>
-      labelPropagate(coPurchaseEdges(s, dir), rounds = 2)
+      labelPropagate(coPurchaseEdges(s, dir).localCheckpoint(), rounds = 2)
         .orderBy(col("node"))),
     // x154: modularity of the x145 label-propagation partition — the
     // "did the communities actually capture structure" score:
@@ -119,10 +122,13 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
     // division — both engines agree bit-exactly. Shares x145's edge
     // surface and propagation helper (one definition, cannot drift).
     "x154_modularity" -> ((s, dir) => {
-      val und = graft.engine.CacheScope.persistTracked(
-        coPurchaseEdges(s, dir))
-      val labels = graft.engine.CacheScope.persistTracked(
-        labelPropagate(und, rounds = 2))
+      // localCheckpoint, NOT persist (r14): the ONE final plan references
+      // und 3× (edge count, ec join, degree build) and labels 3× (both
+      // endpoint joins + dc) — persisted subtrees referenced twice per
+      // plan lose cache substitution and recompute (measured ~100 s of
+      // executor time at sf0.1, ≈5 rebuilds of the co-purchase edges).
+      val und = coPurchaseEdges(s, dir).localCheckpoint()
+      val labels = labelPropagate(und, rounds = 2).localCheckpoint()
       val m = und.agg(count(lit(1)).as("m"))
       val ec = und
         .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
@@ -325,10 +331,12 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
       val po = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val und = graft.engine.CacheScope.persistTracked(
-        po.as("a").join(po.as("b"),
+      // localCheckpoint (r14): und feeds the sampled triangleStats AND the
+      // broadcast edge count in one plan — the duplicate-reference trap.
+      val und = po.as("a").join(po.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
+          .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+          .localCheckpoint()
       val sampled = und.filter(
         conv(substring(md5(concat(col("u").cast("string"), lit(":"),
           col("v").cast("string"))), 1, 8), 16, 10).cast("long") % 4 === 0)

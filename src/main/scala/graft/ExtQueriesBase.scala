@@ -739,8 +739,13 @@ private[graft] trait ExtQueriesBase {
     * (node, label) for every node of the undirected edge set.
     */
   private[graft] def labelPropagate(und: DataFrame, rounds: Int): DataFrame = {
-    val edges = graft.engine.CacheScope.persistTracked(
-      und.union(und.select(col("v").as("u"), col("u").as("v"))))
+    // localCheckpoint, NOT persist (r14): the rounds chain lazily, so the
+    // ONE final plan references `edges` once per round — a persisted
+    // subtree referenced twice per plan loses cache substitution
+    // (DeduplicateRelations re-aliases it) and recomputes the symmetrized
+    // edge build per round; the checkpointed frame is a plan leaf.
+    val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {

@@ -45,15 +45,20 @@ object Graph {
     */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
       steps: Int, salt: String = "rw"): DataFrame = {
+    // localCheckpoint, NOT persist (r14): every hop of the single final
+    // plan references deg AND adj again — 4 hops × 2 duplicated persisted
+    // subtrees recomputed the ranked adjacency per hop. As checkpointed
+    // leaves each hop is two block-scan equi-joins.
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-    val deg = graft.engine.CacheScope.persistTracked(
-      und.groupBy(col("src")).agg(count(lit(1)).as("d")))
-    val adj = graft.engine.CacheScope.persistTracked(
-      und.withColumn("r", row_number().over(
+      .localCheckpoint()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val adj = und.withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("src")).orderBy(col("dst")))))
+          .partitionBy(col("src")).orderBy(col("dst"))))
+      .localCheckpoint()
     var cur = deg.select(col("src").as("walk_id"), col("src").as("cur"),
       col("src").cast("string").as("path"))
     for (i <- 1 to steps) {
@@ -89,29 +94,66 @@ object Graph {
     * materializing wedges.
     */
   def triangleStats(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val und = graft.engine.CacheScope.persistTracked(
-      edges.select(least(col(uCol), col(vCol)).as("u"),
-          greatest(col(uCol), col(vCol)).as("v"))
-        .filter(col("u") =!= col("v")).distinct())
+    // localCheckpoint, NOT persist: both frames are referenced more than
+    // once inside ONE plan (dE on both sides of the wedge self-join, und
+    // by the closure join + the edge count), and a persisted subtree
+    // referenced twice loses cache substitution on the second occurrence
+    // (DeduplicateRelations re-aliases it) and silently recomputes — the
+    // kCore/x195 device, r14-measured at 2× on this very operator.
+    val und = edges.select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val dE = graft.engine.CacheScope.persistTracked(und
+    val dE = und
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst")))
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val nWedges = dE.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .agg(expr("CAST(sum(od * (od - 1)) / 2 AS BIGINT)").as("n_wedges"))
-    val nTri = dE.as("e1")
+    val wedges = dE.as("e1")
       .join(dE.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val nTri = bloomEdgeFilter(und, wedges, col("u"), col("v"))
       .join(und, Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
+
+  /** Bloom pre-filter of a wedge/candidate stream against the canonical
+    * edge set (guide §3.2): wedge volume is Σd·(d−1)/2 — an order of
+    * magnitude beyond the edge count on real graphs (r14 measured 41M
+    * wedges over 1.2M edges at sf0.1) — and every wedge used to cross the
+    * closure join's exchange. A bloom over xxhash64(u,v) of the edges
+    * drops definitely-non-closing wedges IN the wedge-join stage, before
+    * the exchange; no false negatives (a real edge always matches its own
+    * hash), and the exact closure equi-join that follows removes the ~fpp
+    * false positives, so the triangle set is bit-identical. The filter is
+    * ~9.6 bits/edge at fpp 1%; above [[BloomMaxEdges]] edges (~240 MB
+    * broadcast) it would stop fitting executors, so the filter is skipped
+    * and the plan degrades to the plain (still exact) closure join —
+    * data-adaptive, not tuned to the local corpus.
+    */
+  val BloomMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_TRI_BLOOM_MAX_EDGES").map(_.toLong)
+      .getOrElse(200000000L)
+
+  private def bloomEdgeFilter(und: DataFrame, cand: DataFrame,
+      cu: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column): DataFrame = {
+    val n = und.count() // und is checkpointed: this is a cheap block scan
+    if (n == 0 || n > BloomMaxEdges) return cand
+    val bf = und.stat.bloomFilter(xxhash64(col("u"), col("v")), n, 0.01)
+    val bc = und.sparkSession.sparkContext.broadcast(bf)
+    val mightBeEdge = udf((h: Long) => bc.value.mightContainLong(h))
+    cand.filter(mightBeEdge(xxhash64(cu, cv)))
   }
 
   /** Local (Watts–Strogatz) clustering summary — one row
@@ -132,25 +174,31 @@ object Graph {
     */
   def localClusteringStats(edges: DataFrame, uCol: String,
       vCol: String): DataFrame = {
-    val und = graft.engine.CacheScope.persistTracked(
-      edges.select(least(col(uCol), col(vCol)).as("u"),
-          greatest(col(uCol), col(vCol)).as("v"))
-        .filter(col("u") =!= col("v")).distinct())
-    val deg = graft.engine.CacheScope.persistTracked(
-      und.select(col("u").as("x"))
-        .union(und.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d")))
+    // localCheckpoint for the same reason as [[triangleStats]]: dE is on
+    // both sides of the wedge join, deg feeds the dE build twice plus the
+    // final coefficient join, und the closure join — persisted subtrees
+    // referenced twice per plan recompute instead of reading the cache.
+    val und = edges.select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val dE = graft.engine.CacheScope.persistTracked(und
+    val dE = und
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst")))
-    val corners = dE.as("e1")
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    val wedgeCorners = dE.as("e1")
       .join(dE.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
         col("e2.dst").as("c"))
+    val corners = bloomEdgeFilter(und, wedgeCorners, col("b"), col("c"))
       .join(und, col("u") === col("b") && col("v") === col("c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
     val tc = corners.groupBy(col("x")).agg(count(lit(1)).as("t"))
@@ -180,11 +228,20 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
+    // localCheckpoint, NOT persist: every iteration's plan references adj
+    // AND (through the rank frame's lineage) the same und/deg subtrees —
+    // a persisted subtree referenced twice per plan loses cache
+    // substitution (DeduplicateRelations re-aliases it) and silently
+    // recomputes; r14 measured each iteration re-running the full edge
+    // distinct (~14 MB re-shuffled + re-aggregated per round). Checkpointed
+    // frames are plan LEAVES — duplicate references just re-read blocks.
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = und.join(deg, "src").persist()
+      .localCheckpoint()
+    val adj = und.join(deg, "src").localCheckpoint()
     // |nodes| = |deg| — a count over the small aggregated frame, not a
     // distinct over the edge list
     val n = deg.count()
@@ -192,27 +249,20 @@ object Graph {
     // identical IEEE sequence to the oracle's r0 / teleport expressions
     val r0 = math.floor(1.0 / nD * 1e12 + 0.5) / 1e12
     val tele = (1.0 - damping) / nD
-    try {
-      var ranks = deg.select(col("src").as("node"), lit(r0).as("rank")).persist()
-      ranks.count()
-      for (_ <- 1 to iters) {
-        val next = adj.join(ranks, col("src") === col("node"))
-          .select(col("dst"),
-            floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-          .select(col("dst").as("node"),
-            EngineMath.roundAway(
-              lit(tele) + lit(damping) * (col("s").cast("double") / lit(1e12)),
-              12).as("rank"))
-          .persist()
-        next.count()
-        ranks.unpersist()
-        ranks = next
-      }
-      // final round stays persisted until the runner's CacheScope drain
-      graft.engine.CacheScope.track(ranks)
-      ranks.orderBy(col("node"))
-    } finally adj.unpersist()
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          EngineMath.roundAway(
+            lit(tele) + lit(damping) * (col("s").cast("double") / lit(1e12)),
+            12).as("rank"))
+        .localCheckpoint() // eager: materializes the round, truncates lineage
+    }
+    ranks.orderBy(col("node"))
   }
 
   /** HITS hubs & authorities over a DIRECTED edge set (deduplicated):
@@ -237,53 +287,44 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    // localCheckpoint, NOT persist (r14): each half-step's plan contains
+    // e PLUS — through the broadcast input's lineage — the previous
+    // half-step's raw frame, whose own plan contains e again; duplicated
+    // persisted subtrees lose cache substitution and recompute the whole
+    // cascade back to round 0 (measured ~10 s executor per half-step on a
+    // 500k-edge graph). Checkpointed frames are plan leaves: every
+    // half-step is exactly one block-scan join + grouped sum.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     val srcN = e.select(col("src")).distinct()
     val n = srcN.count()
     // identical IEEE sequence to the oracle's h0 expression
     val h0 = math.floor(1.0 / n.toDouble * 1e12 + 0.5) / 1e12
-    // ONE action per half-step: only the raw integer sums persist (the
-    // agg that reads the normalizer — ONE exact long, a bounded driver
-    // scalar like pageRank's node count — is what materializes them);
-    // the normalized frame stays a lazy projection of that cache, and
-    // the next half-step consumes it as a broadcast build. A raw frame
-    // unpersists once the NEXT same-side raw has materialized; the two
-    // final raws stay tracked for the result read. (The first cut
-    // persisted+counted the normalized frame too and computed the
-    // normalizer as a broadcast subquery re-running the join lineage —
-    // 18 jobs instead of 6, measured ~2× the total cost.)
+    // ONE action per half-step: the eager localCheckpoint materializes the
+    // raw integer sums; the normalizer agg reads the checkpointed blocks
+    // (ONE exact long, a bounded driver scalar like pageRank's node
+    // count), and the normalized frame stays a lazy projection the next
+    // half-step consumes as a broadcast build.
     def half(in: DataFrame, joinKey: String, outKey: String,
-        inScore: String, outScore: String): (DataFrame, DataFrame) = {
+        inScore: String, outScore: String): DataFrame = {
       val raw = e.join(broadcast(in), col(joinKey) === col("node"))
         .select(col(outKey),
           floor(col(inScore) * lit(1e12) + lit(0.5)).as("c"))
-        .groupBy(col(outKey)).agg(sum(col("c")).as("r")).persist()
+        .groupBy(col(outKey)).agg(sum(col("c")).as("r"))
+        .localCheckpoint()
       val s = raw.agg(sum(col("r"))).head().getLong(0).toDouble
-      (raw, raw.select(col(outKey).as("node"),
+      raw.select(col(outKey).as("node"),
         EngineMath.roundAway(col("r").cast("double") / lit(s), 12)
-          .as(outScore)))
+          .as(outScore))
     }
-    try {
-      var h = srcN.select(col("src").as("node"), lit(h0).as("hub"))
-      var a: DataFrame = null
-      var hRaw: DataFrame = null
-      var aRaw: DataFrame = null
-      for (_ <- 1 to iters) {
-        val (r1, aNext) = half(h, "src", "dst", "hub", "auth")
-        if (aRaw != null) aRaw.unpersist()
-        aRaw = r1
-        a = aNext
-        val (r2, hNext) = half(a, "dst", "src", "auth", "hub")
-        if (hRaw != null) hRaw.unpersist()
-        hRaw = r2
-        h = hNext
-      }
-      graft.engine.CacheScope.track(hRaw)
-      graft.engine.CacheScope.track(aRaw)
-      h.join(a, Seq("node"), "full_outer")
-        .select(col("node"), col("hub"), col("auth"))
-    } finally e.unpersist()
+    var h = srcN.select(col("src").as("node"), lit(h0).as("hub"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = half(h, "src", "dst", "hub", "auth")
+      h = half(a, "dst", "src", "auth", "hub")
+    }
+    h.join(a, Seq("node"), "full_outer")
+      .select(col("node"), col("hub"), col("auth"))
   }
 
   /** Personalized PageRank: same symmetrized graph, quantization, and
@@ -296,45 +337,44 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    // same checkpoint-not-persist reasoning as [[pageRank]]: adj, sd and
+    // deg all recur in every iteration's single plan (sd twice — the
+    // teleport flag joins both the contribution sum and, in r0, the node
+    // frame), so persisted versions silently recompute per round.
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = und.join(deg, "src").persist()
+      .localCheckpoint()
+    val adj = und.join(deg, "src").localCheckpoint()
     val sd = deg.join(seeds.select(col("node").as("src")), "src")
-      .select(col("src").as("node")).persist()
+      .select(col("src").as("node")).localCheckpoint()
     val nS = sd.count().toDouble
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
     val r0 = math.floor(1.0 / nS * 1e12 + 0.5) / 1e12
     val teleS = (1.0 - damping) / nS
     val seedFlag = broadcast(sd.withColumn("__isSeed", lit(true)))
-    try {
-      var ranks = deg.select(col("src").as("node"))
-        .join(seedFlag, Seq("node"), "left")
-        .select(col("node"),
-          when(col("__isSeed"), lit(r0)).otherwise(lit(0.0)).as("rank"))
-        .persist()
-      ranks.count()
-      for (_ <- 1 to iters) {
-        val next = adj.join(ranks, col("src") === col("node"))
-          .select(col("dst"),
-            floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-          .join(seedFlag.select(col("node").as("dst"), col("__isSeed")),
-            Seq("dst"), "left")
-          .select(col("dst").as("node"),
-            EngineMath.roundAway(
-              when(col("__isSeed"), lit(teleS)).otherwise(lit(0.0)) +
-                lit(damping) * (col("s").cast("double") / lit(1e12)),
-              12).as("rank"))
-          .persist()
-        next.count()
-        ranks.unpersist()
-        ranks = next
-      }
-      graft.engine.CacheScope.track(ranks)
-      ranks.orderBy(col("node"))
-    } finally { adj.unpersist(); sd.unpersist() }
+    var ranks = deg.select(col("src").as("node"))
+      .join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed"), lit(r0)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .join(seedFlag.select(col("node").as("dst"), col("__isSeed")),
+          Seq("dst"), "left")
+        .select(col("dst").as("node"),
+          EngineMath.roundAway(
+            when(col("__isSeed"), lit(teleS)).otherwise(lit(0.0)) +
+              lit(damping) * (col("s").cast("double") / lit(1e12)),
+            12).as("rank"))
+        .localCheckpoint() // eager: materializes the round, truncates lineage
+    }
+    ranks.orderBy(col("node"))
   }
 
   /** `rounds` synchronous peels toward the k-core: each round drops every
