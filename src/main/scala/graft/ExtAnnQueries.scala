@@ -684,7 +684,14 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       //  2. the signature table materializes before its two join
       //     references — a persisted subtree loses cache substitution
       //     in its own self-join (the a17/x156 trap).
-      val shd = docs.join(ids, col("doc_id") === col("did"), "left_semi")
+      // widen (r14): the semi-join inherits the narrow doc-scan
+      // partitioning (1-3 row groups), serializing the shingle and
+      // 128-hash expressions on one core — measured 2×2 s of the query's
+      // 5 s wall on single-task stages; repartitioning the ~4000 sampled
+      // docs first parallelizes both checkpoints (no-op at cluster scale
+      // where the input is already wide).
+      val shd = graft.operators.Dedup.widen(
+          docs.join(ids, col("doc_id") === col("did"), "left_semi"))
         .select(col("doc_id").as("id"),
           TextFunctions.shingles(col("text"), 3).as("sh")).localCheckpoint()
       val sigs = shd.select(col("id"),
@@ -836,47 +843,68 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .withColumn("relm", floor(col("cos") * 1e6 + lit(0.5)).cast("long"))
         .select(col("query_id"), col("item_id"), col("iv"), col("inorm"),
           col("relm"))
-      // the pool is BOUNDED (10 rows × |queries|) — collect it once and
-      // re-parallelize, so the corpus-scale brute scan runs exactly ONE
-      // action (a persisted pool referenced in its own self-join loses
-      // cache substitution and re-scans — the a17 trap; measured 23 s →
-      // the scan cost once). The greedy loop then runs on local-sized
-      // frames only.
-      val pool = s.createDataFrame(
-        s.sparkContext.parallelize(pool0.collect().toSeq, 1), pool0.schema)
-      val sims = pool.as("x").join(pool.as("y"), "query_id")
-        .filter(col("x.item_id") =!= col("y.item_id"))
-        .select(col("query_id"), col("x.item_id").as("ca"),
-          col("y.item_id").as("cb"),
-          floor(dot(col("x.iv"), col("y.iv")) /
-            (col("x.inorm") * col("y.inorm")) * 1e6 + lit(0.5))
-            .cast("long").as("simm"))
-      val wPick = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("scorem").desc, col("item_id"))
-      var picked = pool.withColumn("scorem", lit(7L) * col("relm"))
-        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-        .select(col("query_id"), col("item_id"), lit(1L).as("pick_no"),
-          col("scorem"))
-      for (r <- 2 to 5) {
-        val maxs = sims
-          .join(picked.select(col("query_id"), col("item_id").as("cb")),
-            Seq("query_id", "cb"))
-          .groupBy(col("query_id"), col("ca"))
-          .agg(max(col("simm")).as("maxsimm"))
-          .select(col("query_id"), col("ca").as("item_id"), col("maxsimm"))
-        val next = pool
-          .join(picked.select(col("query_id"), col("item_id")),
-            Seq("query_id", "item_id"), "left_anti")
-          .join(maxs, Seq("query_id", "item_id"), "left")
-          .withColumn("scorem",
-            lit(7L) * col("relm") - lit(3L) * coalesce(col("maxsimm"), lit(0L)))
-          .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
-          .select(col("query_id"), col("item_id"), lit(r.toLong).as("pick_no"),
-            col("scorem"))
-        picked = picked.union(next)
+      // The pool is BOUNDED (10 rows × |queries|) — collect it once so the
+      // corpus-scale brute scan runs exactly ONE action, then run the
+      // greedy argmax ON THE DRIVER (r14): the previous DataFrame greedy
+      // chained 4 rounds of windows/joins over ≤50-row frames into one
+      // 18-shuffle plan whose ~33 AQE stage-jobs cost ~170 ms of pure
+      // scheduling latency EACH (2.7 s executor time vs 5.8 s wall,
+      // measured). The state is pool-bounded by construction — identical
+      // integer arithmetic (same micro-ticks, same (scorem DESC, item_id)
+      // tie-break), so the result is bit-identical; only the engine for
+      // the O(1)-sized loop changed.
+      val poolRows = pool0.collect()
+      def sdot(x: IndexedSeq[Double], y: IndexedSeq[Double]): Double = {
+        // graft_dot's exact sequential IEEE order
+        val n = math.min(x.length, y.length)
+        var sum = 0.0; var i = 0
+        while (i < n) { sum += x(i) * y(i); i += 1 }
+        sum
       }
-      picked.select(col("query_id"), col("pick_no"), col("item_id"),
+      val picks = poolRows.groupBy(_.getLong(0)).toSeq.flatMap {
+        case (qid, rows) =>
+          val items = rows.map { r =>
+            (r.getLong(1), r.getSeq[Double](2).toIndexedSeq, r.getDouble(3),
+              r.getLong(4))
+          }
+          def simm(a: Int, b: Int): Long = {
+            val (_, iva, na, _) = items(a); val (_, ivb, nb, _) = items(b)
+            math.floor(sdot(iva, ivb) / (na * nb) * 1e6 + 0.5).toLong
+          }
+          val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          def argmax(score: Int => Long): Option[Int] = {
+            val remaining = items.indices.filterNot(i => picked.exists(_._1 == i))
+            if (remaining.isEmpty) None
+            else Some(remaining.minBy(i => (-score(i), items(i)._1)))
+          }
+          argmax(i => 7L * items(i)._4).foreach(i =>
+            picked += ((i, 7L * items(i)._4)))
+          for (_ <- 2 to 5) {
+            argmax { i =>
+              val maxsimm = picked.map(p => simm(i, p._1)).max
+              7L * items(i)._4 - 3L * maxsimm
+            }.foreach { i =>
+              val maxsimm = picked.map(p => simm(i, p._1)).max
+              picked += ((i, 7L * items(i)._4 - 3L * maxsimm))
+            }
+          }
+          picked.zipWithIndex.map { case ((i, scorem), pickIdx) =>
+            org.apache.spark.sql.Row(qid, (pickIdx + 1).toLong,
+              items(i)._1, scorem)
+          }
+      }
+      val pickedDf = s.createDataFrame(
+        s.sparkContext.parallelize(picks, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pick_no",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("item_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("scorem",
+            org.apache.spark.sql.types.LongType))))
+      pickedDf.select(col("query_id"), col("pick_no"), col("item_id"),
         graft.functions.EngineMath.roundAway(
           col("scorem").cast("double") / 1e7, 6).as("mmr_score"))
         .orderBy(col("query_id"), col("pick_no"))

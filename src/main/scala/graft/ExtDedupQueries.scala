@@ -695,10 +695,15 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
       val sh = graft.engine.CacheScope.persistTracked(
         Dedup.simhashTable(docs, "doc_id", "text"))
       Stage.write(sh, dir, "x161_simhash")
+      // localCheckpoint (r14): pred and truth each feed the tp join AND
+      // their own count aggregate in ONE plan — without the leaf barrier
+      // both pair pipelines run twice (measured 245 s of executor time for
+      // a 9.6 s query; the duplicate-reference cache trap).
       val pred = Dedup.simhashPairsOf(sh, maxDist = 10)
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")).localCheckpoint()
       val truth = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
         k = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val tp = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("tp"))
       pred.agg(count(lit(1)).as("n_pred"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))

@@ -275,7 +275,11 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
     // count_distinct for approx_count_distinct / HLL (x81) — exact here
     // because the oracle is exact.
     "x90_profile" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
+      // widen (r14): the multi-count_distinct profile expands every row
+      // |cols|+1 times through one hash aggregate, and the parquet arrives
+      // as ~3 row groups — the whole Expand ran on 3 cores (measured 3.8 s
+      // single-stage wall). Repartition first (no-op at cluster scale).
+      val li = graft.operators.Dedup.widen(table(s, dir, "lineitem"))
       val aggList = count(lit(1)).as("n_rows") +: profileCols.flatMap(c =>
         Seq(count(col(c)).as(s"c_$c"), count_distinct(col(c)).as(s"d_$c")))
       val stackExpr = s"stack(${profileCols.length}, " + profileCols.map(c =>
@@ -494,22 +498,28 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
     // chain is ONE shared string off those exact sums. Query side is 3
     // docs — the x10 broadcast shape.
     "x160_tfidf_search" -> ((s, dir) => {
-      val k = graft.engine.CacheScope.persistTracked(
-        table(s, dir, "documents")
+      // localCheckpoint, NOT persist (r14): k, w and norms are each
+      // referenced 2-3x inside the ONE final plan (k: total + idf + the
+      // weight build; w: norms + query side + dot join; norms: both
+      // endpoint joins) — persisted subtrees referenced twice per plan
+      // lose cache substitution and recompute.
+      val k = table(s, dir, "documents")
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
             .as("t"))
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
       val tot = k.select(col("doc_id")).distinct().agg(count(lit(1)).as("nn"))
       val idf = k.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(tot))
         .select(col("t"),
           floor(log((col("nn") + lit(1)).cast("double") / (col("df") + lit(1)))
             * 1e6 + lit(0.5)).cast("long").as("idfm"))
-      val w = graft.engine.CacheScope.persistTracked(
-        k.join(idf, "t").select(col("doc_id"), col("t"),
-          (col("tf") * col("idfm")).as("w")))
+      val w = k.join(idf, "t").select(col("doc_id"), col("t"),
+          (col("tf") * col("idfm")).as("w"))
+        .localCheckpoint()
       val norms = w.groupBy(col("doc_id"))
         .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nsq"))
+        .localCheckpoint()
       val qw = w.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("t"), col("w").as("wq"))
       val dots = w.join(qw, "t")

@@ -138,19 +138,21 @@ object Dedup {
     */
   private def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Option[Long]): DataFrame = {
-    // persisted: the shingle expression is the expensive part and this
-    // subtree feeds three consumers (sizes + both self-join sides) — without
-    // the persist Spark recomputes it per consumer (measured 3× cost).
-    // Tracked in CacheScope; the query runner drains after its action.
-    // the self-join keys on xxhash64(shingle) longs, not the shingle
+    // localCheckpoint, NOT persist (r14): the shingle expression is the
+    // expensive part and this subtree feeds three consumers (sizes + both
+    // self-join sides) IN ONE PLAN — a persisted subtree referenced twice
+    // per plan loses cache substitution (DeduplicateRelations re-aliases
+    // it) and recomputes the shingling per consumer; the checkpointed
+    // frame is a plan leaf every reference block-reads.
+    // The self-join keys on xxhash64(shingle) longs, not the shingle
     // strings: 8-byte fixed-width shuffle keys and comparisons instead of
     // ~25-byte UTF8 strings. The hash only pairs up rows (the count is of
     // matching hashes); a cross-document collision would need two distinct
     // shingles with equal xxhash64 in the same doc pair — P ≈ 2⁻⁶⁴ per
     // co-occurring shingle pair, negligible even at 100 TB.
-    val sh = graft.engine.CacheScope.persistTracked(
-      shingleTable(df, idCol, textCol, k, maxDocFreq)
-        .select(col("id"), xxhash64(col("shingle")).as("shash")))
+    val sh = shingleTable(df, idCol, textCol, k, maxDocFreq)
+      .select(col("id"), xxhash64(col("shingle")).as("shash"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
@@ -423,9 +425,13 @@ object Dedup {
     */
   private def sigFrame(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int): DataFrame = {
-    val docs = graft.engine.CacheScope.persistTracked(
-      widen(df).select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), k).as("sh")))
+    // localCheckpoint, NOT persist (r14): through minhashPairs the shingle
+    // frame is referenced up to 4x in ONE plan (both band-join sides +
+    // both verification sides), and a persisted subtree referenced twice
+    // per plan loses cache substitution and re-tokenizes per reference.
+    val docs = widen(df).select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), k).as("sh"))
+      .localCheckpoint()
     docs.select(col("id"), col("sh"),
       minhashSignatureOf(col("sh"), numHashes).as("sig"))
   }
@@ -573,9 +579,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
-    // persisted: the simhash aggregate feeds both self-join sides
-    simhashPairsOf(graft.engine.CacheScope.persistTracked(
-      simhashTable(df, idCol, textCol)), maxDist)
+    // localCheckpoint (r14): the simhash aggregate feeds both self-join
+    // sides of ONE plan — the duplicate-reference cache trap.
+    simhashPairsOf(simhashTable(df, idCol, textCol).localCheckpoint(),
+      maxDist)
 
   /** The pigeonhole chunk layout for a given distance bound: (chunk index,
     * bit offset, value mask). Uneven split — the first (60 % nChunks)
@@ -743,6 +750,10 @@ object Dedup {
     // sh_a XOR sh_b avoids the dedup shuffle but pushes a large
     // conditional into the join residual, knocking it out of codegen —
     // 10-25x SLOWER than the narrow-row distinct at bench scale.)
+    // (r14 note: the two self-join sides are IDENTICAL canonical subtrees,
+    // so ReuseExchange already computes the explode once — a checkpoint
+    // barrier here measured SLOWER (x08 2.0 -> 4.0 s) by unfusing the
+    // explode from the join stage.)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.v1") === col("b.v1") && col("a.v2") === col("b.v2") &&
