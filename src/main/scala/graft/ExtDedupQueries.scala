@@ -389,10 +389,16 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
         .orderBy(col("logit").desc, col("id").asc).limit(400)
         .select(col("id").as("doc_id"))
       val survivors = docs.join(gated, Seq("doc_id"))
+      // localCheckpoint (r14): cleaned is referenced twice in the final
+      // plan with DIFFERENT projections (the DSIR input and the n_kept
+      // join-back), so the whole line-dedup pipeline ran twice (52 s
+      // executor for a 4 s query). Identical-subtree ReuseExchange does
+      // not apply across different projections; the leaf barrier does.
       val cleaned = Dedup.lineDeduplicate(survivors, "doc_id", "text",
           lineTokens = 12, maxDocFreq = 1)
         .filter(col("n_kept") >= 1)
         .select(col("id").as("doc_id"), col("n_kept"), col("clean_text"))
+        .localCheckpoint()
       val withSrc = cleaned.join(docs.select(col("doc_id"), col("source")),
         Seq("doc_id"))
       graft.operators.Sampling.dsirWeights(withSrc, "doc_id", "clean_text",
@@ -557,22 +563,27 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
     // the funnel IS the composition contract of those operators.
     "x127_pipeline_funnel" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val toks = graft.engine.CacheScope.persistTracked(
-        docs.filter(col("doc_id") % 50 =!= 0)
+      // localCheckpoint (r14): every funnel stage is referenced at least
+      // twice in the ONE final plan (its own count + the next stage's
+      // input; s3 three times) with different shapes — persisted subtrees
+      // referenced twice per plan lose cache substitution and the whole
+      // tokenize/quality/fingerprint chain recomputed per reference
+      // (23.6 s executor for a 3.0 s query).
+      val toks = docs.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), col("text"),
-            TextFunctions.tokens(col("text")).as("ts")))
-      val s1 = graft.engine.CacheScope.persistTracked(
-        toks.filter(size(col("ts")) > 0))
-      val s2 = graft.engine.CacheScope.persistTracked(
-        s1.filter(floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
-          * 10000 + lit(0.5)).cast("long") >= 5000L))
+            TextFunctions.tokens(col("text")).as("ts"))
+          .localCheckpoint()
+      val s1 = toks.filter(size(col("ts")) > 0).localCheckpoint()
+      val s2 = s1.filter(floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+          * 10000 + lit(0.5)).cast("long") >= 5000L)
+        .localCheckpoint()
       val wFp = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
-      val s3 = graft.engine.CacheScope.persistTracked(
-        s2.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val s3 = s2.withColumn("fp", TextFunctions.fingerprint(col("text")))
           .withColumn("__rn", row_number().over(wFp))
           .filter(col("__rn") === 1)
-          .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val contaminated = graft.operators.Dedup.contaminationScan(
         s3, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
         .select(col("doc_id"))
@@ -974,14 +985,18 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
     // machinery pointed at origin instead of repetition.
     "x257_gram_novelty" -> ((s, dir) => {
       val k = 5
-      val grams = graft.engine.CacheScope.persistTracked(
-        table(s, dir, "documents")
+      // localCheckpoint (r14): grams feeds the first-occurrence aggregate
+      // AND the join-back in one plan with different shapes — the
+      // duplicate-reference cache trap (gram explode ran twice, 17 s
+      // executor for a 1.9 s query).
+      val grams = table(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
           .filter(size(col("ts")) >= k)
           .select(col("doc_id"), explode(transform(
             sequence(lit(1), size(col("ts")) - (k - 1)),
             i => array_join(slice(col("ts"), i, lit(k)), " "))).as("gram"))
-          .distinct())
+          .distinct()
+          .localCheckpoint()
       val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
       grams.join(first, Seq("gram"))
         .groupBy(col("doc_id"))
