@@ -1,4 +1,6 @@
 package graft
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -298,6 +300,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .pipe(graft.engine.SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("a03_summary")(spark, sfDir).count() // warmup

@@ -3,6 +3,8 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 /** Optimization-round measurement harness (guide §1): per-QUERY stage-level
@@ -30,6 +32,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .pipe(graft.engine.SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

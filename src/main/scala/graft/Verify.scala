@@ -1,4 +1,6 @@
 package graft
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -18,6 +20,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .pipe(graft.engine.SessionTuning.apply)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Stage.enable() // staged-intermediate dumps feed the DuckDB oracle
