@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to this process's stdout/stderr
+// instead of sbt's logger: the logger decorates every line ("[info] {...}"),
+// which made the Bench one-line JSON contract unparseable for 14 rounds
+// (PERF per-query tables came back empty). StdoutOutput keeps the bare line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

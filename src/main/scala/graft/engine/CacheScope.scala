@@ -35,6 +35,16 @@ object CacheScope {
   // instead of corrupting cache lifetimes).
   private val tracked = new ConcurrentLinkedQueue[(Thread, Dataset[_])]()
 
+  // Checkpoint RDDs registered by [[Ckpt]]: Dataset.unpersist is a
+  // CacheManager no-op for checkpointed frames (their storage hangs off
+  // the RDD, not the cache), so they need their own release path.
+  private val trackedRdds =
+    new ConcurrentLinkedQueue[(Thread, org.apache.spark.rdd.RDD[_])]()
+
+  /** Register a checkpoint's backing RDD for the next [[drain]]. */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds.add((Thread.currentThread(), rdd))
+
   /** Persist `ds` and register it for the next [[drain]]. */
   def persistTracked[T <: Dataset[_]](ds: T): T = {
     ds.persist()
@@ -53,8 +63,13 @@ object CacheScope {
     val me = Thread.currentThread()
     val it = tracked.iterator()
     while (it.hasNext) {
-      val (t, ds) = it.next()
-      if (t eq me) { it.remove(); ds.unpersist(blocking = false) }
+      val e = it.next()
+      if (e._1 eq me) { it.remove(); e._2.unpersist(blocking = false) }
+    }
+    val itR = trackedRdds.iterator()
+    while (itR.hasNext) {
+      val e = itR.next()
+      if (e._1 eq me) { itR.remove(); e._2.unpersist(blocking = false) }
     }
   }
 
@@ -68,8 +83,13 @@ object CacheScope {
   def drainAll(): Unit = {
     val it = tracked.iterator()
     while (it.hasNext) {
-      val (_, ds) = it.next()
-      it.remove(); ds.unpersist(blocking = false)
+      val e = it.next()
+      it.remove(); e._2.unpersist(blocking = false)
+    }
+    val itR = trackedRdds.iterator()
+    while (itR.hasNext) {
+      val e = itR.next()
+      itR.remove(); e._2.unpersist(blocking = false)
     }
   }
 
@@ -77,4 +97,9 @@ object CacheScope {
     * and specs observe orphaned registrations instead of leaking silently.
     */
   def trackedCount: Int = tracked.size
+
+  /** Number of currently-tracked checkpoint RDDs (registered by [[Ckpt]],
+    * released by the same drains as the persisted frames).
+    */
+  def trackedRddCount: Int = trackedRdds.size
 }

@@ -32,15 +32,28 @@ object SessionTuning {
     * with NO permission argument (a plain File.mkdir — no chmod subprocess)
     * and commits via rename, which IS atomic on a local filesystem.
     *
-    * Parameterized for deployments: SPARK_GRAFT_CKPT_FM=default keeps
-    * Spark's FileContext manager (the right choice on HDFS, where its
-    * rename semantics are the hardened path); any other non-empty value is
-    * used as the manager class name. The override is applied only if the
-    * class resolves, so a Spark upgrade that moves it degrades to the
+    * SCHEME-GATED (r15, closing the r14 advice item): the override only
+    * applies when the filesystem the checkpoints land on is a LOCAL one —
+    * the chmod-subprocess pathology is RawLocalFileSystem's, and on
+    * HDFS/object stores Spark's FileContext manager (atomic-rename
+    * semantics) is the hardened default that a deployment should keep
+    * without having to know this knob exists. "Local" is read from the
+    * Hadoop default filesystem of the environment (core-site.xml's
+    * fs.defaultFS, scheme `file`) — exactly the config that decides where
+    * a relative/unqualified checkpoint path resolves.
+    *
+    * Still parameterized for deployments: SPARK_GRAFT_CKPT_FM=default
+    * forces Spark's FileContext manager even on a local FS; any other
+    * non-empty value is used as the manager class name regardless of
+    * scheme (explicit operator intent). The override is applied only if
+    * the class resolves, so a Spark upgrade that moves it degrades to the
     * default instead of failing every streaming query.
     */
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
-    val fm = sys.env.getOrElse("SPARK_GRAFT_CKPT_FM", FsCkptManager)
+    val explicit = sys.env.get("SPARK_GRAFT_CKPT_FM")
+    val fm = explicit.getOrElse {
+      if (defaultFsIsLocal) FsCkptManager else "default"
+    }
     if (fm.isEmpty || fm == "default") b
     else
       try {
@@ -48,4 +61,15 @@ object SessionTuning {
         b.config("spark.sql.streaming.checkpointFileManagerClass", fm)
       } catch { case _: ClassNotFoundException => b }
   }
+
+  /** Scheme of the environment's Hadoop default filesystem — `file` means
+    * checkpoints resolve to RawLocalFileSystem, where the FileContext
+    * manager's per-mkdir chmod fork/exec is the measured bottleneck.
+    */
+  private def defaultFsIsLocal: Boolean =
+    try {
+      val scheme = org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(new org.apache.hadoop.conf.Configuration()).getScheme
+      scheme == null || scheme == "file"
+    } catch { case _: Throwable => false }
 }

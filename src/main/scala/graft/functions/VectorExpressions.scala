@@ -87,6 +87,24 @@ object GraftFunctions {
           val a = args.head
           DeflateLength(
             if (a.dataType == StringType) a else Cast(a, StringType))
+        }),
+      (
+        FunctionIdentifier("graft_bloom_probe"),
+        new ExpressionInfo(
+          "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+          "graft_bloom_probe"),
+        (args: Seq[Expression]) => {
+          // (serialized-bloom BINARY literal, xxhash64 LONG) → BOOLEAN.
+          // Spark's own runtime-filter probe expression: stays inside
+          // WholeStageCodegen, unlike a Scala UDF closure (r14 verdict:
+          // the wedge-stream bloom probe ran interpreted per candidate —
+          // 41M invocations at sf0.1). The sketch-library serialized form
+          // `DataFrame.stat.bloomFilter(...).writeTo` produces is exactly
+          // what this expression deserializes, and `mightContainLong` is
+          // the same probe the UDF called — bit-identical filtering.
+          require(args.length == 2, "graft_bloom_probe takes exactly 2 arguments")
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            args.head, args(1))
         }))
 
   /** Idempotent runtime registration on a session's function registry. */
