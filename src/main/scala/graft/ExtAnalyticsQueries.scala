@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -472,7 +473,7 @@ private[graft] trait ExtAnalyticsQueries { this: ExtQueriesBase =>
     "x197_skew_audit" -> ((s, dir) => {
       def stats(df: DataFrame, tbl: String, c: String): DataFrame = {
         val per = df.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // consumers: totals + the count-of-counts
+          .ckpt() // consumers: totals + the count-of-counts
         val tot = per.agg(count(lit(1)).as("n_keys"),
           sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
         val wv = org.apache.spark.sql.expressions.Window

@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -619,12 +620,18 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       // trigram table (each position's bigram is its trigram's 2-prefix,
       // so c2 = Σ c3 over the prefix — no second pass); the checkpoint
       // breaks the dtc self-reference (the a17/x156/x165 trap).
-      val dtc = d
+      // widen before the per-character explode (r15, guide §2): the
+      // explode + substr + map-side (doc,tri) partial agg is ≈ corpus
+      // characters of pure CPU, and the documents parquet arrives as 1-2
+      // row-group partitions — profiled at 10× as ONE 26.4 s TWO-task
+      // stage under a 28.8 s wall (the suite's single largest
+      // parallelism hole); no-op when the input is already wide
+      val dtc = graft.operators.Dedup.widen(d)
         .select(col("doc_id"), col("cs"),
           explode(expr("sequence(1, length(cs) - 2)")).as("pos"))
         .select(col("doc_id"), expr("substr(cs, pos, 3)").as("tri"))
         .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("m"))
-        .localCheckpoint()
+        .ckpt()
       val c3 = dtc.groupBy(col("tri")).agg(sum(col("m")).as("c3"))
       val c2 = c3.groupBy(expr("substr(tri, 1, 2)").as("bi"))
         .agg(sum(col("c3")).as("c2"))
@@ -672,7 +679,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
           col("id_b").cast("string"))))
         .orderBy(col("tk"), col("id_a"), col("id_b")).limit(2000)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
+        .ckpt()
       val ids = samp.select(col("id_a").as("did"))
         .union(samp.select(col("id_b").as("did"))).distinct()
       // TWO checkpoint boundaries, both load-bearing (now over the
@@ -693,10 +700,10 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       val shd = graft.operators.Dedup.widen(
           docs.join(ids, col("doc_id") === col("did"), "left_semi"))
         .select(col("doc_id").as("id"),
-          TextFunctions.shingles(col("text"), 3).as("sh")).localCheckpoint()
+          TextFunctions.shingles(col("text"), 3).as("sh")).ckpt()
       val sigs = shd.select(col("id"),
         Dedup.minhashSignatureOf(col("sh"), numHashes = 128).as("sig"),
-        col("sh")).localCheckpoint()
+        col("sh")).ckpt()
       Stage.write(sigs.select(col("id"), col("sig")), dir, "x165_sigs")
       samp
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sa"),
@@ -854,6 +861,23 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       // tie-break), so the result is bit-identical; only the engine for
       // the O(1)-sized loop changed.
       val poolRows = pool0.collect()
+      // Pool invariants the driver-side greedy silently depends on (r14
+      // advice): ≤10 rows per query (the row_number cut bounds the
+      // collect) and unique item_id within a query's pool (index-based
+      // exclusion ≡ the old item_id anti-join only then). A future pool
+      // change must fail HERE, loudly, not drift from the oracle.
+      locally {
+        val perQuery = poolRows.groupBy(_.getLong(0))
+        perQuery.foreach { case (qid, rows) =>
+          require(rows.length <= 10,
+            s"x156 pool invariant broken: query $qid has ${rows.length} " +
+              "pool rows (expected ≤ 10 from the rank cut)")
+          val ids = rows.map(_.getLong(1))
+          require(ids.distinct.length == ids.length,
+            s"x156 pool invariant broken: query $qid has duplicate " +
+              "item_ids in its pool")
+        }
+      }
       def sdot(x: IndexedSeq[Double], y: IndexedSeq[Double]): Double = {
         // graft_dot's exact sequential IEEE order
         val n = math.min(x.length, y.length)
@@ -968,11 +992,16 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
     // the doc×class base is |docs|·|sources| narrow rows.
     "x168_naive_bayes" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val dt = docs.select(col("doc_id"), col("source"),
+      // widen before the tokenize/explode passes (r15, guide §2): both
+      // the (doc, term) count build and the per-doc token-count scan ran
+      // as 2-task stages off the 2-row-group documents parquet at 10×
+      // (12.6 s + 2.9 s walls); no-op when the input is already wide
+      val docsW = graft.operators.Dedup.widen(docs)
+      val dt = docsW.select(col("doc_id"), col("source"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("source"), col("term"))
         .agg(count(lit(1)).as("m"))
-        .localCheckpoint()
+        .ckpt()
       val ct = dt.groupBy(col("source").as("cls"), col("term"))
         .agg(sum(col("m")).as("cst"))
       val nst = ct.groupBy(col("cls")).agg(sum(col("cst")).as("ns"))
@@ -988,7 +1017,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .select(col("cls"), col("term"), expr(NbLpSql).as("lpn"))
         .join(broadcast(clsp.select(col("cls"), col("defn"))), "cls")
         .select(col("cls"), col("term"), (col("lpn") - col("defn")).as("dn"))
-      val dtm = docs.select(col("doc_id"), col("source"),
+      val dtm = docsW.select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).cast("long").as("tm"))
       val base = dtm.crossJoin(broadcast(clsp))
         .select(col("doc_id"), col("source"), col("cls"),
@@ -1077,7 +1106,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .select(col("source"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // 3 consumers: totals + both fan sides
+        .ckpt() // 3 consumers: totals + both fan sides
       val ns = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val srcs = tc.select(col("source")).distinct()
       val prs = srcs.select(col("source").as("sa"))
@@ -1118,7 +1147,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .filter(col("nrm") > 0)
         .withColumn("q",
           expr("transform(vec, x -> CAST(floor(x / nrm * 1e6 + 0.5) AS BIGINT))"))
-        .localCheckpoint() // 2 consumers: norm totals + the dim explode
+        .ckpt() // 2 consumers: norm totals + the dim explode
       val tot = qv
         .select(expr("aggregate(q, CAST(0 AS BIGINT), " +
           "(acc, x) -> acc + x * x)").as("qq"))
@@ -1191,7 +1220,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
           expr("zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
             "slice(ts, 2, greatest(size(ts) - 1, 0)), " +
             "(x, y) -> concat(x, ' ', y))").as("bs"))
-        .localCheckpoint() // 2 consumers: unigram and bigram explodes
+        .ckpt() // 2 consumers: unigram and bigram explodes
       def h(grams: org.apache.spark.sql.DataFrame) = grams
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
         .withColumn("n", sum(col("c")).over(
@@ -1233,9 +1262,9 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
             "slice(ts, 2, greatest(size(ts) - 1, 0)), " +
             "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .localCheckpoint() // 2 consumers: the model build + the scoring join
+        .ckpt() // 2 consumers: the model build + the scoring join
       val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        .localCheckpoint() // 4 consumers: margins + types + the lp table
+        .ckpt() // 4 consumers: margins + types + the lp table
       val cw1 = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw1"),
         count(lit(1)).as("r1"))
       val l2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("l2"))
@@ -1271,7 +1300,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
-        .localCheckpoint() // consumers: both pair sides, ties, day counts
+        .ckpt() // consumers: both pair sides, ties, day counts
       val pairs = daily.select(col("event_type"), col("day").as("da"),
           col("vm").as("va"))
         .join(daily.select(col("event_type"), col("day").as("db"),
@@ -1327,7 +1356,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .partitionBy(col("user_id")).orderBy(col("day"))
       val d = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .localCheckpoint() // consumers: window end + the island build
+        .ckpt() // consumers: window end + the island build
       val wend = d.agg(max(col("day")).as("wend"))
       val streaks = d
         .withColumn("isl", date_sub(col("day"), row_number().over(wU)))
@@ -1438,7 +1467,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       val nc = lab.withColumn("ncn", expr(ConfNcSql))
         .withColumn("cal",
           graft.operators.Sampling.keep(col("doc_id"), 0.5, "conf"))
-        .localCheckpoint() // consumers: cal count, value groups, eval side
+        .ckpt() // consumers: cal count, value groups, eval side
       val cal = nc.filter(col("cal"))
       val ncal = cal.agg(count(lit(1)).as("ncal"))
       val wv = org.apache.spark.sql.expressions.Window
@@ -1479,7 +1508,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
         .partitionBy(col("user_id")).orderBy(col("day"))
       val d = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .localCheckpoint() // consumers: window end + the island build
+        .ckpt() // consumers: window end + the island build
       val wend = d.agg(max(col("day")).as("wend"))
       val streaks = d
         .withColumn("isl", date_sub(col("day"), row_number().over(wU)))
@@ -1499,7 +1528,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
             .otherwise(0L)).as("d_a"),
           sum(when(!col("ga") && col("lday") < col("wend"), 1L)
             .otherwise(0L)).as("d_b"))
-        .localCheckpoint() // consumers: cohort totals + the test terms
+        .ckpt() // consumers: cohort totals + the test terms
       val tot = byT.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
         sum(col("d_a")).as("deaths_a"), sum(col("d_b")).as("deaths_b"))
       val wDesc = org.apache.spark.sql.expressions.Window
@@ -1546,7 +1575,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       val counts = sliced.groupBy(col("slice"), col("vm"))
         .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
           sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
-        .localCheckpoint() // consumers: per-slice totals + the cumsum
+        .ckpt() // consumers: per-slice totals + the cumsum
       val tot = counts.groupBy(col("slice"))
         .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       val wOrd = org.apache.spark.sql.expressions.Window
@@ -1832,7 +1861,7 @@ private[graft] trait ExtAnnQueries { this: ExtQueriesBase =>
       val even = pairs.filter(col("i") % 2 === 0)
         .select(expr("i div 2").as("j"),
           col("x").as("x2"), col("y").as("y2"))
-      val q = odd.join(even, Seq("j")).localCheckpoint()
+      val q = odd.join(even, Seq("j")).ckpt()
       def sh(c: org.apache.spark.sql.Column) =
         transform(c, (v, idx) => when(idx === 0, v + lit(0.5)).otherwise(v))
       def contrast(label: String, y1: org.apache.spark.sql.Column,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -338,14 +339,24 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
     // output is a maintained artifact in a real pipeline.
     "x65_curation_pipeline" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), col("source"), col("text"),
-        TextFunctions.tokens(col("text")).as("ts"))
+      // widen before tokenize+quality (r15, guide §2): the expression
+      // chain is per-row CPU on a 1-2-row-group parquet scan (the x163/
+      // x168/x57 pattern, profiled at 10×); no-op on wide inputs
+      val toks = Dedup.widen(docs)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("ts"))
       val scored = toks.select(col("doc_id"), col("source"), col("text"),
         size(col("ts")).cast("long").as("n_tokens"),
         TextFunctions.qualityScoreOf(col("ts"), col("text")).as("q"))
         .filter(col("q") >= 0.55)
       val deduped = Dedup.exactDeduplicate(scored, "doc_id", "text")
-      val corpus = deduped.filter(col("doc_id") % 50 =!= 0)
+      // barrier (r15): corpus is referenced TWICE in the one final plan —
+      // the contamination scan's corpus-gram side AND the anti-join's left
+      // side — so the whole tokenize/quality/window-dedup chain recomputed
+      // per reference (the x71/x127 duplicate-reference trap, r14's
+      // central finding; this query composes the same operators and was
+      // the verdict's named untouched-expensive item)
+      val corpus = deduped.filter(col("doc_id") % 50 =!= 0).ckpt()
       val flagged = Dedup.contaminationScan(corpus,
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
         .select(col("doc_id"))
@@ -398,7 +409,7 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
           lineTokens = 12, maxDocFreq = 1)
         .filter(col("n_kept") >= 1)
         .select(col("id").as("doc_id"), col("n_kept"), col("clean_text"))
-        .localCheckpoint()
+        .ckpt()
       val withSrc = cleaned.join(docs.select(col("doc_id"), col("source")),
         Seq("doc_id"))
       graft.operators.Sampling.dsirWeights(withSrc, "doc_id", "clean_text",
@@ -563,27 +574,38 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
     // the funnel IS the composition contract of those operators.
     "x127_pipeline_funnel" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      // localCheckpoint (r14): every funnel stage is referenced at least
-      // twice in the ONE final plan (its own count + the next stage's
-      // input; s3 three times) with different shapes — persisted subtrees
-      // referenced twice per plan lose cache substitution and the whole
-      // tokenize/quality/fingerprint chain recomputed per reference
-      // (23.6 s executor for a 3.0 s query).
+      // TWO barriers, not four (r15, reverting half of r14): the r14 cut
+      // put a chained eager checkpoint on every funnel stage, which DID
+      // kill the per-reference recompute (23.6 → 8.6 s executor) but
+      // serialized the funnel into four sequential materializations and
+      // DOUBLED driver wall vs the clean r13 close (1.48 → 2.99 s,
+      // r14 verdict). Stages 0-2 are cascading row-filters on the same
+      // row, so their three counts collapse into ONE conditional
+      // aggregate over the tokenized frame — count(when(...)) ≡ the
+      // count over the filtered stage, bit-identical longs. Only two
+      // frames are genuinely multiply-referenced and keep a barrier:
+      // toks (the 3-count aggregate + the s3 build) and s3 (its count +
+      // the contamination scan + the anti-join).
       val toks = docs.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), col("text"),
             TextFunctions.tokens(col("text")).as("ts"))
-          .localCheckpoint()
-      val s1 = toks.filter(size(col("ts")) > 0).localCheckpoint()
-      val s2 = s1.filter(floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
-          * 10000 + lit(0.5)).cast("long") >= 5000L)
-        .localCheckpoint()
+          .ckpt()
+      val nonEmpty = size(col("ts")) > 0
+      val quality = nonEmpty &&
+        floor(TextFunctions.qualityScoreOf(col("ts"), col("text"))
+          * 10000 + lit(0.5)).cast("long") >= 5000L
+      val s012 = toks.agg(
+        count(lit(1)).as("n0"),
+        count(when(nonEmpty, lit(1))).as("n1"),
+        count(when(quality, lit(1))).as("n2"))
       val wFp = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
-      val s3 = s2.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val s3 = toks.filter(quality)
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
           .withColumn("__rn", row_number().over(wFp))
           .filter(col("__rn") === 1)
           .select(col("doc_id"), col("text"))
-        .localCheckpoint()
+        .ckpt()
       val contaminated = graft.operators.Dedup.contaminationScan(
         s3, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
         .select(col("doc_id"))
@@ -591,9 +613,9 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
       def stageCount(df: DataFrame, i: Int, name: String) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(i.toLong).as("stage"), lit(name).as("gate"), col("n_docs"))
-      val funnel = stageCount(toks, 0, "corpus")
-        .unionByName(stageCount(s1, 1, "non_empty"))
-        .unionByName(stageCount(s2, 2, "quality"))
+      val funnel = s012.select(expr(
+          "stack(3, 0L, 'corpus', n0, 1L, 'non_empty', n1, " +
+            "2L, 'quality', n2) AS (stage, gate, n_docs)"))
         .unionByName(stageCount(s3, 3, "dedup_keeper"))
         .unionByName(stageCount(s4, 4, "decontaminated"))
       val wStage = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
@@ -711,10 +733,10 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
       // both pair pipelines run twice (measured 245 s of executor time for
       // a 9.6 s query; the duplicate-reference cache trap).
       val pred = Dedup.simhashPairsOf(sh, maxDist = 10)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b")).ckpt()
       val truth = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
         k = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
-        .localCheckpoint()
+        .ckpt()
       val tp = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("tp"))
       pred.agg(count(lit(1)).as("n_pred"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
@@ -905,7 +927,7 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
         .select(col("source"), explode(TextFunctions.tokens(col("text")))
           .as("t"))
         .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumers: global top-300 + the selected join
+        .ckpt() // consumers: global top-300 + the selected join
       val top = per.groupBy(col("t")).agg(sum(col("c")).as("g"))
         .orderBy(col("g").desc, col("t").asc).limit(300).select(col("t"))
       val sel = per.join(broadcast(top), "t")
@@ -996,7 +1018,7 @@ private[graft] trait ExtDedupQueries { this: ExtQueriesBase =>
             sequence(lit(1), size(col("ts")) - (k - 1)),
             i => array_join(slice(col("ts"), i, lit(k)), " "))).as("gram"))
           .distinct()
-          .localCheckpoint()
+          .ckpt()
       val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("fd"))
       grams.join(first, Seq("gram"))
         .groupBy(col("doc_id"))

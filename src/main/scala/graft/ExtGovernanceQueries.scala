@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -201,7 +202,7 @@ private[graft] trait ExtGovernanceQueries { this: ExtQueriesBase =>
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
         .withColumn("nn", col("n") - col("np"))
-        .localCheckpoint() // consumers: totals + per-bin read + IV fold
+        .ckpt() // consumers: totals + per-bin read + IV fold
       val tot = bins.agg(sum(col("np")).as("tnp"), sum(col("nn")).as("tnn"))
       val withTot = bins.crossJoin(broadcast(tot))
       val iv = withTot
@@ -235,7 +236,7 @@ private[graft] trait ExtGovernanceQueries { this: ExtQueriesBase =>
             col("c_custkey").cast("string"))), 1, 1).as("sens"))
         .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
         .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
-        .localCheckpoint() // consumers: totals + per-k violation sums
+        .ckpt() // consumers: totals + per-k violation sums
       val tot = cls.agg(count(lit(1)).as("n_classes"), sum(col("n")).as("nr"),
         min(col("l")).as("min_l"), sum(col("l")).as("sl"))
       cls.crossJoin(broadcast(

@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -113,7 +114,7 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
     // its input twice in one plan — handing it a lazy self-join would
     // compute the co-purchase build twice.
     "x145_label_prop" -> ((s, dir) =>
-      labelPropagate(coPurchaseEdges(s, dir).localCheckpoint(), rounds = 2)
+      labelPropagate(coPurchaseEdges(s, dir).ckpt(), rounds = 2)
         .orderBy(col("node"))),
     // x154: modularity of the x145 label-propagation partition — the
     // "did the communities actually capture structure" score:
@@ -127,8 +128,8 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
       // endpoint joins + dc) — persisted subtrees referenced twice per
       // plan lose cache substitution and recompute (measured ~100 s of
       // executor time at sf0.1, ≈5 rebuilds of the co-purchase edges).
-      val und = coPurchaseEdges(s, dir).localCheckpoint()
-      val labels = labelPropagate(und, rounds = 2).localCheckpoint()
+      val und = coPurchaseEdges(s, dir).ckpt()
+      val labels = labelPropagate(und, rounds = 2).ckpt()
       val m = und.agg(count(lit(1)).as("m"))
       val ec = und
         .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
@@ -196,11 +197,11 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
       val edges = po.as("a").join(po.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-        .localCheckpoint() // consumers: the degree build + the stat pass
+        .ckpt() // consumers: the degree build + the stat pass
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint() // consumers: node count + both endpoint joins
+        .ckpt() // consumers: node count + both endpoint joins
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val dec = (c: Column) => c.cast("decimal(38,0)")
       val dp = edges
@@ -336,7 +337,7 @@ private[graft] trait ExtGraphQueries { this: ExtQueriesBase =>
       val und = po.as("a").join(po.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-          .localCheckpoint()
+          .ckpt()
       val sampled = und.filter(
         conv(substring(md5(concat(col("u").cast("string"), lit(":"),
           col("v").cast("string"))), 1, 8), 16, 10).cast("long") % 4 === 0)

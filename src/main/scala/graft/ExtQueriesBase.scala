@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -247,7 +248,7 @@ private[graft] trait ExtQueriesBase {
     * the |types|×|levels| probe side.
     */
   private[graft] def sloOverValueHist(s: SparkSession, cells: DataFrame): DataFrame = {
-    val hist = cells.localCheckpoint() // consumers: totals + two lookups
+    val hist = cells.ckpt() // consumers: totals + two lookups
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("vm"))
     val cum = hist
@@ -255,7 +256,7 @@ private[graft] trait ExtQueriesBase {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
       .withColumn("cumlo", col("cumhi") - col("c") + 1)
-      .localCheckpoint() // both containment lookups read it
+      .ckpt() // both containment lookups read it
     val probes = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
       .crossJoin(s.range(1).select(explode(typedlit(SloPs)).as("p")))
       .withColumn("h", expr("CAST(n - 1 AS DOUBLE) * p"))
@@ -348,7 +349,7 @@ private[graft] trait ExtQueriesBase {
     */
   private[graft] def msprtOverDayCells(cellsIn: DataFrame): DataFrame = {
     val daily = cellsIn
-      .localCheckpoint() // day spine: sig + both prefix joins read it
+      .ckpt() // day spine: sig + both prefix joins read it
     val sig = daily.agg(
         sum(col("dna")).as("n_a"), sum(col("dnb")).as("n_b"),
         sum(col("dsa")).as("s_a"), sum(col("dsb")).as("s_b"),
@@ -364,7 +365,7 @@ private[graft] trait ExtQueriesBase {
       .crossJoin(broadcast(sig))
       .withColumn("lt",
         expr(s"CAST(floor(($MsprtLnLrSql) * 1e9 + 0.5) AS BIGINT)"))
-      .localCheckpoint() // consumers: self-join (both sides) + output
+      .ckpt() // consumers: self-join (both sides) + output
     cum.as("t")
       .join(broadcast(cum.as("p")
           .select(col("d").as("pd"), col("lt").as("plt"))),
@@ -745,7 +746,7 @@ private[graft] trait ExtQueriesBase {
     // (DeduplicateRelations re-aliases it) and recomputes the symmetrized
     // edge build per round; the checkpointed frame is a plan leaf.
     val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .ckpt()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -844,7 +845,7 @@ private[graft] trait ExtTextQueries { this: ExtQueriesBase =>
       val docs = table(s, dir, "documents")
       val scored = qlrScoredLab(s, dir, "x203_weights")
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .localCheckpoint() // consumers: total, threshold pick, rates
+        .ckpt() // consumers: total, threshold pick, rates
       val tot = scored.agg(count(lit(1)).as("nn"))
       val wv = org.apache.spark.sql.expressions.Window
         .orderBy(col("score"))
@@ -924,12 +925,12 @@ private[graft] trait ExtTextQueries { this: ExtQueriesBase =>
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
           sum(col("pos")).as("np"))
-        .localCheckpoint() // consumers: prefix join + interval grid + out
+        .ckpt() // consumers: prefix join + interval grid + out
       val pre = bins.as("x")
         .join(broadcast(bins.as("y")), col("y.bin") <= col("x.bin"))
         .groupBy(col("x.bin").as("bin"))
         .agg(sum(col("y.n")).as("cn"), sum(col("y.np")).as("cnp"))
-        .localCheckpoint() // consumers: interval grid (both sides)
+        .ckpt() // consumers: interval grid (both sides)
       // intervals [j, k]: j ≥ 1 pairs a k-prefix with the (j−1)-prefix;
       // j = 0 intervals are the prefixes themselves (a left join's
       // null-extension only fires when a k has NO smaller prefix at all)
@@ -980,7 +981,7 @@ private[graft] trait ExtTextQueries { this: ExtQueriesBase =>
           sum(((col("pm") - col("pos") * lit(1000000L)) *
             (col("pm") - col("pos") * lit(1000000L))).cast("decimal(38,0)"))
             .as("bqk"))
-        .localCheckpoint() // ONE scoring pass; totals derive from bins
+        .ckpt() // ONE scoring pass; totals derive from bins
       val tot = bins.agg(sum(col("bn")).as("n"), sum(col("np")).as("npos"),
         sum(col("bqk")).as("bq"))
       val folded = bins.crossJoin(broadcast(tot))
@@ -1034,7 +1035,7 @@ private[graft] trait ExtTextQueries { this: ExtQueriesBase =>
           expr("CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END"), 6))
         // two consumers (output + gap aggregate) of one scoring scan —
         // cap it once, the x231/x235/x248 device
-        .localCheckpoint()
+        .ckpt()
       g.crossJoin(broadcast(g.agg(
           (max(col("tpr")) - min(col("tpr"))).as("tg"),
           (max(col("fpr")) - min(col("fpr"))).as("fg"))))

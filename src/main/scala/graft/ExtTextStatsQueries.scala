@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Ckpt.BarrierOps
 import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -507,7 +508,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
             .as("t"))
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .ckpt()
       val tot = k.select(col("doc_id")).distinct().agg(count(lit(1)).as("nn"))
       val idf = k.groupBy(col("t")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(tot))
@@ -516,10 +517,10 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
             * 1e6 + lit(0.5)).cast("long").as("idfm"))
       val w = k.join(idf, "t").select(col("doc_id"), col("t"),
           (col("tf") * col("idfm")).as("w"))
-        .localCheckpoint()
+        .ckpt()
       val norms = w.groupBy(col("doc_id"))
         .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nsq"))
-        .localCheckpoint()
+        .ckpt()
       val qw = w.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("t"), col("w").as("wq"))
       val dots = w.join(qw, "t")
@@ -750,7 +751,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
       acfOverDaily(Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("vm"))
-        .localCheckpoint())), // consumers: moments + both lag-join sides,
+        .ckpt())), // consumers: moments + both lag-join sides,
     // x205: leave-one-source-out AUC ablation — the data-valuation read
     // on the quality model ("which source props up / drags down the
     // scorer's separability"): for each source, the tie-averaged
@@ -766,10 +767,10 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
       val docs = table(s, dir, "documents")
       val lab = qlrScoredLab(s, dir, "x205_weights")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .localCheckpoint() // consumers: global hist + per-source hist
+        .ckpt() // consumers: global hist + per-source hist
       val g = lab.groupBy(col("score"))
         .agg(count(lit(1)).as("gn"), sum(col("pos")).as("gnp"))
-        .localCheckpoint() // consumers: per-source subtraction + full AUC
+        .ckpt() // consumers: per-source subtraction + full AUC
       val per = lab.groupBy(col("source"), col("score"))
         .agg(count(lit(1)).as("sn"), sum(col("pos")).as("snp"))
       val sub = g
@@ -873,7 +874,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
           "' ', element_at(ts, i + 2)))")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
       val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
-        .localCheckpoint() // consumers: totals + the r/r+1 self-join
+        .ckpt() // consumers: totals + the r/r+1 self-join
       val tot = hist.agg(
         sum(col("m").cast("decimal(38,0)") * col("c")).cast("long").as("tt"),
         sum(col("m")).as("vocab"),
@@ -956,7 +957,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
           .cast("long"))
         .groupBy(col("source"), col("bucket"))
         .agg(max(col("mreg")).as("mreg"))
-        .localCheckpoint() // consumers: the stage dump + the estimate
+        .ckpt() // consumers: the stage dump + the estimate
       Stage.write(regs, dir, "x216_regs")
       val est = regs.groupBy(col("source"))
         .agg(count(lit(1)).as("present"),
@@ -991,7 +992,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
       val d = table(s, dir, "documents")
         .select(col("n_chars").as("x"),
           TextFunctions.tokenCount(col("text")).cast("long").as("y"))
-        .localCheckpoint() // consumers: two value hists + the moment scan
+        .ckpt() // consumers: two value hists + the moment scan
       def rankMap(c: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1034,7 +1035,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
         .groupBy(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumers: median read + deviation re-agg
+        .ckpt() // consumers: median read + deviation re-agg
       val tots = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
       def median2(h: DataFrame, vCol: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
@@ -1080,7 +1081,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
           TextFunctions.langId(col("text")).as("lang_guess"))
         .groupBy(col("lang"), col("lang_guess"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // consumers: cells + per-truth totals
+        .ckpt() // consumers: cells + per-truth totals
       val tots = cells.groupBy(col("lang")).agg(sum(col("n")).as("nt"))
       cells.join(broadcast(tots), "lang")
         .select(col("lang"), col("lang_guess"), col("n"),
@@ -1100,7 +1101,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
         .groupBy(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumers: median read + dev re-agg + gate
+        .ckpt() // consumers: median read + dev re-agg + gate
       val tots = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
       def median2(h: DataFrame, vCol: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
@@ -1153,7 +1154,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
         .groupBy(floor(col("l_quantity") + lit(0.5)).cast("long").as("q"),
           floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumers: pair join (both sides) + marginals
+        .ckpt() // consumers: pair join (both sides) + marginals
       val cd = g.as("a").join(broadcast(g.as("b")), col("b.q") > col("a.q"))
         .agg(
           sum(when(col("b.d") > col("a.d"), col("a.c") * col("b.c"))
@@ -1247,7 +1248,7 @@ private[graft] trait ExtTextStatsQueries { this: ExtQueriesBase =>
       val ev = abDayProject(Tables.events(s, dir))
         .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
       val h = ev.groupBy(col("variant"), col("cents")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumers: totals + the trim chain — without
+        .ckpt() // consumers: totals + the trim chain — without
       // this the events scan + histogram aggregate run twice
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("variant")).orderBy(col("cents"))

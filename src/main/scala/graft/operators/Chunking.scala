@@ -63,7 +63,12 @@ object Chunking {
       .otherwise(array().cast("array<int>"))
     val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
     val ends = concat(col("__cuts"), array(sz))
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+    // widen first (r15, guide §2 parallelism): the tokenize + per-position
+    // md5 ticket chain is pure per-row CPU, and a small parquet input
+    // arrives as 1-2 row-group partitions — profiled at 10× as ONE 5.8 s
+    // two-task stage; no-op when the input is already wide
+    Dedup.widen(df)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
       .filter(sz > 0)
       .withColumn("__cuts", cuts)
       .select(col(idCol),

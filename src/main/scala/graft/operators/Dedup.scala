@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,7 +153,7 @@ object Dedup {
     // co-occurring shingle pair, negligible even at 100 TB.
     val sh = shingleTable(df, idCol, textCol, k, maxDocFreq)
       .select(col("id"), xxhash64(col("shingle")).as("shash"))
-      .localCheckpoint()
+      .ckpt()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
@@ -213,6 +214,13 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // persist, NOT ckpt — re-tested at 10× in r15 and the r14 revert
+    // still stands: swapping sh/prefix to eager checkpoint leaves measured
+    // x92 13.6 → 17.3 s and x161 28.5 → 31.8 s at dense-10× (paired runs).
+    // The big verify stage's CPU is genuine per-candidate work (shingle
+    // re-read + join + count), not duplicate-reference recompute; the
+    // barriers only unfuse the pipeline and serialize its actions. Twice
+    // negative (r14 at sf0.1, r15 at 10×) — don't try a third time.
     val sh = graft.engine.CacheScope.persistTracked(
       shingleTable(df, idCol, textCol, k, maxDocFreq)
         .select(col("id"), xxhash64(col("shingle")).as("shash")))
@@ -431,7 +439,7 @@ object Dedup {
     // per plan loses cache substitution and re-tokenizes per reference.
     val docs = widen(df).select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), k).as("sh"))
-      .localCheckpoint()
+      .ckpt()
     docs.select(col("id"), col("sh"),
       minhashSignatureOf(col("sh"), numHashes).as("sig"))
   }
@@ -581,7 +589,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame =
     // localCheckpoint (r14): the simhash aggregate feeds both self-join
     // sides of ONE plan — the duplicate-reference cache trap.
-    simhashPairsOf(simhashTable(df, idCol, textCol).localCheckpoint(),
+    simhashPairsOf(simhashTable(df, idCol, textCol).ckpt(),
       maxDist)
 
   /** The pigeonhole chunk layout for a given distance bound: (chunk index,
@@ -950,7 +958,7 @@ object Dedup {
     //    over a 20-round loop is routine.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def barrier(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.ckpt()
     var edges = barrier(cachedPairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct())

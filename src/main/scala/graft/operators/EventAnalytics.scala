@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -208,7 +209,7 @@ object EventAnalytics {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("session_seq"), col("event_type"),
         unix_micros(col("ts")).as("fts"), col("event_id").as("fid"))
-      .localCheckpoint()
+      .ckpt()
     val ordered = firsts.as("x").join(firsts.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.session_seq") === col("y.session_seq") &&

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Ckpt
+import graft.engine.Ckpt.BarrierOps
 import graft.functions.EngineMath
 
 /** Iterative graph analytics over DataFrames — PageRank as the archetype
@@ -52,13 +54,13 @@ object Graph {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .ckpt()
     val adj = und.withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("src")).orderBy(col("dst"))))
-      .localCheckpoint()
+      .ckpt()
     var cur = deg.select(col("src").as("walk_id"), col("src").as("cur"),
       col("src").cast("string").as("path"))
     for (i <- 1 to steps) {
@@ -103,7 +105,7 @@ object Graph {
     val und = edges.select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -113,7 +115,7 @@ object Graph {
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+      .ckpt()
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     val nWedges = dE.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .agg(expr("CAST(sum(od * (od - 1)) / 2 AS BIGINT)").as("n_wedges"))
@@ -142,7 +144,16 @@ object Graph {
     * data-adaptive, not tuned to the local corpus.
     */
   val BloomMaxEdges: Long =
-    sys.env.get("SPARK_GRAFT_TRI_BLOOM_MAX_EDGES").map(_.toLong)
+    // Try-parse (r14 advice): a malformed env value must surface as a
+    // config warning, not as ExceptionInInitializerError on every
+    // subsequent Graph call (this is an object-level val)
+    sys.env.get("SPARK_GRAFT_TRI_BLOOM_MAX_EDGES")
+      .flatMap(v => scala.util.Try(v.toLong).toOption.orElse {
+        System.err.println(s"[graft] ignoring malformed " +
+          s"SPARK_GRAFT_TRI_BLOOM_MAX_EDGES='$v' (want a long); " +
+          "using default 200000000")
+        None
+      })
       .getOrElse(200000000L)
 
   private def bloomEdgeFilter(und: DataFrame, cand: DataFrame,
@@ -151,9 +162,21 @@ object Graph {
     val n = und.count() // und is checkpointed: this is a cheap block scan
     if (n == 0 || n > BloomMaxEdges) return cand
     val bf = und.stat.bloomFilter(xxhash64(col("u"), col("v")), n, 0.01)
-    val bc = und.sparkSession.sparkContext.broadcast(bf)
-    val mightBeEdge = udf((h: Long) => bc.value.mightContainLong(h))
-    cand.filter(mightBeEdge(xxhash64(cu, cv)))
+    // Probe through Spark's own BloomFilterMightContain expression
+    // (registered as graft_bloom_probe) instead of a Scala UDF closure:
+    // the UDF ran interpreted once per candidate (41M wedge probes at
+    // sf0.1) and fenced WholeStageCodegen around the join; the native
+    // expression deserializes the SAME sketch-library filter once per
+    // task and probes with mightContainLong inside codegen — the kept
+    // rows are bit-identical. The serialized filter rides the plan as a
+    // binary literal (task binaries are torrent-broadcast once per
+    // stage), so no explicit broadcast handle is leaked either (r14
+    // advice: the old Broadcast[BloomFilter] was never destroyed).
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    graft.functions.GraftFunctions.ensureRegistered(und.sparkSession)
+    cand.filter(call_udf("graft_bloom_probe", lit(bos.toByteArray),
+      xxhash64(cu, cv)))
   }
 
   /** Local (Watts–Strogatz) clustering summary — one row
@@ -181,18 +204,18 @@ object Graph {
     val und = edges.select(least(col(uCol), col(vCol)).as("u"),
         greatest(col(uCol), col(vCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .ckpt()
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val dE = und
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+      .ckpt()
     val wedgeCorners = dE.as("e1")
       .join(dE.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
@@ -238,10 +261,10 @@ object Graph {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val adj = und.join(deg, "src").localCheckpoint()
+      .ckpt()
+    val adj = und.join(deg, "src").ckpt()
     // |nodes| = |deg| — a count over the small aggregated frame, not a
     // distinct over the edge list
     val n = deg.count()
@@ -250,8 +273,15 @@ object Graph {
     val r0 = math.floor(1.0 / nD * 1e12 + 0.5) / 1e12
     val tele = (1.0 - damping) / nD
     var ranks = deg.select(col("src").as("node"), lit(r0).as("rank"))
-      .localCheckpoint()
+      .ckpt()
+    // (r15 negative result, recorded: wrapping this loop in an AQE-off
+    // gate to cut per-stage replanning latency was measured 0.69× at 10×
+    // — static planning has no stats for the checkpointed rank leaf, so
+    // the per-round join fell from AQE's runtime broadcast to a full
+    // shuffle of the adjacency every round. AQE's replanning latency IS
+    // the broadcast detection; it stays on.)
     for (_ <- 1 to iters) {
+      val prev = ranks
       ranks = adj.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
@@ -260,7 +290,10 @@ object Graph {
           EngineMath.roundAway(
             lit(tele) + lit(damping) * (col("s").cast("double") / lit(1e12)),
             12).as("rank"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+        .ckpt() // eager: materializes the round, truncates lineage
+      // round r−1 is dead once round r has materialized — release its
+      // blocks now instead of holding every round until drain
+      Ckpt.free(prev)
     }
     ranks.orderBy(col("node"))
   }
@@ -295,7 +328,7 @@ object Graph {
     // 500k-edge graph). Checkpointed frames are plan leaves: every
     // half-step is exactly one block-scan join + grouped sum.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val srcN = e.select(col("src")).distinct()
     val n = srcN.count()
     // identical IEEE sequence to the oracle's h0 expression
@@ -311,7 +344,7 @@ object Graph {
         .select(col(outKey),
           floor(col(inScore) * lit(1e12) + lit(0.5)).as("c"))
         .groupBy(col(outKey)).agg(sum(col("c")).as("r"))
-        .localCheckpoint()
+        .ckpt()
       val s = raw.agg(sum(col("r"))).head().getLong(0).toDouble
       raw.select(col(outKey).as("node"),
         EngineMath.roundAway(col("r").cast("double") / lit(s), 12)
@@ -319,6 +352,10 @@ object Graph {
     }
     var h = srcN.select(col("src").as("node"), lit(h0).as("hub"))
     var a: DataFrame = null
+    // (AQE stays on — see pageRank's r15 negative-result note. The
+    // half-step wall at sf0.1 is AQE job-launch latency, but the 10×
+    // capture shows it does NOT grow with data — a fixed floor, not a
+    // scale problem.)
     for (_ <- 1 to iters) {
       a = half(h, "src", "dst", "hub", "auth")
       h = half(a, "dst", "src", "auth", "hub")
@@ -344,12 +381,12 @@ object Graph {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val adj = und.join(deg, "src").localCheckpoint()
+      .ckpt()
+    val adj = und.join(deg, "src").ckpt()
     val sd = deg.join(seeds.select(col("node").as("src")), "src")
-      .select(col("src").as("node")).localCheckpoint()
+      .select(col("src").as("node")).ckpt()
     val nS = sd.count().toDouble
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
     val r0 = math.floor(1.0 / nS * 1e12 + 0.5) / 1e12
@@ -359,8 +396,10 @@ object Graph {
       .join(seedFlag, Seq("node"), "left")
       .select(col("node"),
         when(col("__isSeed"), lit(r0)).otherwise(lit(0.0)).as("rank"))
-      .localCheckpoint()
+      .ckpt()
+    // (AQE stays on — see pageRank's r15 negative-result note)
     for (_ <- 1 to iters) {
+      val prev = ranks
       ranks = adj.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           floor(col("rank") / col("deg") * lit(1e12) + lit(0.5)).as("c"))
@@ -372,7 +411,8 @@ object Graph {
             when(col("__isSeed"), lit(teleS)).otherwise(lit(0.0)) +
               lit(damping) * (col("s").cast("double") / lit(1e12)),
             12).as("rank"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+        .ckpt() // eager: materializes the round, truncates lineage
+      Ckpt.free(prev) // superseded round: release its blocks now
     }
     ranks.orderBy(col("node"))
   }
@@ -400,17 +440,37 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
+      .ckpt()
+    // Early-fixpoint break (r15): peeling is monotone (e′ ⊆ e), so a round
+    // that removes NO edge proves every remaining round is the identity —
+    // the unrolled result after `rounds` rounds is exactly this round's
+    // edge set. The cascade reaches its (possibly empty) fixpoint in 3-4
+    // of x130's 6 contracted rounds at the test SFs, so the count-equality
+    // probe (one tiny job over checkpointed blocks) skips 2-3 full
+    // aggregate+join+checkpoint rounds; a graph whose cascade runs all
+    // `rounds` rounds pays only the per-round count. Results are
+    // bit-identical to the fixed unroll by the monotonicity argument
+    // (KCoreSpec pins the cascade).
+    var n = e.count()
+    var round = 0
+    var fixed = false
+    // (AQE stays on — see pageRank's r15 negative-result note)
+    while (round < rounds && !fixed) {
       val deg = e.select(col("u").as("x"))
         .unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("c"))
       val keep = deg.filter(col("c") >= k).select(col("x"))
+      val prev = e
       e = e
         .join(keep.select(col("x").as("u")), "u")
         .join(keep.select(col("x").as("v")), "v")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .ckpt()
+      val n2 = e.count()
+      Ckpt.free(prev) // superseded round: release its blocks now
+      fixed = n2 == n
+      n = n2
+      round += 1
     }
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))

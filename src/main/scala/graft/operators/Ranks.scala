@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.Ckpt.BarrierOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +48,7 @@ object Ranks {
     // x196/PlanSpec), so the device localCheckpoints: the caller's
     // upstream (often an expensive scoring projection) is computed once,
     // and what materializes is only the narrow (order cols + payload) row
-    val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
+    val b = df.withColumn("__bkt", bucket.cast("long")).ckpt()
     val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
     // the offset pass reduces to per-bucket COUNTS first (one hash agg),
     // so the exclusive prefix-sum window below runs over #buckets rows
@@ -76,7 +77,7 @@ object Ranks {
     requireTempColsFree(df)
     // localCheckpoint for the same two-consumers-one-plan reason as
     // globalRowNumber
-    val b = df.withColumn("__bkt", bucket.cast("long")).localCheckpoint()
+    val b = df.withColumn("__bkt", bucket.cast("long")).ckpt()
     val wLoc = Window.partitionBy(col("__bkt")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wOff = Window.orderBy(col("__bkt"))

@@ -58,6 +58,17 @@ object Skew {
     val bigS = big.withColumn("__salt", saltOfRow)
     val smallS = small.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+    // Force the SHUFFLE join the salting exists for (r15): the planner
+    // estimates the small side from its pre-explode file size, so the
+    // `salts`×-exploded relation can still be picked for BROADCAST — the
+    // driver then single-threadedly builds a hash relation of salts×|small|
+    // rows (profiled at 10×: ~9 s of driver wall under a 15.5 s query with
+    // only 6.5 s of executor time) and every executor holds salts copies of
+    // every row, which defeats the operator's contract outright (salting is
+    // for when the small side is too big to broadcast — broadcastable
+    // inputs should take the plain broadcast join, not this operator). The
+    // merge hint pins sort-merge on (key, salt): the hot key's rows land on
+    // `salts` reducers, AQE's skew split still applies, rows unchanged.
+    bigS.join(smallS.hint("merge"), keys :+ "__salt").drop("__salt")
   }
 }

@@ -106,10 +106,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-5 corpus operators keep their scale shapes") {
-    // CDC chunking: pipelined posexplode — only the output-order exchange,
-    // and never a join
+    // CDC chunking: pipelined posexplode — the output-order exchange plus
+    // (on narrow test inputs only) the r15 widen repartition in front of
+    // the per-doc tokenize+md5 chain; widen() is a no-op when the input
+    // already has ≥ shuffle-partitions partitions, so at scale this plan
+    // is back to the single output-order exchange. Never a join.
     val c = audits("x57_cdc_chunk")
-    assert(c.shuffles <= 1 &&
+    assert(c.shuffles <= 2 &&
       c.broadcastJoins + c.sortMergeJoins + c.nestedLoopJoins == 0, c.toString)
     // repeated spans: gram totals come from a window over the SAME frame —
     // a sort-merge join here means the aggregate+self-join shape crept back
